@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with the configuration this engine assumes.
+  *
+  * Design notes (scale-first): AQE is on so skewed shuffles re-plan at
+  * runtime on a real cluster; shuffle partitions default to the local
+  * core count (the driver overrides per environment); session timezone
+  * is pinned to UTC so results are reproducible against the DuckDB
+  * oracle and across clusters.
+  */
+object GraftSession {
+  def builder(cores: Int = Runtime.getRuntime.availableProcessors(),
+              appName: String = "graft"): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = builder(cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
