@@ -12,10 +12,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    AggQueries.queries ++ JoinQueries.queries ++ WindowQueries.queries
+    AggQueries.queries ++ JoinQueries.queries ++ WindowQueries.queries ++
+    CalcQueries.queries ++ EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    AggQueries.oracle ++ JoinQueries.oracle ++ WindowQueries.oracle
+    AggQueries.oracle ++ JoinQueries.oracle ++ WindowQueries.oracle ++
+    CalcQueries.oracle ++ EventQueries.oracle
 }

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar functions the reference ships that Spark lacks as built-ins
+  * (SURVEY §2.5). Composed from Catalyst built-ins where possible so
+  * they stay codegen'd; `hash_code` is a native Expression.
+  *
+  * Reference registry: `flink-table-planner-blink/.../functions/sql/
+  * FlinkSqlOperatorTable.java` — SPLIT_INDEX:365, IS_DECIMAL:276,
+  * IS_DIGIT:284, IS_ALPHA:292, HASH_CODE:393; runtime semantics in
+  * `flink-table-runtime-blink/.../functions/SqlFunctionUtils.java`.
+  */
+object GraftFunctions {
+
+  /** SPLIT_INDEX(str, sep, idx) — idx is 0-based (Flink semantics);
+    * null when out of range. */
+  def split_index(s: Column, sep: String, idx: Int): Column =
+    try_element_at(split(s, java.util.regex.Pattern.quote(sep)), lit(idx + 1))
+
+  /** IS_DECIMAL(str) — parseable as a number. */
+  def is_decimal(s: Column): Column =
+    s.isNotNull && s.rlike("^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)$")
+
+  /** IS_DIGIT(str) — all characters decimal digits, non-empty. */
+  def is_digit(s: Column): Column = s.isNotNull && s.rlike("^[0-9]+$")
+
+  /** IS_ALPHA(str) — all characters letters, non-empty. */
+  def is_alpha(s: Column): Column = s.isNotNull && s.rlike("^[A-Za-z]+$")
+
+  /** HASH_CODE(str) — Java String.hashCode (native codegen expression). */
+  def hash_code(s: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      HashCode(org.apache.spark.sql.GraftSqlBridge.expression(s)))
+
+  /** Numeric TRUNCATE(x, d) toward zero (Flink TRUNCATE). */
+  def truncate(x: Column, d: Int): Column = {
+    val p = math.pow(10, d)
+    when(x >= 0, floor(x * p) / p).otherwise(-floor(-x * p) / p)
+  }
+
+  /** Flink DATE_FORMAT(ts, javaFormat) — Spark date_format is already
+    * Java SimpleDateFormat-style; direct alias. */
+  def date_format_j(ts: Column, fmt: String): Column = date_format(ts, fmt)
+
+  /** Register SQL names for the custom functions on a session. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hash_code", exprs => HashCode(exprs.head), "built-in")
+    spark.udf.register("split_index",
+      (s: String, sep: String, i: Int) =>
+        if (s == null) null else {
+          val parts = s.split(java.util.regex.Pattern.quote(sep), -1)
+          if (i >= 0 && i < parts.length) parts(i) else null
+        })
+    spark.udf.register("is_decimal",
+      (s: String) => s != null && s.matches("^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)$"))
+    spark.udf.register("is_digit", (s: String) => s != null && s.matches("^[0-9]+$"))
+    spark.udf.register("is_alpha", (s: String) => s != null && s.matches("^[A-Za-z]+$"))
+  }
+}

@@ -1,0 +1,328 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** Calc (fused project+filter) + scalar-function surface (SURVEY §2.5)
+  * + UNNEST/correlate (SURVEY §2.4 "Projection / filter / expand /
+  * correlate").
+  *
+  * Reference: `BatchExecCalc.scala` / `CalcCodeGenerator.scala` for the
+  * operator; `FlinkSqlOperatorTable.java` for the function registry
+  * (string :187–737, math :165–308, temporal :464–671, conditional
+  * :551); UNNEST `LogicalUnnestRule.scala:49`; correlate/UDTF
+  * `BatchExecCorrelate.scala`.
+  *
+  * All functions here are Spark built-ins or compositions thereof
+  * (GraftFunctions) — everything stays inside whole-stage codegen; no
+  * Scala UDF appears in any of these plans.
+  */
+object CalcQueries {
+
+  val queries: Map[String, Q] = Map(
+    // String function battery over part names.
+    "q40_fn_string" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_partkey") <= 500)
+        .select(col("p_partkey"),
+          concat_ws("-", col("p_brand"), col("p_name")).as("cw"),
+          lpad(col("p_brand"), 12, "*").as("lp"),
+          rpad(col("p_brand"), 12, "#").as("rp"),
+          reverse(col("p_name")).as("rev"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("novowel"),
+          split_index(col("p_type"), " ", 0).as("type0"),
+          split_index(col("p_type"), " ", 1).as("type1"),
+          substring(col("p_name"), 2, 5).as("sub"),
+          expr("left(p_name, 4)").as("l4"),
+          expr("right(p_name, 4)").as("r4"),
+          instr(col("p_name"), "a").as("pos_a"),
+          ascii(col("p_brand")).as("asc"),
+          length(col("p_name")).as("len"),
+          upper(col("p_brand")).as("up"),
+          lower(col("p_brand")).as("lo"),
+          trim(lpad(col("p_brand"), 12, " ")).as("trimmed"),
+          repeat(lit("ab"), 3).as("rep"),
+          translate(col("p_name"), "abc", "xyz").as("tr"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Regex + hash functions.
+    "q41_fn_regex_hash" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          col("text").rlike("table").as("has_table"),
+          regexp_extract(col("text"), "([a-z]+) (join|agg)", 1).as("before_kw"),
+          md5(col("text")).as("md5"),
+          sha2(col("text"), 256).as("sha256"),
+          regexp_replace(base64(col("text").cast("binary")), "[\r\n]", "").as("b64"),
+          is_digit(regexp_replace(col("text"), "[^0-9]", "")).as("digits_only"),
+          is_alpha(col("lang")).as("lang_alpha"),
+          is_decimal(col("n_chars").cast("string")).as("nchars_dec"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Temporal functions over order dates.
+    "q42_fn_temporal" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 3000)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          (dayofweek(col("o_orderdate")) - 1).as("dow"),
+          weekofyear(col("o_orderdate")).as("woy"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("mstart"),
+          last_day(col("o_orderdate")).as("mend"),
+          datediff(lit("2002-01-01").cast("date"), col("o_orderdate")).as("days_to_2002"),
+          unix_timestamp(col("o_orderdate")).as("epoch"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Math battery (rounded for cross-engine libm parity).
+    "q43_fn_math" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 1000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 1).as("r1"),
+          floor(col("l_extendedprice")).as("fl"),
+          ceil(col("l_extendedprice")).as("ce"),
+          truncate(col("l_extendedprice"), 1).as("tr1"),
+          abs(col("l_discount") - lit(0.05)).as("ab"),
+          round(sqrt(col("l_quantity")), 6).as("sq"),
+          round(pow(col("l_quantity"), 2), 2).as("p2"),
+          round(log(col("l_extendedprice")), 6).as("ln_p"),
+          round(log10(col("l_extendedprice")), 6).as("log10_p"),
+          round(log2(col("l_quantity")), 6).as("log2_q"),
+          round(exp(col("l_discount")), 6).as("exp_d"),
+          round(sin(col("l_discount")), 6).as("sin_d"),
+          round(cos(col("l_discount")), 6).as("cos_d"),
+          round(tanh(col("l_discount")), 6).as("tanh_d"),
+          signum(col("l_discount") - lit(0.05)).cast("int").as("sgn"),
+          pmod(col("l_orderkey"), lit(7)).as("m7"),
+          bin(col("l_orderkey")).as("b2"),
+          hex(col("l_orderkey")).as("h16"),
+          (col("l_quantity") % lit(7.0)).as("fmod7"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Conditional / comparison surface.
+    "q44_fn_conditional" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          when(col("c_acctbal") < 0, "neg")
+            .when(col("c_acctbal") < 5000, "mid")
+            .otherwise("high").as("band"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("---")).as("seg"),
+          when(col("c_nationkey") % 2 === 0, col("c_name")).as("even_name"),
+          greatest(col("c_acctbal"), lit(0.0)).as("pos_bal"),
+          least(col("c_nationkey"), lit(10)).as("nk10"),
+          (col("c_acctbal") > 1000 && col("c_nationkey") < 12).as("flag_and"),
+          (col("c_acctbal") < 0 || col("c_nationkey") === 0).as("flag_or"),
+          col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY").as("in_set"),
+          col("c_acctbal").between(0, 1000).as("btw"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // CAST lattice (SURVEY §1.2 layer B types).
+    "q45_fn_cast" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("int").as("q_int"),
+          col("l_quantity").cast("long").as("q_long"),
+          col("l_extendedprice").cast("decimal(18,2)").as("p_dec"),
+          col("l_orderkey").cast("string").as("k_str"),
+          col("l_orderkey").cast("double").as("k_dbl"),
+          col("l_shipdate").cast("date").as("ship_d"),
+          col("l_shipdate").cast("date").cast("string").as("ship_s"),
+          (col("l_quantity") > 25).cast("int").as("big_q"),
+          concat(lit(""), col("l_tax").cast("string")).as("tax_s"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // UNNEST / explode (LogicalUnnestRule → GenerateExec): word counts.
+    "q46_unnest_words" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+    }),
+
+    // posexplode (WITH ORDINALITY).
+    "q47_unnest_pos" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(col("doc_id") <= 20)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("pos", "idx")
+        .withColumnRenamed("col", "word")
+        .filter(col("idx") < 5)
+        .orderBy(col("doc_id"), col("idx"))
+    }),
+
+    // Array constructors + higher-order functions on a built array.
+    "q48_array_hof" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 200)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"),
+             sort_array(collect_list(round(col("l_quantity"), 2))).as("qtys"))
+        .select(col("l_orderkey"),
+          col("lines"),
+          size(col("lines")).as("n"),
+          aggregate(col("qtys"), lit(0.0),
+            (acc, x) => acc + x).as("sum_q"),
+          transform(col("lines"), x => x * 2).as("dbl"),
+          filter(col("qtys"), x => x > 25).as("big"),
+          element_at(col("lines"), 1).as("first_line"),
+          array_contains(col("lines"), 1).as("has1"),
+          slice(col("lines"), 1, 2).as("first2"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // JSON-ish extraction from props (regexp-based; Flink 1.10 has no
+    // JSON functions — Spark's get_json_object is a superset, but the
+    // oracle-checked path uses the regexp surface).
+    "q49_props_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("event_id") <= 2000)
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("int").as("k"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_json"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q40_fn_string" ->
+      """SELECT p_partkey,
+        |  concat_ws('-', p_brand, p_name) AS cw,
+        |  lpad(p_brand, 12, '*') AS lp,
+        |  rpad(p_brand, 12, '#') AS rp,
+        |  reverse(p_name) AS rev,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS novowel,
+        |  nullif(split_part(p_type, ' ', 1), '') AS type0,
+        |  nullif(split_part(p_type, ' ', 2), '') AS type1,
+        |  substr(p_name, 2, 5) AS sub,
+        |  left(p_name, 4) AS l4,
+        |  right(p_name, 4) AS r4,
+        |  instr(p_name, 'a') AS pos_a,
+        |  ascii(p_brand) AS asc,
+        |  length(p_name) AS len,
+        |  upper(p_brand) AS up,
+        |  lower(p_brand) AS lo,
+        |  trim(lpad(p_brand, 12, ' ')) AS trimmed,
+        |  repeat('ab', 3) AS rep,
+        |  translate(p_name, 'abc', 'xyz') AS tr
+        |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin,
+    "q41_fn_regex_hash" ->
+      """SELECT doc_id,
+        |  regexp_matches(text, 'table') AS has_table,
+        |  coalesce(regexp_extract(text, '([a-z]+) (join|agg)', 1), '') AS before_kw,
+        |  md5(text) AS md5,
+        |  sha256(text) AS sha256,
+        |  to_base64(text::BLOB) AS b64,
+        |  regexp_matches(regexp_replace(text, '[^0-9]', '', 'g'), '^[0-9]+$') AS digits_only,
+        |  regexp_matches(lang, '^[A-Za-z]+$') AS lang_alpha,
+        |  regexp_matches(CAST(n_chars AS VARCHAR), '^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$') AS nchars_dec
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q42_fn_temporal" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+        |  month(o_orderdate) AS m, dayofmonth(o_orderdate) AS dom,
+        |  dayofyear(o_orderdate) AS doy,
+        |  dayofweek(o_orderdate) AS dow,
+        |  week(o_orderdate) AS woy,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart,
+        |  last_day(CAST(o_orderdate AS DATE)) AS mend,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+        |  CAST(extract(epoch FROM o_orderdate) AS BIGINT) AS epoch
+        |FROM orders WHERE o_orderkey <= 3000 ORDER BY o_orderkey""".stripMargin,
+    "q43_fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice, 1) AS r1,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+        |  trunc(l_extendedprice * 10) / 10 AS tr1,
+        |  abs(l_discount - 0.05) AS ab,
+        |  round(sqrt(l_quantity), 6) AS sq,
+        |  round(pow(l_quantity, 2), 2) AS p2,
+        |  round(ln(l_extendedprice), 6) AS ln_p,
+        |  round(log10(l_extendedprice), 6) AS log10_p,
+        |  round(log2(l_quantity), 6) AS log2_q,
+        |  round(exp(l_discount), 6) AS exp_d,
+        |  round(sin(l_discount), 6) AS sin_d,
+        |  round(cos(l_discount), 6) AS cos_d,
+        |  round((exp(l_discount)-exp(-l_discount))/(exp(l_discount)+exp(-l_discount)), 6) AS tanh_d,
+        |  CAST(CASE WHEN l_discount - 0.05 > 0 THEN 1 WHEN l_discount - 0.05 < 0 THEN -1 ELSE 0 END AS INT) AS sgn,
+        |  l_orderkey % 7 AS m7,
+        |  bin(l_orderkey) AS b2,
+        |  hex(l_orderkey) AS h16,
+        |  fmod(l_quantity, 7.0) AS fmod7
+        |FROM lineitem WHERE l_orderkey <= 1000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q44_fn_conditional" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg'
+        |       WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS band,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), '---') AS seg,
+        |  CASE WHEN c_nationkey % 2 = 0 THEN c_name END AS even_name,
+        |  greatest(c_acctbal, 0.0) AS pos_bal,
+        |  least(c_nationkey, 10) AS nk10,
+        |  (c_acctbal > 1000 AND c_nationkey < 12) AS flag_and,
+        |  (c_acctbal < 0 OR c_nationkey = 0) AS flag_or,
+        |  c_mktsegment IN ('AUTOMOBILE','MACHINERY') AS in_set,
+        |  c_acctbal BETWEEN 0 AND 1000 AS btw
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q45_fn_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS INT) AS q_int,
+        |  CAST(l_quantity AS BIGINT) AS q_long,
+        |  CAST(l_extendedprice AS DECIMAL(18,2)) AS p_dec,
+        |  CAST(l_orderkey AS VARCHAR) AS k_str,
+        |  CAST(l_orderkey AS DOUBLE) AS k_dbl,
+        |  CAST(l_shipdate AS DATE) AS ship_d,
+        |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_s,
+        |  CAST(l_quantity > 25 AS INT) AS big_q,
+        |  CAST(l_tax AS VARCHAR) AS tax_s
+        |FROM lineitem WHERE l_orderkey <= 300
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q46_unnest_words" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY word ORDER BY n DESC, word""".stripMargin,
+    "q47_unnest_pos" ->
+      """SELECT doc_id, idx, word FROM (
+        |  SELECT doc_id,
+        |         generate_subscripts(string_split(text,' '),1) - 1 AS idx,
+        |         unnest(string_split(text, ' ')) AS word
+        |  FROM documents WHERE doc_id <= 20)
+        |WHERE idx < 5 ORDER BY doc_id, idx""".stripMargin,
+    "q48_array_hof" ->
+      """SELECT l_orderkey, lines, len(lines) AS n,
+        |  list_reduce(list_prepend(0.0, qtys), (a,b) -> a + b) AS sum_q,
+        |  list_transform(lines, x -> x*2) AS dbl,
+        |  list_filter(qtys, x -> x > 25) AS big,
+        |  lines[1] AS first_line,
+        |  list_contains(lines, 1) AS has1,
+        |  lines[1:2] AS first2
+        |FROM (
+        |  SELECT l_orderkey,
+        |    list_sort(list(l_linenumber)) AS lines,
+        |    list_sort(list(round(l_quantity,2))) AS qtys
+        |  FROM lineitem WHERE l_orderkey <= 200 GROUP BY l_orderkey)
+        |ORDER BY l_orderkey""".stripMargin,
+    "q49_props_extract" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k,
+        |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k_json
+        |FROM events WHERE event_id <= 2000 ORDER BY event_id""".stripMargin
+  )
+}

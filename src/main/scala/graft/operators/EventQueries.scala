@@ -1,0 +1,237 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Time-windowing + temporal operators over the events table — the
+  * batch analogs of the reference's streaming operators (SURVEY §2.2,
+  * §2.4 "Joins" temporal rows). The streaming (Structured Streaming)
+  * forms of the same operators live in graft.streaming and are spec-
+  * tested with MemoryStream; these batch forms are the oracle-checked
+  * semantics.
+  *
+  * Reference: group window agg `StreamExecGroupWindowAggregate.scala:33`
+  * + assigners `window/assigners/` (Tumbling, Sliding, Session);
+  * interval join `StreamExecWindowJoin.scala:53` /
+  * `TimeBoundedStreamJoin.java`; temporal as-of join
+  * `StreamExecTemporalJoin.scala` / `TemporalRowTimeJoinOperator.java:71`;
+  * dedup `StreamExecDeduplicate.scala:50`.
+  *
+  * Scale notes: tumble/hop use Spark's `window()` which is a plain
+  * projection + aggregation (no shuffle beyond the group-by);
+  * sessionization uses one shuffle on user_id then two window passes
+  * over the same partitioning (single WindowExec ordering reused); the
+  * as-of join is the union+window trick — sort-merge within key
+  * partitions, no per-row subquery — which scales linearly and avoids
+  * the O(n·m) correlated-lookup plan.
+  */
+object EventQueries {
+
+  // Oracle-side CTE: same ns→µs truncation the Spark loader applies.
+  private val evCte =
+    """WITH ev AS (SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts,
+      |            user_id, event_type, value, props FROM events)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling event-time window (TumblingEventTimeWindows:46).
+    "q50_window_tumble" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_v"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
+    // Sliding/hopping window (SlidingEventTimeWindows:47): 1h size, 15m slide.
+    "q51_window_hop" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+        .select(col("w.start").as("w_start"), col("n"), col("sum_v"))
+        .orderBy(col("w_start"))
+    }),
+
+    // Session windows, 30-minute gap (EventTimeSessionWindows:45):
+    // classic gaps-and-islands — lag + cumulative sum over one
+    // user_id partitioning.
+    "q52_window_session" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+               unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ts")).as("sess_start"),
+             max(col("ts")).as("sess_end"),
+             round(sum(col("value")), 2).as("sum_v"))
+        .orderBy(col("user_id"), col("sess_id"))
+    }),
+
+    // Interval join (KeyedStream.intervalJoin / TimeBoundedStreamJoin):
+    // for each purchase, error events of the same user within ±10 min.
+    "q53_interval_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val x = e.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("event_id").as("e_id"), col("ts").as("e_ts"))
+      p.join(x, col("p_user") === col("e_user") &&
+               col("e_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+               col("e_ts") <= col("p_ts") + expr("INTERVAL 10 MINUTES"))
+        .select(col("p_user").as("user_id"), col("p_id"), col("e_id"),
+                (unix_micros(col("e_ts")) - unix_micros(col("p_ts"))).as("delta_us"))
+        .orderBy(col("user_id"), col("p_id"), col("e_id"))
+    }),
+
+    // Temporal as-of join (TemporalRowTimeJoinOperator.java:71): each
+    // purchase joined to the latest view of the same user at or before
+    // its time. Implemented scalably as union + window (no correlated
+    // subquery): tag both sides, sort by (user, ts), carry the last
+    // view forward with last_value(ignoreNulls).
+    "q54_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val tagged = e.filter(col("event_type").isin("purchase", "view"))
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+          when(col("event_type") === "view", col("event_id")).as("view_id"),
+          when(col("event_type") === "view", col("ts")).as("view_ts"))
+      // Views sort before purchases at identical ts (as-of includes ties).
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), when(col("event_type") === "view", 0).otherwise(1), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("last_view_id", last(col("view_id"), ignoreNulls = true).over(w))
+        .withColumn("last_view_ts", last(col("view_ts"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("last_view_id"),
+          (unix_micros(col("ts")) - unix_micros(col("last_view_ts"))).as("lag_us"))
+        .orderBy(col("user_id"), col("purchase_id"))
+    }),
+
+    // Streaming dedup batch analog: keep-LAST row per (user, type)
+    // (DeduplicateKeepLastRowFunction).
+    "q55_dedup_keeplast" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+                round(col("value"), 2).as("value"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // Rolling keyed aggregate (KeyedStream.reduce/sum batch analog):
+    // per-user running totals in event order.
+    "q56_rolling_agg" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("user_id") <= 50)
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("value")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("run_sum"),
+          round(max(col("value")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("run_max"),
+          count(lit(1)).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("run_cnt"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Count-tumbling window batch analog (CountTumblingWindowAssigner):
+    // fixed windows of 10 events per user in time order.
+    "q57_count_window" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(byUser))
+        .withColumn("w_id", floor((col("rn") - 1) / 10))
+        .groupBy(col("user_id"), col("w_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+        .orderBy(col("user_id"), col("w_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q50_window_tumble" -> (evCte +
+      """
+        |SELECT date_trunc('hour', ts) AS w_start, event_type,
+        |  count(*) AS n, round(sum(value),2) AS sum_v
+        |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "q51_window_hop" -> (evCte +
+      """
+        |SELECT w_start, count(*) AS n, round(sum(value),2) AS sum_v
+        |FROM (
+        |  SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
+        |                        - k.g * 900000000) AS w_start, value
+        |  FROM ev, generate_series(0, 3) k(g)
+        |  WHERE epoch_us(ts) - ((epoch_us(ts) // 900000000) * 900000000
+        |                        - k.g * 900000000) < 3600000000)
+        |GROUP BY w_start ORDER BY w_start""".stripMargin),
+    "q52_window_session" -> (evCte +
+      """,
+        |sess AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM sess)
+        |SELECT user_id, sess_id, count(*) AS n_events,
+        |  min(ts) AS sess_start, max(ts) AS sess_end, round(sum(value),2) AS sum_v
+        |FROM numbered GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin),
+    "q53_interval_join" -> (evCte +
+      """
+        |SELECT p.user_id AS user_id, p.event_id AS p_id, x.event_id AS e_id,
+        |  epoch_us(x.ts) - epoch_us(p.ts) AS delta_us
+        |FROM (SELECT * FROM ev WHERE event_type='purchase') p
+        |JOIN (SELECT * FROM ev WHERE event_type='error') x
+        |  ON p.user_id = x.user_id
+        | AND x.ts >= p.ts - INTERVAL 10 MINUTE
+        | AND x.ts <= p.ts + INTERVAL 10 MINUTE
+        |ORDER BY user_id, p_id, e_id""".stripMargin),
+    "q54_asof_join" -> (evCte +
+      """
+        |SELECT user_id, purchase_id, last_view_id, lag_us FROM (
+        |  SELECT p.user_id, p.event_id AS purchase_id,
+        |    v.event_id AS last_view_id,
+        |    epoch_us(p.ts) - epoch_us(v.ts) AS lag_us,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |  FROM (SELECT * FROM ev WHERE event_type='purchase') p
+        |  LEFT JOIN (SELECT * FROM ev WHERE event_type='view') v
+        |    ON p.user_id = v.user_id AND v.ts <= p.ts)
+        |WHERE rn = 1 ORDER BY user_id, purchase_id""".stripMargin),
+    "q55_dedup_keeplast" -> (evCte +
+      """
+        |SELECT user_id, event_type, event_id, round(value,2) AS value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM ev)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin),
+    "q56_rolling_agg" -> (evCte +
+      """
+        |SELECT user_id, event_id,
+        |  round(sum(value) OVER w, 2) AS run_sum,
+        |  round(max(value) OVER w, 2) AS run_max,
+        |  count(*) OVER w AS run_cnt
+        |FROM ev WHERE user_id <= 50
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin),
+    "q57_count_window" -> (evCte +
+      """
+        |SELECT user_id, w_id, count(*) AS n, round(sum(value),2) AS sum_v FROM (
+        |  SELECT user_id, value,
+        |    (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) // 10 AS w_id
+        |  FROM ev)
+        |GROUP BY user_id, w_id ORDER BY user_id, w_id""".stripMargin)
+  )
+}
