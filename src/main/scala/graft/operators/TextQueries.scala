@@ -1,0 +1,284 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data pipeline operators over `documents` (builder-prompt
+  * north star): deduplication (exact, MinHash/LSH, SimHash, n-gram
+  * Jaccard), text quality stats, language ID, fingerprinting.
+  *
+  * Scale design (100 TB): every operator is a pure per-row projection
+  * or a shuffle on a derived key (hash / shingle / band) — no driver
+  * state, no collect. MinHash banding turns O(n²) near-dup search into
+  * an equi-join on (band, hash) keys; the shingle-join Jaccard
+  * restricts to candidate pairs sharing a shingle. Skewed shingles
+  * (stopword-only) would hot-spot the shuffle at scale — at production
+  * SF add a document-frequency cap on shingles (drop shingles in
+  * > dfCap docs), the standard guard in MinHash pipelines.
+  *
+  * Determinism across engines: all hashes are md5-derived (identical
+  * everywhere); ratios are integer ppm (no float rounding boundary);
+  * minhash values parse the first 8 md5 hex chars as a BIGINT.
+  */
+object TextQueries {
+
+  /** Tokens of `text` split on single spaces. */
+  private def toks(c: Column) = split(c, " ")
+
+  /** 32-bit integer hash of a string column: first 8 hex chars of md5. */
+  private def md5i(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private def md5iSql(e: String): String =
+    s"('0x'||substr(md5($e),1,8))::BIGINT"
+
+  private val nSig = 8   // minhash signature length
+  private val nBits = 16 // simhash bits
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: hash-groupBy on md5(text), keep min doc_id.
+    "q60_dedup_exact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keep = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      docs.select(col("doc_id"), md5(col("text")).as("h"))
+        .join(keep, "h")
+        .select(col("doc_id"), col("keep_id"), col("n_copies"),
+                (col("doc_id") === col("keep_id")).as("is_keeper"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Text quality stats — all integer or ppm (exact cross-engine).
+    "q61_text_stats" -> ((s, d) => {
+      val t = col("text")
+      val nchars = length(t)
+      val ntok = size(toks(t))
+      val ndigit = length(regexp_replace(t, "[^0-9]", ""))
+      val npunct = length(regexp_replace(t, "[^.,;:!?]", ""))
+      val nspace = length(regexp_replace(t, "[^ ]", ""))
+      Tables.documents(s, d)
+        .select(col("doc_id"), nchars.as("n_chars"), ntok.as("n_tokens"),
+          (nchars * lit(1000L) / ntok).cast("long").as("chars_per_tok_k"),
+          (ndigit * lit(1000000L) / nchars).cast("long").as("digit_ppm"),
+          (npunct * lit(1000000L) / nchars).cast("long").as("punct_ppm"),
+          (nspace * lit(1000000L) / nchars).cast("long").as("space_ppm"),
+          length(regexp_replace(t, "[^aeiou]", "")).as("n_vowels"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language ID: n-gram/stopword-marker scoring with deterministic
+    // argmax tiebreak (en > de > es > fr > unk).
+    "q62_lang_id" -> ((s, d) => {
+      val t = col("text")
+      val en = regexp_count(t, lit("\\b(the|a|of|and)\\b"))
+      val de = regexp_count(t, lit("\\b(der|die|und|das)\\b"))
+      val es = regexp_count(t, lit("\\b(el|los|que|y)\\b"))
+      val fr = regexp_count(t, lit("\\b(le|les|des|et)\\b"))
+      val best = greatest(en, de, es, fr)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          en.as("s_en"), de.as("s_de"), es.as("s_es"), fr.as("s_fr"),
+          when(best === 0, "unk")
+            .when(en === best, "en").when(de === best, "de")
+            .when(es === best, "es").otherwise("fr").as("pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprint: min/max md5 over 8-char shingles (rolling-
+    // hash style) + distinct-shingle count.
+    "q63_fingerprint" -> ((s, d) => {
+      val t = col("text")
+      val hashes = transform(
+        sequence(lit(1), greatest(length(t) - 7, lit(1))),
+        i => md5(substring_expr(t, i)))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_min(hashes).as("fp_min"),
+          array_max(hashes).as("fp_max"),
+          size(array_distinct(hashes)).as("n_shingles"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MinHash signatures: 8 hash families over 4-word shingles.
+    "q64_minhash_sig" -> ((s, d) =>
+      minhashSigs(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    // MinHash/LSH near-dup candidates: band join (band = 1 signature),
+    // pairs sharing any minhash, with signature-agreement estimate.
+    "q65_minhash_pairs" -> ((s, d) => {
+      val sig = minhashSigs(Tables.documents(s, d))
+      val bands = sig.select(col("doc_id"),
+        posexplode(array((0 until nSig).map(j => col(s"m$j")): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "h")
+      val a = bands.select(col("doc_id").as("id_a"), col("band"), col("h"))
+      val b = bands.select(col("doc_id").as("id_b"), col("band"), col("h"))
+      val cand = a.join(b, Seq("band", "h")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val sa = sig.select(col("doc_id").as("id_a"),
+        array((0 until nSig).map(j => col(s"m$j")): _*).as("sig_a"))
+      val sb = sig.select(col("doc_id").as("id_b"),
+        array((0 until nSig).map(j => col(s"m$j")): _*).as("sig_b"))
+      cand.join(sa, "id_a").join(sb, "id_b")
+        .select(col("id_a"), col("id_b"),
+          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+            bv => bv)).as("n_agree"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Exact n-gram Jaccard via shingle co-occurrence join (the
+    // scalable candidate-verification pattern).
+    "q66_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = docs.select(col("doc_id"),
+          explode(shingles4(col("text"))).as("sh")).distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val co = sh.select(col("doc_id").as("id_a"), col("sh"))
+        .join(sh.select(col("doc_id").as("id_b"), col("sh")), "sh")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("co"))
+      co.join(sizes.withColumnRenamed("doc_id", "id_a")
+                   .withColumnRenamed("n_sh", "na"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b")
+                   .withColumnRenamed("n_sh", "nb"), "id_b")
+        .select(col("id_a"), col("id_b"), col("co"),
+          (col("co") * lit(1000000L) / (col("na") + col("nb") - col("co")))
+            .cast("long").as("jacc_ppm"))
+        .filter(col("jacc_ppm") >= 100000)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash: 16-bit signature over token md5 hashes (term-frequency
+    // weighted), plus hamming-ready integer output.
+    "q67_simhash" -> ((s, d) => {
+      val hashes = transform(toks(col("text")), t => md5i(t))
+      val bits = (0 until nBits).map { b =>
+        when(size(filter(hashes, h => shiftright(h, b).bitwiseAND(1) === 1)) * 2
+               > size(hashes), lit(1L << b)).otherwise(0L)
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  /** substring(t, i, 8) where i is a Column (functions.substring takes
+    * Int positions only). */
+  private def substring_expr(t: Column, i: Column): Column =
+    t.substr(i, lit(8))
+
+  /** 4-word shingles of the space-tokenized text. */
+  private def shingles4(t: Column): Column = {
+    val w = split(t, " ")
+    transform(sequence(lit(1), greatest(size(w) - 3, lit(1))),
+      i => concat_ws(" ", slice(w, i, lit(4))))
+  }
+
+  /** doc_id + m0..m{nSig-1} minhash signature columns. */
+  private def minhashSigs(docs: org.apache.spark.sql.DataFrame) = {
+    val sh = shingles4(col("text"))
+    val sigs = (0 until nSig).map { j =>
+      array_min(transform(sh, x => md5i(concat(lit(s"$j:"), x)))).as(s"m$j")
+    }
+    docs.select((col("doc_id") +: sigs): _*)
+  }
+
+  // ---- oracle SQL ----
+
+  private def shinglesSql =
+    """list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 2)),
+      |      i -> array_to_string(string_split(text,' ')[i:i+3], ' '))""".stripMargin
+
+  private def sigSelectSql = {
+    val cols = (0 until nSig).map { j =>
+      s"""list_min(list_transform(sh, x -> ${md5iSql(s"'$j:'||x")})) AS m$j"""
+    }.mkString(",\n        |    ")
+    s"""SELECT doc_id, $cols
+       |  FROM (SELECT doc_id, $shinglesSql AS sh FROM documents)""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q60_dedup_exact" ->
+      """SELECT doc_id, keep_id, n_copies, doc_id = keep_id AS is_keeper
+        |FROM (SELECT doc_id, md5(text) AS h FROM documents) d
+        |JOIN (SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+        |      FROM documents GROUP BY 1) k USING (h)
+        |ORDER BY doc_id""".stripMargin,
+    "q61_text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |  len(string_split(text,' ')) AS n_tokens,
+        |  length(text) * 1000 // len(string_split(text,' ')) AS chars_per_tok_k,
+        |  length(regexp_replace(text,'[^0-9]','','g')) * 1000000 // length(text) AS digit_ppm,
+        |  length(regexp_replace(text,'[^.,;:!?]','','g')) * 1000000 // length(text) AS punct_ppm,
+        |  length(regexp_replace(text,'[^ ]','','g')) * 1000000 // length(text) AS space_ppm,
+        |  length(regexp_replace(text,'[^aeiou]','','g')) AS n_vowels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q62_lang_id" ->
+      """SELECT doc_id, lang,
+        |  len(regexp_extract_all(text,'\b(the|a|of|and)\b')) AS s_en,
+        |  len(regexp_extract_all(text,'\b(der|die|und|das)\b')) AS s_de,
+        |  len(regexp_extract_all(text,'\b(el|los|que|y)\b')) AS s_es,
+        |  len(regexp_extract_all(text,'\b(le|les|des|et)\b')) AS s_fr,
+        |  CASE WHEN greatest(s_en,s_de,s_es,s_fr) = 0 THEN 'unk'
+        |       WHEN s_en = greatest(s_en,s_de,s_es,s_fr) THEN 'en'
+        |       WHEN s_de = greatest(s_en,s_de,s_es,s_fr) THEN 'de'
+        |       WHEN s_es = greatest(s_en,s_de,s_es,s_fr) THEN 'es'
+        |       ELSE 'fr' END AS pred
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q63_fingerprint" ->
+      """SELECT doc_id,
+        |  list_min(hashes) AS fp_min, list_max(hashes) AS fp_max,
+        |  len(list_distinct(hashes)) AS n_shingles
+        |FROM (SELECT doc_id,
+        |        list_transform(range(1, greatest(length(text)-6, 2)),
+        |                       i -> md5(substr(text, i::INT, 8))) AS hashes
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q64_minhash_sig" -> (sigSelectSql + "\n  ORDER BY doc_id"),
+    "q65_minhash_pairs" -> {
+      val sigArr = "[" + (0 until nSig).map(j => s"m$j").mkString(",") + "]"
+      s"""WITH sig AS ($sigSelectSql),
+         |bands AS (
+         |  SELECT doc_id, g.g AS band, ($sigArr)[g.g + 1] AS h
+         |  FROM sig, generate_series(0, ${nSig - 1}) g(g)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  len(list_filter(list_transform(range(1, ${nSig + 1}),
+         |      i -> sa.s[i] = sb.s[i]), x -> x)) AS n_agree
+         |FROM cand
+         |JOIN (SELECT doc_id, $sigArr AS s FROM sig) sa ON sa.doc_id = id_a
+         |JOIN (SELECT doc_id, $sigArr AS s FROM sig) sb ON sb.doc_id = id_b
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+    "q66_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest($shinglesSql) AS sh FROM documents)),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |co AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS co
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, co,
+         |  co * 1000000 // (na.n_sh + nb.n_sh - co) AS jacc_ppm
+         |FROM co
+         |JOIN sizes na ON na.doc_id = id_a
+         |JOIN sizes nb ON nb.doc_id = id_b
+         |WHERE co * 1000000 // (na.n_sh + nb.n_sh - co) >= 100000
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q67_simhash" -> {
+      val terms = (0 until nBits).map { b =>
+        s"""CASE WHEN 2 * len(list_filter(hs, h -> (h // ${1L << b}) % 2 = 1))
+           |         > len(hs) THEN ${1L << b} ELSE 0 END""".stripMargin
+      }.mkString(" +\n        ")
+      s"""SELECT doc_id, ($terms) AS simhash
+         |FROM (SELECT doc_id,
+         |        list_transform(string_split(text,' '), t -> ${md5iSql("t")}) AS hs
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Embedding similarity search over `embeddings` (builder-prompt north
+  * star): brute-force cosine top-k as the correctness baseline, and a
+  * random-hyperplane LSH bucketing as the scale path (bucket join
+  * replaces the O(n·m) cross join; at 100 TB the corpus shuffles once
+  * on bucket id and probes broadcast).
+  *
+  * Cross-engine determinism: dot products fold left over
+  * double-cast elements in index order, so Spark and DuckDB produce
+  * bit-identical doubles; ranking orders by the raw (unrounded) value
+  * with vec_id tiebreak; only displayed similarity is rounded.
+  * Hyperplanes are ±1 signs derived from md5 at build time and inlined
+  * as literals into both the Spark plan and the oracle SQL.
+  */
+object VectorQueries {
+
+  private val dims = 64
+  private val nPlanes = 8
+
+  /** Deterministic ±1 hyperplane coefficients: sign of md5("p:d"). */
+  private[operators] val planes: Array[Array[Double]] =
+    Array.tabulate(nPlanes, dims) { (p, d) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$d".getBytes("UTF-8"))
+      if ((md(0) & 1) == 1) 1.0 else -1.0
+    }
+
+  /** Element-wise double-cast. */
+  private def asD(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Left-fold dot product of two double arrays (deterministic order). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def dotConst(a: Column, cs: Array[Double]): Column =
+    dot(a, array(cs.map(lit(_)): _*))
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  val queries: Map[String, Q] = Map(
+    // Brute-force cosine top-5 for 20 probe vectors (baseline).
+    "q70_knn_brute" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val probes = e.filter(col("vec_id") <= 20)
+        .select(col("vec_id").as("pid"), asD(col("embedding")).as("pe"))
+      val corpus = e.select(col("vec_id").as("cid"), asD(col("embedding")).as("ce"))
+      val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("cid"))
+      corpus.crossJoin(broadcast(probes))
+        .filter(col("cid") =!= col("pid"))
+        .withColumn("sim", cosine(col("pe"), col("ce")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("pid"), col("rk"), col("cid"), round(col("sim"), 6).as("sim6"))
+        .orderBy(col("pid"), col("rk"))
+    }),
+
+    // Random-hyperplane LSH bucket assignment (the scale path).
+    "q71_lsh_bucket" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val emb = asD(col("embedding"))
+      val bucket = (0 until nPlanes).map { p =>
+        when(dotConst(emb, planes(p)) > 0, lit(1 << p)).otherwise(0)
+      }.reduce(_ + _)
+      e.select(col("vec_id"), col("label"), bucket.as("bucket"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ANN via bucket join: candidates share the probe's bucket;
+    // exact cosine re-rank within bucket, top-3.
+    "q72_lsh_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val emb = asD(col("embedding"))
+      val bucket = (0 until nPlanes).map { p =>
+        when(dotConst(emb, planes(p)) > 0, lit(1 << p)).otherwise(0)
+      }.reduce(_ + _)
+      val withB = e.select(col("vec_id"), emb.as("emb"), bucket.as("bucket"))
+      val probes = withB.filter(col("vec_id") <= 20)
+        .select(col("vec_id").as("pid"), col("emb").as("pe"), col("bucket"))
+      val corpus = withB
+        .select(col("vec_id").as("cid"), col("emb").as("ce"), col("bucket"))
+      val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("cid"))
+      corpus.join(broadcast(probes), "bucket")
+        .filter(col("cid") =!= col("pid"))
+        .withColumn("sim", cosine(col("pe"), col("ce")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("pid"), col("rk"), col("cid"), round(col("sim"), 6).as("sim6"))
+        .orderBy(col("pid"), col("rk"))
+    })
+  )
+
+  // ---- oracle SQL ----
+
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, ${dims + 1}),
+       |      i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x,y) -> x+y)""".stripMargin
+
+  private def dotConstSql(a: String, cs: Array[Double]): String = {
+    val lst = cs.map(c => if (c > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    s"""list_reduce(list_transform(range(1, ${dims + 1}),
+       |      i -> $a[i]::DOUBLE * ($lst)[i]), (x,y) -> x+y)""".stripMargin
+  }
+
+  private def bucketSql(a: String): String =
+    (0 until nPlanes).map { p =>
+      s"CASE WHEN ${dotConstSql(a, planes(p))} > 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  private val cosineSql: String =
+    s"""${dotSql("pe", "ce")} /
+       |  (sqrt(${dotSql("pe", "pe")}) * sqrt(${dotSql("ce", "ce")}))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q70_knn_brute" ->
+      s"""WITH pairs AS (
+         |  SELECT p.vec_id AS pid, c.vec_id AS cid,
+         |    p.embedding AS pe, c.embedding AS ce
+         |  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id <= 20),
+         |sims AS (
+         |  SELECT pid, cid, $cosineSql AS sim FROM pairs),
+         |ranked AS (
+         |  SELECT pid, cid, sim,
+         |    row_number() OVER (PARTITION BY pid ORDER BY sim DESC, cid) AS rk
+         |  FROM sims)
+         |SELECT pid, rk, cid, round(sim, 6) AS sim6
+         |FROM ranked WHERE rk <= 5 ORDER BY pid, rk""".stripMargin,
+    "q71_lsh_bucket" ->
+      s"""SELECT vec_id, label, ${bucketSql("embedding")} AS bucket
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q72_lsh_ann" ->
+      s"""WITH wb AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT p.vec_id AS pid, c.vec_id AS cid,
+         |    p.embedding AS pe, c.embedding AS ce
+         |  FROM wb p JOIN wb c ON p.bucket = c.bucket AND c.vec_id <> p.vec_id
+         |  WHERE p.vec_id <= 20),
+         |sims AS (
+         |  SELECT pid, cid, $cosineSql AS sim FROM pairs),
+         |ranked AS (
+         |  SELECT pid, cid, sim,
+         |    row_number() OVER (PARTITION BY pid ORDER BY sim DESC, cid) AS rk
+         |  FROM sims)
+         |SELECT pid, rk, cid, round(sim, 6) AS sim6
+         |FROM ranked WHERE rk <= 3 ORDER BY pid, rk""".stripMargin
+  )
+}
