@@ -1,0 +1,155 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom keyed stateful streaming operators — the reference's
+  * operators that Structured Streaming lacks as built-ins, implemented
+  * with flatMapGroupsWithState (SURVEY §7.2 M6).
+  *
+  * Reference operators reproduced:
+  *  - keep-last dedup: `deduplicate/DeduplicateKeepLastRowFunction.java`
+  *  - per-key Top-N:   `rank/AppendOnlyTopNFunction.java` (222 LoC)
+  *  - count windows:   `window/assigners/CountTumblingWindowAssigner`
+  *  - temporal as-of join: `join/temporal/TemporalRowTimeJoinOperator.java:71`
+  *
+  * Model note: Flink emits per-record retractions (UPDATE_BEFORE /
+  * UPDATE_AFTER); Structured Streaming exposes micro-batch update mode
+  * instead, so these operators emit the refreshed result per key per
+  * batch — identical at result granularity, no row-level changelog.
+  *
+  * Scale notes: state is per key (user), bounded — one row for dedup,
+  * ≤ N rows for Top-N, one buffer of < windowSize rows for count
+  * windows, one row for as-of. State lives in the executor-local state
+  * store (RocksDB-backed on a real cluster), partitioned by key hash,
+  * so the operators scale horizontally with key cardinality.
+  */
+object StatefulOps {
+
+  implicit private def eventEnc: Encoder[Event] = Encoders.product[Event]
+
+  // ---- keep-last dedup ----------------------------------------------
+
+  /** Latest event per (user_id, event_type), emitted each time it
+    * changes (update-mode changelog of the latest row). */
+  def dedupKeepLast(events: Dataset[Event]): Dataset[Event] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Event, Event](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[Event]) =>
+          val newest = (state.getOption.iterator ++ rows)
+            .maxBy(e => (e.ts.getTime, e.event_id))
+          val changed = !state.getOption.contains(newest)
+          state.update(newest)
+          if (changed) Iterator(newest) else Iterator.empty
+      }
+  }
+
+  // ---- streaming Top-N ----------------------------------------------
+
+  case class TopNRow(user_id: Long, rank: Int, event_id: Long, value: Double)
+
+  /** Top-N events per user by value (append-only input): keeps the N
+    * best rows in state, re-emits the refreshed Top-N for a key when
+    * it changes. */
+  def topNPerKey(events: Dataset[Event], n: Int): Dataset[TopNRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val stateEnc: Encoder[List[(Double, Long)]] =
+      Encoders.kryo[List[(Double, Long)]]
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[(Double, Long)], TopNRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[List[(Double, Long)]]) =>
+          val old = state.getOption.getOrElse(Nil)
+          val merged = (old ++ rows.map(e => (e.value, e.event_id)))
+            .sortBy { case (v, id) => (-v, id) }
+            .take(n)
+          state.update(merged)
+          if (merged != old)
+            merged.iterator.zipWithIndex.map { case ((v, id), i) =>
+              TopNRow(user, i + 1, id, v)
+            }
+          else Iterator.empty
+      }
+  }
+
+  // ---- count windows ------------------------------------------------
+
+  case class CountWindowAgg(user_id: Long, w_id: Long, n: Int, sum_v: Double)
+
+  case class CountWinState(
+      nextW: Long, buf: List[(Long, Long, Double)]) // (ts µs, id, value)
+
+  /** Tumbling count windows of `size` events per user (in event order
+    * within each batch): emits one aggregate row per completed window.
+    * Flink analog: CountTumblingWindowAssigner + count trigger. */
+  def countTumbleWindow(events: Dataset[Event], size: Int): Dataset[CountWindowAgg] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val stateEnc: Encoder[CountWinState] = Encoders.kryo[CountWinState]
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CountWinState, CountWindowAgg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[CountWinState]) =>
+          val st = state.getOption.getOrElse(CountWinState(0L, Nil))
+          val all = st.buf ++ rows
+            .map(e => (e.ts.getTime * 1000, e.event_id, e.value))
+            .toList.sortBy { case (t, id, _) => (t, id) }
+          val (complete, rest) = all.splitAt(all.size - all.size % size)
+          val out = complete.grouped(size).zipWithIndex.map {
+            case (grp, i) =>
+              CountWindowAgg(user, st.nextW + i, grp.size,
+                grp.map(_._3).sum)
+          }.toList
+          state.update(CountWinState(st.nextW + out.size, rest))
+          out.iterator
+      }
+  }
+
+  // ---- temporal (as-of) join ---------------------------------------
+
+  case class AsOfJoined(user_id: Long, purchase_id: Long,
+                        last_view_id: Option[Long], lag_us: Option[Long])
+
+  case class AsOfState(viewId: Long, viewTsUs: Long)
+
+  /** Event-time as-of join inside one keyed stream: each `rightType`
+    * event joins the latest `leftType` event of the same user at or
+    * before its time (TemporalRowTimeJoinOperator semantics; in-order
+    * delivery within the watermark assumed — buffering both sides for
+    * full out-of-order support is the documented round-2 refinement). */
+  def asOfJoin(events: Dataset[Event], leftType: String, rightType: String): Dataset[AsOfJoined] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val stateEnc: Encoder[AsOfState] = Encoders.kryo[AsOfState]
+    events
+      .filter(e => e.event_type == leftType || e.event_type == rightType)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, AsOfJoined](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[AsOfState]) =>
+          val sorted = rows.toList.sortBy(e => (e.ts.getTime,
+            if (e.event_type == leftType) 0 else 1, e.event_id))
+          val out = List.newBuilder[AsOfJoined]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val tUs = e.ts.getTime * 1000
+            if (e.event_type == leftType) {
+              if (cur.forall(_.viewTsUs <= tUs))
+                cur = Some(AsOfState(e.event_id, tUs))
+            } else {
+              out += AsOfJoined(user, e.event_id,
+                cur.map(_.viewId), cur.map(tUs - _.viewTsUs))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+}

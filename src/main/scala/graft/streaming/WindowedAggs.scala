@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-time window aggregation builders (reference: group window agg
+  * `StreamExecGroupWindowAggregate.scala:33`, assigners
+  * `flink-table-runtime-blink/.../window/assigners/` Tumbling, Sliding,
+  * Session; watermark `WatermarkAssignerOperator.java:38`).
+  *
+  * Each takes a streaming (or batch — same code path) DataFrame with an
+  * event-time column and returns the windowed aggregate. The watermark
+  * bound plays Flink's BoundedOutOfOrdernessTimestampExtractor role:
+  * rows later than the watermark are dropped, windows finalize when the
+  * watermark passes their end.
+  */
+object WindowedAggs {
+
+  /** Tumbling event-time window (TumblingEventTimeWindows). */
+  def tumble(df: DataFrame, tsCol: String, size: String, delay: String,
+             keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), size) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Sliding/hopping event-time window (SlidingEventTimeWindows). */
+  def hop(df: DataFrame, tsCol: String, size: String, slide: String,
+          delay: String, keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), size, slide) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Session windows with a fixed gap (EventTimeSessionWindows). */
+  def session(df: DataFrame, tsCol: String, gap: String, delay: String,
+              keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(session_window(col(tsCol), gap) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Keep-first streaming dedup (DeduplicateKeepFirstRowFunction):
+    * built-in dropDuplicates scoped by watermark. */
+  def dedupKeepFirst(df: DataFrame, tsCol: String, delay: String,
+                     keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
+}
