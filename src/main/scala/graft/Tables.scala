@@ -13,8 +13,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** CPU-heavy tables get an adaptive post-scan repartition: the
+    * testdata files are single-row-group parquet, so the scan yields
+    * ONE task and the per-row pipelines over these tables (shingling,
+    * md5 hashing, 64-dim dot products) would run single-threaded —
+    * measured 20×+ slowdowns at sf0.1. Relational tables (lineitem,
+    * orders, …) are NOT repartitioned: their queries are scan+agg
+    * bound, where an extra full shuffle costs more than the scan
+    * parallelism buys. When the scan already has ≥ half the cluster's
+    * parallelism (any real multi-file table at scale), this is a
+    * no-op — no blind shuffle. */
+  private val cpuHeavyTables = Set("documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val target = spark.sparkContext.defaultParallelism
+    if (cpuHeavyTables(name) && df.rdd.getNumPartitions < target / 2)
+      df.repartition(target)
+    else df
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

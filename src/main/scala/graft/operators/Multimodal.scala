@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column handling for training-data
+  * pipelines (builder-prompt north star).
+  *
+  * Media are opaque `binary` columns plus a typed metadata struct —
+  * the schema a 100 TB multimodal dataset would carry in parquet:
+  *   media: binary, meta: {kind, width, height, sample_rate, n_frames}
+  *
+  * The decode step is a clearly-marked deterministic STUB (no codec
+  * libraries in this environment); everything around it — schema,
+  * partition-parallel batch processing via mapPartitions (the Scala
+  * analog of pandas-batch UDFs), feature output shape — is real and
+  * tested. Swap `decodeStub` for an actual codec (JavaCV / TwelveMonkeys)
+  * in production; the pipeline shape does not change.
+  *
+  * Scale notes: decode/feature-extract are per-partition map work with
+  * no shuffle; partitions stream batches through the worker, so memory
+  * is bounded by batch size, not partition size. Feature vectors go to
+  * a fixed-width Array[Float] column ready for the VectorQueries ANN
+  * path.
+  */
+object Multimodal {
+
+  case class MediaMeta(kind: String, width: Int, height: Int,
+                       sample_rate: Int, n_frames: Int)
+  case class MediaRow(media_id: Long, media: Array[Byte], meta: MediaMeta)
+  case class DecodedFrame(media_id: Long, frame_idx: Int, pixels: Array[Float])
+  case class MediaFeature(media_id: Long, kind: String, feature: Array[Float])
+
+  /** Build a deterministic synthetic media table from the documents
+    * table (bytes = text bytes; metadata derived from doc fields) —
+    * stands in for `spark.read.parquet(<multimodal table>)`. */
+  def syntheticMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir).select(
+        col("doc_id").as("media_id"),
+        col("text").cast("binary").as("media"),
+        struct(
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video").as("kind"),
+          (col("n_chars") % 64 + 16).cast("int").as("width"),
+          (col("n_chars") % 48 + 16).cast("int").as("height"),
+          lit(16000).as("sample_rate"),
+          (col("n_chars") % 10 + 1).cast("int").as("n_frames"))
+          .as("meta"))
+      .as[MediaRow]
+  }
+
+  /** STUB decode: a real implementation would invoke an image/audio
+    * codec here. This deterministic fake derives `w*h` "pixels" from
+    * the byte content so downstream shapes and tests are real. */
+  private def decodeStub(bytes: Array[Byte], w: Int, h: Int): Array[Float] = {
+    val out = new Array[Float](w * h)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((bytes(i % bytes.length) & 0xff) * (i / 7 + 1) % 256) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Decode + frame-sample: one row per sampled frame, partition-
+    * parallel, no shuffle. `stride` picks every k-th frame. */
+  def decodeFrames(media: Dataset[MediaRow], stride: Int): Dataset[DecodedFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        (0 until r.meta.n_frames by stride).map { f =>
+          DecodedFrame(r.media_id, f,
+            decodeStub(r.media, r.meta.width, r.meta.height))
+        }
+      }
+    }
+  }
+
+  /** "Resize": downsample the decoded pixel grid to tw×th (nearest
+    * neighbor — real math over the stubbed pixels). */
+  def resize(frames: Dataset[DecodedFrame], w: Int, h: Int,
+             tw: Int, th: Int): Dataset[DecodedFrame] = {
+    import frames.sparkSession.implicits._
+    frames.map { f =>
+      val out = new Array[Float](tw * th)
+      var y = 0
+      while (y < th) {
+        var x = 0
+        while (x < tw) {
+          out(y * tw + x) = f.pixels((y * h / th) * w + (x * w / tw))
+          x += 1
+        }
+        y += 1
+      }
+      f.copy(pixels = out)
+    }
+  }
+
+  /** Feature extraction: fixed-width embedding per media item (mean-
+    * pooled frame features here; a real model would run per batch). */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val px = decodeStub(r.media, r.meta.width, r.meta.height)
+        val feat = new Array[Float](dim)
+        var i = 0
+        while (i < px.length) { feat(i % dim) += px(i); i += 1 }
+        var j = 0
+        while (j < dim) { feat(j) /= (px.length / dim + 1); j += 1 }
+        MediaFeature(r.media_id, r.meta.kind, feat)
+      }
+    }
+  }
+
+  /** DataFrame view with media stats — the catalog-facing projection. */
+  def mediaStats(spark: SparkSession, dir: String): DataFrame =
+    syntheticMedia(spark, dir).toDF()
+      .select(col("media_id"), col("meta.kind").as("kind"),
+        length(col("media")).as("n_bytes"),
+        (col("meta.width") * col("meta.height")).as("n_px"),
+        col("meta.n_frames").as("n_frames"))
+      .orderBy(col("media_id"))
+}

@@ -174,13 +174,30 @@ object TextQueries {
       i => concat_ws(" ", slice(w, i, lit(4))))
   }
 
-  /** doc_id + m0..m{nSig-1} minhash signature columns. */
-  private def minhashSigs(docs: org.apache.spark.sql.DataFrame) = {
-    val sh = shingles4(col("text"))
-    val sigs = (0 until nSig).map { j =>
-      array_min(transform(sh, x => md5i(concat(lit(s"$j:"), x)))).as(s"m$j")
+  /** Universal-hash family constants: h_j(x) = (a_j·x + b_j) mod p.
+    * One md5 per shingle; the families are cheap codegen'd arithmetic
+    * (classic minhash — avoids k md5 passes per shingle). */
+  private[operators] val P = 4294967311L // prime > 2^32
+  // a_j < 2^30 keeps a·h < 2^62 (h < 2^32): no int64 overflow in either engine.
+  private[operators] val AB: IndexedSeq[(Long, Long)] =
+    (0 until nSig).map { j =>
+      (((2654435761L * (j + 1)) % P) % (1L << 30) | 1L,
+       ((40503L * (j + 7) * 2654435761L) % P) % (1L << 30))
     }
-    docs.select((col("doc_id") +: sigs): _*)
+
+  /** doc_id + m0..m{nSig-1} minhash signature columns.
+    * Shape: explode shingles → one md5 per shingle → groupBy(doc) with
+    * k min-aggregates. The single shuffle keys on doc_id; partial
+    * aggregation collapses each doc's shingles map-side, so at 100 TB
+    * the shuffle carries k longs per doc, not the shingles. */
+  private def minhashSigs(docs: org.apache.spark.sql.DataFrame) = {
+    val hashed = docs
+      .select(col("doc_id"), explode(shingles4(col("text"))).as("sh"))
+      .select(col("doc_id"), md5i(col("sh")).as("h"))
+    val sigs = AB.zipWithIndex.map { case ((a, b), j) =>
+      min((col("h") * a + b) % P).as(s"m$j")
+    }
+    hashed.groupBy(col("doc_id")).agg(sigs.head, sigs.tail: _*)
   }
 
   // ---- oracle SQL ----
@@ -190,11 +207,13 @@ object TextQueries {
       |      i -> array_to_string(string_split(text,' ')[i:i+3], ' '))""".stripMargin
 
   private def sigSelectSql = {
-    val cols = (0 until nSig).map { j =>
-      s"""list_min(list_transform(sh, x -> ${md5iSql(s"'$j:'||x")})) AS m$j"""
-    }.mkString(",\n        |    ")
+    val cols = AB.zipWithIndex.map { case ((a, b), j) =>
+      s"min((h * $a + $b) % $P) AS m$j"
+    }.mkString(", ")
     s"""SELECT doc_id, $cols
-       |  FROM (SELECT doc_id, $shinglesSql AS sh FROM documents)""".stripMargin
+       |  FROM (SELECT doc_id, ${md5iSql("sh")} AS h
+       |        FROM (SELECT doc_id, unnest($shinglesSql) AS sh FROM documents))
+       |  GROUP BY doc_id""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
