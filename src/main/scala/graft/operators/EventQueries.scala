@@ -143,6 +143,19 @@ object EventQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // CEP / MATCH_RECOGNIZE (StreamExecMatch.scala:69, NFA.java:85):
+    // 2-step pattern "view followed by purchase within 10 min" run
+    // through the compiled NFA (graft.streaming.Cep).
+    "q58_cep_follow" -> ((s, d) => {
+      import s.implicits._
+      val ev = graft.Tables.events(s, d).as[graft.streaming.Event]
+      graft.streaming.Cep.firstFollowedBy(ev, "view", "purchase", 600000000L)
+        .toDF()
+        .withColumnRenamed("first_id", "view_id")
+        .withColumnRenamed("second_id", "purchase_id")
+        .orderBy(col("user_id"), col("view_id"))
+    }),
+
     // Count-tumbling window batch analog (CountTumblingWindowAssigner):
     // fixed windows of 10 events per user in time order.
     "q57_count_window" -> ((s, d) => {
@@ -210,6 +223,18 @@ object EventQueries {
         |  LEFT JOIN (SELECT * FROM ev WHERE event_type='view') v
         |    ON p.user_id = v.user_id AND v.ts <= p.ts)
         |WHERE rn = 1 ORDER BY user_id, purchase_id""".stripMargin),
+    "q58_cep_follow" -> (evCte +
+      """
+        |SELECT user_id, view_id, purchase_id, delta_us FROM (
+        |  SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        |    epoch_us(p.ts) - epoch_us(v.ts) AS delta_us,
+        |    row_number() OVER (PARTITION BY v.event_id
+        |      ORDER BY p.ts, p.event_id) AS rn
+        |  FROM (SELECT * FROM ev WHERE event_type='view') v
+        |  JOIN (SELECT * FROM ev WHERE event_type='purchase') p
+        |    ON p.user_id = v.user_id AND p.ts > v.ts
+        |   AND epoch_us(p.ts) - epoch_us(v.ts) <= 600000000)
+        |WHERE rn = 1 ORDER BY user_id, view_id""".stripMargin),
     "q55_dedup_keeplast" -> (evCte +
       """
         |SELECT user_id, event_type, event_id, round(value,2) AS value FROM (

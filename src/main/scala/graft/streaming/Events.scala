@@ -11,3 +11,10 @@ case class Event(
     event_type: String,
     value: Double,
     props: String)
+
+object Event {
+  /** Exact microseconds since epoch. Timestamp.getTime truncates to
+    * milliseconds; the sub-ms component lives in getNanos. */
+  def micros(t: Timestamp): Long =
+    t.getTime * 1000 + (t.getNanos / 1000) % 1000
+}

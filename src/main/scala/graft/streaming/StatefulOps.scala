@@ -41,7 +41,7 @@ object StatefulOps {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         case (_, rows, state: GroupState[Event]) =>
           val newest = (state.getOption.iterator ++ rows)
-            .maxBy(e => (e.ts.getTime, e.event_id))
+            .maxBy(e => (Event.micros(e.ts), e.event_id))
           val changed = !state.getOption.contains(newest)
           state.update(newest)
           if (changed) Iterator(newest) else Iterator.empty
@@ -99,7 +99,7 @@ object StatefulOps {
         case (user, rows, state: GroupState[CountWinState]) =>
           val st = state.getOption.getOrElse(CountWinState(0L, Nil))
           val all = st.buf ++ rows
-            .map(e => (e.ts.getTime * 1000, e.event_id, e.value))
+            .map(e => (Event.micros(e.ts), e.event_id, e.value))
             .toList.sortBy { case (t, id, _) => (t, id) }
           val (complete, rest) = all.splitAt(all.size - all.size % size)
           val out = complete.grouped(size).zipWithIndex.map {
@@ -134,12 +134,12 @@ object StatefulOps {
       .flatMapGroupsWithState[AsOfState, AsOfJoined](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (user, rows, state: GroupState[AsOfState]) =>
-          val sorted = rows.toList.sortBy(e => (e.ts.getTime,
+          val sorted = rows.toList.sortBy(e => (Event.micros(e.ts),
             if (e.event_type == leftType) 0 else 1, e.event_id))
           val out = List.newBuilder[AsOfJoined]
           var cur = state.getOption
           sorted.foreach { e =>
-            val tUs = e.ts.getTime * 1000
+            val tUs = Event.micros(e.ts)
             if (e.event_type == leftType) {
               if (cur.forall(_.viewTsUs <= tUs))
                 cur = Some(AsOfState(e.event_id, tUs))
