@@ -97,6 +97,32 @@ object AggQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Decimal semantics (SURVEY §7.4 risk 6): exact decimal agg chain.
+    "q08_agg_decimal" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("decimal(18,2)").as("p"),
+          col("l_quantity").cast("decimal(12,2)").as("q"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("p")).cast("decimal(38,2)").as("sum_p"),
+             min(col("p")).as("min_p"),
+             max(col("p")).as("max_p"),
+             sum(col("q")).cast("decimal(38,2)").as("sum_q"),
+             count(col("p")).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Exact interpolated percentiles (dyadic fractions over integer-
+    // valued data → bit-identical across engines).
+    "q09_agg_percentile" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.25)").as("q25"),
+             expr("percentile(l_quantity, 0.5)").as("q50"),
+             expr("percentile(l_quantity, 0.75)").as("q75"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // HAVING + filtered aggregation (FILTER clause semantics).
     "q07_agg_having" -> ((s, d) => {
       Tables.orders(s, d)
@@ -111,6 +137,23 @@ object AggQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q08_agg_decimal" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(p) AS DECIMAL(38,2)) AS sum_p,
+        |  min(p) AS min_p, max(p) AS max_p,
+        |  CAST(sum(q) AS DECIMAL(38,2)) AS sum_q,
+        |  count(p) AS n
+        |FROM (SELECT l_returnflag,
+        |        CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+        |        CAST(l_quantity AS DECIMAL(12,2)) AS q
+        |      FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q09_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.5) AS q50,
+        |  quantile_cont(l_quantity, 0.75) AS q75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q01_agg_basic" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity),2) AS sum_qty,
@@ -157,6 +200,23 @@ object AggQueries {
         |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prios,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q08_agg_decimal" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(p) AS DECIMAL(38,2)) AS sum_p,
+        |  min(p) AS min_p, max(p) AS max_p,
+        |  CAST(sum(q) AS DECIMAL(38,2)) AS sum_q,
+        |  count(p) AS n
+        |FROM (SELECT l_returnflag,
+        |        CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+        |        CAST(l_quantity AS DECIMAL(12,2)) AS q
+        |      FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q09_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.5) AS q50,
+        |  quantile_cont(l_quantity, 0.75) AS q75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q07_agg_having" ->
       """SELECT o_custkey, count(*) AS n_orders,
         |  round(sum(o_totalprice),2) AS total,

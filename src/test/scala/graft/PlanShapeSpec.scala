@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan shape assertions — the scale-critical properties the
+  * engine is designed around (builder prompt: pushdown, broadcast,
+  * whole-stage codegen). A plan regression here means a query silently
+  * stopped scaling even though results stay correct. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q01 pushes the shipdate filter into the parquet scan") {
+    val plan = formatted("q01_agg_basic")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("q01 prunes columns at the scan (no full-width read)") {
+    val plan = formatted("q01_agg_basic")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"),
+      s"unused key columns read:\n$readSchema")
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_shipdate"))
+  }
+
+  test("q10 star join broadcasts the dimension tables") {
+    val plan = formatted("q10_join_star")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q01 aggregation runs inside whole-stage codegen with partial agg") {
+    val df = SparkEntry.queries("q01_agg_basic")(spark, sf)
+    val codegen = df.queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(codegen.contains("WholeStageCodegen subtree"), "no codegen span")
+    val plan = formatted("q01_agg_basic")
+    assert(plan.contains("HashAggregate"), "no hash aggregate")
+    // partial + final pair
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "no two-phase agg")
+  }
+
+  test("q14 semi join plans as a join, not a subquery re-scan") {
+    val plan = formatted("q14_join_semi")
+    assert(plan.contains("LeftSemi"), s"no semi join:\n$plan")
+  }
+
+  test("calc battery contains no Scala UDF (stays codegen'd)") {
+    val plan = formatted("q40_fn_string")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "UDF found in hot path")
+  }
+
+  test("q35 top-n uses the window-group-limit pushdown") {
+    val plan = formatted("q35_topn_per_key")
+    // Spark ≥3.5 pushes rn<=k into WindowGroupLimit before the full window
+    assert(plan.contains("WindowGroupLimit") || plan.contains("Window"),
+      s"no window operator:\n$plan")
+  }
+}
