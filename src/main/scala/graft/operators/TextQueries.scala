@@ -148,6 +148,20 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Token counting, whitespace + BPE-ish regex pre-tokenizer
+    // (letter runs / digit runs / single punctuation — the GPT-2-style
+    // pre-tokenization shape).
+    "q68_token_count" -> ((s, d) => {
+      val t = col("text")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(t, "\\s+")).as("n_ws"),
+          regexp_count(t, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("n_bpe"),
+          regexp_count(t, lit("[a-z]+")).as("n_word"),
+          regexp_count(t, lit("[0-9]+")).as("n_num"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash: 16-bit signature over token md5 hashes (term-frequency
     // weighted), plus hamming-ready integer output.
     "q67_simhash" -> ((s, d) => {
@@ -288,6 +302,13 @@ object TextQueries {
          |JOIN sizes nb ON nb.doc_id = id_b
          |WHERE co * 1000000 // (na.n_sh + nb.n_sh - co) >= 100000
          |ORDER BY id_a, id_b""".stripMargin,
+    "q68_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(text, '\s+')) AS n_ws,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
+        |  len(regexp_extract_all(text, '[a-z]+')) AS n_word,
+        |  len(regexp_extract_all(text, '[0-9]+')) AS n_num
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q67_simhash" -> {
       val terms = (0 until nBits).map { b =>
         s"""CASE WHEN 2 * len(list_filter(hs, h -> (h // ${1L << b}) % 2 = 1))

@@ -72,6 +72,24 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Embedding-cosine near-duplicate pairs: threshold on exact
+    // cosine. At production scale candidates come from the LSH bucket
+    // join (q72); the synthetic vectors are random, so buckets carry
+    // no signal here and the reference semantics are shown on a
+    // bounded candidate set.
+    "q73_embed_neardup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val a = e.filter(col("vec_id") <= 200)
+        .select(col("vec_id").as("id_a"), asD(col("embedding")).as("ea"))
+      val b = e.select(col("vec_id").as("id_b"), asD(col("embedding")).as("eb"))
+      b.crossJoin(broadcast(a))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("sim", cosine(col("ea"), col("eb")))
+        .filter(col("sim") > 0.4)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim6"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ANN via bucket join: candidates share the probe's bucket;
     // exact cosine re-rank within bucket, top-3.
     "q72_lsh_ann" -> ((s, d) => {
@@ -132,6 +150,15 @@ object VectorQueries {
          |  FROM sims)
          |SELECT pid, rk, cid, round(sim, 6) AS sim6
          |FROM ranked WHERE rk <= 5 ORDER BY pid, rk""".stripMargin,
+    "q73_embed_neardup" ->
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    a.embedding AS pe, b.embedding AS ce
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE a.vec_id <= 200)
+         |SELECT id_a, id_b, round(sim, 6) AS sim6
+         |FROM (SELECT id_a, id_b, $cosineSql AS sim FROM pairs)
+         |WHERE sim > 0.4 ORDER BY id_a, id_b""".stripMargin,
     "q71_lsh_bucket" ->
       s"""SELECT vec_id, label, ${bucketSql("embedding")} AS bucket
          |FROM embeddings ORDER BY vec_id""".stripMargin,

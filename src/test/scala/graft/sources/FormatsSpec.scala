@@ -1,0 +1,53 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-trip every supported format with exact row equality against
+  * the parquet original (nation: int/string; orders adds timestamps). */
+class FormatsSpec extends SparkSpec {
+
+  private def tmp(name: String) =
+    java.nio.file.Files.createTempDirectory(s"graft-$name").toString
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy(col("n_nationkey")).collect().toSeq
+
+  test("csv round-trips nation exactly") {
+    val nation = Tables.nation(spark, sf)
+    val p = tmp("csv")
+    Formats.writeCsv(nation, p)
+    val back = Formats.readCsv(spark, p,
+      "n_nationkey INT, n_name STRING, n_regionkey INT")
+    assert(sortedRows(back) == sortedRows(nation))
+  }
+
+  test("json round-trips nation exactly") {
+    val nation = Tables.nation(spark, sf)
+    val p = tmp("json")
+    Formats.writeJson(nation, p)
+    val back = Formats.readJson(spark, p,
+      "n_nationkey INT, n_name STRING, n_regionkey INT")
+    assert(sortedRows(back) == sortedRows(nation))
+  }
+
+  test("orc round-trips orders (incl. timestamps) exactly") {
+    val orders = Tables.orders(spark, sf)
+    val p = tmp("orc")
+    Formats.writeOrc(orders, p)
+    val back = Formats.readOrc(spark, p)
+    assert(back.orderBy(col("o_orderkey")).collect().toSeq ==
+           orders.orderBy(col("o_orderkey")).collect().toSeq)
+  }
+
+  test("orc read pushes filters down") {
+    val orders = Tables.orders(spark, sf)
+    val p = tmp("orc2")
+    Formats.writeOrc(orders, p)
+    val plan = Formats.readOrc(spark, p)
+      .filter(col("o_totalprice") > 100000).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"),
+      s"no orc pushdown:\n$plan")
+  }
+}
