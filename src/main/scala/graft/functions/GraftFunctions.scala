@@ -29,6 +29,13 @@ object GraftFunctions {
   /** IS_ALPHA(str) — all characters letters, non-empty. */
   def is_alpha(s: Column): Column = s.isNotNull && s.rlike("^[A-Za-z]+$")
 
+  /** cosine_similarity(a, b) — native codegen expression (hot path for
+    * kNN/ANN/near-dup; bit-identical to the HOF composition). */
+  def cosine_similarity(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(CosineSimilarity(
+      org.apache.spark.sql.GraftSqlBridge.expression(a),
+      org.apache.spark.sql.GraftSqlBridge.expression(b)))
+
   /** HASH_CODE(str) — Java String.hashCode (native codegen expression). */
   def hash_code(s: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
@@ -48,6 +55,9 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hash_code", exprs => HashCode(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity",
+      exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
     spark.udf.register("split_index",
       (s: String, sep: String, i: Int) =>
         if (s == null) null else {

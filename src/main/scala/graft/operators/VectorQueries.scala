@@ -41,16 +41,19 @@ object VectorQueries {
   private def dotConst(a: Column, cs: Array[Double]): Column =
     dot(a, array(cs.map(lit(_)): _*))
 
+  /** Native codegen'd cosine (graft.functions.CosineSimilarity) — a
+    * fused primitive loop; bit-identical to the HOF composition
+    * dot/(sqrt·sqrt) it replaced (same left-fold order). */
   private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.functions.GraftFunctions.cosine_similarity(a, b)
 
   val queries: Map[String, Q] = Map(
     // Brute-force cosine top-5 for 20 probe vectors (baseline).
     "q70_knn_brute" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val probes = e.filter(col("vec_id") <= 20)
-        .select(col("vec_id").as("pid"), asD(col("embedding")).as("pe"))
-      val corpus = e.select(col("vec_id").as("cid"), asD(col("embedding")).as("ce"))
+        .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+      val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
       val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("cid"))
       corpus.crossJoin(broadcast(probes))
         .filter(col("cid") =!= col("pid"))
@@ -80,8 +83,8 @@ object VectorQueries {
     "q73_embed_neardup" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val a = e.filter(col("vec_id") <= 200)
-        .select(col("vec_id").as("id_a"), asD(col("embedding")).as("ea"))
-      val b = e.select(col("vec_id").as("id_b"), asD(col("embedding")).as("eb"))
+        .select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
       b.crossJoin(broadcast(a))
         .filter(col("id_a") < col("id_b"))
         .withColumn("sim", cosine(col("ea"), col("eb")))
@@ -98,7 +101,7 @@ object VectorQueries {
       val bucket = (0 until nPlanes).map { p =>
         when(dotConst(emb, planes(p)) > 0, lit(1 << p)).otherwise(0)
       }.reduce(_ + _)
-      val withB = e.select(col("vec_id"), emb.as("emb"), bucket.as("bucket"))
+      val withB = e.select(col("vec_id"), col("embedding").as("emb"), bucket.as("bucket"))
       val probes = withB.filter(col("vec_id") <= 20)
         .select(col("vec_id").as("pid"), col("emb").as("pe"), col("bucket"))
       val corpus = withB
