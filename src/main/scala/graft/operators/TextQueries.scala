@@ -126,17 +126,29 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // Exact n-gram Jaccard via shingle co-occurrence join (the
-    // scalable candidate-verification pattern).
+    // Exact n-gram Jaccard via posting lists: shingles computed ONCE,
+    // then per-shingle sorted doc lists generate the co-occurring
+    // pairs (a naive self-join on shingle recomputed the exploded
+    // shingle subplan per branch — 8 scans in the physical plan).
+    // Postings also bound skew structurally: a shingle with df docs
+    // contributes df·(df-1)/2 pairs from one row — no hot join key.
     "q66_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val sh = docs.select(col("doc_id"),
-          explode(shingles4(col("text"))).as("sh")).distinct()
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val co = sh.select(col("doc_id").as("id_a"), col("sh"))
-        .join(sh.select(col("doc_id").as("id_b"), col("sh")), "sh")
-        .filter(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("co"))
+      val postings = docs
+        .select(col("doc_id"), explode(shingles4(col("text"))).as("sh"))
+        .distinct()
+        .groupBy(col("sh"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      val pairsArr = flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))),
+          y => struct(x.as("a"), y.as("b")))))
+      val co = postings
+        .select(explode(pairsArr).as("p"))
+        .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+        .agg(count(lit(1)).as("co"))
+      val sizes = postings
+        .select(explode(col("ds")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       co.join(sizes.withColumnRenamed("doc_id", "id_a")
                    .withColumnRenamed("n_sh", "na"), "id_a")
         .join(sizes.withColumnRenamed("doc_id", "id_b")

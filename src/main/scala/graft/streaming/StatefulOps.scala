@@ -112,6 +112,66 @@ object StatefulOps {
       }
   }
 
+  // ---- TTL'd dedup (StateTtlConfig analog) -------------------------
+
+  /** Keep-first dedup with state TTL (reference StateTtlConfig.java):
+    * a key's "seen" marker expires ttlMs after it was written, so
+    * re-arrivals after expiry emit again. Expiry is checked lazily on
+    * access (the Flink lazy-TTL model; engine ProcessingTimeTimeout is
+    * avoided — an armed timeout keeps processAllAvailable from ever
+    * quiescing on this Spark version). `now` is injectable for tests. */
+  def dedupFirstWithTtl(events: Dataset[Event], ttlMs: Long,
+                        now: () => Long = () => System.currentTimeMillis())
+      : Dataset[Event] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Long, Event](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[Long]) =>
+          val t = now()
+          val live = state.getOption.exists(seenAt => t - seenAt <= ttlMs)
+          if (live) Iterator.empty
+          else {
+            val first = rows.minBy(e => (Event.micros(e.ts), e.event_id))
+            state.update(t)
+            Iterator(first)
+          }
+      }
+  }
+
+  // ---- streaming bounded OVER --------------------------------------
+
+  case class OverRow(user_id: Long, event_id: Long, sum_prev: Double, cnt_prev: Int)
+
+  /** Streaming OVER (ROWS n PRECEDING): per key, aggregates over the
+    * last `n` rows up to and including the current one, in event order
+    * (reference RowTimeRangeBoundedPrecedingFunction.java and its ROWS
+    * sibling). State = the last n rows per key (bounded). */
+  def boundedRowsOver(events: Dataset[Event], n: Int): Dataset[OverRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val stateEnc: Encoder[List[(Long, Long, Double)]] =
+      Encoders.kryo[List[(Long, Long, Double)]]
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[(Long, Long, Double)], OverRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[List[(Long, Long, Double)]]) =>
+          var window = state.getOption.getOrElse(Nil) // oldest..newest, ≤ n
+          val out = rows.toList
+            .sortBy(e => (Event.micros(e.ts), e.event_id))
+            .map { e =>
+              window = (window :+ ((Event.micros(e.ts), e.event_id, e.value)))
+                .takeRight(n)
+              OverRow(user, e.event_id, window.map(_._3).sum, window.size)
+            }
+          state.update(window)
+          out.iterator
+      }
+  }
+
   // ---- temporal (as-of) join ---------------------------------------
 
   case class AsOfJoined(user_id: Long, purchase_id: Long,
