@@ -47,4 +47,26 @@ object StreamJoins {
     }.toDF(keyCol, outCol)
     df.join(looked.dropDuplicates(keyCol), keyCol)
   }
+
+  /** Async lookup join (AsyncDataStream.unorderedWait analog): point
+    * lookups issued with bounded concurrency per partition; results
+    * may interleave within the partition (unordered mode). */
+  def lookupJoinAsync[V](df: DataFrame, keyCol: String,
+                         makeClient: () => Long => scala.concurrent.Future[Option[V]],
+                         outCol: String, maxInFlight: Int = 16)
+      (implicit vEnc: org.apache.spark.sql.Encoder[(Long, Option[V])]): DataFrame = {
+    import df.sparkSession.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val keyed = df.select(col(keyCol).cast("long")).as[Long]
+    val looked = keyed.mapPartitions { it =>
+      val client = makeClient()
+      it.grouped(maxInFlight).flatMap { batch =>
+        val fs = batch.map(k => client(k).map(v => (k, v)))
+        Await.result(Future.sequence(fs), 5.minutes)
+      }
+    }.toDF(keyCol, outCol)
+    df.join(looked.dropDuplicates(keyCol), keyCol)
+  }
 }

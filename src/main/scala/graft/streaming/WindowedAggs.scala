@@ -37,6 +37,16 @@ object WindowedAggs {
       .groupBy(session_window(col(tsCol), gap) +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
 
+  /** Session windows with a per-row dynamic gap expression
+    * (DynamicEventTimeSessionWindows): gapCol is any Column producing
+    * an interval/duration per row, e.g.
+    * when($"event_type" === "error", "5 minutes").otherwise("30 minutes"). */
+  def sessionDynamic(df: DataFrame, tsCol: String, gapCol: Column, delay: String,
+                     keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(session_window(col(tsCol), gapCol) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
   /** Keep-first streaming dedup (DeduplicateKeepFirstRowFunction):
     * built-in dropDuplicates scoped by watermark. */
   def dedupKeepFirst(df: DataFrame, tsCol: String, delay: String,
