@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.cosine_similarity
+
+/** IVF (inverted-file) approximate nearest neighbor — the second scale
+  * path next to the LSH bucketing in VectorQueries.
+  *
+  * Build: K centroids initialized from deterministic seed vectors and
+  * refined with `lloydIters` distributed Lloyd steps (assign via argmax
+  * cosine against broadcast centroid literals; update via
+  * posexplode + per-dimension mean). Only the K×dim centroid matrix
+  * ever reaches the driver — the corpus stays distributed.
+  *
+  * Search: probes scan the `nprobe` nearest centroid lists only; exact
+  * cosine rerank inside the candidate lists. At 100 TB the corpus is
+  * written partitioned by cluster id, so a probe touches nprobe/K of
+  * the data — the standard IVF trade of recall vs scan fraction.
+  */
+object IvfAnn {
+
+  case class Model(centroids: Array[Array[Double]])
+
+  private def toD(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** argmax over cosine against each centroid literal: array of
+    * (sim, -idx) structs, array_max, negate idx back. */
+  private def nearestCentroid(emb: Column, cents: Array[Array[Double]]): Column = {
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        cosine_similarity(emb, array(c.map(lit(_)): _*)).as("sim"),
+        lit(-i).as("negIdx"))
+    }: _*)
+    -array_max(scored).getField("negIdx")
+  }
+
+  /** Fit K centroids with a few Lloyd iterations. */
+  def fit(vectors: DataFrame, embCol: String, k: Int, lloydIters: Int = 2): Model = {
+    val first = vectors.orderBy(col("vec_id")).limit(k)
+      .select(toD(col(embCol)).as("e")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    var cents = first
+    for (_ <- 1 to lloydIters) {
+      val assigned = vectors.select(toD(col(embCol)).as("e"))
+        .withColumn("c", nearestCentroid(col("e"), cents))
+      val newCents = assigned
+        .select(col("c"), posexplode(col("e")))
+        .groupBy(col("c"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("c"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
+        .select(col("c"), transform(col("dims"), d => d.getField("m")).as("cent"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      cents = Array.tabulate(cents.length)(i => newCents.getOrElse(i, cents(i)))
+    }
+    Model(cents)
+  }
+
+  /** Assign every vector its inverted-list id. */
+  def assign(vectors: DataFrame, embCol: String, model: Model): DataFrame =
+    vectors.withColumn("cluster", nearestCentroid(toD(col(embCol)), model.centroids))
+
+  /** Top-k within the nprobe nearest inverted lists of each probe. */
+  def search(corpus: DataFrame, probes: DataFrame, embCol: String,
+             model: Model, k: Int, nprobe: Int): DataFrame = {
+    val corpusA = assign(corpus, embCol, model)
+      .select(col("vec_id").as("cid"), col(embCol).as("ce"), col("cluster"))
+    val probeClusters = array(model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine_similarity(col(embCol), array(c.map(lit(_)): _*)).as("sim"),
+             lit(i).as("idx"))
+    }: _*)
+    val probesA = probes
+      .select(col("vec_id").as("pid"), col(embCol).as("pe"),
+        slice(reverse(array_sort(probeClusters)), 1, nprobe).as("near"))
+      .select(col("pid"), col("pe"),
+        explode(transform(col("near"), s => s.getField("idx"))).as("cluster"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("sim").desc, col("cid"))
+    corpusA.join(broadcast(probesA), "cluster")
+      .filter(col("cid") =!= col("pid"))
+      .withColumn("sim", cosine_similarity(col("pe"), col("ce")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("pid"), col("rk"), col("cid"), round(col("sim"), 6).as("sim6"))
+  }
+}

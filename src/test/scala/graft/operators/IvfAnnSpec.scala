@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class IvfAnnSpec extends SparkSpec {
+
+  lazy val emb = Tables.embeddings(spark, sf)
+
+  test("fit produces k finite centroids of the right dimension") {
+    val m = IvfAnn.fit(emb, "embedding", k = 8, lloydIters = 2)
+    assert(m.centroids.length == 8)
+    assert(m.centroids.forall(c => c.length == 64 && c.forall(v => !v.isNaN)))
+    // deterministic
+    val m2 = IvfAnn.fit(emb, "embedding", k = 8, lloydIters = 2)
+    assert(m.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+  }
+
+  test("assign puts every vector in [0, k)") {
+    val m = IvfAnn.fit(emb, "embedding", k = 8)
+    val clusters = IvfAnn.assign(emb, "embedding", m)
+      .select(col("cluster")).distinct().collect().map(_.getInt(0)).toSet
+    assert(clusters.forall(c => c >= 0 && c < 8) && clusters.size > 1)
+  }
+
+  test("search returns candidates only from probed lists, ranked by cosine") {
+    val m = IvfAnn.fit(emb, "embedding", k = 8)
+    val probes = emb.filter(col("vec_id") <= 5)
+    val res = IvfAnn.search(emb, probes, "embedding", m, k = 3, nprobe = 2)
+      .collect()
+    assert(res.nonEmpty)
+    // rank is 1..3 per probe and sims are non-increasing within a probe
+    val byProbe = res.groupBy(_.getLong(0))
+    byProbe.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length).toSeq)
+      val sims = sorted.map(_.getDouble(3)).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+    // every hit is genuinely in one of the probe's nprobe clusters
+    val assigned = IvfAnn.assign(emb, "embedding", m)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probeLists = IvfAnn.search(emb, probes, "embedding", m, k = 1000, nprobe = 2)
+      .select(col("pid"), col("cid")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    probeLists.foreach { case (pid, cids) =>
+      val lists = cids.map(assigned)
+      assert(lists.size <= 2, s"probe $pid drew candidates from ${lists.size} lists")
+    }
+  }
+}
