@@ -22,6 +22,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+      // events.parquet stores TIMESTAMP(NANOS), which the Spark reader
+      // rejects; read nanos as long session-wide (Tables.events converts
+      // to µs timestamps). Set once here, not as a read side effect.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

@@ -98,11 +98,16 @@ object AggQueries {
     }),
 
     // Decimal semantics (SURVEY §7.4 risk 6): exact decimal agg chain.
+    // Decimals are derived from exact integer cents (round(x*100) as
+    // bigint, then * 0.01) rather than a raw double→decimal cast:
+    // Spark casts via the shortest decimal repr (HALF_UP) while DuckDB
+    // rounds the raw binary double, which diverges at half-cent
+    // boundaries. Integer cents are exact in both engines.
     "q08_agg_decimal" -> ((s, d) => {
       Tables.lineitem(s, d)
         .select(col("l_returnflag"),
-          col("l_extendedprice").cast("decimal(18,2)").as("p"),
-          col("l_quantity").cast("decimal(12,2)").as("q"))
+          expr("cast(cast(round(l_extendedprice * 100) as bigint) * 0.01 as decimal(18,2))").as("p"),
+          expr("cast(cast(round(l_quantity * 100) as bigint) * 0.01 as decimal(12,2))").as("q"))
         .groupBy(col("l_returnflag"))
         .agg(sum(col("p")).cast("decimal(38,2)").as("sum_p"),
              min(col("p")).as("min_p"),
@@ -137,23 +142,6 @@ object AggQueries {
   )
 
   val oracle: Map[String, String] = Map(
-    "q08_agg_decimal" ->
-      """SELECT l_returnflag,
-        |  CAST(sum(p) AS DECIMAL(38,2)) AS sum_p,
-        |  min(p) AS min_p, max(p) AS max_p,
-        |  CAST(sum(q) AS DECIMAL(38,2)) AS sum_q,
-        |  count(p) AS n
-        |FROM (SELECT l_returnflag,
-        |        CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
-        |        CAST(l_quantity AS DECIMAL(12,2)) AS q
-        |      FROM lineitem)
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "q09_agg_percentile" ->
-      """SELECT l_returnflag,
-        |  quantile_cont(l_quantity, 0.25) AS q25,
-        |  quantile_cont(l_quantity, 0.5) AS q50,
-        |  quantile_cont(l_quantity, 0.75) AS q75
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q01_agg_basic" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity),2) AS sum_qty,
@@ -207,8 +195,8 @@ object AggQueries {
         |  CAST(sum(q) AS DECIMAL(38,2)) AS sum_q,
         |  count(p) AS n
         |FROM (SELECT l_returnflag,
-        |        CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
-        |        CAST(l_quantity AS DECIMAL(12,2)) AS q
+        |        CAST(CAST(round(l_extendedprice * 100) AS BIGINT) * 0.01 AS DECIMAL(18,2)) AS p,
+        |        CAST(CAST(round(l_quantity * 100) AS BIGINT) * 0.01 AS DECIMAL(12,2)) AS q
         |      FROM lineitem)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q09_agg_percentile" ->

@@ -127,20 +127,24 @@ object CalcQueries {
         .orderBy(col("c_custkey"))
     }),
 
-    // CAST lattice (SURVEY §1.2 layer B types).
+    // CAST lattice (SURVEY §1.2 layer B types). Double→decimal and
+    // double→string go through exact integer cents (round(x*100) as
+    // bigint): Spark's raw double casts round/format via the shortest
+    // decimal repr while DuckDB uses the raw binary double — integer
+    // cents and decimal→string are identical in both engines.
     "q45_fn_cast" -> ((s, d) => {
       Tables.lineitem(s, d)
         .filter(col("l_orderkey") <= 300)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("int").as("q_int"),
           col("l_quantity").cast("long").as("q_long"),
-          col("l_extendedprice").cast("decimal(18,2)").as("p_dec"),
+          expr("cast(cast(round(l_extendedprice * 100) as bigint) * 0.01 as decimal(18,2))").as("p_dec"),
           col("l_orderkey").cast("string").as("k_str"),
           col("l_orderkey").cast("double").as("k_dbl"),
           col("l_shipdate").cast("date").as("ship_d"),
           col("l_shipdate").cast("date").cast("string").as("ship_s"),
           (col("l_quantity") > 25).cast("int").as("big_q"),
-          concat(lit(""), col("l_tax").cast("string")).as("tax_s"))
+          expr("cast(cast(cast(round(l_tax * 100) as bigint) * 0.01 as decimal(4,2)) as string)").as("tax_s"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
@@ -166,6 +170,9 @@ object CalcQueries {
     }),
 
     // Array constructors + higher-order functions on a built array.
+    // Every array-typed output is serialized to a string (array_join /
+    // cents for doubles): the driver's pandas comparator cannot hash
+    // array cells, and double-element formatting differs per engine.
     "q48_array_hof" -> ((s, d) => {
       Tables.lineitem(s, d)
         .filter(col("l_orderkey") <= 200)
@@ -173,15 +180,16 @@ object CalcQueries {
         .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"),
              sort_array(collect_list(round(col("l_quantity"), 2))).as("qtys"))
         .select(col("l_orderkey"),
-          col("lines"),
-          size(col("lines")).as("n"),
+          array_join(col("lines"), ",").as("lines"),
+          size(col("lines")).cast("long").as("n"),
           aggregate(col("qtys"), lit(0.0),
             (acc, x) => acc + x).as("sum_q"),
-          transform(col("lines"), x => x * 2).as("dbl"),
-          filter(col("qtys"), x => x > 25).as("big"),
+          array_join(transform(col("lines"), x => x * 2), ",").as("dbl"),
+          array_join(transform(filter(col("qtys"), x => x > 25),
+            x => round(x * 100).cast("long")), ",").as("big"),
           element_at(col("lines"), 1).as("first_line"),
           array_contains(col("lines"), 1).as("has1"),
-          slice(col("lines"), 1, 2).as("first2"))
+          array_join(slice(col("lines"), 1, 2), ",").as("first2"))
         .orderBy(col("l_orderkey"))
     }),
 
@@ -284,13 +292,13 @@ object CalcQueries {
       """SELECT l_orderkey, l_linenumber,
         |  CAST(l_quantity AS INT) AS q_int,
         |  CAST(l_quantity AS BIGINT) AS q_long,
-        |  CAST(l_extendedprice AS DECIMAL(18,2)) AS p_dec,
+        |  CAST(CAST(round(l_extendedprice * 100) AS BIGINT) * 0.01 AS DECIMAL(18,2)) AS p_dec,
         |  CAST(l_orderkey AS VARCHAR) AS k_str,
         |  CAST(l_orderkey AS DOUBLE) AS k_dbl,
         |  CAST(l_shipdate AS DATE) AS ship_d,
         |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_s,
         |  CAST(l_quantity > 25 AS INT) AS big_q,
-        |  CAST(l_tax AS VARCHAR) AS tax_s
+        |  CAST(CAST(CAST(round(l_tax * 100) AS BIGINT) * 0.01 AS DECIMAL(4,2)) AS VARCHAR) AS tax_s
         |FROM lineitem WHERE l_orderkey <= 300
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q46_unnest_words" ->
@@ -306,13 +314,16 @@ object CalcQueries {
         |  FROM documents WHERE doc_id <= 20)
         |WHERE idx < 5 ORDER BY doc_id, idx""".stripMargin,
     "q48_array_hof" ->
-      """SELECT l_orderkey, lines, len(lines) AS n,
+      """SELECT l_orderkey,
+        |  array_to_string(lines, ',') AS lines,
+        |  len(lines) AS n,
         |  list_reduce(list_prepend(0.0, qtys), (a,b) -> a + b) AS sum_q,
-        |  list_transform(lines, x -> x*2) AS dbl,
-        |  list_filter(qtys, x -> x > 25) AS big,
+        |  array_to_string(list_transform(lines, x -> x*2), ',') AS dbl,
+        |  coalesce(array_to_string(list_transform(list_filter(qtys, x -> x > 25),
+        |                                 x -> CAST(round(x*100) AS BIGINT)), ','), '') AS big,
         |  lines[1] AS first_line,
         |  list_contains(lines, 1) AS has1,
-        |  lines[1:2] AS first2
+        |  array_to_string(lines[1:2], ',') AS first2
         |FROM (
         |  SELECT l_orderkey,
         |    list_sort(list(l_linenumber)) AS lines,

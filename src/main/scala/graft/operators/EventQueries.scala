@@ -28,6 +28,11 @@ import graft.Tables
   */
 object EventQueries {
 
+  // Order-independent exact sum of a 2-decimal double column: sum
+  // integer cents, rescale to decimal at the end (see q50 note).
+  private def sumCents =
+    expr("cast(sum(cast(round(value * 100) as bigint)) * 0.01 as decimal(18,2))")
+
   // Oracle-side CTE: same ns→µs truncation the Spark loader applies.
   private val evCte =
     """WITH ev AS (SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts,
@@ -35,10 +40,15 @@ object EventQueries {
 
   val queries: Map[String, Q] = Map(
     // Tumbling event-time window (TumblingEventTimeWindows:46).
+    // All value sums here go through exact integer cents
+    // (round(value*100) as bigint): a groupBy sum over doubles is
+    // order-nondeterministic under partial aggregation, so a
+    // round(sum(double),2) can flip at a half-cent boundary vs the
+    // oracle's sequential sum. Integer sums are order-independent.
     "q50_window_tumble" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+        .agg(count(lit(1)).as("n"), sumCents.as("sum_v"))
         .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_v"))
         .orderBy(col("w_start"), col("event_type"))
     }),
@@ -47,7 +57,7 @@ object EventQueries {
     "q51_window_hop" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+        .agg(count(lit(1)).as("n"), sumCents.as("sum_v"))
         .select(col("w.start").as("w_start"), col("n"), col("sum_v"))
         .orderBy(col("w_start"))
     }),
@@ -69,7 +79,7 @@ object EventQueries {
         .agg(count(lit(1)).as("n_events"),
              min(col("ts")).as("sess_start"),
              max(col("ts")).as("sess_end"),
-             round(sum(col("value")), 2).as("sum_v"))
+             sumCents.as("sum_v"))
         .orderBy(col("user_id"), col("sess_id"))
     }),
 
@@ -164,7 +174,7 @@ object EventQueries {
         .withColumn("rn", row_number().over(byUser))
         .withColumn("w_id", floor((col("rn") - 1) / 10))
         .groupBy(col("user_id"), col("w_id"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+        .agg(count(lit(1)).as("n"), sumCents.as("sum_v"))
         .orderBy(col("user_id"), col("w_id"))
     })
   )
@@ -173,11 +183,13 @@ object EventQueries {
     "q50_window_tumble" -> (evCte +
       """
         |SELECT date_trunc('hour', ts) AS w_start, event_type,
-        |  count(*) AS n, round(sum(value),2) AS sum_v
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) * 0.01 AS DECIMAL(18,2)) AS sum_v
         |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "q51_window_hop" -> (evCte +
       """
-        |SELECT w_start, count(*) AS n, round(sum(value),2) AS sum_v
+        |SELECT w_start, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) * 0.01 AS DECIMAL(18,2)) AS sum_v
         |FROM (
         |  SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
         |                        - k.g * 900000000) AS w_start, value
@@ -199,7 +211,8 @@ object EventQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
         |  FROM sess)
         |SELECT user_id, sess_id, count(*) AS n_events,
-        |  min(ts) AS sess_start, max(ts) AS sess_end, round(sum(value),2) AS sum_v
+        |  min(ts) AS sess_start, max(ts) AS sess_end,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) * 0.01 AS DECIMAL(18,2)) AS sum_v
         |FROM numbered GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin),
     "q53_interval_join" -> (evCte +
       """
@@ -253,7 +266,8 @@ object EventQueries {
         |ORDER BY user_id, event_id""".stripMargin),
     "q57_count_window" -> (evCte +
       """
-        |SELECT user_id, w_id, count(*) AS n, round(sum(value),2) AS sum_v FROM (
+        |SELECT user_id, w_id, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) * 0.01 AS DECIMAL(18,2)) AS sum_v FROM (
         |  SELECT user_id, value,
         |    (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) // 10 AS w_id
         |  FROM ev)
