@@ -12,11 +12,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (predicates see the partial match's bindings), used by SQL
   * MATCH_RECOGNIZE via `StreamExecMatch.scala:69`.
   *
-  * Semantics implemented (subset): relaxed contiguity (followedBy),
-  * `optional`, `oneOrMore` (greedy accumulation, emits on completion),
-  * `within` time bound, NO_SKIP after-match strategy with one match
-  * per started partial (a partial is consumed by its first completion
-  * — each start event matches its earliest completing continuation).
+  * Semantics implemented: relaxed contiguity (followedBy), `optional`,
+  * `oneOrMore` (accumulates, emits on first completion), `times(n)`
+  * (Pattern.java:382), `until` (Pattern.java:220 — closes a looping
+  * step; the closing event is not consumed by the loop), `within` time
+  * bound, after-match skip strategies (cep/nfa/aftermatch/): NO_SKIP,
+  * SKIP_PAST_LAST_EVENT, SKIP_TO_NEXT, and timed-out partial matches
+  * returned as a third output (Flink's timed-out side output,
+  * approximated as a tagged second stream — SURVEY §7.3).
   *
   * Scale notes: pattern matching is keyed — partials live per key and
   * are pruned by `within`, so state is bounded by (open partials ×
@@ -25,13 +28,29 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Cep {
 
+  /** After-match skip strategy (reference cep/nfa/aftermatch/
+    * AfterMatchSkipStrategy.java): what happens to OTHER partial
+    * matches when a match completes. */
+  sealed trait AfterMatchSkip
+  /** Keep all partials — every started partial may still complete. */
+  case object NoSkip extends AfterMatchSkip
+  /** Discard partials that started at or before the completed match's
+    * last event (SkipPastLastStrategy.java). */
+  case object SkipPastLastEvent extends AfterMatchSkip
+  /** Discard partials that started at the same event as the completed
+    * match (SkipToNextStrategy.java). */
+  case object SkipToNext extends AfterMatchSkip
+
   /** A pattern step; `pred` is an iterative condition — it sees the
     * candidate event and the events bound so far (Flink
-    * IterativeCondition). */
+    * IterativeCondition). `times` = exact occurrence count (1 = plain);
+    * `untilPred` closes a oneOrMore loop when it fires. */
   case class Step[T](name: String,
                      pred: (T, Map[String, List[T]]) => Boolean,
                      optional: Boolean = false,
-                     oneOrMore: Boolean = false)
+                     oneOrMore: Boolean = false,
+                     times: Int = 1,
+                     untilPred: Option[(T, Map[String, List[T]]) => Boolean] = None)
 
   case class Pattern[T](steps: Vector[Step[T]], withinUs: Long = Long.MaxValue) {
     def followedBy(name: String)(pred: (T, Map[String, List[T]]) => Boolean): Pattern[T] =
@@ -40,6 +59,17 @@ object Cep {
       copy(steps = steps.init :+ steps.last.copy(optional = true))
     def oneOrMore: Pattern[T] =
       copy(steps = steps.init :+ steps.last.copy(oneOrMore = true))
+    /** Exactly n occurrences of the last step (Pattern.java:382). */
+    def times(n: Int): Pattern[T] = {
+      require(n >= 1, "times(n) needs n >= 1")
+      copy(steps = steps.init :+ steps.last.copy(times = n))
+    }
+    /** Stop condition for a oneOrMore last step (Pattern.java:220):
+      * once an event satisfies `pred`, the loop stops accumulating
+      * (the event itself is not consumed by the loop and may match a
+      * later step). */
+    def until(pred: (T, Map[String, List[T]]) => Boolean): Pattern[T] =
+      copy(steps = steps.init :+ steps.last.copy(untilPred = Some(pred)))
     def within(us: Long): Pattern[T] = copy(withinUs = us)
   }
 
@@ -48,52 +78,85 @@ object Cep {
       Pattern(Vector(Step(name, pred)))
   }
 
+  /** `closedLoops` = indices of oneOrMore steps shut by their `until`
+    * condition (no further accumulation allowed). */
   case class PartialMatch[T](stepIdx: Int, startUs: Long,
-                             bindings: Map[String, List[T]])
+                             bindings: Map[String, List[T]],
+                             closedLoops: Set[Int] = Set.empty)
 
   /** Run the NFA over one key's events (must be fed in event-time
-    * order). Returns (completed matches, surviving partials).
+    * order). Returns (completed matches, surviving partials, timed-out
+    * partials — the ones dropped by `within`, Flink's timed-out side
+    * output).
     *
     * Skip-till-next-match: a partial ignores non-matching events and
     * takes the first matching one (no branching). A final `oneOrMore`
     * step emits on its first occurrence (non-greedy); a non-final one
     * accumulates until a later step matches. */
   def advance[T](pattern: Pattern[T], partials: List[PartialMatch[T]],
-                 events: Iterator[(Long, T)]): (List[Map[String, List[T]]], List[PartialMatch[T]]) = {
+                 events: Iterator[(Long, T)],
+                 skip: AfterMatchSkip = NoSkip)
+      : (List[Map[String, List[T]]], List[PartialMatch[T]], List[PartialMatch[T]]) = {
     var open = partials
     val out = List.newBuilder[Map[String, List[T]]]
+    val timedOut = List.newBuilder[PartialMatch[T]]
     events.foreach { case (tsUs, e) =>
-      open = open.filter(p => tsUs - p.startUs <= pattern.withinUs)
+      val (alive, expired) = open.partition(p => tsUs - p.startUs <= pattern.withinUs)
+      timedOut ++= expired
+      open = alive
       val next = List.newBuilder[PartialMatch[T]]
-      // Returns the advanced partial, None if consumed by a completed
-      // match or (for fresh starts) if nothing matched.
+      var completedStarts: List[Long] = Nil
+      // Advance one partial by this event: bind it, skip past
+      // satisfied/optional steps, or keep it waiting.
       def step(p: PartialMatch[T], retain: Boolean): Unit = {
         var i = p.stepIdx
+        var closed = p.closedLoops
         while (i < pattern.steps.size) {
           val st = pattern.steps(i)
-          if (st.pred(e, p.bindings)) {
+          val cnt = p.bindings.getOrElse(st.name, Nil).size
+          if (st.oneOrMore && !closed(i) && st.untilPred.exists(_(e, p.bindings))) {
+            if (cnt == 0) return // loop can never be satisfied: drop partial
+            closed += i // stop accumulating; event may match a later step
+            i += 1
+          } else if (!(st.oneOrMore && closed(i)) && st.pred(e, p.bindings)) {
             val bound = p.bindings.updated(st.name,
               p.bindings.getOrElse(st.name, Nil) :+ e)
-            val nextIdx = i + 1
-            val restOptional = pattern.steps.drop(nextIdx).forall(_.optional)
-            if (restOptional) out += bound // consumed on first completion
-            else next += PartialMatch(if (st.oneOrMore) i else nextIdx, p.startUs, bound)
+            val newCnt = cnt + 1
+            if (newCnt < st.times) { // times(n): need more occurrences
+              next += PartialMatch(i, p.startUs, bound, closed)
+            } else {
+              val nextIdx = i + 1
+              val restOptional = pattern.steps.drop(nextIdx).forall(_.optional)
+              if (restOptional) { // consumed on first completion
+                out += bound
+                completedStarts ::= p.startUs
+              } else next += PartialMatch(
+                if (st.oneOrMore) i else nextIdx, p.startUs, bound, closed)
+            }
             return
-          } else if (st.optional ||
-                     (st.oneOrMore && p.bindings.getOrElse(st.name, Nil).nonEmpty)) {
+          } else if (st.optional || (st.oneOrMore && cnt > 0)) {
             i += 1 // skippable: optional, or looping step already satisfied
           } else {
-            if (retain) next += p // keep waiting (relaxed contiguity)
+            if (retain) next += p.copy(closedLoops = closed) // keep waiting
             return
           }
         }
-        if (retain) next += p
+        if (retain) next += p.copy(closedLoops = closed)
       }
-      open.foreach(p => step(p, retain = true))
+      // Partials run oldest-first, so the earliest match wins; the skip
+      // strategy prunes later partials as soon as a match completes
+      // (Flink prunes the partial-match set after each found match),
+      // then once more for partials retained before the completion.
+      def prunedBySkip(p: PartialMatch[T]): Boolean = skip match {
+        case NoSkip => false
+        case SkipPastLastEvent => completedStarts.nonEmpty && p.startUs <= tsUs
+        case SkipToNext => completedStarts.contains(p.startUs)
+      }
+      open.foreach(p => if (!prunedBySkip(p)) step(p, retain = true))
       step(PartialMatch[T](0, tsUs, Map.empty), retain = false)
-      open = next.result()
+      open = next.result().filterNot(prunedBySkip)
     }
-    (out.result(), open)
+    (out.result(), open, timedOut.result())
   }
 
   case class FollowRow(user_id: Long, first_id: Long, second_id: Long, delta_us: Long)
@@ -128,20 +191,22 @@ object Cep {
   /** Batch CEP over a keyed Dataset of events (event-time sorted per
     * key inside). */
   def matchBatch[K](events: Dataset[Event], keyOf: Event => K,
-                    pattern: Pattern[Event])(
+                    pattern: Pattern[Event], skip: AfterMatchSkip = NoSkip)(
       implicit ke: Encoder[K], oe: Encoder[(K, Map[String, List[Event]])])
       : Dataset[(K, Map[String, List[Event]])] = {
     import events.sparkSession.implicits._
     events.groupByKey(keyOf).flatMapGroups { (k: K, rows: Iterator[Event]) =>
       val sorted = rows.toList.sortBy(e => (Event.micros(e.ts), e.event_id))
         .map(e => (Event.micros(e.ts), e))
-      advance(pattern, Nil, sorted.iterator)._1.map(m => (k, m)).iterator
+      advance(pattern, Nil, sorted.iterator, skip)._1.map(m => (k, m)).iterator
     }
   }
 
   /** Streaming CEP: partials persist in keyed state across batches
-    * (in-order delivery within the watermark assumed). */
-  def matchStream(events: Dataset[Event], pattern: Pattern[Event])
+    * (in-order delivery within the watermark assumed; see
+    * EventTimeOps.matchStreamBuffered for the out-of-order-safe form). */
+  def matchStream(events: Dataset[Event], pattern: Pattern[Event],
+                  skip: AfterMatchSkip = NoSkip)
       : Dataset[(Long, Map[String, List[Event]])] = {
     import events.sparkSession.implicits._
     implicit val stateEnc: Encoder[List[PartialMatch[Event]]] =
@@ -154,10 +219,39 @@ object Cep {
         case (user, rows, state: GroupState[List[PartialMatch[Event]]]) =>
           val sorted = rows.toList.sortBy(e => (Event.micros(e.ts), e.event_id))
             .map(e => (Event.micros(e.ts), e))
-          val (done, open) =
-            advance(pattern, state.getOption.getOrElse(Nil), sorted.iterator)
+          val (done, open, _) =
+            advance(pattern, state.getOption.getOrElse(Nil), sorted.iterator, skip)
           state.update(open)
           done.map(m => (user, m)).iterator
+      }
+  }
+
+  /** Streaming CEP with the timed-out side channel (Flink emits
+    * timed-out partial matches through a side output,
+    * `PatternStream.select` with a timeout tag; SURVEY §7.3 maps side
+    * outputs to one tagged stream split by two filtered sinks).
+    * Emits (user, bindings, isTimeout): isTimeout=false rows are
+    * completed matches, isTimeout=true rows are partials dropped by
+    * `within` — filter each into its own sink. */
+  def matchStreamWithTimeouts(events: Dataset[Event], pattern: Pattern[Event],
+                              skip: AfterMatchSkip = NoSkip)
+      : Dataset[(Long, Map[String, List[Event]], Boolean)] = {
+    import events.sparkSession.implicits._
+    implicit val stateEnc: Encoder[List[PartialMatch[Event]]] =
+      Encoders.kryo[List[PartialMatch[Event]]]
+    implicit val outEnc: Encoder[(Long, Map[String, List[Event]], Boolean)] =
+      Encoders.kryo[(Long, Map[String, List[Event]], Boolean)]
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[PartialMatch[Event]], (Long, Map[String, List[Event]], Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[List[PartialMatch[Event]]]) =>
+          val sorted = rows.toList.sortBy(e => (Event.micros(e.ts), e.event_id))
+            .map(e => (Event.micros(e.ts), e))
+          val (done, open, expired) =
+            advance(pattern, state.getOption.getOrElse(Nil), sorted.iterator, skip)
+          state.update(open)
+          (done.map(m => (user, m, false)) ++
+            expired.map(p => (user, p.bindings, true))).iterator
       }
   }
 }

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+
+/** times(n) / until / after-match skip / timed-out partials — shapes
+  * mirrored from the reference `flink-cep` NFAITCase. Exercises the NFA
+  * directly (advance) — streaming integration is covered by CepSpec and
+  * EventTimeOpsSpec. */
+class CepAdvancedSpec extends SparkSpec {
+
+  private def ev(id: Long, tSec: Long, user: Long, typ: String) =
+    Event(id, new Timestamp(tSec * 1000), user, typ, 0.0, "{}")
+
+  private val isType = (t: String) =>
+    (e: Event, _: Map[String, List[Event]]) => e.event_type == t
+
+  private def run(pat: Cep.Pattern[Event],
+                  skip: Cep.AfterMatchSkip = Cep.NoSkip)(events: Event*) = {
+    val sorted = events.toList.sortBy(e => (Event.micros(e.ts), e.event_id))
+      .map(e => (Event.micros(e.ts), e))
+    Cep.advance(pat, Nil, sorted.iterator, skip)
+  }
+
+  private def ids(m: Map[String, List[Event]]): Map[String, List[Long]] =
+    m.view.mapValues(_.map(_.event_id)).toMap
+
+  test("times(2) needs exactly two occurrences before the next step") {
+    val pat = Cep.Pattern.begin[Event]("c")(isType("click")).times(2)
+      .followedBy("p")(isType("purchase"))
+    val (done, _, _) = run(pat)(
+      ev(1, 10, 1, "click"), ev(2, 11, 1, "click"), ev(3, 12, 1, "purchase"))
+    assert(done.map(ids) == List(Map("c" -> List(1L, 2L), "p" -> List(3L))))
+    // a single occurrence never completes
+    val (none, open, _) = run(pat)(ev(1, 10, 1, "click"), ev(3, 12, 1, "purchase"))
+    assert(none.isEmpty && open.nonEmpty)
+  }
+
+  test("until closes a oneOrMore loop; the closing event is not bound") {
+    val pat = Cep.Pattern.begin[Event]("c")(isType("click")).oneOrMore
+      .until(isType("error"))
+      .followedBy("p")(isType("purchase"))
+    val (done, _, _) = run(pat)(
+      ev(1, 10, 1, "click"), ev(2, 11, 1, "click"), ev(3, 12, 1, "error"),
+      ev(4, 13, 1, "click"), ev(5, 14, 1, "purchase"))
+    // the partial started at click#1 stops accumulating at the error:
+    // click#4 is NOT added to its loop
+    assert(done.map(ids).contains(Map("c" -> List(1L, 2L), "p" -> List(5L))))
+    assert(!done.map(ids).exists(m => m("c") == List(1L, 2L, 4L)))
+  }
+
+  test("NO_SKIP emits overlapping matches; SKIP_PAST_LAST_EVENT prunes them") {
+    val pat = Cep.Pattern.begin[Event]("c")(isType("click")).times(2)
+    val evs = Seq(ev(1, 10, 1, "click"), ev(2, 11, 1, "click"), ev(3, 12, 1, "click"))
+    val (noskip, _, _) = run(pat)(evs: _*)
+    assert(noskip.map(ids).toSet ==
+      Set(Map("c" -> List(1L, 2L)), Map("c" -> List(2L, 3L))))
+    val (skipped, _, _) = run(pat, Cep.SkipPastLastEvent)(evs: _*)
+    assert(skipped.map(ids) == List(Map("c" -> List(1L, 2L))))
+  }
+
+  test("SKIP_TO_NEXT drops only partials sharing the match's start") {
+    val pat = Cep.Pattern.begin[Event]("v")(isType("view"))
+      .followedBy("p")(isType("purchase"))
+    // two views at the SAME timestamp start two same-start partials;
+    // a later-started view is unaffected by the skip
+    val evs = Seq(ev(1, 10, 1, "view"), ev(2, 10, 1, "view"),
+                  ev(4, 11, 1, "view"), ev(3, 12, 1, "purchase"))
+    val (done, _, _) = run(pat, Cep.SkipToNext)(evs: _*)
+    // the earliest same-start partial wins; view#2's is pruned,
+    // view#4 (different start) still completes
+    assert(done.map(ids).toSet == Set(
+      Map("v" -> List(1L), "p" -> List(3L)),
+      Map("v" -> List(4L), "p" -> List(3L))))
+    val (all, _, _) = run(pat, Cep.NoSkip)(evs: _*)
+    assert(all.size == 3) // NO_SKIP keeps every start
+  }
+
+  test("partials dropped by within are returned as timed-out matches") {
+    val pat = Cep.Pattern.begin[Event]("v")(isType("view"))
+      .followedBy("p")(isType("purchase"))
+      .within(5000000L) // 5 s
+    val (done, _, timedOut) = run(pat)(
+      ev(1, 10, 1, "view"), ev(2, 100, 1, "purchase"))
+    assert(done.isEmpty)
+    assert(timedOut.map(p => ids(p.bindings)) == List(Map("v" -> List(1L))))
+  }
+}
