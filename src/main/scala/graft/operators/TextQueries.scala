@@ -35,6 +35,7 @@ object TextQueries {
 
   private val nSig = 8   // minhash signature length
   private val nBits = 16 // simhash bits
+  private val dfCap = 50 // q66: drop shingles in more than dfCap docs
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy on md5(text), keep min doc_id.
@@ -132,6 +133,12 @@ object TextQueries {
     // shingle subplan per branch — 8 scans in the physical plan).
     // Postings also bound skew structurally: a shingle with df docs
     // contributes df·(df-1)/2 pairs from one row — no hot join key.
+    // The df-cap drops stopword-like shingles outright: one shingle in
+    // df documents emits O(df²) pairs, so at corpus scale an uncapped
+    // "the end of the" posting would dominate the whole job; capped
+    // postings bound any shingle's contribution to dfCap²/2 pairs.
+    // Jaccard is then over each document's capped shingle set (both
+    // sides of the oracle compare use the same capped sets).
     "q66_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val postings = docs
@@ -139,6 +146,7 @@ object TextQueries {
         .distinct()
         .groupBy(col("sh"))
         .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) <= dfCap)
       val pairsArr = flatten(transform(col("ds"), (x, i) =>
         transform(slice(col("ds"), i + 2, size(col("ds"))),
           y => struct(x.as("a"), y.as("b")))))
@@ -299,9 +307,12 @@ object TextQueries {
          |ORDER BY id_a, id_b""".stripMargin
     },
     "q66_ngram_jaccard" ->
-      s"""WITH sh AS (
+      s"""WITH sh0 AS (
          |  SELECT DISTINCT doc_id, sh FROM (
          |    SELECT doc_id, unnest($shinglesSql) AS sh FROM documents)),
+         |sh AS (
+         |  SELECT doc_id, sh FROM sh0
+         |  QUALIFY count(*) OVER (PARTITION BY sh) <= $dfCap),
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
          |co AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS co

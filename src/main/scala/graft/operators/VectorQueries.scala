@@ -22,6 +22,11 @@ object VectorQueries {
 
   private val dims = 64
   private val nPlanes = 8
+  // q73 banding: 4 bands × 2 planes; a pair is a candidate when ANY
+  // band's 2-bit signature matches (band-OR boosts recall: one 8-plane
+  // bucket keeps a 0.4-cosine pair with p≈0.63^8≈2%, 4×2 banding ≈87%).
+  private val nBands = 4
+  private val planesPerBand = 2
 
   /** Deterministic ±1 hyperplane coefficients: sign of md5("p:d"). */
   private[operators] val planes: Array[Array[Double]] =
@@ -75,21 +80,38 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     }),
 
-    // Embedding-cosine near-duplicate pairs: threshold on exact
-    // cosine. At production scale candidates come from the LSH bucket
-    // join (q72); the synthetic vectors are random, so buckets carry
-    // no signal here and the reference semantics are shown on a
-    // bounded candidate set.
+    // Embedding-cosine near-duplicate pairs via banded LSH: candidates
+    // come from a bucket equi-join (any of 4 bands × 2 hyperplanes
+    // agreeing — band-OR keeps recall where a single 8-plane bucket
+    // would miss most 0.4-cosine pairs), then exact cosine verifies.
+    // No cross join and no candidate cap: the corpus shuffles once per
+    // band on (band, sig) — the 100 TB shape; skewed buckets re-plan
+    // via AQE. Candidate pairs found by several bands are deduplicated
+    // by the final distinct.
     "q73_embed_neardup" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val a = e.filter(col("vec_id") <= 200)
-        .select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
-      b.crossJoin(broadcast(a))
+      val emb = asD(col("embedding"))
+      val bandCols = (0 until nBands).map { b =>
+        val sig = (0 until planesPerBand).map { j =>
+          when(dotConst(emb, planes(b * planesPerBand + j)) > 0,
+            lit(1 << j)).otherwise(0)
+        }.reduce(_ + _)
+        struct(lit(b).as("band"), sig.as("sig"))
+      }
+      val banded = e.select(col("vec_id"),
+          col("embedding"), explode(array(bandCols: _*)).as("bs"))
+        .select(col("vec_id"), col("embedding"),
+          col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val a = banded.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+        col("band"), col("sig"))
+      val b = banded.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+        col("band"), col("sig"))
+      a.join(b, Seq("band", "sig"))
         .filter(col("id_a") < col("id_b"))
         .withColumn("sim", cosine(col("ea"), col("eb")))
         .filter(col("sim") > 0.4)
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim6"))
+        .distinct()
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -153,15 +175,25 @@ object VectorQueries {
          |  FROM sims)
          |SELECT pid, rk, cid, round(sim, 6) AS sim6
          |FROM ranked WHERE rk <= 5 ORDER BY pid, rk""".stripMargin,
-    "q73_embed_neardup" ->
-      s"""WITH pairs AS (
+    "q73_embed_neardup" -> {
+      val bandsSql = (0 until nBands).map { b =>
+        val sig = (0 until planesPerBand).map { j =>
+          val p = b * planesPerBand + j
+          s"(CASE WHEN ${dotConstSql("embedding", planes(p))} > 0 THEN ${1 << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"SELECT vec_id, embedding, $b AS band, ($sig) AS sig FROM embeddings"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH bands AS (
+         |  $bandsSql),
+         |pairs AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    a.embedding AS pe, b.embedding AS ce
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |  WHERE a.vec_id <= 200)
-         |SELECT id_a, id_b, round(sim, 6) AS sim6
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
+         |SELECT DISTINCT id_a, id_b, round(sim, 6) AS sim6
          |FROM (SELECT id_a, id_b, $cosineSql AS sim FROM pairs)
-         |WHERE sim > 0.4 ORDER BY id_a, id_b""".stripMargin,
+         |WHERE sim > 0.4 ORDER BY id_a, id_b""".stripMargin
+    },
     "q71_lsh_bucket" ->
       s"""SELECT vec_id, label, ${bucketSql("embedding")} AS bucket
          |FROM embeddings ORDER BY vec_id""".stripMargin,

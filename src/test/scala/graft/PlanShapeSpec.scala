@@ -54,6 +54,13 @@ class PlanShapeSpec extends SparkSpec {
       "UDF found in hot path")
   }
 
+  test("q73 near-dup candidates come from a bucket equi-join, not a cross join") {
+    val plan = formatted("q73_embed_neardup")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"near-dup pair generation is not an equi-join:\n$plan")
+  }
+
   test("q35 top-n uses the window-group-limit pushdown") {
     val plan = formatted("q35_topn_per_key")
     // Spark ≥3.5 pushes rn<=k into WindowGroupLimit before the full window
