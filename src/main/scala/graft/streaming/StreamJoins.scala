@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType}
 
 /** Stream-stream and lookup joins (SURVEY §2.4 "Joins" streaming rows).
   *
@@ -32,41 +33,52 @@ object StreamJoins {
                r.$tsCol <= l.$tsCol + INTERVAL $upper"""))
   }
 
-  /** Lookup join: enrich rows by point-lookups into an external table,
-    * one lookup client + cache per partition (mapPartitions — the
-    * Flink sync-lookup model; swap `lookup` for a real JDBC/HTTP
-    * client in production). */
+  /** Lookup join: enrich rows IN PLACE by point-lookups into an
+    * external table — one lookup client per partition, one output row
+    * per input row with the looked-up value appended (the Flink
+    * LookupJoinRunner shape: the operator enriches the row as it flows
+    * through, it does not re-scan the input and join back; the earlier
+    * scan-twice-and-join form here cost two source scans plus a
+    * shuffle). Swap `makeClient` for a real JDBC/HTTP client in
+    * production — JdbcSpec exercises it against embedded Derby. */
   def lookupJoin[V](df: DataFrame, keyCol: String,
                     makeClient: () => Long => Option[V],
-                    outCol: String)(implicit vEnc: org.apache.spark.sql.Encoder[(Long, Option[V])]): DataFrame = {
-    import df.sparkSession.implicits._
-    val keyed = df.select(col(keyCol).cast("long")).as[Long]
-    val looked = keyed.mapPartitions { it =>
+                    outCol: String, outType: DataType = StringType): DataFrame = {
+    val schema = df.schema.add(outCol, outType, nullable = true)
+    implicit val enc: Encoder[Row] = Encoders.row(schema)
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    df.mapPartitions { it =>
       val client = makeClient() // one per partition, not per row
-      it.map(k => (k, client(k)))
-    }.toDF(keyCol, outCol)
-    df.join(looked.dropDuplicates(keyCol), keyCol)
+      it.map { r =>
+        val k = r.get(keyIdx).asInstanceOf[Number].longValue()
+        Row.fromSeq(r.toSeq :+ client(k).orNull)
+      }
+    }
   }
 
   /** Async lookup join (AsyncDataStream.unorderedWait analog): point
-    * lookups issued with bounded concurrency per partition; results
-    * may interleave within the partition (unordered mode). */
+    * lookups issued with bounded concurrency per partition, rows
+    * enriched in place; results of one mini-batch may interleave
+    * within the partition (unordered mode). */
   def lookupJoinAsync[V](df: DataFrame, keyCol: String,
                          makeClient: () => Long => scala.concurrent.Future[Option[V]],
-                         outCol: String, maxInFlight: Int = 16)
-      (implicit vEnc: org.apache.spark.sql.Encoder[(Long, Option[V])]): DataFrame = {
-    import df.sparkSession.implicits._
+                         outCol: String, outType: DataType = StringType,
+                         maxInFlight: Int = 16): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
-    val keyed = df.select(col(keyCol).cast("long")).as[Long]
-    val looked = keyed.mapPartitions { it =>
+    val schema = df.schema.add(outCol, outType, nullable = true)
+    implicit val enc: Encoder[Row] = Encoders.row(schema)
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    df.mapPartitions { it =>
       val client = makeClient()
       it.grouped(maxInFlight).flatMap { batch =>
-        val fs = batch.map(k => client(k).map(v => (k, v)))
+        val fs = batch.map { r =>
+          val k = r.get(keyIdx).asInstanceOf[Number].longValue()
+          client(k).map(v => Row.fromSeq(r.toSeq :+ v.orNull))
+        }
         Await.result(Future.sequence(fs), 5.minutes)
       }
-    }.toDF(keyCol, outCol)
-    df.join(looked.dropDuplicates(keyCol), keyCol)
+    }
   }
 }
