@@ -1,0 +1,149 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Retract/changelog composition — the agg-on-agg recipe (SURVEY §7.4
+  * risk 1).
+  *
+  * The problem: Flink threads a changelog through every operator
+  * (`BaseRow.java:29` header byte ACCUMULATE/RETRACT;
+  * `StreamExecRetractionRules.scala` decides which operators must emit
+  * UPDATE_BEFORE). A two-level streaming aggregate like
+  *
+  *   SELECT cnt, count(*) FROM
+  *     (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+  *   GROUP BY cnt
+  *
+  * is only correct when the inner agg RETRACTS a user's old count as it
+  * moves buckets (`GroupAggFunction.java:44` emits the before/after
+  * pair). Structured Streaming has no row-level retraction — update
+  * mode refreshes a key's row at the sink, but a downstream aggregate
+  * never sees "user left bucket 1".
+  *
+  * Two equivalent re-modelings, both implemented here:
+  *
+  * 1. EXPLICIT CHANGELOG (stateful recomposition): the inner aggregate
+  *    is a flatMapGroupsWithState that emits its own before/after pair
+  *    as (bucket, ±1) delta rows — an append-mode stream that IS the
+  *    changelog. Any downstream consumer sums deltas per bucket
+  *    (`applyChangelog`, itself a running stateful sum) and holds the
+  *    correct outer aggregate at every batch. This is exactly the
+  *    reference's AccRetract mode with the header byte turned into a
+  *    column.
+  *
+  * 2. FOREACHBATCH + MERGE (materialize-then-reaggregate): the inner
+  *    update-mode aggregate is upserted into an external keyed table
+  *    per micro-batch (JDBC upsert here — the MERGE pattern; Delta/
+  *    Iceberg MERGE INTO on a lake); the outer aggregate is an
+  *    ordinary batch query over that table, correct because the table
+  *    always holds exactly one current row per user.
+  *
+  * Scale notes: (1) keeps all state in the state store partitioned by
+  * key — no external system, one extra shuffle for the delta
+  * aggregation; (2) bounds streaming state to the inner agg and pays
+  * one upsert round-trip per batch — right when the outer query is ad
+  * hoc or served elsewhere. Both avoid the wrong-by-construction
+  * naive chaining.
+  */
+object Retract {
+
+  /** A changelog row: delta = +1 accumulate / -1 retract (the BaseRow
+    * header as data). */
+  case class Change(bucket: Long, delta: Long)
+
+  /** Inner aggregate re-expressed as a changelog emitter: running
+    * count of events per user; each arrival moves the user from bucket
+    * `old` to bucket `new`, emitting Change(old, -1), Change(new, +1).
+    * Append-mode output — downstream stateful operators may consume
+    * it. */
+  def countPerUserChangelog(events: Dataset[Event]): Dataset[Change] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Change](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[Long]) =>
+          val old = state.getOption.getOrElse(0L)
+          val now = old + rows.size
+          state.update(now)
+          ((if (old > 0) List(Change(old, -1L)) else Nil)
+            :+ Change(now, 1L)).iterator
+      }
+  }
+
+  /** Outer aggregate over a changelog: running per-bucket sum of
+    * deltas = number of users currently in each bucket. Emits the
+    * refreshed (bucket, n_users) row whenever it changes — itself an
+    * append-mode changelog of the outer result (Spark only chains
+    * multiple flatMapGroupsWithState operators when every one of them,
+    * and the query, is in append mode; the newest row per bucket is
+    * the current value). */
+  def applyChangelog(changes: Dataset[Change]): Dataset[(Long, Long)] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (bucket, rows, state: GroupState[Long]) =>
+          val now = state.getOption.getOrElse(0L) + rows.map(_.delta).sum
+          state.update(now)
+          Iterator((bucket, now))
+      }
+  }
+
+  // ---- pattern 2: foreachBatch + MERGE ------------------------------
+
+  /** Create the keyed inner-result table (idempotent). */
+  def initUserCountTable(url: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        "CREATE TABLE USER_COUNTS (USER_ID BIGINT PRIMARY KEY, CNT BIGINT)")
+      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+      st.close()
+    } finally conn.close()
+  }
+
+  /** Per-batch upsert of the refreshed inner-agg rows (the MERGE
+    * pattern: UPDATE the user's current row, INSERT if absent — one
+    * current row per key afterwards). Runs inside foreachBatch. */
+  def upsertUserCounts(batch: DataFrame, url: String): Unit = {
+    batch.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        conn.setAutoCommit(false)
+        val up = conn.prepareStatement(
+          "UPDATE USER_COUNTS SET CNT = ? WHERE USER_ID = ?")
+        val ins = conn.prepareStatement(
+          "INSERT INTO USER_COUNTS (USER_ID, CNT) VALUES (?, ?)")
+        rows.foreach { r =>
+          val user = r.getAs[Number]("user_id").longValue()
+          val cnt = r.getAs[Number]("cnt").longValue()
+          up.setLong(1, cnt); up.setLong(2, user)
+          if (up.executeUpdate() == 0) {
+            ins.setLong(1, user); ins.setLong(2, cnt); ins.executeUpdate()
+          }
+        }
+        conn.commit(); up.close(); ins.close()
+      } finally conn.close()
+    }
+  }
+
+  /** The outer aggregate as a plain batch query over the materialized
+    * inner result: users per count-bucket. Run after any batch —
+    * always consistent because USER_COUNTS has one row per user. */
+  def bucketCountsFromTable(spark: org.apache.spark.sql.SparkSession,
+                            url: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("dbtable", "USER_COUNTS").load()
+      .groupBy(col("CNT").as("bucket"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

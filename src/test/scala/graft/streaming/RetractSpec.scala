@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Agg-on-agg (SURVEY §7.4 risk 1): both re-modelings must track the
+  * true two-level aggregate across batches — users MOVING buckets is
+  * the case naive chaining gets wrong. */
+class RetractSpec extends SparkSpec {
+
+  private def ev(id: Long, user: Long) =
+    Event(id, new Timestamp(id * 1000), user, "click", 0.0, "{}")
+
+  test("explicit changelog keeps the outer aggregate correct across batches") {
+    val spark2 = spark; import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = Retract.applyChangelog(Retract.countPerUserChangelog(ms.toDS()))
+      .toDF("bucket", "n_users")
+      .writeStream.format("memory").queryName("chg").outputMode("append").start()
+    // batch 1: u1 ×1, u2 ×1 → bucket 1 has 2 users
+    ms.addData(ev(1, 1), ev(2, 2))
+    q.processAllAvailable()
+    // batch 2: u1 gets 2 more → moves bucket 1 → 3 (the retract case)
+    ms.addData(ev(3, 1), ev(4, 1))
+    q.processAllAvailable()
+    // batch 3: u3 appears in bucket 1
+    ms.addData(ev(5, 3))
+    q.processAllAvailable()
+    q.stop()
+    // latest emission per bucket = current outer aggregate
+    val latest = spark.table("chg").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .zipWithIndex
+      .groupBy(_._1._1).map { case (b, rows) => b -> rows.maxBy(_._2)._1._2 }
+    // u1 in bucket 3; u2, u3 in bucket 1
+    assert(latest == Map(1L -> 2L, 3L -> 1L))
+    // and the changelog retracted u1 from bucket 1: its history is 2→1→2
+    val bucket1 = spark.table("chg").collect()
+      .filter(_.getLong(0) == 1L).map(_.getLong(1)).toList
+    assert(bucket1 == List(2L, 1L, 2L))
+  }
+
+  test("foreachBatch + upsert (MERGE pattern) reaggregates correctly") {
+    val spark2 = spark; import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    val url = "jdbc:derby:memory:retractdb;create=true"
+    Retract.initUserCountTable(url)
+    val ms = MemoryStream[Event]
+    val inner = ms.toDF().groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = inner.writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        Retract.upsertUserCounts(df, url)
+      }.start()
+    ms.addData(ev(1, 1), ev(2, 2))
+    q.processAllAvailable()
+    val after1 = Retract.bucketCountsFromTable(spark, url).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after1 == Map(1L -> 2L))
+    ms.addData(ev(3, 1), ev(4, 1), ev(5, 3)) // u1 moves 1→3, u3 enters 1
+    q.processAllAvailable()
+    q.stop()
+    val after2 = Retract.bucketCountsFromTable(spark, url).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after2 == Map(1L -> 2L, 3L -> 1L)) // u1 no longer double-counted
+  }
+}
