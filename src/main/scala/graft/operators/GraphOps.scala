@@ -12,12 +12,16 @@ import org.apache.spark.storage.StorageLevel
   * library algorithms `graph/library/` (ConnectedComponents, PageRank
   * in `linkanalysis/`), vertex-centric iteration `pregel/`.
   *
-  * Scale notes: each superstep shuffles on vertex id; intermediate
-  * results are persisted and the previous iteration unpersisted so the
-  * lineage (and executor memory) stays bounded — the standard Spark
-  * iterative-job pattern (Flink's native BSP iterations are a
-  * documented non-goal, SURVEY §7.4). Convergence is checked with a
-  * count aggregate per superstep.
+  * Scale notes: each superstep shuffles on vertex id; each iteration's
+  * result is localCheckpoint()ed — EAGER materialization that also
+  * TRUNCATES the logical lineage. persist() alone is not enough for
+  * iterative jobs: the logical plan still grows by one
+  * join+agg+project per superstep and Catalyst replans the whole
+  * history every iteration (measured: a 15-iteration pageRank spent
+  * minutes inside the optimizer on a 4-vertex graph). Static inputs
+  * (edges) stay persist()ed; superseded checkpoint RDDs are freed by
+  * the ContextCleaner. Flink's native BSP iterations are a documented
+  * non-goal (SURVEY §7.4).
   */
 object GraphOps {
 
@@ -30,7 +34,7 @@ object GraphOps {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = vertices.select(col("id"), col("id").as("component"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -43,10 +47,9 @@ object GraphOps {
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint() // eager + lineage cut (see scale notes)
       changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter(col("component") < col("old")).count()
-      labels.unpersist()
       labels = next
       i += 1
     }
@@ -66,7 +69,7 @@ object GraphOps {
     val withDeg = edges.join(outDeg.withColumnRenamed("id", "src"), "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = vertices.select(col("id"), lit(1.0 / n).as("rank"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     for (_ <- 1 to iters) {
       val contribs = withDeg
         .join(ranks.withColumnRenamed("id", "src"), "src")
@@ -76,15 +79,13 @@ object GraphOps {
       val danglingMass = ranks
         .join(outDeg, Seq("id"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
-      val next = vertices.select(col("id"))
+      ranks = vertices.select(col("id"))
         .join(contribs, Seq("id"), "left_outer")
         .select(col("id"),
           (lit((1 - damping) / n) +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
               lit(danglingMass / n))).as("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      ranks.unpersist()
-      ranks = next
+        .localCheckpoint() // eager + lineage cut (see scale notes)
     }
     withDeg.unpersist()
     ranks
@@ -107,7 +108,94 @@ object GraphOps {
       .select(wedges("a").as("a"), wedges("b").as("b"), wedges("c").as("c"))
     val out = tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize so canon's cache is actually used, then freed
     canon.unpersist()
     out
+  }
+
+  /** Single-source shortest paths (Gelly
+    * `library/SingleSourceShortestPaths.java`): iterative edge
+    * relaxation. edges: (src, dst, weight: Double), directed. Returns
+    * (id, dist) for reachable vertices. */
+  def shortestPaths(vertices: DataFrame, edges: DataFrame, source: Long,
+                    maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("weight"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = vertices.select(col("id"),
+        when(col("id") === source, 0.0).as("dist")) // null = unreachable
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val relaxed = e
+        .join(dist.filter(col("dist").isNotNull).withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("dist") + col("weight")).as("via"))
+      val next = dist.join(relaxed, Seq("id"), "left_outer")
+        .select(col("id"),
+          when(col("dist").isNull, col("via"))
+            .otherwise(when(col("via") < col("dist"), col("via"))
+              .otherwise(col("dist"))).as("dist"))
+        .localCheckpoint() // eager + lineage cut (see scale notes)
+      changed = next.join(dist.withColumnRenamed("dist", "old"), "id")
+        .filter(col("dist").isNotNull &&
+          (col("old").isNull || col("dist") < col("old"))).count()
+      dist = next
+      i += 1
+    }
+    e.unpersist()
+    dist.filter(col("dist").isNotNull)
+  }
+
+  /** Label propagation (Gelly `library/LabelPropagation.java`):
+    * each superstep every vertex adopts its neighbors' most frequent
+    * label (ties → smallest label). Fixed iteration count — the
+    * algorithm may oscillate, as in the reference. Undirected. */
+  def labelPropagation(vertices: DataFrame, edges: DataFrame,
+                       iters: Int = 5): DataFrame = {
+    val bidir = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val freq = bidir
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("f"))
+      // most frequent neighbor label, ties to the smallest label
+      val top = freq.groupBy(col("id"))
+        .agg(max_by(col("label"), struct(col("f"), -col("label"))).as("nbr_label"))
+      labels = labels.join(top, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("nbr_label"), col("label")).as("label"))
+        .localCheckpoint() // eager + lineage cut (see scale notes)
+    }
+    bidir.unpersist()
+    labels
+  }
+
+  /** Jaccard neighborhood similarity (Gelly
+    * `library/similarity/JaccardIndex.java`): for vertex pairs sharing
+    * at least one neighbor, |N(u)∩N(v)| / |N(u)∪N(v)|. Pairs are
+    * generated from each vertex's sorted neighbor list (posting-list
+    * pattern — structurally skew-bounded like q66, no hot join key). */
+  def jaccardSimilarity(edges: DataFrame): DataFrame = {
+    val bidir = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+    val nbrs = bidir.groupBy(col("src"))
+      .agg(sort_array(collect_set(col("dst"))).as("ns"))
+    val deg = nbrs.select(col("src").as("id"), size(col("ns")).as("deg"))
+    val pairsArr = flatten(transform(col("ns"), (x, i) =>
+      transform(slice(col("ns"), i + 2, size(col("ns"))),
+        y => struct(x.as("u"), y.as("v")))))
+    val co = nbrs.select(explode(pairsArr).as("p"))
+      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+      .agg(count(lit(1)).as("co"))
+    co.join(deg.withColumnRenamed("id", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("id", "v").withColumnRenamed("deg", "dv"), "v")
+      .select(col("u"), col("v"),
+        (col("co") / (col("du") + col("dv") - col("co"))).as("jaccard"))
   }
 }

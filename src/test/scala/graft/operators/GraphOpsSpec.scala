@@ -35,4 +35,35 @@ class GraphOpsSpec extends SparkSpec {
     val got = tc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("shortestPaths relaxes weighted edges from the source") {
+    val spark2 = spark; import spark2.implicits._
+    // 1→2 (1.0), 2→3 (1.0), 1→3 (5.0): best path to 3 is 2.0; 4 unreachable
+    val e = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 5.0))
+      .toDF("src", "dst", "weight")
+    val got = GraphOps.shortestPaths(verts(1, 2, 3, 4), e, source = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0)) // no row for 4
+  }
+
+  test("labelPropagation converges on a two-community barbell") {
+    // triangle {1,2,3} + triangle {4,5,6}, one bridge 3-4
+    val lp = GraphOps.labelPropagation(
+      verts(1, 2, 3, 4, 5, 6),
+      df((1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)), iters = 6)
+    val got = lp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each triangle agrees internally on one label
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(4L) == got(5L) && got(5L) == got(6L))
+  }
+
+  test("jaccardSimilarity scores co-neighborhood overlap") {
+    // N(1)={2,3}, N(4)={2,3} → jaccard(1,4) = 2/2 = 1.0
+    val j = GraphOps.jaccardSimilarity(df((1, 2), (1, 3), (4, 2), (4, 3)))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 4L)) == 1.0)
+    // N(2)={1,4}, N(3)={1,4} → jaccard(2,3) = 1.0 as well
+    assert(j((2L, 3L)) == 1.0)
+    assert(j.size == 2)
+  }
 }
