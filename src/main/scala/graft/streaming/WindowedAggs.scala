@@ -52,4 +52,36 @@ object WindowedAggs {
   def dedupKeepFirst(df: DataFrame, tsCol: String, delay: String,
                      keys: Seq[String]): DataFrame =
     df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
+
+  /** Late-data side output (reference `WindowOperator.java:139`
+    * `lateDataOutputTag`; SURVEY §7.3 maps per-record side outputs to
+    * a tag column + two filtered sinks): tags each event `is_late`
+    * when it arrives more than `delayMs` behind the maximum event time
+    * its key has seen — the BoundedOutOfOrderness watermark model,
+    * tracked per key in state so the operator itself needs no engine
+    * watermark and LATE ROWS ARE NOT DROPPED but routed. Feed the
+    * result to two filtered sinks: !is_late → the windowed aggregation
+    * (with the engine watermark), is_late → the late-data channel. */
+  def tagLate(events: org.apache.spark.sql.Dataset[Event], delayMs: Long)
+      : org.apache.spark.sql.Dataset[(Event, Boolean)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, (Event, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[Long]) =>
+          var maxUs = state.getOption.getOrElse(Long.MinValue)
+          val out = rows.toList
+            .sortBy(e => (Event.micros(e.ts), e.event_id))
+            .map { e =>
+              val t = Event.micros(e.ts)
+              val late = maxUs != Long.MinValue && t < maxUs - delayMs * 1000
+              if (t > maxUs) maxUs = t
+              (e, late)
+            }
+          state.update(maxUs)
+          out.iterator
+      }
+  }
 }
