@@ -16,6 +16,8 @@ object GraftSession {
     SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
+      // whole-operator extension showcase: AsOfJoinPlan strategy
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
