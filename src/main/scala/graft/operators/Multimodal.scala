@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
   * the schema a 100 TB multimodal dataset would carry in parquet:
   *   media: binary, meta: {kind, width, height, sample_rate, n_frames}
   *
-  * The decode step is a clearly-marked deterministic STUB (no codec
-  * libraries in this environment); everything around it — schema,
-  * partition-parallel batch processing via mapPartitions (the Scala
-  * analog of pandas-batch UDFs), feature output shape — is real and
-  * tested. Swap `decodeStub` for an actual codec (JavaCV / TwelveMonkeys)
-  * in production; the pipeline shape does not change.
+  * Decoding goes through the pluggable `MediaCodec` interface; the
+  * default `StubCodec` is a clearly-marked deterministic STUB (no
+  * codec libraries in this environment). Everything around it —
+  * schema, partition-parallel batch processing via mapPartitions (the
+  * Scala analog of pandas-batch UDFs), feature output shape, parquet
+  * round-trip of the binary column — is real and tested. Plug a
+  * JavaCV / TwelveMonkeys-backed MediaCodec in production; the
+  * pipeline shape does not change.
   *
   * Scale notes: decode/feature-extract are per-partition map work with
   * no shuffle; partitions stream batches through the worker, so memory
@@ -51,28 +53,39 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decode: a real implementation would invoke an image/audio
-    * codec here. This deterministic fake derives `w*h` "pixels" from
+  /** Pluggable decode interface: one blob → w*h pixel/sample floats.
+    * Implementations must be Serializable (shipped to executors); any
+    * per-codec native state should be lazily initialized so it is
+    * created once per executor, not serialized. */
+  trait MediaCodec extends Serializable {
+    def decode(bytes: Array[Byte], meta: MediaMeta): Array[Float]
+  }
+
+  /** STUB codec: a real implementation would invoke an image/audio
+    * codec (JavaCV, TwelveMonkeys, …) — none exist in this offline
+    * environment. This deterministic fake derives `w*h` "pixels" from
     * the byte content so downstream shapes and tests are real. */
-  private def decodeStub(bytes: Array[Byte], w: Int, h: Int): Array[Float] = {
-    val out = new Array[Float](w * h)
-    var i = 0
-    while (i < out.length) {
-      out(i) = ((bytes(i % bytes.length) & 0xff) * (i / 7 + 1) % 256) / 255.0f
-      i += 1
+  object StubCodec extends MediaCodec {
+    override def decode(bytes: Array[Byte], meta: MediaMeta): Array[Float] = {
+      val out = new Array[Float](meta.width * meta.height)
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((bytes(i % bytes.length) & 0xff) * (i / 7 + 1) % 256) / 255.0f
+        i += 1
+      }
+      out
     }
-    out
   }
 
   /** Decode + frame-sample: one row per sampled frame, partition-
     * parallel, no shuffle. `stride` picks every k-th frame. */
-  def decodeFrames(media: Dataset[MediaRow], stride: Int): Dataset[DecodedFrame] = {
+  def decodeFrames(media: Dataset[MediaRow], stride: Int,
+                   codec: MediaCodec = StubCodec): Dataset[DecodedFrame] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         (0 until r.meta.n_frames by stride).map { f =>
-          DecodedFrame(r.media_id, f,
-            decodeStub(r.media, r.meta.width, r.meta.height))
+          DecodedFrame(r.media_id, f, codec.decode(r.media, r.meta))
         }
       }
     }
@@ -100,11 +113,12 @@ object Multimodal {
 
   /** Feature extraction: fixed-width embedding per media item (mean-
     * pooled frame features here; a real model would run per batch). */
-  def extractFeatures(media: Dataset[MediaRow], dim: Int): Dataset[MediaFeature] = {
+  def extractFeatures(media: Dataset[MediaRow], dim: Int,
+                      codec: MediaCodec = StubCodec): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val px = decodeStub(r.media, r.meta.width, r.meta.height)
+        val px = codec.decode(r.media, r.meta)
         val feat = new Array[Float](dim)
         var i = 0
         while (i < px.length) { feat(i % dim) += px(i); i += 1 }

@@ -31,6 +31,34 @@ class MultimodalSpec extends SparkSpec {
     assert(small.collect().forall(_.pixels.length == 48))
   }
 
+  test("media table round-trips through parquet byte-identically") {
+    val spark2 = spark; import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    val m = Multimodal.syntheticMedia(spark, sf).limit(50)
+    m.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).as[Multimodal.MediaRow]
+    val a = m.collect().sortBy(_.media_id)
+    val b = back.collect().sortBy(_.media_id)
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.media_id == y.media_id && x.meta == y.meta)
+      assert(java.util.Arrays.equals(x.media, y.media),
+        s"binary column corrupted for media ${x.media_id}")
+    }
+  }
+
+  test("a custom MediaCodec can replace the stub") {
+    val spark2 = spark; import spark2.implicits._
+    object ConstCodec extends Multimodal.MediaCodec {
+      override def decode(bytes: Array[Byte],
+                          meta: Multimodal.MediaMeta): Array[Float] =
+        Array.fill(meta.width * meta.height)(0.5f)
+    }
+    val m = Multimodal.syntheticMedia(spark, sf).limit(3)
+    val frames = Multimodal.decodeFrames(m, stride = 1, codec = ConstCodec)
+    assert(frames.collect().forall(_.pixels.forall(_ == 0.5f)))
+  }
+
   test("extractFeatures yields fixed-width vectors ready for ANN") {
     val feats = Multimodal.extractFeatures(
       Multimodal.syntheticMedia(spark, sf), dim = 64)
