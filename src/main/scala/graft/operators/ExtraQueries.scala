@@ -11,7 +11,105 @@ import graft.Tables
   */
 object ExtraQueries {
 
+  // Exact revenue: l_extendedprice (2 decimals) × (1-l_discount)
+  // (2 decimals) has exactly 4 decimals → ×10⁴ is integral, and an
+  // integer sum is partial-agg-order independent (see EventQueries).
+  private def revenue =
+    expr("""cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 10000)
+           |         as bigint)) * 0.0001 as decimal(38,4))""".stripMargin)
+  private val revenueSql =
+    """CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+      |         AS BIGINT)) * 0.0001 AS DECIMAL(38,4))""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    // Second string battery: overlay / substring_index / chr /
+    // levenshtein / btrim / printf-style formatting / encode+hex.
+    "q24_fn_string2" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_partkey") <= 400)
+        .select(col("p_partkey"),
+          overlay(col("p_name"), lit("XX"), lit(3)).as("ov"),
+          substring_index(col("p_type"), " ", 2).as("si2"),
+          chr(lit(65) + col("p_partkey") % 26).as("ch"),
+          levenshtein(col("p_brand"), lit("Brand#11")).as("lev"),
+          expr("btrim(lpad(p_brand, 12, ' '))").as("bt"),
+          format_string("%06d", col("p_partkey")).as("fmt"),
+          lower(hex(encode(col("p_brand"), "UTF-8"))).as("enc"),
+          concat(lit("["), expr("space(3)"), lit("]")).as("spc"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Second temporal battery: add_months / timestampadd / next_day /
+    // week+quarter truncation.
+    "q25_fn_temporal2" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          add_months(col("o_orderdate").cast("date"), 3).as("am"),
+          expr("cast(timestampadd(DAY, 40, cast(o_orderdate as date)) as date)").as("ta"),
+          next_day(col("o_orderdate").cast("date"), "MON").as("nd"),
+          date_trunc("week", col("o_orderdate")).cast("date").as("wk"),
+          date_trunc("quarter", col("o_orderdate")).cast("date").as("qt"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // TPC-H Q3 shape (shipping priority): 3-way join, date filters on
+    // both sides, grouped revenue, top 10 by revenue.
+    "q26_tpch_q3" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("odate"),
+          col("o_orderpriority"))
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape (local supplier volume): 6-way join constrained
+    // to intra-nation sales within one region, revenue per nation.
+    "q27_tpch_q5" -> ((s, d) => {
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+      val sup = Tables.supplier(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+                   col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // TPC-H Q10 shape (returned items): revenue lost to returns per
+    // customer over one quarter, top 20.
+    "q28_tpch_q10" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-10-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val n = Tables.nation(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
+          expr("cast(cast(round(c_acctbal * 100) as bigint) * 0.01 as decimal(18,2))").as("acctbal"))
+        .agg(revenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
     // groupBy(key).sortGroup(order).first(3) over orders, as one
     // shuffle + partition-local sort + single pass (SortedGroups).
     "q39_sorted_groups" -> ((s, d) => {
@@ -47,6 +145,64 @@ object ExtraQueries {
       |            user_id, event_type, value, props FROM events)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q24_fn_string2" ->
+      """SELECT p_partkey,
+        |  substr(p_name, 1, 2) || 'XX' || substr(p_name, 5) AS ov,
+        |  array_to_string(string_split(p_type, ' ')[1:2], ' ') AS si2,
+        |  chr(CAST(65 + p_partkey % 26 AS INT)) AS ch,
+        |  levenshtein(p_brand, 'Brand#11') AS lev,
+        |  trim(lpad(p_brand, 12, ' ')) AS bt,
+        |  printf('%06d', p_partkey) AS fmt,
+        |  lower(hex(encode(p_brand))) AS enc,
+        |  '[' || repeat(' ', 3) || ']' AS spc
+        |FROM part WHERE p_partkey <= 400 ORDER BY p_partkey""".stripMargin,
+    "q25_fn_temporal2" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS am,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 40 DAY AS DATE) AS ta,
+        |  CAST(CAST(o_orderdate AS DATE)
+        |       + to_days(CAST(CASE WHEN (8 - isodow(CAST(o_orderdate AS DATE))) % 7 = 0
+        |                 THEN 7 ELSE (8 - isodow(CAST(o_orderdate AS DATE))) % 7 END AS INT))
+        |       AS DATE) AS nd,
+        |  CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+        |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qt
+        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin,
+    "q26_tpch_q3" ->
+      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate, o_orderpriority,
+         |  $revenueSql AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1995-03-15'
+         |  AND l_shipdate > TIMESTAMP '1995-03-15'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q27_tpch_q5" ->
+      s"""SELECT n_name, $revenueSql AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q28_tpch_q10" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |  CAST(CAST(round(c_acctbal * 100) AS BIGINT) * 0.01 AS DECIMAL(18,2)) AS acctbal,
+         |  $revenueSql AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1995-10-01'
+         |  AND o_orderdate < TIMESTAMP '1996-01-01'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q39_sorted_groups" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

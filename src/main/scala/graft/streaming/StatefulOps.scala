@@ -172,6 +172,36 @@ object StatefulOps {
       }
   }
 
+  /** Streaming OVER (RANGE interval PRECEDING): per key, aggregates
+    * over rows within the trailing `rangeMs` time window up to and
+    * including the current row, in event order (reference
+    * RowTimeRangeBoundedPrecedingFunction.java — the RANGE sibling of
+    * boundedRowsOver). State = rows inside the time range (bounded by
+    * data rate × range, the reference's retention). */
+  def boundedRangeOver(events: Dataset[Event], rangeMs: Long): Dataset[OverRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val stateEnc: Encoder[List[(Long, Long, Double)]] =
+      Encoders.kryo[List[(Long, Long, Double)]]
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[(Long, Long, Double)], OverRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[List[(Long, Long, Double)]]) =>
+          var window = state.getOption.getOrElse(Nil) // oldest..newest
+          val out = rows.toList
+            .sortBy(e => (Event.micros(e.ts), e.event_id))
+            .map { e =>
+              val t = Event.micros(e.ts)
+              window = (window :+ ((t, e.event_id, e.value)))
+                .dropWhile { case (ts, _, _) => ts < t - rangeMs * 1000 }
+              OverRow(user, e.event_id, window.map(_._3).sum, window.size)
+            }
+          state.update(window)
+          out.iterator
+      }
+  }
+
   // ---- temporal (as-of) join ---------------------------------------
 
   case class AsOfJoined(user_id: Long, purchase_id: Long,

@@ -44,4 +44,22 @@ class TtlOverSpec extends SparkSpec {
       .sortBy(_.event_id).map(r => (r.event_id, r.sum_prev, r.cnt_prev)).toList
     assert(got == List((1L, 1.0, 1), (2L, 3.0, 2), (3L, 6.0, 2)))
   }
+
+  test("boundedRangeOver aggregates the trailing time range per key") {
+    val spark2 = spark; import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StatefulOps.boundedRangeOver(ms.toDS(), rangeMs = 10000L)
+      .writeStream.format("memory").queryName("ov2").outputMode("append").start()
+    // rows at 0 s, 5 s, then 20 s (the 10 s range drops the first two)
+    ms.addData(ev(1, 0, 1, "a", 1.0), ev(2, 5, 1, "a", 2.0))
+    q.processAllAvailable()
+    ms.addData(ev(3, 20, 1, "a", 4.0), ev(4, 25, 1, "a", 8.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ov2").as[StatefulOps.OverRow].collect()
+      .sortBy(_.event_id).map(r => (r.event_id, r.sum_prev, r.cnt_prev)).toList
+    // t=5 includes t=0 (within 10 s); t=20 stands alone; t=25 adds t=20
+    assert(got == List((1L, 1.0, 1), (2L, 3.0, 2), (3L, 4.0, 1), (4L, 12.0, 2)))
+  }
 }
