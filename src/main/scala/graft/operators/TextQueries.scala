@@ -139,6 +139,14 @@ object TextQueries {
     // postings bound any shingle's contribution to dfCap²/2 pairs.
     // Jaccard is then over each document's capped shingle set (both
     // sides of the oracle compare use the same capped sets).
+    // ONE pass over postings: each posting row explodes into its
+    // co-occurrence pairs AND one singleton marker per member doc
+    // (id_b = -1), so pair counts and per-doc shingle counts come out
+    // of a single shuffle. The aggregated result (pairs + docs, tiny
+    // next to the corpus) is localCheckpoint()ed so both consumers —
+    // co and sizes — read the materialized output instead of
+    // recomputing the shingle pipeline (measured 3× subtree
+    // re-execution before, the round-1 TODO residual).
     "q66_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val postings = docs
@@ -150,13 +158,17 @@ object TextQueries {
       val pairsArr = flatten(transform(col("ds"), (x, i) =>
         transform(slice(col("ds"), i + 2, size(col("ds"))),
           y => struct(x.as("a"), y.as("b")))))
-      val co = postings
-        .select(explode(pairsArr).as("p"))
+      val singles = transform(col("ds"),
+        x => struct(x.as("a"), lit(-1L).as("b")))
+      val counts = postings
+        .select(explode(concat(singles, pairsArr)).as("p"))
         .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
-        .agg(count(lit(1)).as("co"))
-      val sizes = postings
-        .select(explode(col("ds")).as("doc_id"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // heavy subtree runs once (eager + lineage cut)
+      val sizes = counts.filter(col("id_b") === -1L)
+        .select(col("id_a").as("doc_id"), col("cnt").as("n_sh"))
+      val co = counts.filter(col("id_b") =!= -1L)
+        .withColumnRenamed("cnt", "co")
       co.join(sizes.withColumnRenamed("doc_id", "id_a")
                    .withColumnRenamed("n_sh", "na"), "id_a")
         .join(sizes.withColumnRenamed("doc_id", "id_b")

@@ -43,13 +43,15 @@ object Cep {
 
   /** A pattern step; `pred` is an iterative condition — it sees the
     * candidate event and the events bound so far (Flink
-    * IterativeCondition). `times` = exact occurrence count (1 = plain);
-    * `untilPred` closes a oneOrMore loop when it fires. */
+    * IterativeCondition). `times` = minimum occurrence count (1 =
+    * plain); `timesMax` > times turns it into a range quantifier
+    * times(m,n); `untilPred` closes a oneOrMore loop when it fires. */
   case class Step[T](name: String,
                      pred: (T, Map[String, List[T]]) => Boolean,
                      optional: Boolean = false,
                      oneOrMore: Boolean = false,
                      times: Int = 1,
+                     timesMax: Int = 0,
                      untilPred: Option[(T, Map[String, List[T]]) => Boolean] = None)
 
   case class Pattern[T](steps: Vector[Step[T]], withinUs: Long = Long.MaxValue) {
@@ -63,6 +65,13 @@ object Cep {
     def times(n: Int): Pattern[T] = {
       require(n >= 1, "times(n) needs n >= 1")
       copy(steps = steps.init :+ steps.last.copy(times = n))
+    }
+    /** Between m and n occurrences of the last step
+      * (Pattern.java:396 `times(from, to)`): satisfied after m, may
+      * keep accumulating up to n under relaxed contiguity. */
+    def times(m: Int, n: Int): Pattern[T] = {
+      require(m >= 1 && n >= m, "times(m,n) needs 1 <= m <= n")
+      copy(steps = steps.init :+ steps.last.copy(times = m, timesMax = n))
     }
     /** Stop condition for a oneOrMore last step (Pattern.java:220):
       * once an event satisfies `pred`, the loop stops accumulating
@@ -118,23 +127,29 @@ object Cep {
             if (cnt == 0) return // loop can never be satisfied: drop partial
             closed += i // stop accumulating; event may match a later step
             i += 1
-          } else if (!(st.oneOrMore && closed(i)) && st.pred(e, p.bindings)) {
+          } else if (!(st.oneOrMore && closed(i)) &&
+                     !(st.timesMax > st.times && cnt >= st.timesMax) &&
+                     st.pred(e, p.bindings)) {
             val bound = p.bindings.updated(st.name,
               p.bindings.getOrElse(st.name, Nil) :+ e)
             val newCnt = cnt + 1
-            if (newCnt < st.times) { // times(n): need more occurrences
+            if (newCnt < st.times) { // times(n)/times(m,_): need more
               next += PartialMatch(i, p.startUs, bound, closed)
             } else {
+              // looping steps stay at i to accumulate: oneOrMore
+              // unbounded, times(m,n) until n occurrences
+              val looping = st.oneOrMore || newCnt < st.timesMax
               val nextIdx = i + 1
               val restOptional = pattern.steps.drop(nextIdx).forall(_.optional)
               if (restOptional) { // consumed on first completion
                 out += bound
                 completedStarts ::= p.startUs
               } else next += PartialMatch(
-                if (st.oneOrMore) i else nextIdx, p.startUs, bound, closed)
+                if (looping) i else nextIdx, p.startUs, bound, closed)
             }
             return
-          } else if (st.optional || (st.oneOrMore && cnt > 0)) {
+          } else if (st.optional || (st.oneOrMore && cnt > 0) ||
+                     (st.timesMax > st.times && cnt >= st.times)) {
             i += 1 // skippable: optional, or looping step already satisfied
           } else {
             if (retain) next += p.copy(closedLoops = closed) // keep waiting

@@ -36,6 +36,29 @@ class CepAdvancedSpec extends SparkSpec {
     assert(none.isEmpty && open.nonEmpty)
   }
 
+  test("times(m,n) accepts a count range, greedy up to n") {
+    val pat = Cep.Pattern.begin[Event]("c")(isType("click")).times(2, 3)
+      .followedBy("p")(isType("purchase"))
+    // two clicks suffice
+    val (two, _, _) = run(pat)(
+      ev(1, 10, 1, "click"), ev(2, 11, 1, "click"), ev(5, 14, 1, "purchase"))
+    assert(two.map(ids).contains(Map("c" -> List(1L, 2L), "p" -> List(5L))))
+    // three clicks all bind (greedy up to the max)...
+    val (three, _, _) = run(pat)(
+      ev(1, 10, 1, "click"), ev(2, 11, 1, "click"), ev(3, 12, 1, "click"),
+      ev(5, 14, 1, "purchase"))
+    assert(three.map(ids).contains(Map("c" -> List(1L, 2L, 3L), "p" -> List(5L))))
+    // ...but a fourth is NOT bound (n = 3 cap)
+    val (four, _, _) = run(pat)(
+      ev(1, 10, 1, "click"), ev(2, 11, 1, "click"), ev(3, 12, 1, "click"),
+      ev(4, 13, 1, "click"), ev(5, 14, 1, "purchase"))
+    assert(four.map(ids).contains(Map("c" -> List(1L, 2L, 3L), "p" -> List(5L))))
+    assert(!four.map(ids).exists(_("c").length > 3))
+    // one click never completes
+    val (one, _, _) = run(pat)(ev(1, 10, 1, "click"), ev(5, 14, 1, "purchase"))
+    assert(!one.map(ids).exists(_("c") == List(1L)))
+  }
+
   test("until closes a oneOrMore loop; the closing event is not bound") {
     val pat = Cep.Pattern.begin[Event]("c")(isType("click")).oneOrMore
       .until(isType("error"))
