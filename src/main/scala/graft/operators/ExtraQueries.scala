@@ -122,9 +122,9 @@ object ExtraQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
-    // As-of join through the custom Catalyst operator (AsOfJoinExec).
-    // Deterministic because (user_id, ts) is unique among views in
-    // this dataset; the exec orders its inputs by (key, ts) only.
+    // As-of join through the custom Catalyst operator (AsOfJoinExec);
+    // event_id tiebreak totalizes equal-timestamp views (matching the
+    // oracle's "latest view id" tie rule).
     "q59_asof_exec" -> ((s, d) => {
       val e = Tables.events(s, d)
       val p = e.filter(col("event_type") === "purchase")
@@ -133,7 +133,8 @@ object ExtraQueries {
       val v = e.filter(col("event_type") === "view")
         .select(col("user_id").as("v_user"),
           col("event_id").as("last_view_id"), col("ts").as("v_ts"))
-      graft.plans.AsOfJoin(p, v, p("user_id"), v("v_user"), p("p_ts"), v("v_ts"))
+      graft.plans.AsOfJoin(p, v, p("user_id"), v("v_user"), p("p_ts"), v("v_ts"),
+        rightTie = Some(v("last_view_id")))
         .select(col("user_id"), col("purchase_id"), col("last_view_id"),
           (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
         .orderBy(col("user_id"), col("purchase_id"))

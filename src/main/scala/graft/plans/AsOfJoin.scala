@@ -34,22 +34,27 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 object AsOfJoin {
 
   /** left.asOfJoin(right): each left row gets the latest right row of
-    * the same key at-or-before its timestamp. */
+    * the same key at-or-before its timestamp. `rightTie` makes the
+    * choice among equal-timestamp right rows total (highest tiebreak
+    * wins — the reference keeps the last version at a timestamp). */
   def apply(left: DataFrame, right: DataFrame,
             leftKey: Column, rightKey: Column,
-            leftTs: Column, rightTs: Column): DataFrame =
+            leftTs: Column, rightTs: Column,
+            rightTie: Option[Column] = None): DataFrame =
     GraftSqlBridge.ofRows(left.sparkSession,
       AsOfJoinPlan(
         GraftSqlBridge.logicalPlan(left), GraftSqlBridge.logicalPlan(right),
         GraftSqlBridge.expression(leftKey), GraftSqlBridge.expression(rightKey),
-        GraftSqlBridge.expression(leftTs), GraftSqlBridge.expression(rightTs)))
+        GraftSqlBridge.expression(leftTs), GraftSqlBridge.expression(rightTs),
+        rightTie.map(GraftSqlBridge.expression)))
 }
 
 /** Logical node: carries resolved child attributes; analysis treats it
   * like any binary operator (output = left ++ nullable right). */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Expression, rightKey: Expression,
-                        leftTs: Expression, rightTs: Expression)
+                        leftTs: Expression, rightTs: Expression,
+                        rightTie: Option[Expression] = None)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -62,8 +67,8 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
   * logical node to the physical merge operator. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie) =>
+      AsOfJoinExec(lk, rk, lt, rt, tie, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -73,6 +78,7 @@ object AsOfJoinStrategy extends SparkStrategy {
   * doExecute is a single forward merge per partition. */
 case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
                         leftTs: Expression, rightTs: Expression,
+                        rightTie: Option[Expression],
                         left: SparkPlan, right: SparkPlan)
     extends BinaryExecNode {
 
@@ -85,7 +91,10 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
+      // among equal-ts rights the merge keeps the LAST row, so an
+      // ascending tiebreak makes "highest tiebreak wins" total
+      rightTie.map(SortOrder(_, Ascending)))
 
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))

@@ -36,6 +36,20 @@ class AsOfJoinExtensionSpec extends SparkSpec {
       (301L, None)))     // user 3 has no views
   }
 
+  test("rightTie totalizes equal-timestamp right rows (highest wins)") {
+    val spark2 = spark; import spark2.implicits._
+    val p = Seq((1L, 101L, 100L)).toDF("p_user", "p_id", "p_sec")
+      .withColumn("p_ts", timestamp_seconds(col("p_sec")))
+    val v = Seq((1L, 11L, 90L), (1L, 14L, 90L), (1L, 12L, 90L))
+      .toDF("v_user", "v_id", "v_sec")
+      .withColumn("v_ts", timestamp_seconds(col("v_sec")))
+    val out = AsOfJoin(p, v, p("p_user"), v("v_user"), p("p_ts"), v("v_ts"),
+        rightTie = Some(v("v_id")))
+      .select(col("p_id"), col("v_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((101L, 14L))) // the highest view id at the tie
+  }
+
   test("physical plan uses the custom exec with co-partitioned sorted children") {
     val (p, v) = dfs
     val out = AsOfJoin(p, v, p("p_user"), v("v_user"), p("p_ts"), v("v_ts"))
