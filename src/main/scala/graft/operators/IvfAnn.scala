@@ -59,9 +59,28 @@ object IvfAnn {
     Model(cents)
   }
 
-  /** Assign every vector its inverted-list id. */
+  /** Assign every vector its inverted-list id (literal-argmax path:
+    * zero shuffle, but codegen size caps K at a few dozen — right for
+    * coarse quantizers). */
   def assign(vectors: DataFrame, embCol: String, model: Model): DataFrame =
     vectors.withColumn("cluster", nearestCentroid(toD(col(embCol)), model.centroids))
+
+  /** Large-K assignment: centroids as a broadcast DataFrame, argmax by
+    * aggregation. One broadcast join + one shuffle, no codegen cap —
+    * scales to thousands of centroids (still only K×dim through the
+    * driver). Same tie rule as the literal path (lowest cluster id). */
+  def assignViaJoin(vectors: DataFrame, embCol: String, model: Model): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cdf = model.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cluster", "cent")
+    val best = vectors.select(col("vec_id"), toD(col(embCol)).as("__e"))
+      .crossJoin(broadcast(cdf))
+      .withColumn("__sim", cosine_similarity(col("__e"), col("cent")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cluster"), struct(col("__sim"), -col("cluster"))).as("cluster"))
+    vectors.join(best, "vec_id")
+  }
 
   /** Top-k within the nprobe nearest inverted lists of each probe. */
   def search(corpus: DataFrame, probes: DataFrame, embCol: String,

@@ -23,6 +23,15 @@ class IvfAnnSpec extends SparkSpec {
     assert(clusters.forall(c => c >= 0 && c < 8) && clusters.size > 1)
   }
 
+  test("assignViaJoin (large-K path) agrees with the literal argmax") {
+    val m = IvfAnn.fit(emb, "embedding", k = 8)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(toMap(IvfAnn.assignViaJoin(emb, "embedding", m)) ==
+           toMap(IvfAnn.assign(emb, "embedding", m)))
+  }
+
   test("search returns candidates only from probed lists, ranked by cosine") {
     val m = IvfAnn.fit(emb, "embedding", k = 8)
     val probes = emb.filter(col("vec_id") <= 5)
