@@ -107,8 +107,13 @@ object TextQueries {
 
     // MinHash/LSH near-dup candidates: band join (band = 1 signature),
     // pairs sharing any minhash, with signature-agreement estimate.
+    // Signatures are materialized once (localCheckpoint) — this plan
+    // consumes them 3× (band explode + both sides of the agreement
+    // lookup), and production LSH persists the signature table anyway;
+    // recomputing the shingle+md5 pipeline per consumer was the q66
+    // pathology (see its note).
     "q65_minhash_pairs" -> ((s, d) => {
-      val sig = minhashSigs(Tables.documents(s, d))
+      val sig = minhashSigs(Tables.documents(s, d)).localCheckpoint()
       val bands = sig.select(col("doc_id"),
         posexplode(array((0 until nSig).map(j => col(s"m$j")): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "h")

@@ -78,6 +78,35 @@ object StatefulOps {
       }
   }
 
+  case class GlobalTopRow(rank: Int, event_id: Long, value: Double)
+
+  /** Streaming global sort-limit (StreamExecSortLimit.scala:52): the
+    * k best rows over the WHOLE stream, refreshed as rows arrive. All
+    * rows route to one state key — state is O(k) and the merge is a
+    * single reducer, inherent to a global limit (the reference's
+    * global rank has the same singleton shape). */
+  def sortLimitGlobal(events: Dataset[Event], k: Int): Dataset[GlobalTopRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val stateEnc: Encoder[List[(Double, Long)]] =
+      Encoders.kryo[List[(Double, Long)]]
+    events.groupByKey(_ => 0)
+      .flatMapGroupsWithState[List[(Double, Long)], GlobalTopRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[List[(Double, Long)]]) =>
+          val old = state.getOption.getOrElse(Nil)
+          val merged = (old ++ rows.map(e => (e.value, e.event_id)))
+            .sortBy { case (v, id) => (-v, id) }
+            .take(k)
+          state.update(merged)
+          if (merged != old)
+            merged.iterator.zipWithIndex.map { case ((v, id), i) =>
+              GlobalTopRow(i + 1, id, v)
+            }
+          else Iterator.empty
+      }
+  }
+
   // ---- count windows ------------------------------------------------
 
   case class CountWindowAgg(user_id: Long, w_id: Long, n: Int, sum_v: Double)
@@ -109,6 +138,39 @@ object StatefulOps {
           }.toList
           state.update(CountWinState(st.nextW + out.size, rest))
           out.iterator
+      }
+  }
+
+  /** Sliding count windows (CountSlidingWindowAssigner): every `slide`
+    * events per user, aggregate the most recent `size` events (fewer
+    * while the stream warms up). State = last `size` rows + a counter. */
+  def countSlideWindow(events: Dataset[Event], size: Int, slide: Int)
+      : Dataset[CountWindowAgg] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val stateEnc: Encoder[CountWinState] = Encoders.kryo[CountWinState]
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CountWinState, CountWindowAgg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[CountWinState]) =>
+          // nextW doubles as the total-events-seen counter here
+          val st = state.getOption.getOrElse(CountWinState(0L, Nil))
+          var seen = st.nextW
+          var buf = st.buf
+          val out = List.newBuilder[CountWindowAgg]
+          rows.toList
+            .map(e => (Event.micros(e.ts), e.event_id, e.value))
+            .sortBy { case (t, id, _) => (t, id) }
+            .foreach { r =>
+              buf = (buf :+ r).takeRight(size)
+              seen += 1
+              if (seen % slide == 0)
+                out += CountWindowAgg(user, seen / slide - 1, buf.size,
+                  buf.map(_._3).sum)
+            }
+          state.update(CountWinState(seen, buf))
+          out.result().iterator
       }
   }
 
