@@ -14,12 +14,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     AggQueries.queries ++ JoinQueries.queries ++ WindowQueries.queries ++
     CalcQueries.queries ++ EventQueries.queries ++
-    TextQueries.queries ++ VectorQueries.queries ++ ExtraQueries.queries
+    TextQueries.queries ++ VectorQueries.queries ++ ExtraQueries.queries ++
+    PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     AggQueries.oracle ++ JoinQueries.oracle ++ WindowQueries.oracle ++
     CalcQueries.oracle ++ EventQueries.oracle ++
-    TextQueries.oracle ++ VectorQueries.oracle ++ ExtraQueries.oracle
+    TextQueries.oracle ++ VectorQueries.oracle ++ ExtraQueries.oracle ++
+    PipelineQueries.oracle
 }

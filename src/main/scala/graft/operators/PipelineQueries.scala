@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-curation operators over `documents` — the second tier of the
+  * LLM-training-data pipeline (builder-prompt north star), composing
+  * the `TextQueries` primitives into the jobs a curation run actually
+  * schedules: near-dup CLUSTERING (pairs → components → one canonical
+  * doc per cluster), deterministic hash SAMPLING (bernoulli + per-
+  * stratum quota), repetition-based QUALITY filters (the Gopher/
+  * RefinedWeb rules), normalized (bag-of-words) dedup, and an
+  * end-to-end curation pipeline chaining filter → dedup → quota.
+  *
+  * Reference analog: these are the operator chains a reference user
+  * builds from groupReduce/join/distinct (DataSet API, SURVEY §2.3);
+  * here each is one declarative plan.
+  *
+  * Scale design (100 TB):
+  * - Clustering runs connected components ONLY over the near-dup pair
+  *   graph (LSH-candidates, ~linear in corpus), never all-pairs; the
+  *   label-propagation loop shuffles on doc_id with localCheckpoint
+  *   lineage cuts per superstep (`GraphOps` scale notes).
+  * - Hash sampling is stateless per-row (md5 prefix compare) — no
+  *   sort, no sample() nondeterminism, reproducible across reruns and
+  *   engines; the quota variant is one window per stratum, the
+  *   standard per-language cap.
+  * - Repetition stats shuffle (doc_id, token) with map-side partial
+  *   aggregation; nothing is per-driver.
+  * - All ratios are integer ppm (exact cross-engine, no float
+  *   rounding boundary).
+  */
+object PipelineQueries {
+
+  private def ws(t: Column) = split(t, " ")
+
+  /** 2-gram shingles of the space-tokenized text (≥1 shingle). */
+  private def shingles2(t: Column): Column = {
+    val w = ws(t)
+    transform(sequence(lit(1), greatest(size(w) - 1, lit(1))),
+      i => concat_ws(" ", slice(w, i, lit(2))))
+  }
+
+  /** Bag-of-words key: md5 of the sorted token multiset — equal iff
+    * two docs are word-order permutations of each other. */
+  private def bowKey(t: Column): Column =
+    md5(concat_ws(" ", sort_array(ws(t))))
+
+  private val minAgree = 4    // near-dup edge: ≥4 of 8 minhashes agree
+  private val bernHex  = "2000" // bernoulli keep: md5 prefix < 1/8 of space
+  private val quotaN   = 20   // per-language quota sample size
+  private val curateQuota = 25
+
+  val queries: Map[String, Q] = Map(
+    // Near-dup clustering: LSH candidate pairs with signature
+    // agreement ≥ minAgree become edges; connected components over
+    // that graph; cluster id = min doc_id in component; the canonical
+    // doc is the cluster representative a dedup pass would keep.
+    "q74_dedup_cluster" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sig = TextQueries.minhashSigs(docs).localCheckpoint()
+      val edges = TextQueries.minhashAgreePairs(sig)
+        .filter(col("n_agree") >= minAgree)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val verts = docs.select(col("doc_id").as("id"))
+      GraphOps.connectedComponents(verts, edges)
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic stratified sampling: bernoulli by md5-prefix
+    // compare (rate = bernHex/0x10000) + per-language quota by hash
+    // rank. Reproducible on any engine/cluster — no RNG state.
+    "q75_sample_stratified" -> ((s, d) => {
+      val h = md5(col("text"))
+      val rk = row_number().over(
+        Window.partitionBy(col("lang")).orderBy(h, col("doc_id")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          substring(h, 1, 4).as("h4"),
+          (substring(h, 1, 4) < lit(bernHex)).as("pick_bernoulli"),
+          rk.as("lang_rank"))
+        .withColumn("pick_quota", col("lang_rank") <= quotaN)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Repetition stats (Gopher/RefinedWeb quality rules): most-
+    // frequent-token fraction, most-frequent-2-gram fraction,
+    // distinct-token ratio — all ppm.
+    "q76_repetition" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val wstats = docs
+        .select(col("doc_id"), explode(ws(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_words"),
+             count(lit(1)).as("n_distinct"),
+             max(col("c")).as("top_word_n"))
+      val gstats = docs
+        .select(col("doc_id"), explode(shingles2(col("text"))).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_grams"), max(col("c")).as("top_gram_n"))
+      wstats.join(gstats, "doc_id")
+        .select(col("doc_id"), col("n_words"), col("n_distinct"),
+          col("top_word_n"), col("top_gram_n"),
+          (col("n_distinct") * lit(1000000L) / col("n_words"))
+            .cast("long").as("distinct_ppm"),
+          (col("top_word_n") * lit(1000000L) / col("n_words"))
+            .cast("long").as("top_word_ppm"),
+          (col("top_gram_n") * lit(1000000L) / col("n_grams"))
+            .cast("long").as("top_gram_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Normalized (bag-of-words) dedup: docs that are token-multiset
+    // permutations collapse to the min doc_id — exact dedup after
+    // order normalization, same keep-min shape as q60.
+    "q77_norm_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keep = docs.groupBy(bowKey(col("text")).as("nk"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      docs.select(col("doc_id"), bowKey(col("text")).as("nk"))
+        .join(keep, "nk")
+        .select(col("doc_id"), col("keep_id"), col("n_copies"),
+          (col("doc_id") === col("keep_id")).as("is_keeper"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // End-to-end curation: quality filter (token-count band + digit
+    // ratio) → normalized dedup (keep min doc_id per bag-of-words
+    // key) → per-language quota (longest docs first). One declarative
+    // plan: filter pushes to the scan, dedup and quota are each one
+    // window over one shuffle.
+    "q78_curate" -> ((s, d) => {
+      val t = col("text")
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          size(ws(t)).as("n_tokens"), bowKey(t).as("nk"),
+          (length(regexp_replace(t, "[^0-9]", "")) * lit(1000000L)
+            / length(t)).cast("long").as("digit_ppm"))
+        .filter(col("n_tokens").between(30, 500) &&
+                col("digit_ppm") < 200000)
+      val dedup = base
+        .withColumn("keep_id",
+          min(col("doc_id")).over(Window.partitionBy(col("nk"))))
+        .filter(col("doc_id") === col("keep_id"))
+      dedup
+        .withColumn("lang_rank", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("lang_rank") <= curateQuota)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+                col("n_chars"), col("lang_rank"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  // ---- oracle SQL ----
+
+  private val bowKeySql =
+    "md5(array_to_string(list_sort(string_split(text,' ')),' '))"
+
+  val oracle: Map[String, String] = Map(
+    // Transitive closure by recursive CTE — fine at oracle SF (the
+    // Spark side uses distributed label propagation instead).
+    "q74_dedup_cluster" ->
+      s"""WITH RECURSIVE ${TextQueries.agreeCtesSql},
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM agree WHERE n_agree >= $minAgree
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM agree WHERE n_agree >= $minAgree),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lbl AS (
+         |  SELECT d.doc_id,
+         |         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+         |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+         |  GROUP BY d.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  doc_id = cluster_id AS is_canonical
+         |FROM lbl ORDER BY doc_id""".stripMargin,
+    "q75_sample_stratified" ->
+      s"""SELECT doc_id, lang, substr(md5(text),1,4) AS h4,
+         |  substr(md5(text),1,4) < '$bernHex' AS pick_bernoulli,
+         |  row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id)
+         |    AS lang_rank,
+         |  row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id)
+         |    <= $quotaN AS pick_quota
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q76_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+        |ws AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
+        |              max(c) AS top_word_n FROM wc GROUP BY doc_id),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(string_split(text,' ')), 2)),
+        |    i -> array_to_string(string_split(text,' ')[i:i+1], ' '))) AS g
+        |  FROM documents),
+        |gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+        |gs AS (SELECT doc_id, sum(c) AS n_grams, max(c) AS top_gram_n
+        |       FROM gc GROUP BY doc_id)
+        |SELECT doc_id, n_words, n_distinct, top_word_n, top_gram_n,
+        |  n_distinct * 1000000 // n_words AS distinct_ppm,
+        |  top_word_n * 1000000 // n_words AS top_word_ppm,
+        |  top_gram_n * 1000000 // n_grams AS top_gram_ppm
+        |FROM ws JOIN gs USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q77_norm_dedup" ->
+      s"""SELECT doc_id, keep_id, n_copies, doc_id = keep_id AS is_keeper
+         |FROM (SELECT doc_id, $bowKeySql AS nk FROM documents) d
+         |JOIN (SELECT $bowKeySql AS nk, min(doc_id) AS keep_id,
+         |             count(*) AS n_copies
+         |      FROM documents GROUP BY 1) k USING (nk)
+         |ORDER BY doc_id""".stripMargin,
+    "q78_curate" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    len(string_split(text,' ')) AS n_tokens, $bowKeySql AS nk,
+         |    length(regexp_replace(text,'[^0-9]','','g')) * 1000000
+         |      // length(text) AS digit_ppm
+         |  FROM documents),
+         |filt AS (SELECT * FROM base
+         |         WHERE n_tokens BETWEEN 30 AND 500 AND digit_ppm < 200000),
+         |dedup AS (SELECT * FROM filt
+         |          QUALIFY doc_id = min(doc_id) OVER (PARTITION BY nk))
+         |SELECT doc_id, lang, n_tokens, n_chars,
+         |  row_number() OVER (PARTITION BY lang
+         |                     ORDER BY n_chars DESC, doc_id) AS lang_rank
+         |FROM dedup
+         |QUALIFY lang_rank <= $curateQuota
+         |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -30,10 +30,10 @@ object TextQueries {
   private def md5i(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  private def md5iSql(e: String): String =
+  private[operators] def md5iSql(e: String): String =
     s"('0x'||substr(md5($e),1,8))::BIGINT"
 
-  private val nSig = 8   // minhash signature length
+  private[operators] val nSig = 8 // minhash signature length
   private val nBits = 16 // simhash bits
   private val dfCap = 50 // q66: drop shingles in more than dfCap docs
 
@@ -112,25 +112,9 @@ object TextQueries {
     // lookup), and production LSH persists the signature table anyway;
     // recomputing the shingle+md5 pipeline per consumer was the q66
     // pathology (see its note).
-    "q65_minhash_pairs" -> ((s, d) => {
-      val sig = minhashSigs(Tables.documents(s, d)).localCheckpoint()
-      val bands = sig.select(col("doc_id"),
-        posexplode(array((0 until nSig).map(j => col(s"m$j")): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "h")
-      val a = bands.select(col("doc_id").as("id_a"), col("band"), col("h"))
-      val b = bands.select(col("doc_id").as("id_b"), col("band"), col("h"))
-      val cand = a.join(b, Seq("band", "h")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
-      val sa = sig.select(col("doc_id").as("id_a"),
-        array((0 until nSig).map(j => col(s"m$j")): _*).as("sig_a"))
-      val sb = sig.select(col("doc_id").as("id_b"),
-        array((0 until nSig).map(j => col(s"m$j")): _*).as("sig_b"))
-      cand.join(sa, "id_a").join(sb, "id_b")
-        .select(col("id_a"), col("id_b"),
-          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-            bv => bv)).as("n_agree"))
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+    "q65_minhash_pairs" -> ((s, d) =>
+      minhashAgreePairs(minhashSigs(Tables.documents(s, d)).localCheckpoint())
+        .orderBy(col("id_a"), col("id_b"))),
 
     // Exact n-gram Jaccard via posting lists: shingles computed ONCE,
     // then per-shingle sorted doc lists generate the co-occurring
@@ -236,12 +220,36 @@ object TextQueries {
        ((40503L * (j + 7) * 2654435761L) % P) % (1L << 30))
     }
 
+  /** LSH candidate pairs (band = 1 signature position) over a
+    * materialized signature table, with per-pair signature agreement.
+    * Input must be localCheckpoint()ed/persisted: the plan consumes it
+    * 3× (band explode + both sides of the agreement lookup). Shared by
+    * q65 (pair listing) and q74 (near-dup clustering). */
+  private[operators] def minhashAgreePairs(
+      sig: org.apache.spark.sql.DataFrame) = {
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until nSig).map(j => col(s"m$j")): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "h")
+    val a = bands.select(col("doc_id").as("id_a"), col("band"), col("h"))
+    val b = bands.select(col("doc_id").as("id_b"), col("band"), col("h"))
+    val cand = a.join(b, Seq("band", "h")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sa = sig.select(col("doc_id").as("id_a"),
+      array((0 until nSig).map(j => col(s"m$j")): _*).as("sig_a"))
+    val sb = sig.select(col("doc_id").as("id_b"),
+      array((0 until nSig).map(j => col(s"m$j")): _*).as("sig_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          bv => bv)).as("n_agree"))
+  }
+
   /** doc_id + m0..m{nSig-1} minhash signature columns.
     * Shape: explode shingles → one md5 per shingle → groupBy(doc) with
     * k min-aggregates. The single shuffle keys on doc_id; partial
     * aggregation collapses each doc's shingles map-side, so at 100 TB
     * the shuffle carries k longs per doc, not the shingles. */
-  private def minhashSigs(docs: org.apache.spark.sql.DataFrame) = {
+  private[operators] def minhashSigs(docs: org.apache.spark.sql.DataFrame) = {
     val hashed = docs
       .select(col("doc_id"), explode(shingles4(col("text"))).as("sh"))
       .select(col("doc_id"), md5i(col("sh")).as("h"))
@@ -257,7 +265,7 @@ object TextQueries {
     """list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 2)),
       |      i -> array_to_string(string_split(text,' ')[i:i+3], ' '))""".stripMargin
 
-  private def sigSelectSql = {
+  private[operators] def sigSelectSql = {
     val cols = AB.zipWithIndex.map { case ((a, b), j) =>
       s"min((h * $a + $b) % $P) AS m$j"
     }.mkString(", ")
@@ -265,6 +273,28 @@ object TextQueries {
        |  FROM (SELECT doc_id, ${md5iSql("sh")} AS h
        |        FROM (SELECT doc_id, unnest($shinglesSql) AS sh FROM documents))
        |  GROUP BY doc_id""".stripMargin
+  }
+
+  /** CTE chain sig → bands → cand → agree(id_a, id_b, n_agree): the
+    * DuckDB mirror of minhashSigs + minhashAgreePairs. Shared by the
+    * q65 and q74 oracles. */
+  private[operators] def agreeCtesSql: String = {
+    val sigArr = "[" + (0 until nSig).map(j => s"m$j").mkString(",") + "]"
+    s"""sig AS ($sigSelectSql),
+       |bands AS (
+       |  SELECT doc_id, g.g AS band, ($sigArr)[g.g + 1] AS h
+       |  FROM sig, generate_series(0, ${nSig - 1}) g(g)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
+       |  WHERE a.doc_id < b.doc_id),
+       |agree AS (
+       |  SELECT id_a, id_b,
+       |    len(list_filter(list_transform(range(1, ${nSig + 1}),
+       |        i -> sa.s[i] = sb.s[i]), x -> x)) AS n_agree
+       |  FROM cand
+       |  JOIN (SELECT doc_id, $sigArr AS s FROM sig) sa ON sa.doc_id = id_a
+       |  JOIN (SELECT doc_id, $sigArr AS s FROM sig) sb ON sb.doc_id = id_b)""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -305,24 +335,10 @@ object TextQueries {
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "q64_minhash_sig" -> (sigSelectSql + "\n  ORDER BY doc_id"),
-    "q65_minhash_pairs" -> {
-      val sigArr = "[" + (0 until nSig).map(j => s"m$j").mkString(",") + "]"
-      s"""WITH sig AS ($sigSelectSql),
-         |bands AS (
-         |  SELECT doc_id, g.g AS band, ($sigArr)[g.g + 1] AS h
-         |  FROM sig, generate_series(0, ${nSig - 1}) g(g)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.h = b.h
-         |  WHERE a.doc_id < b.doc_id)
-         |SELECT id_a, id_b,
-         |  len(list_filter(list_transform(range(1, ${nSig + 1}),
-         |      i -> sa.s[i] = sb.s[i]), x -> x)) AS n_agree
-         |FROM cand
-         |JOIN (SELECT doc_id, $sigArr AS s FROM sig) sa ON sa.doc_id = id_a
-         |JOIN (SELECT doc_id, $sigArr AS s FROM sig) sb ON sb.doc_id = id_b
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "q65_minhash_pairs" ->
+      s"""WITH $agreeCtesSql
+         |SELECT id_a, id_b, n_agree FROM agree
+         |ORDER BY id_a, id_b""".stripMargin,
     "q66_ngram_jaccard" ->
       s"""WITH sh0 AS (
          |  SELECT DISTINCT doc_id, sh FROM (
