@@ -109,12 +109,22 @@ object Cep {
     var open = partials
     val out = List.newBuilder[Map[String, List[T]]]
     val timedOut = List.newBuilder[PartialMatch[T]]
+    // allOptionalFrom(i): every step at index >= i is optional — the
+    // completion test. Precomputed once; the inner loop previously
+    // re-derived it per (event × partial), an O(pattern length) scan in
+    // the hot path (the round-1 "quadratic advance" note).
+    val allOptionalFrom = Array.tabulate(pattern.steps.size + 1)(i =>
+      pattern.steps.drop(i).forall(_.optional))
     events.foreach { case (tsUs, e) =>
-      val (alive, expired) = open.partition(p => tsUs - p.startUs <= pattern.withinUs)
+      // `open` is ordered by startUs (partials are only ever appended in
+      // event order), so the expired set is a prefix: span stops at the
+      // first survivor instead of scanning every partial per event.
+      val (expired, alive) = open.span(p => tsUs - p.startUs > pattern.withinUs)
       timedOut ++= expired
       open = alive
       val next = List.newBuilder[PartialMatch[T]]
-      var completedStarts: List[Long] = Nil
+      var completed = false
+      var completedStarts = Set.empty[Long]
       // Advance one partial by this event: bind it, skip past
       // satisfied/optional steps, or keep it waiting.
       def step(p: PartialMatch[T], retain: Boolean): Unit = {
@@ -140,10 +150,10 @@ object Cep {
               // unbounded, times(m,n) until n occurrences
               val looping = st.oneOrMore || newCnt < st.timesMax
               val nextIdx = i + 1
-              val restOptional = pattern.steps.drop(nextIdx).forall(_.optional)
-              if (restOptional) { // consumed on first completion
+              if (allOptionalFrom(nextIdx)) { // consumed on first completion
                 out += bound
-                completedStarts ::= p.startUs
+                completed = true
+                completedStarts += p.startUs
               } else next += PartialMatch(
                 if (looping) i else nextIdx, p.startUs, bound, closed)
             }
@@ -164,7 +174,7 @@ object Cep {
       // then once more for partials retained before the completion.
       def prunedBySkip(p: PartialMatch[T]): Boolean = skip match {
         case NoSkip => false
-        case SkipPastLastEvent => completedStarts.nonEmpty && p.startUs <= tsUs
+        case SkipPastLastEvent => completed && p.startUs <= tsUs
         case SkipToNext => completedStarts.contains(p.startUs)
       }
       open.foreach(p => if (!prunedBySkip(p)) step(p, retain = true))
