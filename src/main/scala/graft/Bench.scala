@@ -31,7 +31,9 @@ object Bench {
     "q66_ngram_jaccard",  // shingle self-join
     "q70_knn_brute",      // cosine top-k
     "q72_lsh_ann",        // LSH bucket ANN
-    "q73_embed_neardup")  // cosine near-dup pairs
+    "q73_embed_neardup",  // cosine near-dup pairs
+    "q76_repetition",     // token/2-gram repetition stats (2 shuffles)
+    "q78_curate")         // filter → norm-dedup → quota, one plan
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
