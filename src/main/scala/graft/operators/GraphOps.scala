@@ -198,4 +198,40 @@ object GraphOps {
       .select(col("u"), col("v"),
         (col("co") / (col("du") + col("dv") - col("co"))).as("jaccard"))
   }
+
+  /** Graph summarization (Gelly `library/Summarization.java:92`):
+    * condense the graph by vertex value — one output vertex per
+    * distinct vertex value (with member count), one output edge per
+    * (source group, target group, edge value) (with count). The
+    * reference picks a nondeterministic member id as the group
+    * representative; here it is the MIN member id, making the output
+    * deterministic (still "one of the represented vertex identifiers"
+    * as the reference guarantees).
+    *
+    * vertices: (id, value); edges: (src, dst, value).
+    * Returns (vertices (id, value, cnt), edges (src, dst, value, cnt)).
+    *
+    * Scale: the (value → rep, cnt) group table is |distinct values| —
+    * broadcast-sized in practice, so tagging members with their rep is
+    * a broadcast join; the member→rep map itself is |vertices|-sized,
+    * so the two edge-endpoint joins shuffle on vertex id, and the edge
+    * rollup is one shuffle on (srep, drep, value). */
+  def summarize(vertices: DataFrame, edges: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val groups = vertices.groupBy(col("value"))
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("cnt"))
+    val sumVerts = groups.select(col("rep").as("id"), col("value"), col("cnt"))
+    val v2r = vertices.join(broadcast(groups.select(col("value"), col("rep"))),
+      "value").select(col("id"), col("rep"))
+    val sumEdges = edges.select(col("src"), col("dst"),
+        col("value").as("evalue"))
+      .join(v2r.withColumnRenamed("id", "src")
+        .withColumnRenamed("rep", "srep"), "src")
+      .join(v2r.withColumnRenamed("id", "dst")
+        .withColumnRenamed("rep", "drep"), "dst")
+      .groupBy(col("srep").as("src"), col("drep").as("dst"),
+        col("evalue").as("value"))
+      .agg(count(lit(1)).as("cnt"))
+    (sumVerts, sumEdges)
+  }
 }

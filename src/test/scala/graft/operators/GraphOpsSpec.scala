@@ -66,4 +66,23 @@ class GraphOpsSpec extends SparkSpec {
     assert(j((2L, 3L)) == 1.0)
     assert(j.size == 2)
   }
+
+  test("summarize condenses by vertex value (reference Javadoc example)") {
+    // Summarization.java:53 — vertices A:{0,1}, B:{2,3};
+    // edges (0,1)(1,0)(1,2)(2,1)(2,3)(3,2), all value "x"
+    val spark2 = spark; import spark2.implicits._
+    val v = Seq((0L, "A"), (1L, "A"), (2L, "B"), (3L, "B"))
+      .toDF("id", "value")
+    val e = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst").withColumn("value",
+        org.apache.spark.sql.functions.lit("x"))
+    val (sv, se) = GraphOps.summarize(v, e)
+    val verts = sv.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(verts == Set((0L, "A", 2L), (2L, "B", 2L)))
+    val edges = se.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    assert(edges == Map((0L, 0L) -> 2L, (2L, 2L) -> 2L,
+                        (0L, 2L) -> 1L, (2L, 0L) -> 1L))
+  }
 }
