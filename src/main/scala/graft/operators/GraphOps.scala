@@ -199,6 +199,69 @@ object GraphOps {
         (col("co") / (col("du") + col("dv") - col("co"))).as("jaccard"))
   }
 
+  /** HITS hubs-and-authorities (Gelly
+    * `library/linkanalysis/HITS.java`): iterative — authority(v) =
+    * Σ hub(u) over in-neighbors, hub(u) = Σ authority(v) over
+    * out-neighbors, each L2-normalized per iteration (as the
+    * reference). edges: (src, dst) directed. Returns
+    * (id, hub, authority).
+    *
+    * Scale: each half-step is one shuffle on vertex id; the L2 norm is
+    * a scalar aggregate to the driver (bounded, same class as
+    * pageRank's dangling mass). */
+  def hits(edges: DataFrame, iters: Int = 10): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    var scores = verts
+      .select(col("id"), lit(1.0).as("hub"), lit(1.0).as("auth"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val authRaw = e
+        .join(scores.select(col("id").as("src"), col("hub")), "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("a"))
+      val authN = math.sqrt(
+        authRaw.agg(sum(col("a") * col("a"))).head().getDouble(0))
+      val auth = verts.join(authRaw, Seq("id"), "left_outer")
+        .select(col("id"),
+          (coalesce(col("a"), lit(0.0)) / lit(authN)).as("auth"))
+      val hubRaw = e
+        .join(auth.select(col("id").as("dst"), col("auth")), "dst")
+        .groupBy(col("src").as("id")).agg(sum(col("auth")).as("h"))
+      val hubN = math.sqrt(
+        hubRaw.agg(sum(col("h") * col("h"))).head().getDouble(0))
+      scores = verts.join(hubRaw, Seq("id"), "left_outer")
+        .join(auth, "id")
+        .select(col("id"),
+          (coalesce(col("h"), lit(0.0)) / lit(hubN)).as("hub"), col("auth"))
+        .localCheckpoint() // eager + lineage cut (see scale notes)
+    }
+    e.unpersist()
+    scores
+  }
+
+  /** Local clustering coefficient (Gelly
+    * `library/metric/undirected/` + clustering/undirected
+    * LocalClusteringCoefficient): triangles(v) / (deg(v)·(deg(v)-1)/2)
+    * over the undirected simple graph. Returns (id, degree,
+    * n_triangles, coefficient). */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = canon.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    val tris = triangleCounts(edges)
+    deg.join(tris, Seq("id"), "left_outer")
+      .select(col("id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") < 2, 0.0)
+          .otherwise(coalesce(col("n_triangles"), lit(0L)) * 2.0 /
+            (col("degree") * (col("degree") - 1))).as("coefficient"))
+  }
+
   /** Graph summarization (Gelly `library/Summarization.java:92`):
     * condense the graph by vertex value — one output vertex per
     * distinct vertex value (with member count), one output edge per

@@ -67,6 +67,29 @@ class GraphOpsSpec extends SparkSpec {
     assert(j.size == 2)
   }
 
+  test("hits ranks the hub and authority of a bipartite fan") {
+    // 1,2,3 all point at 4; 1 also points at 5.
+    // 4 is the top authority; 1 is the top hub (points at both).
+    val h = GraphOps.hits(df((1, 4), (2, 4), (3, 4), (1, 5)), iters = 8)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val topAuth = h.maxBy(_._2._2)._1
+    val topHub = h.maxBy(_._2._1)._1
+    assert(topAuth == 4L && topHub == 1L)
+    // L2 norms are 1 after the final normalization
+    assert(math.abs(h.values.map(v => v._2 * v._2).sum - 1.0) < 1e-9)
+    assert(math.abs(h.values.map(v => v._1 * v._1).sum - 1.0) < 1e-9)
+  }
+
+  test("clusteringCoefficient is 1 on a triangle, lower with a pendant") {
+    // triangle {1,2,3} + pendant edge 3-4
+    val cc = GraphOps.clusteringCoefficient(df((1, 2), (2, 3), (3, 1), (3, 4)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(cc(1L) == ((2L, 1.0)))
+    assert(cc(2L) == ((2L, 1.0)))
+    assert(cc(3L) == ((3L, 1.0 / 3))) // 1 triangle of 3 possible pairs
+    assert(cc(4L) == ((1L, 0.0)))
+  }
+
   test("summarize condenses by vertex value (reference Javadoc example)") {
     // Summarization.java:53 — vertices A:{0,1}, B:{2,3};
     // edges (0,1)(1,0)(1,2)(2,1)(2,3)(3,2), all value "x"
