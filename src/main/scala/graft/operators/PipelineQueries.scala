@@ -158,6 +158,22 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("n_tokens"),
                 col("n_chars"), col("lang_rank"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Vocabulary building: corpus-wide token frequency + document
+    // frequency, top 100 by tf (ties → lexicographic). One shuffle on
+    // token with map-side partial agg; the global rank runs over the
+    // already-top-100 rows only (orderBy+limit prunes first), so the
+    // single-partition window never sees the full vocabulary.
+    "q80_vocab" -> ((s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(col("doc_id"), explode(ws(col("text"))).as("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      val top = vocab.orderBy(col("tf").desc, col("w")).limit(100)
+      top.withColumn("rnk", row_number().over(
+          Window.orderBy(col("tf").desc, col("w"))))
+        .orderBy(col("rnk"))
     })
   )
 
@@ -238,6 +254,13 @@ object PipelineQueries {
          |                     ORDER BY n_chars DESC, doc_id) AS lang_rank
          |FROM dedup
          |QUALIFY lang_rank <= $curateQuota
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    "q80_vocab" ->
+      """SELECT w, tf, df, row_number() OVER (ORDER BY tf DESC, w) AS rnk
+        |FROM (SELECT w, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |      FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
+        |            FROM documents)
+        |      GROUP BY w)
+        |QUALIFY rnk <= 100 ORDER BY rnk""".stripMargin
   )
 }

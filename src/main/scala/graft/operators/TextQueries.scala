@@ -185,17 +185,47 @@ object TextQueries {
 
     // SimHash: 16-bit signature over token md5 hashes (term-frequency
     // weighted), plus hamming-ready integer output.
-    "q67_simhash" -> ((s, d) => {
-      val hashes = transform(toks(col("text")), t => md5i(t))
-      val bits = (0 until nBits).map { b =>
-        when(size(filter(hashes, h => shiftright(h, b).bitwiseAND(1) === 1)) * 2
-               > size(hashes), lit(1L << b)).otherwise(0L)
-      }
+    "q67_simhash" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
-        .orderBy(col("doc_id"))
+        .select(col("doc_id"), simhash16(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))),
+
+    // SimHash near-dup pairs: band the 16-bit signature into 4 nibbles
+    // (pigeonhole: hamming ≤ 3 ⇒ at least one identical nibble), join
+    // candidates on (band, nibble), verify hamming via xor+popcount.
+    // Same banded-equi-join shape as q65/q72 — no all-pairs scan.
+    "q79_simhash_neardup" -> ((s, d) => {
+      val sigs = Tables.documents(s, d)
+        .select(col("doc_id"), simhash16(col("text")).as("sh"))
+        .localCheckpoint() // consumed by both join sides
+      val bands = sigs.select(col("doc_id"), col("sh"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sh"), 4 * b).bitwiseAND(15)): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+      val a = bands.select(col("doc_id").as("id_a"), col("sh").as("sha"),
+        col("band"), col("bv"))
+      val b = bands.select(col("doc_id").as("id_b"), col("sh").as("shb"),
+        col("band"), col("bv"))
+      a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long")
+            .as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 1)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
+
+  /** 16-bit SimHash of the space-tokenized text: bit b set iff more
+    * than half the token md5 hashes have bit b set (tf-weighted
+    * majority). */
+  private def simhash16(t: Column): Column = {
+    val hashes = transform(toks(t), w => md5i(w))
+    (0 until nBits).map { b =>
+      when(size(filter(hashes, h => shiftright(h, b).bitwiseAND(1) === 1)) * 2
+             > size(hashes), lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+  }
 
   /** substring(t, i, 8) where i is a Column (functions.substring takes
     * Int positions only). */
@@ -365,16 +395,31 @@ object TextQueries {
         |  len(regexp_extract_all(text, '[a-z]+')) AS n_word,
         |  len(regexp_extract_all(text, '[0-9]+')) AS n_num
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "q67_simhash" -> {
-      val terms = (0 until nBits).map { b =>
-        s"""CASE WHEN 2 * len(list_filter(hs, h -> (h // ${1L << b}) % 2 = 1))
-           |         > len(hs) THEN ${1L << b} ELSE 0 END""".stripMargin
-      }.mkString(" +\n        ")
-      s"""SELECT doc_id, ($terms) AS simhash
-         |FROM (SELECT doc_id,
-         |        list_transform(string_split(text,' '), t -> ${md5iSql("t")}) AS hs
-         |      FROM documents)
-         |ORDER BY doc_id""".stripMargin
-    }
+    "q67_simhash" ->
+      s"""SELECT doc_id, sh AS simhash FROM ($simhashSigSql)
+         |ORDER BY doc_id""".stripMargin,
+    "q79_simhash_neardup" ->
+      s"""WITH sig AS ($simhashSigSql),
+         |bands AS (
+         |  SELECT doc_id, sh, g.g AS band, (sh // (1 << (4 * g.g))) % 16 AS bv
+         |  FROM sig, generate_series(0, 3) g(g))
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 1
+         |ORDER BY id_a, id_b""".stripMargin
   )
+
+  /** DuckDB mirror of simhash16: SELECT doc_id, sh FROM documents. */
+  private def simhashSigSql: String = {
+    val terms = (0 until nBits).map { b =>
+      s"""CASE WHEN 2 * len(list_filter(hs, h -> (h // ${1L << b}) % 2 = 1))
+         |         > len(hs) THEN ${1L << b} ELSE 0 END""".stripMargin
+    }.mkString(" +\n        ")
+    s"""SELECT doc_id, ($terms) AS sh
+       |FROM (SELECT doc_id,
+       |        list_transform(string_split(text,' '), t -> ${md5iSql("t")}) AS hs
+       |      FROM documents)""".stripMargin
+  }
 }
