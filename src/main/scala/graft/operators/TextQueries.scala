@@ -33,7 +33,7 @@ object TextQueries {
   private[operators] def md5iSql(e: String): String =
     s"('0x'||substr(md5($e),1,8))::BIGINT"
 
-  private[operators] val nSig = 8 // minhash signature length
+  private[graft] val nSig = 8 // minhash signature length
   private val nBits = 16 // simhash bits
   private val dfCap = 50 // q66: drop shingles in more than dfCap docs
 
@@ -194,6 +194,12 @@ object TextQueries {
     // (pigeonhole: hamming ≤ 3 ⇒ at least one identical nibble), join
     // candidates on (band, nibble), verify hamming via xor+popcount.
     // Same banded-equi-join shape as q65/q72 — no all-pairs scan.
+    // SCALE NOTE: band cardinality must grow with the corpus. 4-bit
+    // bands have 16 values each — fine for the deterministic 16-bit
+    // test signature, but at production scale a band-value bucket
+    // holds ~n/16 docs and the join explodes; the standard 100 TB
+    // config is a 64-bit simhash in 4×16-bit bands (65 536 values per
+    // band), same plan shape, just nBits/band-width constants.
     "q79_simhash_neardup" -> ((s, d) => {
       val sigs = Tables.documents(s, d)
         .select(col("doc_id"), simhash16(col("text")).as("sh"))
@@ -249,6 +255,17 @@ object TextQueries {
       (((2654435761L * (j + 1)) % P) % (1L << 30) | 1L,
        ((40503L * (j + 7) * 2654435761L) % P) % (1L << 30))
     }
+
+  /** Per-row minhash signature as an array column — the streaming-
+    * friendly form: all-expression (shingle → md5 → k mins inside one
+    * row), NO shuffle, so it runs on an unbounded stream. Same values
+    * as minhashSigs (duplicate shingles cannot change a min). */
+  private[graft] def minhashSigArray(t: Column): Column = {
+    val hs = transform(shingles4(t), sh => md5i(sh))
+    array(AB.map { case (a, b) =>
+      array_min(transform(hs, h => (h * a + b) % P))
+    }: _*)
+  }
 
   /** LSH candidate pairs (band = 1 signature position) over a
     * materialized signature table, with per-pair signature agreement.
