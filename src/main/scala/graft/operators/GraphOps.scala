@@ -199,6 +199,50 @@ object GraphOps {
         (col("co") / (col("du") + col("dv") - col("co"))).as("jaccard"))
   }
 
+  /** Community detection by score-attenuated label propagation (Gelly
+    * `library/CommunityDetection.java:49`, after "Towards real-time
+    * community detection in large networks"): each superstep a vertex
+    * sends (label, score·edgeWeight) to its neighbors, adopts the
+    * label with the highest SUMMED received score (ties → smallest
+    * label, matching the reference's ordered-map iteration), and
+    * re-scores it to the highest single received score for that
+    * label, minus delta/superstep when the label changed.
+    * vertices: (id); edges: (src, dst, weight: Double), undirected.
+    * Returns (id, label). */
+  def communityDetection(vertices: DataFrame, edges: DataFrame,
+                         maxIter: Int = 10, delta: Double = 0.5): DataFrame = {
+    val bidir = edges.select(col("src"), col("dst"), col("weight"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"),
+        col("weight")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var state = vertices.select(col("id"), col("id").as("label"),
+        lit(1.0).as("score"))
+      .localCheckpoint()
+    for (step <- 1 to maxIter) {
+      val msgs = bidir
+        .join(state.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"),
+          (col("score") * col("weight")).as("s"))
+      val perLabel = msgs.groupBy(col("id"), col("label"))
+        .agg(sum(col("s")).as("tot"), max(col("s")).as("mx"))
+      val best = perLabel.groupBy(col("id"))
+        .agg(max_by(struct(col("label"), col("mx")),
+          struct(col("tot"), (-col("label")).as("nl"))).as("b"))
+      state = state
+        .join(best, Seq("id"), "left_outer")
+        .select(col("id"),
+          coalesce(col("b.label"), col("label")).as("newLabel"),
+          when(col("b.label").isNull, col("score"))
+            .otherwise(col("b.mx") -
+              when(col("b.label") =!= col("label"), delta / step)
+                .otherwise(0.0)).as("score"))
+        .withColumnRenamed("newLabel", "label")
+        .localCheckpoint() // eager + lineage cut (see scale notes)
+    }
+    bidir.unpersist()
+    state.select(col("id"), col("label"))
+  }
+
   /** HITS hubs-and-authorities (Gelly
     * `library/linkanalysis/HITS.java`): iterative — authority(v) =
     * Σ hub(u) over in-neighbors, hub(u) = Σ authority(v) over

@@ -67,6 +67,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(j.size == 2)
   }
 
+  test("communityDetection separates two weighted triangles") {
+    val spark2 = spark; import spark2.implicits._
+    // triangle {1,2,3} + triangle {4,5,6}, weak bridge 3-4
+    val e = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0),
+                (4L, 5L, 1.0), (5L, 6L, 1.0), (6L, 4L, 1.0),
+                (3L, 4L, 0.1))
+      .toDF("src", "dst", "weight")
+    val got = GraphOps.communityDetection(verts(1, 2, 3, 4, 5, 6), e,
+        maxIter = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(4L) == got(5L) && got(5L) == got(6L))
+    assert(got(1L) != got(4L)) // the weak bridge does not merge them
+  }
+
   test("hits ranks the hub and authority of a bipartite fan") {
     // 1,2,3 all point at 4; 1 also points at 5.
     // 4 is the top authority; 1 is the top hub (points at both).
