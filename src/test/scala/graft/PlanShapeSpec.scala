@@ -67,4 +67,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit") || plan.contains("Window"),
       s"no window operator:\n$plan")
   }
+
+  test("q79 simhash pairs come from a band equi-join, not a cross join") {
+    val plan = formatted("q79_simhash_neardup")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"simhash pair generation is not an equi-join:\n$plan")
+  }
+
+  test("q78 curation quota plans as window-group-limit; filters stay early") {
+    val plan = formatted("q78_curate")
+    assert(plan.contains("WindowGroupLimit"), s"no top-n pushdown:\n$plan")
+    // the token-band/digit-ratio filter must run before any exchange-
+    // heavy stage: it appears in a Filter directly over the scan side
+    assert(plan.contains("PushedFilters: [IsNotNull(text)]"),
+      s"scan-level null pushdown missing:\n$plan")
+  }
+
+  test("q80 vocab top-100 is a pruned global limit, not a full-vocab window") {
+    val df = SparkEntry.queries("q80_vocab")(spark, sf)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k did not plan as TakeOrdered:\n$plan")
+  }
 }
