@@ -138,6 +138,28 @@ object ExtraQueries {
         .select(col("user_id"), col("purchase_id"), col("last_view_id"),
           (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
         .orderBy(col("user_id"), col("purchase_id"))
+    }),
+
+    // Typed coGroup (DataSet.java:1009): full-outer group merge of
+    // orders and customers by custkey with per-side group logic —
+    // count + cents-exact sum on the order side, sorted name concat on
+    // the customer side. Runs the real Dataset.cogroup operator (one
+    // shuffle per side, both sides' groups streamed to one function);
+    // integer cents keep the sum partial-order independent.
+    "q81_cogroup" -> ((s, d) => {
+      import s.implicits._
+      val os = Tables.orders(s, d)
+        .select(col("o_custkey").as("_1"), col("o_totalprice").as("_2"))
+        .as[(Long, Double)].groupByKey(_._1)
+      val cs = Tables.customer(s, d)
+        .select(col("c_custkey").as("_1"), col("c_name").as("_2"))
+        .as[(Long, String)].groupByKey(_._1)
+      os.cogroup(cs) { (k, o, c) =>
+        val cents = o.map(t => math.round(t._2 * 100)).toList
+        Iterator((k, cents.size.toLong, cents.sum,
+          c.map(_._2).toList.sorted.mkString(",")))
+      }.toDF("custkey", "n_orders", "cents_sum", "names")
+        .orderBy(col("custkey"))
     })
   )
 
@@ -221,6 +243,18 @@ object ExtraQueries {
         |  FROM (SELECT * FROM ev WHERE event_type='purchase') p
         |  LEFT JOIN (SELECT * FROM ev WHERE event_type='view') v
         |    ON p.user_id = v.user_id AND v.ts <= p.ts)
-        |WHERE rn = 1 ORDER BY user_id, purchase_id""".stripMargin)
+        |WHERE rn = 1 ORDER BY user_id, purchase_id""".stripMargin),
+    "q81_cogroup" ->
+      """SELECT custkey, coalesce(n_orders, 0) AS n_orders,
+        |  coalesce(cents_sum, 0) AS cents_sum,
+        |  coalesce(names, '') AS names
+        |FROM (SELECT o_custkey AS custkey, count(*) AS n_orders,
+        |        sum(round(o_totalprice * 100)::BIGINT) AS cents_sum
+        |      FROM orders GROUP BY 1) o
+        |FULL OUTER JOIN
+        |     (SELECT c_custkey AS custkey,
+        |        string_agg(c_name, ',' ORDER BY c_name) AS names
+        |      FROM customer GROUP BY 1) c USING (custkey)
+        |ORDER BY custkey""".stripMargin
   )
 }
