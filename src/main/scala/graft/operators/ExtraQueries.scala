@@ -160,6 +160,23 @@ object ExtraQueries {
           c.map(_._2).toList.sorted.mkString(",")))
       }.toDF("custkey", "n_orders", "cents_sum", "names")
         .orderBy(col("custkey"))
+    }),
+
+    // Non-keyed range join through the binned operator: all event
+    // pairs (a, b) with a.ts < b.ts <= a.ts + 2 s across ALL users —
+    // no equi key exists, so the naive plan is a 10k×10k nested loop;
+    // RangeJoin turns it into a bin equi-join (width = the window).
+    "q82_range_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      val pts = e.select(col("event_id").as("id_b"), col("us").as("b_us"))
+      val ivs = e.select(col("event_id").as("id_a"), col("us").as("a_us"),
+        (col("us") + 1).as("lo"), (col("us") + 2000000L).as("hi"))
+      RangeJoin.pointInInterval(pts, col("b_us"), ivs,
+          col("lo"), col("hi"), binWidth = 2000000L)
+        .select(col("id_a"), col("id_b"),
+          (col("b_us") - col("a_us")).as("delta_us"))
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -255,6 +272,12 @@ object ExtraQueries {
         |     (SELECT c_custkey AS custkey,
         |        string_agg(c_name, ',' ORDER BY c_name) AS names
         |      FROM customer GROUP BY 1) c USING (custkey)
-        |ORDER BY custkey""".stripMargin
+        |ORDER BY custkey""".stripMargin,
+    "q82_range_join" ->
+      """WITH ev AS (SELECT event_id, epoch_ns(ts)//1000 AS us FROM events)
+        |SELECT a.event_id AS id_a, b.event_id AS id_b,
+        |  b.us - a.us AS delta_us
+        |FROM ev a JOIN ev b ON b.us > a.us AND b.us <= a.us + 2000000
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }
