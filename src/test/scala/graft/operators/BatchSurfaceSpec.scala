@@ -41,6 +41,29 @@ class BatchSurfaceSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.execution.useObjectHashAggregateExec")
   }
 
+  test("approximate distinct and quantiles hold their error bounds") {
+    // The 100 TB substitutes for exact distinct/percentile: HLL++
+    // (approx_count_distinct, rsd-bounded, no full shuffle of keys)
+    // and KLL-style approx percentiles (bounded-size sketch, mergeable
+    // map-side). Assert the bounds on real data so a Spark upgrade
+    // that degrades sketch behavior is caught.
+    val li = graft.Tables.lineitem(spark, sf)
+    val exact = li.select(countDistinct(col("l_orderkey"))).head().getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_orderkey"), rsd = 0.02))
+      .head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.06,
+      s"HLL off: exact=$exact approx=$approx")
+    val (exactMed, approxMed) = {
+      val r = li.select(
+        expr("percentile(l_quantity, 0.5)"),
+        expr("percentile_approx(l_quantity, 0.5, 10000)")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    // quantity is 1..50 integral; a 10k sketch must land within 1
+    assert(math.abs(exactMed - approxMed) <= 1.0,
+      s"approx median off: exact=$exactMed approx=$approxMed")
+  }
+
   test("rate-micro-batch source produces deterministic rows") {
     val q = spark.readStream.format("rate-micro-batch")
       .option("rowsPerBatch", 5).load()
