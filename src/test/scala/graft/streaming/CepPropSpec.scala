@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property test: the NFA's 2-step followedBy/within semantics equal a
+  * direct brute-force evaluation (skip-till-next-match: each start
+  * event pairs with its FIRST strictly-later match inside the window)
+  * on randomized event sequences — including same-timestamp events,
+  * expiry exactly at the window bound, and interleaved starts.
+  * Pure driver-side (no Spark session needed): exercises Cep.advance
+  * itself, the engine under both matchBatch and matchStream. */
+class CepPropSpec extends AnyFunSuite {
+
+  private case class Ev(id: Long, ts: Long, typ: String)
+
+  test("2-step NFA equals brute-force first-follow on random sequences") {
+    val genCase = for {
+      n <- Gen.chooseNum(0, 25)
+      evs <- Gen.listOfN(n,
+        Gen.zip(Gen.chooseNum(0L, 60L), Gen.oneOf("A", "B")))
+      w <- Gen.oneOf(3L, 10L, 30L)
+    } yield (evs, w)
+
+    val prop = Prop.forAll(genCase) { case (raw, w) =>
+      val evs = raw.zipWithIndex
+        .map { case ((ts, ty), i) => Ev(i.toLong, ts, ty) }
+        .sortBy(e => (e.ts, e.id))
+      val pat = Cep.Pattern.begin[Ev]("a")((e, _) => e.typ == "A")
+        .followedBy("b") { (e, bound) =>
+          e.typ == "B" && e.ts > bound("a").head.ts
+        }
+        .within(w)
+      val (done, _, _) =
+        Cep.advance(pat, Nil, evs.map(e => (e.ts, e)).iterator)
+      val got = done.map(m => (m("a").head.id, m("b").head.id)).toSet
+
+      // brute force: each A takes the first later-in-order B with
+      // strictly greater ts; the B must ARRIVE no later than ts_a + w
+      // (the NFA expires partials when an event past the bound shows up,
+      // so a B exactly at the bound still matches).
+      val expected = (for {
+        (a, ai) <- evs.zipWithIndex if a.typ == "A"
+        b <- evs.drop(ai + 1).find(b =>
+          b.typ == "B" && b.ts > a.ts && b.ts - a.ts <= w)
+      } yield (a.id, b.id)).toSet
+      got == expected
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+}
