@@ -21,16 +21,22 @@ object StreamJoins {
 
   /** Watermarked stream-stream interval join:
     * left.key = right.key AND right.ts ∈ [left.ts - lower, left.ts + upper].
-    * Both inputs may be streaming; state expires at the watermark. */
+    * Both inputs may be streaming; state expires at the watermark.
+    * joinType covers the reference's streaming two-sided join types:
+    * inner/left_outer/right_outer/full_outer here (outer rows emit
+    * null-padded once the watermark passes their join window),
+    * semi/anti in `SemiAntiJoin`. */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    key: String, tsCol: String, delay: String,
-                   lower: String, upper: String): DataFrame = {
+                   lower: String, upper: String,
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(tsCol, delay).alias("l")
     val r = right.withWatermark(tsCol, delay).alias("r")
     l.join(r,
       expr(s"""l.$key = r.$key AND
                r.$tsCol >= l.$tsCol - INTERVAL $lower AND
-               r.$tsCol <= l.$tsCol + INTERVAL $upper"""))
+               r.$tsCol <= l.$tsCol + INTERVAL $upper"""),
+      joinType)
   }
 
   /** Lookup join: enrich rows IN PLACE by point-lookups into an

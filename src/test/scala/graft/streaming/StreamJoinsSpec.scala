@@ -31,6 +31,35 @@ class StreamJoinsSpec extends SparkSpec {
     assert(got == Set((1L, 10L), (2L, 12L))) // within ±30s only
   }
 
+  test("full-outer interval join null-pads unmatched sides after the watermark") {
+    val spark2 = spark; import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    val lm = MemoryStream[Event]; val rm = MemoryStream[Event]
+    val joined = StreamJoins.intervalJoin(
+        lm.toDF().select(col("user_id"), col("ts"), col("event_id").as("l_id")),
+        rm.toDF().select(col("user_id"), col("ts"), col("event_id").as("r_id")),
+        key = "user_id", tsCol = "ts", delay = "10 seconds",
+        lower = "30 SECONDS", upper = "30 SECONDS",
+        joinType = "full_outer")
+      .select(col("l_id"), col("r_id"))
+    val q = joined.writeStream.format("memory").queryName("ssjfo")
+      .outputMode("append").start()
+    // user 1: left-only; user 2: matched pair; user 3: right-only
+    lm.addData(ev(1, 100, 1, "a", 0), ev(2, 500, 2, "a", 0))
+    rm.addData(ev(12, 505, 2, "b", 0), ev(13, 200, 3, "b", 0))
+    q.processAllAvailable()
+    // push the watermark far past every join window so unmatched rows emit
+    lm.addData(ev(90, 10000, 9, "a", 0)); rm.addData(ev(91, 10000, 9, "b", 0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssjfo").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+                 if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(got.contains((1L, -1L)), s"left-only row missing: $got")   // null right
+    assert(got.contains((-1L, 13L)), s"right-only row missing: $got") // null left
+    assert(got.contains((2L, 12L)), s"matched pair missing: $got")
+  }
+
   test("lookup join enriches via one client per partition") {
     val spark2 = spark; import spark2.implicits._
     var clients = 0
