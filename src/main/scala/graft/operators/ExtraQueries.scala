@@ -177,6 +177,31 @@ object ExtraQueries {
         .select(col("id_a"), col("id_b"),
           (col("b_us") - col("a_us")).as("delta_us"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Graph summarization on a real graph: supplier→customer edges
+    // from lineitem⋈orders (edge value = order year), vertices valued
+    // by nation; the condensed graph has one vertex per nation (min
+    // member id as the deterministic representative) and one edge per
+    // (supplier-nation, customer-nation, year) with count.
+    "q83_graph_summarize" -> ((s, d) => {
+      val off = 1000000L // supplier ids shifted past customer ids
+      val verts = Tables.customer(s, d)
+        .select(col("c_custkey").as("id"),
+          col("c_nationkey").cast("long").as("value"))
+        .union(Tables.supplier(s, d)
+          .select((col("s_suppkey") + off).as("id"),
+            col("s_nationkey").cast("long").as("value")))
+      val edges = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), (col("l_suppkey") + off).as("src"))
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey").as("l_orderkey"),
+            col("o_custkey").as("dst"),
+            year(col("o_orderdate").cast("date")).cast("long").as("value")),
+          "l_orderkey")
+        .select(col("src"), col("dst"), col("value"))
+      val (_, se) = GraphOps.summarize(verts, edges)
+      se.orderBy(col("src"), col("dst"), col("value"))
     })
   )
 
@@ -278,6 +303,23 @@ object ExtraQueries {
         |SELECT a.event_id AS id_a, b.event_id AS id_b,
         |  b.us - a.us AS delta_us
         |FROM ev a JOIN ev b ON b.us > a.us AND b.us <= a.us + 2000000
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q83_graph_summarize" ->
+      """WITH verts AS (
+        |  SELECT c_custkey AS id, c_nationkey::BIGINT AS value FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey + 1000000, s_nationkey::BIGINT FROM supplier),
+        |grp AS (SELECT value, min(id) AS rep FROM verts GROUP BY value),
+        |v2r AS (SELECT v.id, g.rep FROM verts v JOIN grp g USING (value)),
+        |e AS (
+        |  SELECT l_suppkey + 1000000 AS src, o_custkey AS dst,
+        |         year(o_orderdate::DATE)::BIGINT AS value
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT sr.rep AS src, dr.rep AS dst, e.value, count(*) AS cnt
+        |FROM e
+        |JOIN v2r sr ON e.src = sr.id
+        |JOIN v2r dr ON e.dst = dr.id
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin
   )
 }
