@@ -202,6 +202,23 @@ object ExtraQueries {
         .select(col("src"), col("dst"), col("value"))
       val (_, se) = GraphOps.summarize(verts, edges)
       se.orderBy(col("src"), col("dst"), col("value"))
+    }),
+
+    // CUBE with grouping() markers (StreamExecExpand/BatchExecExpand +
+    // GROUPING_ID): the markers disambiguate "NULL because rolled up"
+    // from "NULL in the data" — the part of the Expand family q04's
+    // grouping sets don't exercise.
+    "q84_grouping_id" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+            .as("cents"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("g_rf"), col("g_ls"),
+          col("l_returnflag"), col("l_linestatus"))
     })
   )
 
@@ -320,6 +337,15 @@ object ExtraQueries {
         |JOIN v2r sr ON e.src = sr.id
         |JOIN v2r dr ON e.dst = dr.id
         |GROUP BY 1, 2, 3
-        |ORDER BY 1, 2, 3""".stripMargin
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q84_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(round(l_extendedprice * 100)::BIGINT) AS cents,
+        |  grouping(l_returnflag)::BIGINT AS g_rf,
+        |  grouping(l_linestatus)::BIGINT AS g_ls,
+        |  grouping(l_returnflag, l_linestatus)::BIGINT AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin
   )
 }
