@@ -110,6 +110,26 @@ object ExtraQueries {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
+    // TPC-H Q18 shape (large-volume customers): semi join of orders
+    // against the grouped-HAVING key set — aggregate → filter →
+    // semi-join composition, a different plan family from q26-q28.
+    "q29_tpch_q18" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val bigKeys = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(bigKeys, col("o_orderkey") === bigKeys("l_orderkey"), "left_semi")
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(l, col("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("odate"))
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // groupBy(key).sortGroup(order).first(3) over orders, as one
     // shuffle + partition-local sort + single pass (SortedGroups).
     "q39_sorted_groups" -> ((s, d) => {
@@ -285,6 +305,17 @@ object ExtraQueries {
          |  AND o_orderdate < TIMESTAMP '1996-01-01'
          |GROUP BY 1, 2, 3, 4
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q29_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate::DATE AS odate,
+        |  sum(l_quantity::BIGINT) AS total_qty
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity::BIGINT) > 150)
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
     "q39_sorted_groups" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
