@@ -130,6 +130,31 @@ object ExtraQueries {
         .limit(100)
     }),
 
+    // TPC-H Q7 shape (volume shipping): supplier-nation × customer-
+    // nation flows between two nations in either direction — the
+    // disjunctive nation-pair predicate cannot become a join key, so
+    // it must stay a post-join filter over broadcast dims while the
+    // big joins stay equi (plan property the other shapes don't test).
+    "q85_tpch_q7" -> ((s, d) => {
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+                (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate").cast("date")).cast("long").as("l_year"))
+        .agg(revenue.as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
     // groupBy(key).sortGroup(order).first(3) over orders, as one
     // shuffle + partition-local sort + single pass (SortedGroups).
     "q39_sorted_groups" -> ((s, d) => {
@@ -316,6 +341,19 @@ object ExtraQueries {
         |  GROUP BY l_orderkey HAVING sum(l_quantity::BIGINT) > 150)
         |GROUP BY 1, 2, 3, 4
         |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q85_tpch_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  year(l_shipdate::DATE)::BIGINT AS l_year, $revenueSql AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin,
     "q39_sorted_groups" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
