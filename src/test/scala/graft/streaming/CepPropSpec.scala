@@ -50,4 +50,46 @@ class CepPropSpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
     assert(res.passed, s"property failed: ${res.status}")
   }
+
+  test("times(2) NFA equals brute-force A-A-B accumulation") {
+    val genCase = for {
+      n <- Gen.chooseNum(0, 25)
+      evs <- Gen.listOfN(n,
+        Gen.zip(Gen.chooseNum(0L, 60L), Gen.oneOf("A", "B")))
+      w <- Gen.oneOf(5L, 15L, 40L)
+    } yield (evs, w)
+
+    val prop = Prop.forAll(genCase) { case (raw, w) =>
+      val evs = raw.zipWithIndex
+        .map { case ((ts, ty), i) => Ev(i.toLong, ts, ty) }
+        .sortBy(e => (e.ts, e.id))
+      val pat = Cep.Pattern.begin[Ev]("a")((e, _) => e.typ == "A").times(2)
+        .followedBy("b") { (e, bound) =>
+          e.typ == "B" && e.ts > bound("a").last.ts
+        }
+        .within(w)
+      val (done, _, _) =
+        Cep.advance(pat, Nil, evs.map(e => (e.ts, e)).iterator)
+      val got = done.map(m =>
+        (m("a")(0).id, m("a")(1).id, m("b").head.id)).toSet
+
+      // brute force: a1 = any A; a2 = FIRST A after a1 (skip-till-next)
+      // arriving within w of a1; b = FIRST later B with ts > a2.ts
+      // arriving within w of a1 (the NFA expires a partial only when an
+      // event past the bound shows up, so "arriving within" means
+      // b.ts - a1.ts <= w).
+      val expected = (for {
+        (a1, i1) <- evs.zipWithIndex if a1.typ == "A"
+        a2 <- evs.drop(i1 + 1).find(e =>
+          e.typ == "A" && e.ts - a1.ts <= w)
+        i2 = evs.indexWhere(_.id == a2.id)
+        b <- evs.drop(i2 + 1).find(e =>
+          e.typ == "B" && e.ts > a2.ts && e.ts - a1.ts <= w)
+      } yield (a1.id, a2.id, b.id)).toSet
+      got == expected
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
 }
