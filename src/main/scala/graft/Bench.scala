@@ -24,6 +24,8 @@ object Bench {
     "q35_topn_per_key",   // rank + filter top-n
     "q46_unnest_words",   // explode + agg
     "q27_tpch_q5",        // 6-way join pipeline (TPC-H Q5 shape)
+    "q29_tpch_q18",       // agg → HAVING → semi-join composition (Q18)
+    "q85_tpch_q7",        // disjunctive nation-pair flows (Q7)
     "q52_window_session", // sessionization (2 window passes)
     "q54_asof_join",      // as-of via union+window
     "q59_asof_exec",      // as-of via the custom merge exec (same result)
