@@ -46,6 +46,33 @@ class StreamDedupSpec extends SparkSpec {
     assert(got == Set(1L, 2L)) // exact + near dup flagged once each; novel not
   }
 
+  test("on real documents, every exact re-ingest is LSH-flagged") {
+    // exact re-ingest ⇒ identical signature ⇒ shares every band ⇒
+    // flagged: recall = 1 on the replayed set (the synthetic documents
+    // have no natural exact dups, so replay corpus texts as new ids —
+    // the actual re-ingestion scenario).
+    val spark2 = spark; import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).cache()
+    val corpus = docs.filter(col("doc_id") < 100)
+    val bands = StreamDedup.corpusBands(corpus).cache()
+    val in = MemoryStream[(Long, String)]
+    val flagged = StreamDedup.flagNearDups(in.toDF().toDF("doc_id", "text"), bands)
+    val q = flagged.writeStream.format("memory").queryName("sdreal")
+      .outputMode("append").start()
+    val replayed = corpus.collect()
+      .map(r => (r.getLong(0) + 10000, r.getString(1)))
+    in.addData(replayed.toIndexedSeq)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sdreal").collect().map(_.getLong(0)).toSet
+    val expected = replayed.map(_._1).toSet
+    assert(expected.nonEmpty)
+    assert(expected.subsetOf(got),
+      s"missed exact re-ingests: ${expected -- got}")
+    docs.unpersist(); bands.unpersist()
+  }
+
   test("dropNearDups inside foreachBatch keeps only novel docs") {
     val spark2 = spark; import spark2.implicits._
     implicit val ctx = spark.sqlContext
