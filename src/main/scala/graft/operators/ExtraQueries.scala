@@ -110,22 +110,21 @@ object ExtraQueries {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
-    // TPC-H Q18 shape (large-volume customers): semi join of orders
-    // against the grouped-HAVING key set — aggregate → filter →
-    // semi-join composition, a different plan family from q26-q28.
+    // TPC-H Q18 shape (large-volume customers): aggregate → HAVING →
+    // join composition. The textbook SQL re-joins lineitem and re-sums
+    // per order (the oracle does — same result); here the per-order
+    // sum from the HAVING aggregate is REUSED, so lineitem is scanned
+    // and aggregated once, and the qualifying keys (tiny after the
+    // >150 filter) broadcast onto orders.
     "q29_tpch_q18" -> ((s, d) => {
-      val l = Tables.lineitem(s, d)
-      val bigKeys = l.groupBy(col("l_orderkey"))
-        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
-        .filter(col("sum_qty") > 150)
-      val o = Tables.orders(s, d)
-      val c = Tables.customer(s, d)
-      o.join(bigKeys, col("o_orderkey") === bigKeys("l_orderkey"), "left_semi")
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .join(l, col("o_orderkey") === l("l_orderkey"))
-        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
-          col("o_orderdate").cast("date").as("odate"))
+      val bigKeys = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
         .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      Tables.orders(s, d)
+        .join(broadcast(bigKeys), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("odate"), col("total_qty"))
         .orderBy(col("total_qty").desc, col("o_orderkey"))
         .limit(100)
     }),
