@@ -28,9 +28,9 @@ object IvfAnn {
   /** argmax over cosine against each centroid literal: array of
     * (sim, -idx) structs, array_max, negate idx back. */
   private def nearestCentroid(emb: Column, cents: Array[Array[Double]]): Column = {
-    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+    val scored = array(cents.toIndexedSeq.zipWithIndex.map { case (c, i) =>
       struct(
-        cosine_similarity(emb, array(c.map(lit(_)): _*)).as("sim"),
+        cosine_similarity(emb, array(c.toIndexedSeq.map(lit(_)): _*)).as("sim"),
         lit(-i).as("negIdx"))
     }: _*)
     -array_max(scored).getField("negIdx")
@@ -87,8 +87,8 @@ object IvfAnn {
              model: Model, k: Int, nprobe: Int): DataFrame = {
     val corpusA = assign(corpus, embCol, model)
       .select(col("vec_id").as("cid"), col(embCol).as("ce"), col("cluster"))
-    val probeClusters = array(model.centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine_similarity(col(embCol), array(c.map(lit(_)): _*)).as("sim"),
+    val probeClusters = array(model.centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+      struct(cosine_similarity(col(embCol), array(c.toIndexedSeq.map(lit(_)): _*)).as("sim"),
              lit(i).as("idx"))
     }: _*)
     val probesA = probes

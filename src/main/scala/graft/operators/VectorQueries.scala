@@ -44,7 +44,7 @@ object VectorQueries {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   private def dotConst(a: Column, cs: Array[Double]): Column =
-    dot(a, array(cs.map(lit(_)): _*))
+    dot(a, array(cs.toIndexedSeq.map(lit(_)): _*))
 
   /** Native codegen'd cosine (graft.functions.CosineSimilarity) — a
     * fused primitive loop; bit-identical to the HOF composition

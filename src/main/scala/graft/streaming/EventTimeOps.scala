@@ -19,7 +19,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Spark mapping: the per-timestamp timer becomes
   * GroupStateTimeout.EventTimeTimeout — one armed timeout per key at
   * the oldest buffered row (a timer wheel in state, SURVEY §7.4 risk
-  * 4); the WatermarkService is `state.getCurrentWatermarkMs`.
+  * 4); the WatermarkService is `state.getCurrentWatermarkMs()`.
   *
   * Scale notes: state per key is bounded by the rows inside the
   * watermark delay (the out-of-orderness horizon), exactly the
@@ -34,7 +34,7 @@ object EventTimeOps {
     * Shared buffer step for every operator in this file. */
   private def split(buf: List[Event], state: GroupState[_])
       : (List[Event], List[Event]) = {
-    val wmUs = state.getCurrentWatermarkMs * 1000
+    val wmUs = state.getCurrentWatermarkMs() * 1000
     val (ready, hold) = buf.partition(e => us(e) <= wmUs)
     (ready.sortBy(e => (us(e), e.event_id)), hold)
   }
@@ -42,7 +42,7 @@ object EventTimeOps {
   private def arm(hold: List[Event], state: GroupState[_]): Unit =
     if (hold.nonEmpty)
       state.setTimeoutTimestamp(math.max(
-        hold.map(e => us(e) / 1000).min + 1, state.getCurrentWatermarkMs + 1))
+        hold.map(e => us(e) / 1000).min + 1, state.getCurrentWatermarkMs() + 1))
 
   /** Streaming event-time sort (StreamExecTemporalSort): per-key rows
     * emitted in exact (ts, event_id) order once the watermark passes
@@ -83,7 +83,7 @@ object EventTimeOps {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (user, rows, state: GroupState[(Option[(Long, Long)], List[Event])]) =>
           val (cur0, buf) = state.getOption.getOrElse((None, Nil))
-          val wmUs = state.getCurrentWatermarkMs * 1000
+          val wmUs = state.getCurrentWatermarkMs() * 1000
           val all = buf ++ rows
           val (readyUnsorted, hold) = all.partition(e => us(e) <= wmUs)
           // lefts sort before rights at identical ts (as-of includes ties)

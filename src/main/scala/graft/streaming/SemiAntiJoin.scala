@@ -73,7 +73,7 @@ object SemiAntiJoin {
             val lefts = st.pending ++ rs.filter(_.left).map(toEvent)
             val (out, pending) = if (seen) (lefts, Nil) else (Nil, lefts)
             state.update(SAState(seen, pending))
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs + retentionMs)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + retentionMs)
             out.sortBy(e => (Event.micros(e.ts), e.event_id)).iterator
           }
       }
@@ -98,7 +98,7 @@ object SemiAntiJoin {
           val rs = rows.toList
           val seen = st.rightSeen || rs.exists(!_.left)
           val lefts = st.pending ++ rs.filter(_.left).map(toEvent)
-          val wmUs = state.getCurrentWatermarkMs * 1000
+          val wmUs = state.getCurrentWatermarkMs() * 1000
           // mature = watermark passed ts+gap: emit if no right seen
           val (mature, pending) =
             lefts.partition(e => Event.micros(e.ts) + gapMs * 1000 <= wmUs)
@@ -111,8 +111,8 @@ object SemiAntiJoin {
             val next =
               if (pending.nonEmpty)
                 pending.map(e => Event.micros(e.ts) / 1000 + gapMs).min + 1
-              else state.getCurrentWatermarkMs + retentionMs
-            state.setTimeoutTimestamp(math.max(next, state.getCurrentWatermarkMs + 1))
+              else state.getCurrentWatermarkMs() + retentionMs
+            state.setTimeoutTimestamp(math.max(next, state.getCurrentWatermarkMs() + 1))
           }
           out.sortBy(e => (Event.micros(e.ts), e.event_id)).iterator
       }
