@@ -154,6 +154,25 @@ object ExtraQueries {
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     }),
 
+    // TPC-H Q14 shape (promotion effect): conditional-aggregation
+    // ratio per month — the CASE-inside-SUM share pattern, integer
+    // ×10⁴ revenue and ppm share for cross-engine exactness.
+    "q86_tpch_q14" -> ((s, d) => {
+      val revE4 = expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 10000) as bigint)")
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date")
+          .as("month"))
+        .agg(sum(when(col("p_type") === "PROMO", revE4).otherwise(0L))
+               .as("promo_e4"),
+             sum(revE4).as("total_e4"))
+        .select(col("month"), col("promo_e4"), col("total_e4"),
+          (col("promo_e4") * lit(1000000L) / col("total_e4")).cast("long")
+            .as("promo_ppm"))
+        .orderBy(col("month"))
+    }),
+
     // groupBy(key).sortGroup(order).first(3) over orders, as one
     // shuffle + partition-local sort + single pass (SortedGroups).
     "q39_sorted_groups" -> ((s, d) => {
@@ -383,6 +402,16 @@ object ExtraQueries {
         |        string_agg(c_name, ',' ORDER BY c_name) AS names
         |      FROM customer GROUP BY 1) c USING (custkey)
         |ORDER BY custkey""".stripMargin,
+    "q86_tpch_q14" ->
+      """SELECT date_trunc('month', l_shipdate)::DATE AS month,
+        |  sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+        |      ELSE 0 END) AS promo_e4,
+        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+        |    AS total_e4,
+        |  promo_e4 * 1000000 // total_e4 AS promo_ppm
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q82_range_join" ->
       """WITH ev AS (SELECT event_id, epoch_ns(ts)//1000 AS us FROM events)
         |SELECT a.event_id AS id_a, b.event_id AS id_b,
