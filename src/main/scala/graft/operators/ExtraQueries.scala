@@ -173,6 +173,21 @@ object ExtraQueries {
         .orderBy(col("month"))
     }),
 
+    // TPC-H Q13 shape (customer order distribution): two-level
+    // aggregation — orders per customer (left outer, so 0-order
+    // customers count), then the histogram of customers per order
+    // count. The agg-on-agg batch shape.
+    "q87_tpch_q13" -> ((s, d) => {
+      val perCust = Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
     // groupBy(key).sortGroup(order).first(3) over orders, as one
     // shuffle + partition-local sort + single pass (SortedGroups).
     "q39_sorted_groups" -> ((s, d) => {
@@ -412,6 +427,13 @@ object ExtraQueries {
         |  promo_e4 * 1000000 // total_e4 AS promo_ppm
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q87_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q82_range_join" ->
       """WITH ev AS (SELECT event_id, epoch_ns(ts)//1000 AS us FROM events)
         |SELECT a.event_id AS id_a, b.event_id AS id_b,
