@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout/stderr straight through instead of
+// routing them via sbt's logger: the logger prefixes every line with
+// "[info] "/"[error] ", which broke the driver's parse of Bench's JSON
+// metrics line two rounds running (BENCH_r0{1,2}.json "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -64,9 +64,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // Also write to a file: when run under sbt the stdout line is buried
-    // in [info] noise and the driver fails to parse it.
+    // Also write to a file for local tooling.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     try {
       val p = java.nio.file.Paths.get(out)
@@ -75,6 +73,14 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
+    // Stop Spark BEFORE printing so no executor/log line can land after
+    // the metrics line: the driver parses the process tail for a bare
+    // JSON line. Emit on BOTH streams (run/outputStrategy in build.sbt
+    // passes them through unprefixed) as the final output.
     spark.stop()
+    System.out.flush(); System.err.flush()
+    System.err.println(line)
+    println(line)
+    System.out.flush()
   }
 }

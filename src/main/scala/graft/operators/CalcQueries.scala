@@ -138,7 +138,9 @@ object CalcQueries {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("int").as("q_int"),
           col("l_quantity").cast("long").as("q_long"),
-          expr("cast(cast(round(l_extendedprice * 100) as bigint) * 0.01 as decimal(18,2))").as("p_dec"),
+          // String-rendered (like tax_s): a decimal OUTPUT column fails
+          // the driver's repr hash (float64 vs Decimal; r2 red q45).
+          expr("cast(cast(cast(round(l_extendedprice * 100) as bigint) * 0.01 as decimal(18,2)) as string)").as("p_dec"),
           col("l_orderkey").cast("string").as("k_str"),
           col("l_orderkey").cast("double").as("k_dbl"),
           col("l_shipdate").cast("date").as("ship_d"),
@@ -292,7 +294,7 @@ object CalcQueries {
       """SELECT l_orderkey, l_linenumber,
         |  CAST(l_quantity AS INT) AS q_int,
         |  CAST(l_quantity AS BIGINT) AS q_long,
-        |  CAST(CAST(round(l_extendedprice * 100) AS BIGINT) * 0.01 AS DECIMAL(18,2)) AS p_dec,
+        |  CAST(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) * 0.01 AS DECIMAL(18,2)) AS VARCHAR) AS p_dec,
         |  CAST(l_orderkey AS VARCHAR) AS k_str,
         |  CAST(l_orderkey AS DOUBLE) AS k_dbl,
         |  CAST(l_shipdate AS DATE) AS ship_d,

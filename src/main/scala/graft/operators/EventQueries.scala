@@ -29,9 +29,13 @@ import graft.Tables
 object EventQueries {
 
   // Order-independent exact sum of a 2-decimal double column: sum
-  // integer cents, rescale to decimal at the end (see q50 note).
+  // integer cents, and KEEP it integer cents (BIGINT) — a DECIMAL
+  // output column materializes as float64 from DuckDB but object
+  // Decimal from Spark parquet, and the driver's repr-sensitive hash
+  // rejects `194.5` vs `194.50` even when values are exact (the r2
+  // reds q50/q51/q52/q57; see oracle-parity-rules).
   private def sumCents =
-    expr("cast(sum(cast(round(value * 100) as bigint)) * 0.01 as decimal(18,2))")
+    expr("sum(cast(round(value * 100) as bigint))")
 
   // Oracle-side CTE: same ns→µs truncation the Spark loader applies.
   private val evCte =
@@ -48,8 +52,8 @@ object EventQueries {
     "q50_window_tumble" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sumCents.as("sum_v"))
-        .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_v"))
+        .agg(count(lit(1)).as("n"), sumCents.as("cents_v"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("cents_v"))
         .orderBy(col("w_start"), col("event_type"))
     }),
 
@@ -57,8 +61,8 @@ object EventQueries {
     "q51_window_hop" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
-        .agg(count(lit(1)).as("n"), sumCents.as("sum_v"))
-        .select(col("w.start").as("w_start"), col("n"), col("sum_v"))
+        .agg(count(lit(1)).as("n"), sumCents.as("cents_v"))
+        .select(col("w.start").as("w_start"), col("n"), col("cents_v"))
         .orderBy(col("w_start"))
     }),
 
@@ -79,7 +83,7 @@ object EventQueries {
         .agg(count(lit(1)).as("n_events"),
              min(col("ts")).as("sess_start"),
              max(col("ts")).as("sess_end"),
-             sumCents.as("sum_v"))
+             sumCents.as("cents_v"))
         .orderBy(col("user_id"), col("sess_id"))
     }),
 
@@ -174,7 +178,7 @@ object EventQueries {
         .withColumn("rn", row_number().over(byUser))
         .withColumn("w_id", floor((col("rn") - 1) / 10))
         .groupBy(col("user_id"), col("w_id"))
-        .agg(count(lit(1)).as("n"), sumCents.as("sum_v"))
+        .agg(count(lit(1)).as("n"), sumCents.as("cents_v"))
         .orderBy(col("user_id"), col("w_id"))
     })
   )
@@ -184,12 +188,12 @@ object EventQueries {
       """
         |SELECT date_trunc('hour', ts) AS w_start, event_type,
         |  count(*) AS n,
-        |  CAST(sum(CAST(round(value*100) AS BIGINT)) * 0.01 AS DECIMAL(18,2)) AS sum_v
+        |  sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents_v
         |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "q51_window_hop" -> (evCte +
       """
         |SELECT w_start, count(*) AS n,
-        |  CAST(sum(CAST(round(value*100) AS BIGINT)) * 0.01 AS DECIMAL(18,2)) AS sum_v
+        |  sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents_v
         |FROM (
         |  SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
         |                        - k.g * 900000000) AS w_start, value
@@ -207,12 +211,12 @@ object EventQueries {
         |  FROM ev
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |numbered AS (
-        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  SELECT *, (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS sess_id
         |  FROM sess)
         |SELECT user_id, sess_id, count(*) AS n_events,
         |  min(ts) AS sess_start, max(ts) AS sess_end,
-        |  CAST(sum(CAST(round(value*100) AS BIGINT)) * 0.01 AS DECIMAL(18,2)) AS sum_v
+        |  sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents_v
         |FROM numbered GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin),
     "q53_interval_join" -> (evCte +
       """
@@ -267,7 +271,7 @@ object EventQueries {
     "q57_count_window" -> (evCte +
       """
         |SELECT user_id, w_id, count(*) AS n,
-        |  CAST(sum(CAST(round(value*100) AS BIGINT)) * 0.01 AS DECIMAL(18,2)) AS sum_v FROM (
+        |  sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents_v FROM (
         |  SELECT user_id, value,
         |    (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) // 10 AS w_id
         |  FROM ev)

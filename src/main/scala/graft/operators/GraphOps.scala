@@ -262,23 +262,31 @@ object GraphOps {
       .select(col("id"), lit(1.0).as("hub"), lit(1.0).as("auth"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
+      // Norms guarded twice: sum() over zero rows is null (NPE on
+      // getDouble with an empty edge set), and a zero norm would turn
+      // every score into NaN and poison all later iterations — divide
+      // only when the norm is positive.
       val authRaw = e
         .join(scores.select(col("id").as("src"), col("hub")), "src")
         .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("a"))
       val authN = math.sqrt(
-        authRaw.agg(sum(col("a") * col("a"))).head().getDouble(0))
+        authRaw.agg(coalesce(sum(col("a") * col("a")), lit(0.0)))
+          .head().getDouble(0))
       val auth = verts.join(authRaw, Seq("id"), "left_outer")
         .select(col("id"),
-          (coalesce(col("a"), lit(0.0)) / lit(authN)).as("auth"))
+          (if (authN > 0) coalesce(col("a"), lit(0.0)) / lit(authN)
+           else lit(0.0)).as("auth"))
       val hubRaw = e
         .join(auth.select(col("id").as("dst"), col("auth")), "dst")
         .groupBy(col("src").as("id")).agg(sum(col("auth")).as("h"))
       val hubN = math.sqrt(
-        hubRaw.agg(sum(col("h") * col("h"))).head().getDouble(0))
+        hubRaw.agg(coalesce(sum(col("h") * col("h")), lit(0.0)))
+          .head().getDouble(0))
       scores = verts.join(hubRaw, Seq("id"), "left_outer")
         .join(auth, "id")
         .select(col("id"),
-          (coalesce(col("h"), lit(0.0)) / lit(hubN)).as("hub"), col("auth"))
+          (if (hubN > 0) coalesce(col("h"), lit(0.0)) / lit(hubN)
+           else lit(0.0)).as("hub"), col("auth"))
         .localCheckpoint() // eager + lineage cut (see scale notes)
     }
     e.unpersist()

@@ -93,7 +93,12 @@ object PipelineQueries {
     // frequent-token fraction, most-frequent-2-gram fraction,
     // distinct-token ratio — all ppm.
     "q76_repetition" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      // Empty docs are excluded up front on BOTH sides: Spark's ws()
+      // yields no tokens (the doc silently drops from the inner join)
+      // while DuckDB's string_split('') yields [''] — and the ppm
+      // quotients would divide by zero (engine-divergent: null vs
+      // error). One bad input row must not change the contract.
+      val docs = Tables.documents(s, d).filter(length(col("text")) > 0)
       val wstats = docs
         .select(col("doc_id"), explode(ws(col("text"))).as("w"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
@@ -106,15 +111,14 @@ object PipelineQueries {
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
         .agg(sum(col("c")).as("n_grams"), max(col("c")).as("top_gram_n"))
+      // Integral `div` (not double `/` + cast): exact at any scale and
+      // floor-consistent with DuckDB's `//` for non-negative counts.
       wstats.join(gstats, "doc_id")
         .select(col("doc_id"), col("n_words"), col("n_distinct"),
           col("top_word_n"), col("top_gram_n"),
-          (col("n_distinct") * lit(1000000L) / col("n_words"))
-            .cast("long").as("distinct_ppm"),
-          (col("top_word_n") * lit(1000000L) / col("n_words"))
-            .cast("long").as("top_word_ppm"),
-          (col("top_gram_n") * lit(1000000L) / col("n_grams"))
-            .cast("long").as("top_gram_ppm"))
+          expr("n_distinct * 1000000L div n_words").as("distinct_ppm"),
+          expr("top_word_n * 1000000L div n_words").as("top_word_ppm"),
+          expr("top_gram_n * 1000000L div n_grams").as("top_gram_ppm"))
         .orderBy(col("doc_id"))
     }),
 
@@ -139,11 +143,16 @@ object PipelineQueries {
     // window over one shuffle.
     "q78_curate" -> ((s, d) => {
       val t = col("text")
+      // length(text) > 0 guard on both sides: DuckDB raises on `// 0`
+      // while Spark yields null and drops the row — one empty document
+      // must not make the engines diverge. Integral `div` keeps the
+      // ppm exact (no double rounding) at any document length.
       val base = Tables.documents(s, d)
+        .filter(length(t) > 0)
         .select(col("doc_id"), col("lang"), col("n_chars"),
           size(ws(t)).as("n_tokens"), bowKey(t).as("nk"),
-          (length(regexp_replace(t, "[^0-9]", "")) * lit(1000000L)
-            / length(t)).cast("long").as("digit_ppm"))
+          expr("length(regexp_replace(text, '[^0-9]', '')) * 1000000L div length(text)")
+            .as("digit_ppm"))
         .filter(col("n_tokens").between(30, 500) &&
                 col("digit_ppm") < 200000)
       val dedup = base
@@ -214,22 +223,24 @@ object PipelineQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q76_repetition" ->
       """WITH w AS (
-        |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents
+        |  WHERE length(text) > 0),
         |wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
-        |ws AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
+        |ws AS (SELECT doc_id, sum(c)::BIGINT AS n_words,
+        |              count(*) AS n_distinct,
         |              max(c) AS top_word_n FROM wc GROUP BY doc_id),
         |g AS (
         |  SELECT doc_id, unnest(list_transform(
         |    range(1, greatest(len(string_split(text,' ')), 2)),
         |    i -> array_to_string(string_split(text,' ')[i:i+1], ' '))) AS g
-        |  FROM documents),
+        |  FROM documents WHERE length(text) > 0),
         |gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
-        |gs AS (SELECT doc_id, sum(c) AS n_grams, max(c) AS top_gram_n
+        |gs AS (SELECT doc_id, sum(c)::BIGINT AS n_grams, max(c) AS top_gram_n
         |       FROM gc GROUP BY doc_id)
         |SELECT doc_id, n_words, n_distinct, top_word_n, top_gram_n,
-        |  n_distinct * 1000000 // n_words AS distinct_ppm,
-        |  top_word_n * 1000000 // n_words AS top_word_ppm,
-        |  top_gram_n * 1000000 // n_grams AS top_gram_ppm
+        |  (n_distinct * 1000000 // n_words)::BIGINT AS distinct_ppm,
+        |  (top_word_n * 1000000 // n_words)::BIGINT AS top_word_ppm,
+        |  (top_gram_n * 1000000 // n_grams)::BIGINT AS top_gram_ppm
         |FROM ws JOIN gs USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q77_norm_dedup" ->
       s"""SELECT doc_id, keep_id, n_copies, doc_id = keep_id AS is_keeper
@@ -244,7 +255,7 @@ object PipelineQueries {
          |    len(string_split(text,' ')) AS n_tokens, $bowKeySql AS nk,
          |    length(regexp_replace(text,'[^0-9]','','g')) * 1000000
          |      // length(text) AS digit_ppm
-         |  FROM documents),
+         |  FROM documents WHERE length(text) > 0),
          |filt AS (SELECT * FROM base
          |         WHERE n_tokens BETWEEN 30 AND 500 AND digit_ppm < 200000),
          |dedup AS (SELECT * FROM filt

@@ -43,8 +43,10 @@ object RangeJoin {
   }
 
   /** Floor division on integral columns (negative-safe: pmod makes the
-    * numerator an exact multiple of w, so the double division is exact
-    * and truncation-free). */
+    * numerator an exact multiple of w). The division runs in DECIMAL,
+    * not double: a double `/` is inexact once |c| ≥ 2^53 and could
+    * silently mis-bin (drop or duplicate) join pairs; decimal division
+    * of an exact multiple is exact at any long magnitude. */
   private def floorDiv(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))) / w).cast("long")
+    ((c - pmod(c, lit(w))).cast("decimal(38,0)") / lit(w)).cast("long")
 }
