@@ -12,14 +12,29 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (predicates see the partial match's bindings), used by SQL
   * MATCH_RECOGNIZE via `StreamExecMatch.scala:69`.
   *
-  * Semantics implemented: relaxed contiguity (followedBy), `optional`,
-  * `oneOrMore` (accumulates, emits on first completion), `times(n)`
-  * (Pattern.java:382), `until` (Pattern.java:220 — closes a looping
-  * step; the closing event is not consumed by the loop), `within` time
-  * bound, after-match skip strategies (cep/nfa/aftermatch/): NO_SKIP,
-  * SKIP_PAST_LAST_EVENT, SKIP_TO_NEXT, and timed-out partial matches
-  * returned as a third output (Flink's timed-out side output,
-  * approximated as a tagged second stream — SURVEY §7.3).
+  * Semantics implemented: relaxed contiguity (followedBy), strict
+  * contiguity (`next`, Pattern.java:475 — the event immediately after
+  * the previous step's binding must match or the partial dies; also
+  * MATCH_RECOGNIZE's default `A B` adjacency), negation (`notNext`
+  * Pattern.java:205, `notFollowedBy` Pattern.java:177 — a matching
+  * event kills the partial; strict form guards exactly the next event,
+  * relaxed form guards every event until the following step binds),
+  * `optional`, `oneOrMore` (accumulates, emits on first completion),
+  * `times(n)` (Pattern.java:382), `until` (Pattern.java:220 — closes a
+  * looping step; the closing event is not consumed by the loop),
+  * `within` time bound, after-match skip strategies (cep/nfa/
+  * aftermatch/): NO_SKIP, SKIP_PAST_LAST_EVENT, SKIP_TO_NEXT, and
+  * timed-out partial matches returned as a third output (Flink's
+  * timed-out side output, approximated as a tagged second stream —
+  * SURVEY §7.3).
+  *
+  * Strictness caveat (non-branching NFA): `next` is exact when the
+  * preceding step is non-looping — the partial sits at the strict head
+  * exactly when the previous event bound the prior step, so a
+  * non-matching event kills it. After a looping step (`A+ next B`) the
+  * loop keeps the partial at the loop index, so strictness degrades to
+  * relaxed there (Flink's shared-buffer NFA branches; this engine
+  * follows skip-till-next with a single branch per start).
   *
   * Scale notes: pattern matching is keyed — partials live per key and
   * are pruned by `within`, so state is bounded by (open partials ×
@@ -45,18 +60,44 @@ object Cep {
     * candidate event and the events bound so far (Flink
     * IterativeCondition). `times` = minimum occurrence count (1 =
     * plain); `timesMax` > times turns it into a range quantifier
-    * times(m,n); `untilPred` closes a oneOrMore loop when it fires. */
+    * times(m,n); `untilPred` closes a oneOrMore loop when it fires.
+    * `strict` = strict contiguity (`next`: the event immediately after
+    * the previous binding must match, else the partial dies);
+    * `negated` = a guard step that binds nothing — an event matching
+    * `pred` KILLS the partial (`notNext` when strict: guards exactly
+    * the next event; `notFollowedBy` when relaxed: guards every event
+    * until the following step binds). */
   case class Step[T](name: String,
                      pred: (T, Map[String, List[T]]) => Boolean,
                      optional: Boolean = false,
                      oneOrMore: Boolean = false,
                      times: Int = 1,
                      timesMax: Int = 0,
-                     untilPred: Option[(T, Map[String, List[T]]) => Boolean] = None)
+                     untilPred: Option[(T, Map[String, List[T]]) => Boolean] = None,
+                     strict: Boolean = false,
+                     negated: Boolean = false)
 
   case class Pattern[T](steps: Vector[Step[T]], withinUs: Long = Long.MaxValue) {
     def followedBy(name: String)(pred: (T, Map[String, List[T]]) => Boolean): Pattern[T] =
       copy(steps = steps :+ Step(name, pred))
+    /** Strict contiguity (Pattern.java:475): the event immediately
+      * after the previous step's binding must match this step, or the
+      * partial match is discarded. */
+    def next(name: String)(pred: (T, Map[String, List[T]]) => Boolean): Pattern[T] =
+      copy(steps = steps :+ Step(name, pred, strict = true))
+    /** Strict negation (Pattern.java:205): the partial dies if the
+      * event immediately after the previous binding matches `pred`;
+      * otherwise the guard is passed permanently (and that same event
+      * may bind the following step). Binds nothing. */
+    def notNext(name: String)(pred: (T, Map[String, List[T]]) => Boolean): Pattern[T] =
+      copy(steps = steps :+ Step(name, pred, strict = true, negated = true))
+    /** Relaxed negation (Pattern.java:177): the partial dies if ANY
+      * event matching `pred` arrives between the previous step's
+      * binding and the following step's binding (checked before the
+      * following step on the same event). Binds nothing; cannot end a
+      * pattern (Pattern.java:190 — a NOT pattern needs a successor). */
+    def notFollowedBy(name: String)(pred: (T, Map[String, List[T]]) => Boolean): Pattern[T] =
+      copy(steps = steps :+ Step(name, pred, negated = true))
     def optional: Pattern[T] =
       copy(steps = steps.init :+ steps.last.copy(optional = true))
     def oneOrMore: Pattern[T] =
@@ -106,6 +147,22 @@ object Cep {
                  events: Iterator[(Long, T)],
                  skip: AfterMatchSkip = NoSkip)
       : (List[Map[String, List[T]]], List[PartialMatch[T]], List[PartialMatch[T]]) = {
+    // Negation guards bind nothing, so they cannot start or end a
+    // pattern and cannot carry quantifiers (Pattern.java:190 — a NOT
+    // pattern must be followed by a positive one; quantified/optional
+    // NOT patterns are rejected by Flink's Pattern builder too).
+    require(!pattern.steps.head.negated, "pattern cannot begin with a negation")
+    require(!pattern.steps.last.negated,
+      "pattern cannot end with notNext/notFollowedBy (Pattern.java:190)")
+    pattern.steps.zipWithIndex.foreach { case (st, i) =>
+      if (st.negated) {
+        require(!st.optional && !st.oneOrMore && st.times == 1 && st.untilPred.isEmpty,
+          s"negated step '${st.name}' cannot be quantified")
+        val nxt = pattern.steps(i + 1)
+        require(!nxt.negated && !nxt.optional,
+          s"negated step '${st.name}' must be followed by a non-optional positive step")
+      }
+    }
     var open = partials
     val out = List.newBuilder[Map[String, List[T]]]
     val timedOut = List.newBuilder[PartialMatch[T]]
@@ -126,12 +183,25 @@ object Cep {
       var completed = false
       var completedStarts = Set.empty[Long]
       // Advance one partial by this event: bind it, skip past
-      // satisfied/optional steps, or keep it waiting.
+      // satisfied/optional steps, or keep it waiting. `committed` is
+      // where the partial is retained if this event binds nothing —
+      // it moves past a strict negation guard once passed (the guard
+      // applies to exactly one event), but NOT past optional/loop
+      // skips (a later event may still bind those).
       def step(p: PartialMatch[T], retain: Boolean): Unit = {
         var i = p.stepIdx
+        var committed = p.stepIdx
         var closed = p.closedLoops
+        var skippedOpt = false // advanced past an optional/satisfied-loop step
         while (i < pattern.steps.size) {
           val st = pattern.steps(i)
+          if (st.negated) {
+            if (st.pred(e, p.bindings)) return // guard violated: partial dies
+            i += 1
+            if (st.strict) committed = i // notNext: passed for good
+            // notFollowedBy: committed stays — the guard re-arms until
+            // the following step binds; this event may bind it below.
+          } else {
           val cnt = p.bindings.getOrElse(st.name, Nil).size
           if (st.oneOrMore && !closed(i) && st.untilPred.exists(_(e, p.bindings))) {
             if (cnt == 0) return // loop can never be satisfied: drop partial
@@ -161,12 +231,20 @@ object Cep {
           } else if (st.optional || (st.oneOrMore && cnt > 0) ||
                      (st.timesMax > st.times && cnt >= st.times)) {
             i += 1 // skippable: optional, or looping step already satisfied
+            skippedOpt = true
           } else {
-            if (retain) next += p.copy(closedLoops = closed) // keep waiting
+            // Strict head not matched by the immediately-next event:
+            // the partial dies — unless the strict step was only
+            // reached by skipping optional/loop steps this event (the
+            // non-branching approximation documented above).
+            if (st.strict && !skippedOpt) return
+            if (retain) // keep waiting
+              next += PartialMatch(committed, p.startUs, p.bindings, closed)
             return
           }
+          }
         }
-        if (retain) next += p.copy(closedLoops = closed)
+        if (retain) next += PartialMatch(committed, p.startUs, p.bindings, closed)
       }
       // Partials run oldest-first, so the earliest match wins; the skip
       // strategy prunes later partials as soon as a match completes

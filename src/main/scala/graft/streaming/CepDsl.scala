@@ -1,0 +1,117 @@
+package graft.streaming
+
+/** A MATCH_RECOGNIZE-shaped string DSL compiled to [[Cep.Pattern]] —
+  * the SQL-surface form of the CEP library (reference compiles SQL
+  * MATCH_RECOGNIZE to the same NFA: `flink-table/flink-table-planner-
+  * blink/.../StreamExecMatch.scala:69`, parser symbols in
+  * `FlinkSqlOperatorTable.java:944`).
+  *
+  * Grammar (whitespace-separated steps, then an optional time bound):
+  *
+  * {{{
+  *   pattern  := step+ ("within" duration)?
+  *   step     := flags NAME quant?
+  *   flags    := ""    — relaxed contiguity (followedBy)
+  *             | ">"   — strict contiguity (next)
+  *             | "!"   — relaxed negation (notFollowedBy)
+  *             | "!>"  — strict negation (notNext)
+  *   quant    := "?" | "+" | "{n}" | "{m,n}"
+  *   duration := <int>("us"|"ms"|"s"|"m"|"h"|"d")?   (default us)
+  * }}}
+  *
+  * Each NAME is bound to its predicate from the `preds` map — the DSL
+  * analog of MATCH_RECOGNIZE's DEFINE clause. SQL's `PATTERN (A B)`
+  * adjacency is strict, so the faithful transcription of
+  * `PATTERN (A X B) DEFINE ...` is `"A >X >B"`; bare adjacency here is
+  * relaxed (the Pattern-API default), matching `followedBy`.
+  *
+  * Example — the q58 "view then purchase within 10 minutes" pattern:
+  * {{{
+  *   CepDsl.compile[Event]("A B within 10m", Map(
+  *     "A" -> ((e, _) => e.event_type == "view"),
+  *     "B" -> ((e, bound) => e.event_type == "purchase" &&
+  *                           Event.micros(e.ts) > Event.micros(bound("A").head.ts))))
+  * }}}
+  */
+object CepDsl {
+
+  private val StepRe =
+    """((?:!>?|>)?)([A-Za-z_][A-Za-z0-9_]*)((?:\?|\+|\{\d+(?:,\d+)?\})?)""".r
+  private val DurRe = """(\d+)(us|ms|s|m|h|d)?""".r
+
+  /** Parse a duration literal to microseconds. */
+  private[streaming] def parseDuration(s: String): Long = s match {
+    case DurRe(n, unit) =>
+      val base = n.toLong
+      Option(unit).getOrElse("us") match {
+        case "us" => base
+        case "ms" => base * 1000L
+        case "s"  => base * 1000000L
+        case "m"  => base * 60L * 1000000L
+        case "h"  => base * 3600L * 1000000L
+        case "d"  => base * 86400L * 1000000L
+      }
+    case _ => throw new IllegalArgumentException(s"bad duration: '$s'")
+  }
+
+  /** Compile a pattern string against named iterative conditions
+    * (predicates see the candidate event and the bindings so far,
+    * like MATCH_RECOGNIZE DEFINE / Flink IterativeCondition). */
+  def compile[T](src: String,
+                 preds: Map[String, (T, Map[String, List[T]]) => Boolean])
+      : Cep.Pattern[T] = {
+    val toks = src.trim.split("\\s+").toList
+    require(toks.nonEmpty && toks.head.nonEmpty, "empty pattern")
+    val (stepToks, withinUs) = toks.indexOf("within") match {
+      case -1 => (toks, Long.MaxValue)
+      case i =>
+        require(i == toks.length - 2,
+          "'within' takes exactly one duration and ends the pattern")
+        (toks.take(i), parseDuration(toks.last))
+    }
+    require(stepToks.nonEmpty, "pattern needs at least one step")
+
+    def applyQuant(p: Cep.Pattern[T], quant: String): Cep.Pattern[T] = quant match {
+      case ""  => p
+      case "?" => p.optional
+      case "+" => p.oneOrMore
+      case q if q.startsWith("{") =>
+        val inner = q.substring(1, q.length - 1)
+        inner.split(",") match {
+          case Array(n)    => p.times(n.toInt)
+          case Array(m, n) => p.times(m.toInt, n.toInt)
+        }
+    }
+
+    val pat = stepToks.zipWithIndex.foldLeft(null: Cep.Pattern[T]) {
+      case (acc, (tok, idx)) =>
+        val (flags, name, quant) = tok match {
+          case StepRe(f, n, q) => (f, n, q)
+          case _ => throw new IllegalArgumentException(s"bad step: '$tok'")
+        }
+        val pred = preds.getOrElse(name,
+          throw new IllegalArgumentException(s"no predicate defined for '$name'"))
+        if (idx == 0) {
+          require(flags.isEmpty, s"first step '$tok' cannot be strict or negated")
+          applyQuant(Cep.Pattern.begin(name)(pred), quant)
+        } else {
+          flags match {
+            case ""  => applyQuant(acc.followedBy(name)(pred), quant)
+            case ">" => applyQuant(acc.next(name)(pred), quant)
+            case neg =>
+              require(quant.isEmpty, s"negated step '$tok' cannot be quantified")
+              if (neg == "!") acc.notFollowedBy(name)(pred)
+              else acc.notNext(name)(pred)
+          }
+        }
+    }
+    if (withinUs == Long.MaxValue) pat else pat.within(withinUs)
+  }
+
+  /** Convenience overload for plain (non-iterative) predicates. */
+  def compileSimple[T](src: String, preds: Map[String, T => Boolean])
+      : Cep.Pattern[T] =
+    compile(src, preds.map { case (k, f) =>
+      k -> ((e: T, _: Map[String, List[T]]) => f(e))
+    })
+}

@@ -1,0 +1,130 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property tests: strict contiguity (`next`) and negation
+  * (`notNext` / `notFollowedBy`) equal a direct brute-force evaluation
+  * on randomized event sequences (reference semantics:
+  * `flink-libraries/flink-cep/.../pattern/Pattern.java:475` next,
+  * `:205` notNext, `:177` notFollowedBy; behavior shapes mirrored from
+  * NFAITCase). Pure driver-side, like CepPropSpec. */
+class CepNegationPropSpec extends AnyFunSuite {
+
+  private case class Ev(id: Long, ts: Long, typ: String)
+
+  private def mkEvents(raw: List[(Long, String)]): List[Ev] =
+    raw.zipWithIndex
+      .map { case ((ts, ty), i) => Ev(i.toLong, ts, ty) }
+      .sortBy(e => (e.ts, e.id))
+
+  private def genCase(types: Gen[String]) = for {
+    n <- Gen.chooseNum(0, 25)
+    evs <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 60L), types))
+    w <- Gen.oneOf(3L, 10L, 30L)
+  } yield (evs, w)
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
+  test("strict next equals brute-force immediate-successor matching") {
+    check(Prop.forAll(genCase(Gen.oneOf("A", "B"))) { case (raw, w) =>
+      val evs = mkEvents(raw)
+      val pat = Cep.Pattern.begin[Ev]("a")((e, _) => e.typ == "A")
+        .next("b")((e, _) => e.typ == "B")
+        .within(w)
+      val (done, _, _) =
+        Cep.advance(pat, Nil, evs.map(e => (e.ts, e)).iterator)
+      val got = done.map(m => (m("a").head.id, m("b").head.id)).toSet
+
+      // brute force: an A matches iff the event IMMEDIATELY after it is
+      // a B arriving within the window (a later event can't bind —
+      // strict contiguity kills the partial on the first non-match).
+      val expected = (for {
+        (a, ai) <- evs.zipWithIndex if a.typ == "A"
+        b <- evs.drop(ai + 1).headOption
+        if b.typ == "B" && b.ts - a.ts <= w
+      } yield (a.id, b.id)).toSet
+      got == expected
+    })
+  }
+
+  test("notNext equals brute-force one-event guard") {
+    check(Prop.forAll(genCase(Gen.oneOf("A", "B", "X"))) { case (raw, w) =>
+      val evs = mkEvents(raw)
+      val pat = Cep.Pattern.begin[Ev]("a")((e, _) => e.typ == "A")
+        .notNext("x")((e, _) => e.typ == "X")
+        .followedBy("b")((e, _) => e.typ == "B")
+        .within(w)
+      val (done, _, _) =
+        Cep.advance(pat, Nil, evs.map(e => (e.ts, e)).iterator)
+      val got = done.map(m => (m("a").head.id, m("b").head.id)).toSet
+
+      // brute force: the event immediately after the A must not be an X
+      // (if it is, the partial dies — even if the X itself is outside
+      // the window the partial expired first, so no match either way);
+      // then the first B after the A, arriving within the window,
+      // binds (it may be that immediate successor itself).
+      val expected = (for {
+        (a, ai) <- evs.zipWithIndex if a.typ == "A"
+        if !evs.drop(ai + 1).headOption.exists(_.typ == "X")
+        b <- evs.drop(ai + 1).find(e => e.typ == "B" && e.ts - a.ts <= w)
+      } yield (a.id, b.id)).toSet
+      got == expected
+    })
+  }
+
+  test("notFollowedBy equals brute-force kill-on-first-X scan") {
+    check(Prop.forAll(genCase(Gen.oneOf("A", "B", "X"))) { case (raw, w) =>
+      val evs = mkEvents(raw)
+      val pat = Cep.Pattern.begin[Ev]("a")((e, _) => e.typ == "A")
+        .notFollowedBy("x")((e, _) => e.typ == "X")
+        .followedBy("b")((e, _) => e.typ == "B")
+        .within(w)
+      val (done, _, _) =
+        Cep.advance(pat, Nil, evs.map(e => (e.ts, e)).iterator)
+      val got = done.map(m => (m("a").head.id, m("b").head.id)).toSet
+
+      // brute force: scan events after the A in order — expiry first
+      // (an event past the window bound kills the partial before the
+      // guard sees it), then the guard (an X kills the partial), then
+      // the positive step (a B completes the match).
+      val expected = (for {
+        (a, ai) <- evs.zipWithIndex if a.typ == "A"
+        b <- evs.drop(ai + 1)
+          .takeWhile(e => e.ts - a.ts <= w) // expiry cuts the scan
+          .find(e => e.typ == "X" || e.typ == "B") // kill-before-bind
+        if b.typ == "B"
+      } yield (a.id, b.id)).toSet
+      got == expected
+    })
+  }
+
+  test("strict next with times(n) equals brute-force consecutive run") {
+    check(Prop.forAll(genCase(Gen.oneOf("A", "B"))) { case (raw, w) =>
+      val evs = mkEvents(raw)
+      val pat = Cep.Pattern.begin[Ev]("a")((e, _) => e.typ == "A")
+        .next("b")((e, _) => e.typ == "B").times(2)
+        .within(w)
+      val (done, _, _) =
+        Cep.advance(pat, Nil, evs.map(e => (e.ts, e)).iterator)
+      val got = done.map(m =>
+        (m("a").head.id, m("b")(0).id, m("b")(1).id)).toSet
+
+      // brute force: A immediately followed by two consecutive Bs, all
+      // inside the window of the A.
+      val expected = (for {
+        (a, ai) <- evs.zipWithIndex if a.typ == "A"
+        rest = evs.drop(ai + 1)
+        if rest.length >= 2
+        b1 = rest(0); b2 = rest(1)
+        if b1.typ == "B" && b1.ts - a.ts <= w
+        if b2.typ == "B" && b2.ts - a.ts <= w
+      } yield (a.id, b1.id, b2.id)).toSet
+      got == expected
+    })
+  }
+}
