@@ -34,7 +34,7 @@ object TextQueries {
     s"('0x'||substr(md5($e),1,8))::BIGINT"
 
   private[graft] val nSig = 8 // minhash signature length
-  private val nBits = 16 // simhash bits
+  private val nBits = 64 // simhash bits (production width: 4×16-bit bands)
   private val dfCap = 50 // q66: drop shingles in more than dfCap docs
 
   val queries: Map[String, Q] = Map(
@@ -183,30 +183,27 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // SimHash: 16-bit signature over token md5 hashes (term-frequency
-    // weighted), plus hamming-ready integer output.
+    // SimHash: 64-bit signature over token md5 hashes (term-frequency
+    // weighted majority per bit) — the production corpus width.
     "q67_simhash" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"), simhash16(col("text")).as("simhash"))
+        .select(col("doc_id"), simhash64(col("text")).as("simhash"))
         .orderBy(col("doc_id"))),
 
-    // SimHash near-dup pairs: band the 16-bit signature into 4 nibbles
-    // (pigeonhole: hamming ≤ 3 ⇒ at least one identical nibble), join
-    // candidates on (band, nibble), verify hamming via xor+popcount.
-    // Same banded-equi-join shape as q65/q72 — no all-pairs scan.
-    // SCALE NOTE: band cardinality must grow with the corpus. 4-bit
-    // bands have 16 values each — fine for the deterministic 16-bit
-    // test signature, but at production scale a band-value bucket
-    // holds ~n/16 docs and the join explodes; the standard 100 TB
-    // config is a 64-bit simhash in 4×16-bit bands (65 536 values per
-    // band), same plan shape, just nBits/band-width constants.
+    // SimHash near-dup pairs at production width: band the 64-bit
+    // signature into 4×16-bit bands (pigeonhole: hamming ≤ 3 ⇒ at
+    // least one identical band), join candidates on (band, value),
+    // verify hamming via xor+popcount. Same banded-equi-join shape as
+    // q65/q72 — no all-pairs scan. SCALE NOTE: 16-bit bands give
+    // 65 536 values per band, so a band-value bucket holds ~n/65536
+    // docs — the standard 100 TB configuration.
     "q79_simhash_neardup" -> ((s, d) => {
       val sigs = Tables.documents(s, d)
-        .select(col("doc_id"), simhash16(col("text")).as("sh"))
+        .select(col("doc_id"), simhash64(col("text")).as("sh"))
         .localCheckpoint() // consumed by both join sides
       val bands = sigs.select(col("doc_id"), col("sh"),
         posexplode(array((0 until 4).map(b =>
-          shiftright(col("sh"), 4 * b).bitwiseAND(15)): _*)))
+          shiftright(col("sh"), 16 * b).bitwiseAND(65535)): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
       val a = bands.select(col("doc_id").as("id_a"), col("sh").as("sha"),
         col("band"), col("bv"))
@@ -217,20 +214,27 @@ object TextQueries {
           bit_count(col("sha").bitwiseXOR(col("shb"))).cast("long")
             .as("hamming"))
         .distinct()
-        .filter(col("hamming") <= 1)
+        .filter(col("hamming") <= 3)
         .orderBy(col("id_a"), col("id_b"))
     })
   )
 
-  /** 16-bit SimHash of the space-tokenized text: bit b set iff more
-    * than half the token md5 hashes have bit b set (tf-weighted
-    * majority). */
-  private def simhash16(t: Column): Column = {
-    val hashes = transform(toks(t), w => md5i(w))
+  /** 64-bit SimHash of the space-tokenized text: bit b set iff more
+    * than half the token hashes have bit b set (tf-weighted majority).
+    * Token hash = 64 bits of md5 taken as two 32-bit hex slices so all
+    * arithmetic stays in exact signed-BIGINT range in both engines;
+    * bits are combined with OR (bit 63 as a sum would overflow under
+    * ANSI semantics). */
+  private def simhash64(t: Column): Column = {
+    val lo = transform(toks(t), w => md5i(w))
+    val hi = transform(toks(t), w =>
+      conv(substring(md5(w), 9, 8), 16, 10).cast("long"))
+    val n = size(lo)
     (0 until nBits).map { b =>
-      when(size(filter(hashes, h => shiftright(h, b).bitwiseAND(1) === 1)) * 2
-             > size(hashes), lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
+      val (arr, off) = if (b < 32) (lo, b) else (hi, b - 32)
+      when(size(filter(arr, h => shiftright(h, off).bitwiseAND(1) === 1)) * 2
+             > n, lit(1L << b)).otherwise(0L)
+    }.reduce(_ bitwiseOR _)
   }
 
   /** substring(t, i, 8) where i is a Column (functions.substring takes
@@ -418,25 +422,30 @@ object TextQueries {
     "q79_simhash_neardup" ->
       s"""WITH sig AS ($simhashSigSql),
          |bands AS (
-         |  SELECT doc_id, sh, g.g AS band, (sh // (1 << (4 * g.g))) % 16 AS bv
+         |  SELECT doc_id, sh, g.g AS band, (sh >> (16 * g.g)) & 65535 AS bv
          |  FROM sig, generate_series(0, 3) g(g))
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          |  bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sh, b.sh)) <= 1
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
          |ORDER BY id_a, id_b""".stripMargin
   )
 
-  /** DuckDB mirror of simhash16: SELECT doc_id, sh FROM documents. */
+  /** DuckDB mirror of simhash64: SELECT doc_id, sh FROM documents.
+    * DuckDB's `>>` on BIGINT is arithmetic like Spark/Java's; bits are
+    * ORed (`|`) so bit 63 needs no unsigned arithmetic. */
   private def simhashSigSql: String = {
     val terms = (0 until nBits).map { b =>
-      s"""CASE WHEN 2 * len(list_filter(hs, h -> (h // ${1L << b}) % 2 = 1))
-         |         > len(hs) THEN ${1L << b} ELSE 0 END""".stripMargin
-    }.mkString(" +\n        ")
+      val (arr, off) = if (b < 32) ("lo", b) else ("hi", b - 32)
+      s"""CASE WHEN 2 * len(list_filter($arr, h -> ((h >> $off) & 1) = 1))
+         |         > len(lo) THEN (${1L << b})::BIGINT ELSE 0::BIGINT END""".stripMargin
+    }.mkString(" |\n        ")
     s"""SELECT doc_id, ($terms) AS sh
        |FROM (SELECT doc_id,
-       |        list_transform(string_split(text,' '), t -> ${md5iSql("t")}) AS hs
+       |        list_transform(string_split(text,' '), t -> ${md5iSql("t")}) AS lo,
+       |        list_transform(string_split(text,' '),
+       |                       t -> ('0x'||substr(md5(t),9,8))::BIGINT) AS hi
        |      FROM documents)""".stripMargin
   }
 }

@@ -21,6 +21,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * mode refreshes a key's row at the sink, but a downstream aggregate
   * never sees "user left bucket 1".
   *
+  * The same applies one operator later: a JOIN downstream of an
+  * aggregate must consume retractions too (the reference's
+  * RetractableTopNFunction / StreamExecJoin in AccRetract mode), or a
+  * user moving buckets is double-counted after enrichment. See
+  * [[changelogThroughJoin]] — the delta rows survive a stream-static
+  * join unchanged (the join only adds columns), so the downstream
+  * aggregate stays exact.
+  *
   * Two equivalent re-modelings, both implemented here:
   *
   * 1. EXPLICIT CHANGELOG (stateful recomposition): the inner aggregate
@@ -51,6 +59,11 @@ object Retract {
   /** A changelog row: delta = +1 accumulate / -1 retract (the BaseRow
     * header as data). */
   case class Change(bucket: Long, delta: Long)
+
+  /** A keyed changelog row — the join-ready form: the key travels with
+    * the delta so downstream operators (joins, re-keyed aggregates)
+    * can route it. */
+  case class KeyedChange(user_id: Long, bucket: Long, delta: Long)
 
   /** Inner aggregate re-expressed as a changelog emitter: running
     * count of events per user; each arrival moves the user from bucket
@@ -91,6 +104,77 @@ object Retract {
           val now = state.getOption.getOrElse(0L) + rows.map(_.delta).sum
           state.update(now)
           Iterator((bucket, now))
+      }
+  }
+
+  // ---- changelog THROUGH A JOIN (the RetractableTopNFunction /
+  // join-consumes-retractions case, reference
+  // `RetractableTopNFunction.java`: operators downstream of an
+  // aggregate must process UPDATE_BEFORE/UPDATE_AFTER pairs) ---------
+
+  /** Keyed form of the inner aggregate's changelog: running count of
+    * events per user, emitted as (user_id, old_bucket, -1) /
+    * (user_id, new_bucket, +1) pairs. Because the KEY rides along,
+    * this append-mode stream can flow through joins. */
+  def countPerUserKeyedChangelog(events: Dataset[Event]): Dataset[KeyedChange] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, KeyedChange](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[Long]) =>
+          val old = state.getOption.getOrElse(0L)
+          val now = old + rows.size
+          state.update(now)
+          ((if (old > 0) List(KeyedChange(user, old, -1L)) else Nil)
+            :+ KeyedChange(user, now, 1L)).iterator
+      }
+  }
+
+  /** Changelog through a join into a downstream aggregate: the inner
+    * per-user aggregate feeds an enrichment join (user → dimension
+    * attribute) whose output feeds an outer per-(dim, bucket) count.
+    *
+    * The key insight: a JOIN APPLIED TO DELTA ROWS IS ITSELF A
+    * CHANGELOG — joining (user, bucket, ±1) to a dimension yields
+    * (dim_value, bucket, ±1) rows whose signs still cancel correctly,
+    * because the join only ADDS columns (each retraction joins to the
+    * same dim row as its accumulate). The outer aggregate then sums
+    * deltas per (dim_value, bucket) exactly like [[applyChangelog]].
+    * This is the reference's retraction flow through
+    * StreamExecJoin → StreamExecGroupAggregate re-expressed with the
+    * changelog as data.
+    *
+    * `dim` must be a static (batch) DataFrame with columns
+    * (user_id, dim_value) — stream-static joins are stateless, so
+    * deltas pass through unmodified. For a CHANGING dimension, use the
+    * foreachBatch+MERGE pattern below (materialize the inner result,
+    * re-join per batch) — a delta×delta join would need bilateral
+    * state, which is exactly what Flink's planner generates and Spark
+    * expresses as its own stream-stream join.
+    *
+    * Emits (dim_value, bucket, n_users) refreshes; the newest row per
+    * (dim_value, bucket) is the current outer aggregate. */
+  def changelogThroughJoin(events: Dataset[Event],
+                           dim: DataFrame): Dataset[(String, Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val deltas = countPerUserKeyedChangelog(events)
+    val joined = deltas.join(
+        org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "inner")
+      .select(org.apache.spark.sql.functions.col("dim_value").cast("string"),
+        org.apache.spark.sql.functions.col("bucket"),
+        org.apache.spark.sql.functions.col("delta"))
+      .as[(String, Long, Long)]
+    joined
+      .groupByKey { case (dv, bucket, _) => (dv, bucket) }
+      .flatMapGroupsWithState[Long, (String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((dv, bucket), rows, state: GroupState[Long]) =>
+          val now = state.getOption.getOrElse(0L) + rows.map(_._3).sum
+          state.update(now)
+          Iterator((dv, bucket, now))
       }
   }
 

@@ -103,8 +103,13 @@ object SemiAntiJoin {
           val (mature, pending) =
             lefts.partition(e => Event.micros(e.ts) + gapMs * 1000 <= wmUs)
           val out = if (seen) Nil else mature
-          val retentionExpired = state.hasTimedOut && rs.isEmpty && pending.isEmpty
-          if (pending.isEmpty && (!seen || retentionExpired)) {
+          // Drop ALL key state when nothing is pending and either the
+          // retention timeout fired or there is nothing to remember.
+          // The timeout branch is unconditional — an idle key's seen
+          // tombstone must go at its first retention expiry, never be
+          // re-armed by the expiry itself (state-leak risk on
+          // high-cardinality keys otherwise).
+          if (pending.isEmpty && (state.hasTimedOut || !seen)) {
             if (state.exists) state.remove() // nothing pending / retention up
           } else {
             state.update(SAState(seen, pending))

@@ -43,6 +43,37 @@ class RetractSpec extends SparkSpec {
     assert(bucket1 == List(2L, 1L, 2L))
   }
 
+  test("changelog through a join keeps the enriched outer aggregate correct") {
+    val spark2 = spark; import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "eu"), (2L, "us"), (3L, "eu"))
+      .toDF("user_id", "dim_value")
+    val ms = MemoryStream[Event]
+    val q = Retract.changelogThroughJoin(ms.toDS(), dim)
+      .toDF("dim_value", "bucket", "n_users")
+      .writeStream.format("memory").queryName("chgjoin").outputMode("append").start()
+    // batch 1: u1(eu) ×1, u2(us) ×1
+    ms.addData(ev(1, 1), ev(2, 2))
+    q.processAllAvailable()
+    // batch 2: u1 gets 2 more → LEAVES (eu, 1), enters (eu, 3) — the
+    // retraction must survive the join or (eu, 1) double-counts
+    ms.addData(ev(3, 1), ev(4, 1))
+    q.processAllAvailable()
+    // batch 3: u3(eu) enters bucket 1
+    ms.addData(ev(5, 3))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("chgjoin").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+    // latest emission per (dim, bucket) = current outer aggregate
+    val latest = rows.zipWithIndex.groupBy(_._1._1)
+      .map { case (k, vs) => k -> vs.maxBy(_._2)._1._2 }
+    assert(latest == Map(("eu", 1L) -> 1L, ("us", 1L) -> 1L, ("eu", 3L) -> 1L))
+    // and (eu, 1) was retracted when u1 moved: history 1 → 0 → 1
+    val eu1 = rows.filter(_._1 == ("eu", 1L)).map(_._2).toList
+    assert(eu1 == List(1L, 0L, 1L))
+  }
+
   test("foreachBatch + upsert (MERGE pattern) reaggregates correctly") {
     val spark2 = spark; import spark2.implicits._
     implicit val ctx = spark.sqlContext

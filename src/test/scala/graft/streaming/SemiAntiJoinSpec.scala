@@ -60,6 +60,33 @@ class SemiAntiJoinSpec extends SparkSpec {
     assert(got == Set(2L)) // only the unmatched user-2 left
   }
 
+  test("anti join drops idle-key tombstones at retention expiry (no re-armed timers)") {
+    val spark2 = spark; import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    val lms = MemoryStream[Event]; val rms = MemoryStream[Event]
+    // 5 s retention so the test can expire tombstones with small watermarks
+    val q = SemiAntiJoin.antiJoin(lms.toDS(), rms.toDS(), "10 seconds",
+        retentionMs = 5000L)
+      .writeStream.format("memory").queryName("anti3").outputMode("append").start()
+    lms.addData(ev(1, 20, 1, "click"))
+    rms.addData(ev(100, 25, 1, "block")) // user 1: matched → tombstone
+    q.processAllAvailable()
+    rms.addData(ev(101, 100, 99, "noise")) // watermark → 90 s: user-1/99 timers fire
+    q.processAllAvailable()
+    rms.addData(ev(102, 200, 98, "noise")) // watermark → 190 s: user-98 timer set
+    q.processAllAvailable()
+    rms.addData(ev(103, 300, 97, "noise")) // watermark → 290 s
+    q.processAllAvailable()
+    val stateRows = q.recentProgress.toSeq
+      .flatMap(p => p.stateOperators.toSeq.map(_.numRowsTotal))
+      .lastOption.getOrElse(-1L)
+    q.stop()
+    // only the freshest key's tombstone may remain; every idle key's
+    // state (incl. the seen flag) was removed at its retention expiry
+    assert(stateRows <= 1L, s"idle tombstones leaked: $stateRows state rows")
+    assert(spark.table("anti3").as[Event].collect().isEmpty)
+  }
+
   test("anti join suppresses a left whose right arrives in a LATER batch (within horizon)") {
     val spark2 = spark; import spark2.implicits._
     implicit val ctx = spark.sqlContext
