@@ -35,7 +35,11 @@ object Bench {
     "q72_lsh_ann",        // LSH bucket ANN
     "q73_embed_neardup",  // cosine near-dup pairs
     "q76_repetition",     // token/2-gram repetition stats (2 shuffles)
-    "q78_curate")         // filter → norm-dedup → quota, one plan
+    "q78_curate",         // filter → norm-dedup → quota, one plan
+    "q79_simhash_neardup", // 64-bit simhash banded near-dup (production width)
+    "q88_cep_nofollow",   // CEP NFA with negation over keyed event groups
+    "q89_tpch_q4",        // EXISTS semi join with residual date condition
+    "q91_tpch_q19")       // disjunctive multi-column predicate join
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

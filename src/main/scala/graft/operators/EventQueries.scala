@@ -170,6 +170,40 @@ object EventQueries {
         .orderBy(col("user_id"), col("view_id"))
     }),
 
+    // CEP with relaxed NEGATION (Pattern.notFollowedBy, reference
+    // Pattern.java:177 / MATCH_RECOGNIZE NOT pattern): "view, then
+    // purchase within 10 min, with NO click in between" — the
+    // abandoned-browse-converts pattern. A click between view and
+    // purchase kills the partial match; DSL form "A !X B within 10m".
+    "q88_cep_nofollow" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.{Cep, Event}
+      val pat = Cep.Pattern
+        .begin[Event]("a")((e, _) => e.event_type == "view")
+        .notFollowedBy("x") { (e, bound) =>
+          e.event_type == "click" &&
+            Event.micros(e.ts) > Event.micros(bound("a").head.ts)
+        }
+        .followedBy("b") { (e, bound) =>
+          e.event_type == "purchase" &&
+            Event.micros(e.ts) > Event.micros(bound("a").head.ts)
+        }
+        .within(600000000L)
+      val types = Set("view", "click", "purchase")
+      graft.Tables.events(s, d).as[Event]
+        .filter(e => types(e.event_type))
+        .groupByKey(_.user_id)
+        .flatMapGroups { (user: Long, rows: Iterator[Event]) =>
+          val sorted = rows.toList
+            .sortBy(e => (Event.micros(e.ts), e.event_id))
+            .map(e => (Event.micros(e.ts), e))
+          Cep.advance(pat, Nil, sorted.iterator)._1.iterator.map { m =>
+            (user, m("a").head.event_id, m("b").head.event_id)
+          }
+        }.toDF("user_id", "view_id", "purchase_id")
+        .orderBy(col("user_id"), col("view_id"))
+    }),
+
     // Count-tumbling window batch analog (CountTumblingWindowAssigner):
     // fixed windows of 10 events per user in time order.
     "q57_count_window" -> ((s, d) => {
@@ -252,6 +286,19 @@ object EventQueries {
         |    ON p.user_id = v.user_id AND p.ts > v.ts
         |   AND epoch_us(p.ts) - epoch_us(v.ts) <= 600000000)
         |WHERE rn = 1 ORDER BY user_id, view_id""".stripMargin),
+    "q88_cep_nofollow" -> (evCte +
+      """
+        |SELECT user_id, view_id, c_id AS purchase_id FROM (
+        |  SELECT v.user_id, v.event_id AS view_id, c.event_id AS c_id,
+        |    c.event_type AS c_type,
+        |    row_number() OVER (PARTITION BY v.event_id
+        |      ORDER BY c.ts, c.event_id) AS rn
+        |  FROM (SELECT * FROM ev WHERE event_type='view') v
+        |  JOIN (SELECT * FROM ev WHERE event_type IN ('click','purchase')) c
+        |    ON c.user_id = v.user_id AND c.ts > v.ts
+        |   AND epoch_us(c.ts) - epoch_us(v.ts) <= 600000000)
+        |WHERE rn = 1 AND c_type = 'purchase'
+        |ORDER BY user_id, view_id""".stripMargin),
     "q55_dedup_keeplast" -> (evCte +
       """
         |SELECT user_id, event_type, event_id, round(value,2) AS value FROM (

@@ -106,6 +106,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("AdaptiveSparkPlan"), s"AQE not active:\n$plan")
   }
 
+  test("q89 EXISTS plans as one left-semi join with a residual date condition") {
+    val plan = formatted("q89_tpch_q4")
+    assert(plan.contains("LeftSemi"), s"no semi join:\n$plan")
+    // the orderdate range reaches the orders scan
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"orderdate filter not pushed:\n$plan")
+  }
+
+  test("q93 scans lineitem once (checkpointed revenue aggregate)") {
+    // rev feeds both the max scalar and the equality join; the
+    // checkpoint means THIS plan contains no lineitem scan at all —
+    // the single scan happened in the one-time checkpoint job.
+    val plan = formatted("q93_tpch_q15")
+    assert(!plan.contains("lineitem.parquet"),
+      s"lineitem re-scanned instead of reusing the aggregate:\n$plan")
+  }
+
+  test("q90 flagged-supplier anti join broadcasts the tiny exclusion set") {
+    val plan = formatted("q90_tpch_q16")
+    assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
+    // distinct agg = two-phase expand plan
+    assert(plan.contains("HashAggregate"), s"no hash agg:\n$plan")
+  }
+
+  test("q91 pushes the brand disjunction members to the part scan") {
+    val plan = formatted("q91_tpch_q19")
+    // Or(EqualTo(p_brand,...)...) — the part-side members of the
+    // disjunction must reach the parquet scan as a pushed filter
+    assert(plan.contains("Or(") && plan.contains("p_brand"),
+      s"disjunctive part filter not pushed:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q80 vocab top-100 is a pruned global limit, not a full-vocab window") {
     val df = SparkEntry.queries("q80_vocab")(spark, sf)
     val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
