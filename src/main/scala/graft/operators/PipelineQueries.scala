@@ -49,6 +49,7 @@ object PipelineQueries {
     md5(concat_ws(" ", sort_array(ws(t))))
 
   private val minAgree = 4    // near-dup edge: ≥4 of 8 minhashes agree
+  private val packBudget = 512L // q95: token budget per packed sequence
   private val bernHex  = "2000" // bernoulli keep: md5 prefix < 1/8 of space
   private val quotaN   = 20   // per-language quota sample size
   private val curateQuota = 25
@@ -169,6 +170,58 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Greedy sequence packing (training-batch prep): walk each
+    // language stratum in doc_id order, accumulate documents into the
+    // current bin while the token budget holds, else open a new bin —
+    // the packing pass that turns a curated corpus into fixed-budget
+    // training sequences. One shuffle on the stratum key, then a
+    // sequential in-memory walk per stratum (the SortedGroups shape).
+    // SCALE NOTE: strata pack sequentially, strata run in parallel; at
+    // 100 TB the stratum key becomes (lang, shard) with shard =
+    // floor(doc_id / chunk) so no single group exceeds a task — the
+    // greedy walk is unchanged, bins just get a shard prefix.
+    "q95_pack_sequences" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(ws(col("text"))).cast("long").as("n_tokens"))
+        .as[(Long, String, Long)]
+      docs.groupByKey(_._2)
+        .flatMapGroups { (lang: String, rows: Iterator[(Long, String, Long)]) =>
+          val sorted = rows.toList.sortBy(_._1)
+          var bin = 0L; var fill = 0L; var first = true
+          sorted.iterator.map { case (id, _, n) =>
+            if (first) { first = false; fill = n }
+            else if (fill + n <= packBudget) fill += n
+            else { bin += 1; fill = n }
+            (lang, id, n, bin)
+          }
+        }.toDF("lang", "doc_id", "n_tokens", "bin_id")
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    // Benchmark decontamination: flag corpus documents sharing any
+    // 4-token shingle with a benchmark set (source src0 stands in for
+    // the eval suite), reporting how many distinct shingles leak.
+    // SCALE NOTE: the benchmark shingle set is tiny next to the
+    // corpus (eval suites are MBs against 100 TB), so the join
+    // broadcasts and the corpus is never shuffled at full width —
+    // only flagged (doc_id, shingle) rows reach the count shuffle.
+    "q96_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("source") === "src0")
+        .select(explode(TextQueries.shingles4(col("text"))).as("sh"))
+        .distinct()
+      val corpus = docs.filter(col("source") =!= "src0")
+        .select(col("doc_id"),
+          explode(TextQueries.shingles4(col("text"))).as("sh"))
+        .distinct()
+      corpus.join(broadcast(bench), Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Vocabulary building: corpus-wide token frequency + document
     // frequency, top 100 by tf (ties → lexicographic). One shuffle on
     // token with map-side partial agg; the global rank runs over the
@@ -272,6 +325,40 @@ object PipelineQueries {
         |      FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
         |            FROM documents)
         |      GROUP BY w)
-        |QUALIFY rnk <= 100 ORDER BY rnk""".stripMargin
+        |QUALIFY rnk <= 100 ORDER BY rnk""".stripMargin,
+    // The greedy walk as a recursive CTE stepping one document per
+    // language per iteration — fine at oracle SF (the Spark side is a
+    // parallel per-stratum pass).
+    "q95_pack_sequences" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT lang, doc_id,
+         |    len(string_split(text,' '))::BIGINT AS n_tokens,
+         |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |packed AS (
+         |  SELECT lang, doc_id, n_tokens, rn, 0::BIGINT AS bin_id,
+         |    n_tokens AS fill
+         |  FROM docs WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.lang, d.doc_id, d.n_tokens, d.rn,
+         |    CASE WHEN p.fill + d.n_tokens <= $packBudget THEN p.bin_id
+         |         ELSE p.bin_id + 1 END,
+         |    CASE WHEN p.fill + d.n_tokens <= $packBudget
+         |         THEN p.fill + d.n_tokens ELSE d.n_tokens END
+         |  FROM docs d JOIN packed p ON d.lang = p.lang AND d.rn = p.rn + 1)
+         |SELECT lang, doc_id, n_tokens, bin_id
+         |FROM packed ORDER BY lang, doc_id""".stripMargin,
+    "q96_decontaminate" ->
+      s"""WITH bench AS (
+         |  SELECT DISTINCT sh FROM (
+         |    SELECT unnest(${TextQueries.shinglesSql}) AS sh
+         |    FROM documents WHERE source = 'src0')),
+         |corpus AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(${TextQueries.shinglesSql}) AS sh
+         |    FROM documents WHERE source <> 'src0'))
+         |SELECT doc_id, count(*)::BIGINT AS n_shared
+         |FROM corpus JOIN bench USING (sh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

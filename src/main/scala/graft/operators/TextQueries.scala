@@ -186,8 +186,7 @@ object TextQueries {
     // SimHash: 64-bit signature over token md5 hashes (term-frequency
     // weighted majority per bit) — the production corpus width.
     "q67_simhash" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), simhash64(col("text")).as("simhash"))
+      simhash64Sigs(Tables.documents(s, d), "simhash")
         .orderBy(col("doc_id"))),
 
     // SimHash near-dup pairs at production width: band the 64-bit
@@ -198,8 +197,7 @@ object TextQueries {
     // 65 536 values per band, so a band-value bucket holds ~n/65536
     // docs — the standard 100 TB configuration.
     "q79_simhash_neardup" -> ((s, d) => {
-      val sigs = Tables.documents(s, d)
-        .select(col("doc_id"), simhash64(col("text")).as("sh"))
+      val sigs = simhash64Sigs(Tables.documents(s, d), "sh")
         .localCheckpoint() // consumed by both join sides
       val bands = sigs.select(col("doc_id"), col("sh"),
         posexplode(array((0 until 4).map(b =>
@@ -219,22 +217,31 @@ object TextQueries {
     })
   )
 
-  /** 64-bit SimHash of the space-tokenized text: bit b set iff more
-    * than half the token hashes have bit b set (tf-weighted majority).
-    * Token hash = 64 bits of md5 taken as two 32-bit hex slices so all
-    * arithmetic stays in exact signed-BIGINT range in both engines;
-    * bits are combined with OR (bit 63 as a sum would overflow under
-    * ANSI semantics). */
-  private def simhash64(t: Column): Column = {
-    val lo = transform(toks(t), w => md5i(w))
-    val hi = transform(toks(t), w =>
-      conv(substring(md5(w), 9, 8), 16, 10).cast("long"))
-    val n = size(lo)
-    (0 until nBits).map { b =>
-      val (arr, off) = if (b < 32) (lo, b) else (hi, b - 32)
+  /** doc_id + 64-bit SimHash signature of the space-tokenized text:
+    * bit b set iff more than half the token hashes have bit b set
+    * (tf-weighted majority). Token hash = 64 bits of md5 taken as two
+    * 32-bit hex slices so all arithmetic stays in exact signed-BIGINT
+    * range in both engines; bits are combined with OR (bit 63 as a sum
+    * would overflow under ANSI semantics).
+    *
+    * The token-hash arrays are materialized in their OWN projection:
+    * the 64 bit-majority terms each reference them, and CollapseProject
+    * keeps the boundary (non-cheap, multiply-referenced), so the md5 +
+    * transform work runs once per row instead of once per bit. */
+  private def simhash64Sigs(docs: org.apache.spark.sql.DataFrame,
+                            as: String): org.apache.spark.sql.DataFrame = {
+    val t = col("text")
+    val arred = docs.select(col("doc_id"),
+      transform(toks(t), w => md5i(w)).as("_lo"),
+      transform(toks(t), w =>
+        conv(substring(md5(w), 9, 8), 16, 10).cast("long")).as("_hi"))
+    val n = size(col("_lo"))
+    val sig = (0 until nBits).map { b =>
+      val (arr, off) = if (b < 32) (col("_lo"), b) else (col("_hi"), b - 32)
       when(size(filter(arr, h => shiftright(h, off).bitwiseAND(1) === 1)) * 2
              > n, lit(1L << b)).otherwise(0L)
     }.reduce(_ bitwiseOR _)
+    arred.select(col("doc_id"), sig.as(as))
   }
 
   /** substring(t, i, 8) where i is a Column (functions.substring takes
@@ -243,7 +250,7 @@ object TextQueries {
     t.substr(i, lit(8))
 
   /** 4-word shingles of the space-tokenized text. */
-  private def shingles4(t: Column): Column = {
+  private[operators] def shingles4(t: Column): Column = {
     val w = split(t, " ")
     transform(sequence(lit(1), greatest(size(w) - 3, lit(1))),
       i => concat_ws(" ", slice(w, i, lit(4))))
@@ -312,7 +319,7 @@ object TextQueries {
 
   // ---- oracle SQL ----
 
-  private def shinglesSql =
+  private[operators] def shinglesSql =
     """list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 2)),
       |      i -> array_to_string(string_split(text,' ')[i:i+3], ' '))""".stripMargin
 
