@@ -52,7 +52,11 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    val names = headline.filter(SparkEntry.queries.contains)
+    // SPARK_GRAFT_BENCH_SKIP: comma-separated names to exclude (used
+    // by the soak run, whose generated dir has no embeddings table).
+    val skipped = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val names = headline.filter(SparkEntry.queries.contains).filterNot(skipped)
     names.foreach(run) // warm-up pass (untimed)
     def timed(name: String): Double = {
       val t0 = System.nanoTime(); run(name); (System.nanoTime() - t0) / 1e9

@@ -205,6 +205,59 @@ object CalcQueries {
           regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("int").as("k"),
           get_json_object(col("props"), "$.k").cast("int").as("k_json"))
         .orderBy(col("event_id"))
+    }),
+
+    // Array set-operation battery (the collection half of the
+    // reference's collection functions, FlinkSqlOperatorTable
+    // ARRAY/ELEMENT/CARDINALITY + composite surface): union /
+    // intersect / except / distinct-flatten / overlap / position /
+    // remove / zip_with / exists / forall / min / max / sequence.
+    // Set-valued results are sorted and string-joined on both sides
+    // (set ops are order-unspecified; the scalar surface is what is
+    // being checked).
+    "q97_fn_array2" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 200)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_linenumber"))).as("a"))
+        .select(col("l_orderkey"),
+          array_join(sort_array(array_union(col("a"), array(lit(2L), lit(9L)))), ",").as("un"),
+          array_join(sort_array(array_intersect(col("a"),
+            array(lit(1L), lit(2L), lit(3L)))), ",").as("inter"),
+          array_join(sort_array(array_except(col("a"), array(lit(1L)))), ",").as("exc"),
+          array_join(sort_array(array_distinct(flatten(array(col("a"), col("a"))))), ",").as("flat"),
+          arrays_overlap(col("a"), array(lit(5L), lit(6L))).as("ovl"),
+          array_position(col("a"), 2).cast("long").as("pos2"),
+          array_join(array_remove(col("a"), 1), ",").as("rem1"),
+          array_join(zip_with(col("a"), col("a"), (x, y) => x + y), ",").as("zsum"),
+          exists(col("a"), x => x > 3).as("has_gt3"),
+          forall(col("a"), x => x >= 1).as("all_ge1"),
+          array_min(col("a")).as("mn"),
+          array_max(col("a")).as("mx"),
+          array_join(sequence(lit(1), lit(3)), ",").as("seq13"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // Map function battery (reference MAP constructor + CARDINALITY +
+    // item access, FlinkSqlOperatorTable ITEM/MAP_VALUE_CONSTRUCTOR):
+    // construction from arrays, key/value extraction, cardinality,
+    // value transform, predicate filter — values derived from the row
+    // so every map differs.
+    "q98_fn_map" -> ((s, d) => {
+      val m = map_from_arrays(
+        array(lit("a"), lit("b"), lit("c")),
+        array(col("o_orderkey") % 10, col("o_orderkey") % 7, lit(5L)))
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          array_join(sort_array(map_keys(m)), ",").as("mk"),
+          array_join(sort_array(map_values(m)), ",").as("mv"),
+          element_at(m, "b").as("vb"),
+          size(m).cast("long").as("msz"),
+          element_at(transform_values(m, (_, v) => v * 2), "a").as("va2"),
+          array_join(sort_array(map_keys(map_filter(m, (_, v) => v > 3))), ",")
+            .as("big_keys"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -336,6 +389,42 @@ object CalcQueries {
       """SELECT event_id,
         |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k,
         |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k_json
-        |FROM events WHERE event_id <= 2000 ORDER BY event_id""".stripMargin
+        |FROM events WHERE event_id <= 2000 ORDER BY event_id""".stripMargin,
+    "q97_fn_array2" ->
+      """SELECT l_orderkey,
+        |  array_to_string(list_sort(list_distinct(a || [2,9])), ',') AS un,
+        |  coalesce(array_to_string(list_sort(list_filter(list_distinct(a),
+        |    x -> list_contains([1,2,3], x))), ','), '') AS inter,
+        |  coalesce(array_to_string(list_sort(list_filter(list_distinct(a),
+        |    x -> NOT list_contains([1], x))), ','), '') AS exc,
+        |  array_to_string(list_sort(list_distinct(flatten([a, a]))), ',') AS flat,
+        |  len(list_filter(a, x -> list_contains([5,6], x))) > 0 AS ovl,
+        |  coalesce(list_position(a, 2), 0)::BIGINT AS pos2,
+        |  coalesce(array_to_string(list_filter(a, x -> x <> 1), ','), '') AS rem1,
+        |  array_to_string(list_transform(list_zip(a, a),
+        |    p -> p[1] + p[2]), ',') AS zsum,
+        |  len(list_filter(a, x -> x > 3)) > 0 AS has_gt3,
+        |  len(list_filter(a, x -> NOT (x >= 1))) = 0 AS all_ge1,
+        |  list_min(a) AS mn, list_max(a) AS mx,
+        |  array_to_string(range(1, 4), ',') AS seq13
+        |FROM (SELECT l_orderkey,
+        |        list_sort(list_distinct(list(l_linenumber))) AS a
+        |      FROM lineitem WHERE l_orderkey <= 200 GROUP BY l_orderkey)
+        |ORDER BY l_orderkey""".stripMargin,
+    "q98_fn_map" ->
+      """SELECT o_orderkey,
+        |  array_to_string(list_sort(map_keys(m)), ',') AS mk,
+        |  array_to_string(list_sort(map_values(m)), ',') AS mv,
+        |  m['b'][1] AS vb,
+        |  cardinality(m)::BIGINT AS msz,
+        |  MAP(map_keys(m), list_transform(map_values(m), v -> v*2))['a'][1]
+        |    AS va2,
+        |  array_to_string(list_sort(list_filter(map_keys(m),
+        |    k -> m[k][1] > 3)), ',') AS big_keys
+        |FROM (SELECT o_orderkey,
+        |        MAP(['a','b','c'],
+        |            [o_orderkey % 10, o_orderkey % 7, 5]) AS m
+        |      FROM orders WHERE o_orderkey <= 2000)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }
