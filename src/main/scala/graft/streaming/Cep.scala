@@ -75,7 +75,8 @@ object Cep {
                      timesMax: Int = 0,
                      untilPred: Option[(T, Map[String, List[T]]) => Boolean] = None,
                      strict: Boolean = false,
-                     negated: Boolean = false)
+                     negated: Boolean = false,
+                     loopConsecutive: Boolean = false)
 
   case class Pattern[T](steps: Vector[Step[T]], withinUs: Long = Long.MaxValue) {
     def followedBy(name: String)(pred: (T, Map[String, List[T]]) => Boolean): Pattern[T] =
@@ -102,6 +103,16 @@ object Cep {
       copy(steps = steps.init :+ steps.last.copy(optional = true))
     def oneOrMore: Pattern[T] =
       copy(steps = steps.init :+ steps.last.copy(oneOrMore = true))
+    /** Strict contiguity INSIDE a looping last step
+      * (Pattern.java:498 `consecutive()`): the loop stops accumulating
+      * at the first non-matching event — the partial survives and
+      * later steps proceed relaxed, but no further loop occurrences
+      * are taken. Without it a loop accumulates across gaps. */
+    def consecutive: Pattern[T] = {
+      require(steps.last.oneOrMore || steps.last.times > 1,
+        "consecutive applies to a quantified step (oneOrMore / times)")
+      copy(steps = steps.init :+ steps.last.copy(loopConsecutive = true))
+    }
     /** Exactly n occurrences of the last step (Pattern.java:382). */
     def times(n: Int): Pattern[T] = {
       require(n >= 1, "times(n) needs n >= 1")
@@ -207,7 +218,7 @@ object Cep {
             if (cnt == 0) return // loop can never be satisfied: drop partial
             closed += i // stop accumulating; event may match a later step
             i += 1
-          } else if (!(st.oneOrMore && closed(i)) &&
+          } else if (!closed(i) &&
                      !(st.timesMax > st.times && cnt >= st.timesMax) &&
                      st.pred(e, p.bindings)) {
             val bound = p.bindings.updated(st.name,
@@ -230,9 +241,15 @@ object Cep {
             return
           } else if (st.optional || (st.oneOrMore && cnt > 0) ||
                      (st.timesMax > st.times && cnt >= st.times)) {
+            // consecutive(): the first non-matching event closes an
+            // open loop for good — later occurrences cannot resume it.
+            if (st.loopConsecutive && cnt > 0 && !closed(i)) closed += i
             i += 1 // skippable: optional, or looping step already satisfied
             skippedOpt = true
           } else {
+            // consecutive() mid-run below the minimum count: the run
+            // is broken and can never reach times(m) — partial dies.
+            if (st.loopConsecutive && cnt > 0) return
             // Strict head not matched by the immediately-next event:
             // the partial dies — unless the strict step was only
             // reached by skipping optional/loop steps this event (the

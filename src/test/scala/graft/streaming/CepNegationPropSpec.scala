@@ -103,6 +103,33 @@ class CepNegationPropSpec extends AnyFunSuite {
     })
   }
 
+  test("consecutive oneOrMore equals brute-force maximal-run accumulation") {
+    check(Prop.forAll(genCase(Gen.oneOf("A", "B", "C"))) { case (raw, w) =>
+      val evs = mkEvents(raw)
+      val pat = Cep.Pattern.begin[Ev]("a")((e, _) => e.typ == "A")
+        .oneOrMore.consecutive
+        .followedBy("b")((e, _) => e.typ == "B")
+        .within(w)
+      val (done, _, _) =
+        Cep.advance(pat, Nil, evs.map(e => (e.ts, e)).iterator)
+      val got = done.map(m => (m("a").map(_.id), m("b").head.id)).toSet
+
+      // brute force: from each starting A, the loop takes consecutive
+      // As until the first non-A event inside the window breaks it for
+      // good; the first B at-or-after the break (relaxed, within the
+      // window of the start) completes. Expiry cuts the scan: an event
+      // past the bound kills the partial before anything else sees it.
+      val expected = (for {
+        (a0, i0) <- evs.zipWithIndex if a0.typ == "A"
+        inWin = evs.drop(i0 + 1).takeWhile(e => e.ts - a0.ts <= w)
+        run = inWin.takeWhile(_.typ == "A")
+        rest = inWin.drop(run.length)
+        b <- rest.find(_.typ == "B")
+      } yield ((a0 :: run).map(_.id), b.id)).toSet
+      got == expected
+    })
+  }
+
   test("strict next with times(n) equals brute-force consecutive run") {
     check(Prop.forAll(genCase(Gen.oneOf("A", "B"))) { case (raw, w) =>
       val evs = mkEvents(raw)
