@@ -238,6 +238,29 @@ object CalcQueries {
         .orderBy(col("l_orderkey"))
     }),
 
+    // Misc-function battery closing the §2.5 registry tail: PARSE_URL
+    // (FlinkSqlOperatorTable.java:482 — DuckDB has no parse_url, so the
+    // oracle mirrors each part with an anchored regexp), DECODE/ENCODE
+    // round-trip (:697/:705), LOCATE (:679), epoch→timestamp
+    // construction (FROM_UNIXTIME:541), and UTC→zone conversion
+    // (CONVERT_TZ:671 ≙ from_utc_timestamp here).
+    "q99_fn_misc" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 2000)
+        .withColumn("url", concat(lit("https://ex"), col("o_orderkey") % 5,
+          lit(".org/p/"), col("o_orderkey"), lit("?q="), col("o_orderkey") % 7))
+        .select(col("o_orderkey"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY')").as("qs"),
+          locate(".org", col("url")).cast("long").as("loc"),
+          decode(encode(col("o_orderpriority"), "UTF-8"), "UTF-8").as("rt"),
+          timestamp_seconds(lit(1500000000L) + col("o_orderkey") * 3600)
+            .as("ts_epoch"),
+          from_utc_timestamp(col("o_orderdate"), "America/New_York").as("ny"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Map function battery (reference MAP constructor + CARDINALITY +
     // item access, FlinkSqlOperatorTable ITEM/MAP_VALUE_CONSTRUCTOR):
     // construction from arrays, key/value extraction, cardinality,
@@ -411,6 +434,20 @@ object CalcQueries {
         |        list_sort(list_distinct(list(l_linenumber))) AS a
         |      FROM lineitem WHERE l_orderkey <= 200 GROUP BY l_orderkey)
         |ORDER BY l_orderkey""".stripMargin,
+    "q99_fn_misc" ->
+      """SELECT o_orderkey,
+        |  regexp_extract(url, '^[a-z]+://([^/:?]+)', 1) AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/?]+(/[^?]*)', 1) AS path,
+        |  regexp_extract(url, '\?(.*)$', 1) AS qs,
+        |  strpos(url, '.org')::BIGINT AS loc,
+        |  decode(encode(o_orderpriority)) AS rt,
+        |  make_timestamp((1500000000 + o_orderkey * 3600) * 1000000) AS ts_epoch,
+        |  (o_orderdate AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York') AS ny
+        |FROM (SELECT o_orderkey, o_orderpriority, o_orderdate,
+        |        'https://ex' || (o_orderkey % 5) || '.org/p/' || o_orderkey
+        |          || '?q=' || (o_orderkey % 7) AS url
+        |      FROM orders WHERE o_orderkey <= 2000)
+        |ORDER BY o_orderkey""".stripMargin,
     "q98_fn_map" ->
       """SELECT o_orderkey,
         |  array_to_string(list_sort(map_keys(m)), ',') AS mk,
