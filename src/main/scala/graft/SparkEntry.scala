@@ -15,7 +15,7 @@ object SparkEntry {
     AggQueries.queries ++ JoinQueries.queries ++ WindowQueries.queries ++
     CalcQueries.queries ++ EventQueries.queries ++
     TextQueries.queries ++ VectorQueries.queries ++ ExtraQueries.queries ++
-    PipelineQueries.queries ++ TpchQueries.queries
+    PipelineQueries.queries ++ TpchQueries.queries ++ TpchQueries2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +23,5 @@ object SparkEntry {
     AggQueries.oracle ++ JoinQueries.oracle ++ WindowQueries.oracle ++
     CalcQueries.oracle ++ EventQueries.oracle ++
     TextQueries.oracle ++ VectorQueries.oracle ++ ExtraQueries.oracle ++
-    PipelineQueries.oracle ++ TpchQueries.oracle
+    PipelineQueries.oracle ++ TpchQueries.oracle ++ TpchQueries2.oracle
 }

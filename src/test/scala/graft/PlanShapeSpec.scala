@@ -145,4 +145,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"global top-k did not plan as TakeOrdered:\n$plan")
   }
+
+  test("q101 (TPC-H Q6) is scan-side only: every predicate pushed, no join") {
+    val plan = formatted("q101_tpch_q6")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") &&
+           plan.contains("LessThan(l_quantity") &&
+           plan.contains("GreaterThanOrEqual(l_discount"),
+      s"Q6 predicates not pushed to the scan:\n$plan")
+    assert(!plan.contains("Join"), s"Q6 should have no join:\n$plan")
+  }
+
+  test("q100 (TPC-H Q2) min-cost join has no cartesian and a capped sort") {
+    val plan = formatted("q100_tpch_q2")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"min-cost correlation planned as a product:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 did not plan as TakeOrdered:\n$plan")
+  }
+
+  test("q107 (TPC-H Q21) double correlation plans as semi + anti joins") {
+    val plan = formatted("q107_tpch_q21")
+    assert(plan.contains("LeftSemi"), s"EXISTS not a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS not an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q106 (TPC-H Q20) part filter prunes lineitem before the (part,supp) agg") {
+    val plan = formatted("q106_tpch_q20")
+    // the shipdate window reaches the lineitem scan; the small-part
+    // semi join sits below the per-(part, supplier) aggregate
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate not pushed:\n$plan")
+    assert(plan.contains("LeftSemi"), s"part filter not a semi join:\n$plan")
+  }
+
+  test("q102 (TPC-H Q8) ppm numerator runs in decimal, not double") {
+    val df = SparkEntry.queries("q102_tpch_q8")(spark, sf)
+    // the share quotient must be integral (decimal div), never a
+    // double multiply that loses exactness past 2^53
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("decimal(38,0)"),
+      s"ppm numerator not widened to decimal:\n$analyzed")
+  }
 }
