@@ -39,7 +39,10 @@ object Bench {
     "q79_simhash_neardup", // 64-bit simhash banded near-dup (production width)
     "q88_cep_nofollow",   // CEP NFA with negation over keyed event groups
     "q89_tpch_q4",        // EXISTS semi join with residual date condition
-    "q91_tpch_q19")       // disjunctive multi-column predicate join
+    "q91_tpch_q19",       // disjunctive multi-column predicate join
+    "q100_tpch_q2",       // per-(part,supp) min-cost correlation (Q2)
+    "q103_tpch_q9",       // profit decomposition, 4-way join (Q9)
+    "q107_tpch_q21")      // EXISTS + NOT EXISTS double correlation (Q21)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

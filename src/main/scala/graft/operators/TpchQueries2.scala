@@ -48,16 +48,23 @@ object TpchQueries2 {
     // The output is capped (top-100 by balance) so the final sort is a
     // TakeOrdered, not a global sort.
     "q100_tpch_q2" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .filter(col("p_size") <= 25 && col("p_type") === "STANDARD")
+        .select(col("p_partkey"), col("p_name"))
+      // The part filter keeps ~1/12 of parts, and both the offers agg
+      // and the per-part min are keyed by partkey — so restrict
+      // lineitem FIRST via a broadcast semi join on the filtered dim.
+      // Aggregating all of lineitem and filtering after would shuffle
+      // 12× the data for the same result (the r2 q85 lesson applied).
       val offers = Tables.lineitem(s, d)
+        .join(broadcast(p.select(col("p_partkey").as("f_pk"))),
+          col("l_partkey") === col("f_pk"), "left_semi")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(min(expr(
           "cast(round(l_extendedprice * 100) as bigint) div cast(l_quantity as bigint)"))
           .as("unit_cents"))
       val minPP = offers.groupBy(col("l_partkey").as("mp_partkey"))
         .agg(min(col("unit_cents")).as("min_cents"))
-      val p = Tables.part(s, d)
-        .filter(col("p_size") === 9 && col("p_type") === "STANDARD")
-        .select(col("p_partkey"), col("p_name"))
       val eur = Tables.supplier(s, d)
         .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
         .join(Tables.region(s, d).filter(col("r_name") === "EUROPE"),
@@ -243,7 +250,16 @@ object TpchQueries2 {
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
         .select(col("l_orderkey"), col("l_suppkey")).distinct()
         .localCheckpoint()
-      val allSO = l.select(col("l_orderkey").as("b_ok"), col("l_suppkey").as("b_sk"))
+      // The EXISTS probe only ever looks up orders that HAVE a late
+      // line — restrict the all-(order, supplier) pairs to late
+      // orderkeys before the distinct, so the dedup shuffle carries
+      // late-order lineitems only, not the whole table. Catalyst can't
+      // infer this reduction across the semi join (the checkpoint hides
+      // the provenance), so it's stated explicitly.
+      val allSO = l
+        .join(late.select(col("l_orderkey").as("lo")).distinct(),
+          col("l_orderkey") === col("lo"), "left_semi")
+        .select(col("l_orderkey").as("b_ok"), col("l_suppkey").as("b_sk"))
         .distinct()
       val withOther = late.join(allSO,
         col("l_orderkey") === col("b_ok") && col("l_suppkey") =!= col("b_sk"),
@@ -275,7 +291,7 @@ object TpchQueries2 {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |WHERE p_size = 9 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+        |WHERE p_size <= 25 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
         |  AND unit_cents = (SELECT min(unit_cents) FROM offers o2
         |                    WHERE o2.l_partkey = offers.l_partkey)
         |ORDER BY acctbal_cents DESC, s_name, p_partkey LIMIT 100""".stripMargin,
