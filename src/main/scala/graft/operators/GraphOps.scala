@@ -5,27 +5,32 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 /** Gelly-style graph algorithms (SURVEY §2.8) over (vertices, edges)
-  * DataFrames — the GraphFrames pattern: iterative driver loop, each
-  * superstep a join + aggregation.
+  * DataFrames — each superstep a join + aggregation, looped through
+  * [[Iterate]] (bulk for fixed-count algorithms, delta for
+  * propagation algorithms where only changed vertices matter).
   *
   * Reference: `flink-libraries/flink-gelly/.../Graph.java:87`,
   * library algorithms `graph/library/` (ConnectedComponents, PageRank
   * in `linkanalysis/`), vertex-centric iteration `pregel/`.
   *
-  * Scale notes: each superstep shuffles on vertex id; each iteration's
-  * result is localCheckpoint()ed — EAGER materialization that also
-  * TRUNCATES the logical lineage. persist() alone is not enough for
-  * iterative jobs: the logical plan still grows by one
+  * Scale notes: each superstep shuffles on vertex id; Iterate
+  * localCheckpoint()s every superstep result — EAGER materialization
+  * that also TRUNCATES the logical lineage. persist() alone is not
+  * enough for iterative jobs: the logical plan still grows by one
   * join+agg+project per superstep and Catalyst replans the whole
   * history every iteration (measured: a 15-iteration pageRank spent
   * minutes inside the optimizer on a 4-vertex graph). Static inputs
   * (edges) stay persist()ed; superseded checkpoint RDDs are freed by
-  * the ContextCleaner. Flink's native BSP iterations are a documented
-  * non-goal (SURVEY §7.4).
+  * the ContextCleaner.
   */
 object GraphOps {
 
-  /** Connected components by iterative min-label propagation.
+  /** Connected components by min-label propagation, as a DELTA
+    * iteration ([[Iterate.delta]], the reference's iterateDelta form —
+    * `Graph.java run(ConnectedComponents)` uses exactly this): the
+    * workset holds only vertices whose label just changed, so a
+    * mostly-converged graph shuffles a few hot frontiers per
+    * superstep instead of every vertex.
     * vertices: (id: Long); edges: (src: Long, dst: Long), undirected.
     * Returns (id, component) where component = min vertex id reachable. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
@@ -33,25 +38,19 @@ object GraphOps {
     val bidir = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = vertices.select(col("id"), col("id").as("component"))
-      .localCheckpoint()
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIter) {
-      // candidate label per vertex: min over own and neighbors' labels
-      val viaNeighbors = bidir
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("component")).as("nbr_min"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"))
-        .localCheckpoint() // eager + lineage cut (see scale notes)
-      changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") < col("old")).count()
-      labels = next
-      i += 1
+    val init = vertices.select(col("id"), col("id").as("component"))
+    val labels = Iterate.delta(init, init, Seq("id"), maxIter) {
+      (solution, workset) =>
+        // changed vertices broadcast their label; a vertex joins the
+        // delta only if some neighbor's label beats its current one
+        val candidates = bidir
+          .join(workset.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id"))
+          .agg(min(col("component")).as("cand"))
+        val delta = candidates.join(solution, "id")
+          .filter(col("cand") < col("component"))
+          .select(col("id"), col("cand").as("component"))
+        (delta, delta)
     }
     bidir.unpersist()
     labels
@@ -68,25 +67,23 @@ object GraphOps {
       .agg(count(lit(1)).as("deg"))
     val withDeg = edges.join(outDeg.withColumnRenamed("id", "src"), "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var ranks = vertices.select(col("id"), lit(1.0 / n).as("rank"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
+    val init = vertices.select(col("id"), lit(1.0 / n).as("rank"))
+    val ranks = Iterate.bulk(init, iters) { (r, _) =>
       val contribs = withDeg
-        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(r.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") / col("deg")).as("contrib"))
       // dangling vertices contribute their rank uniformly
-      val danglingMass = ranks
+      val danglingMass = r
         .join(outDeg, Seq("id"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
-      ranks = vertices.select(col("id"))
+      vertices.select(col("id"))
         .join(contribs, Seq("id"), "left_outer")
         .select(col("id"),
           (lit((1 - damping) / n) +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
               lit(danglingMass / n))).as("rank"))
-        .localCheckpoint() // eager + lineage cut (see scale notes)
-    }
+    }()
     withDeg.unpersist()
     ranks
   }
@@ -115,34 +112,28 @@ object GraphOps {
   }
 
   /** Single-source shortest paths (Gelly
-    * `library/SingleSourceShortestPaths.java`): iterative edge
-    * relaxation. edges: (src, dst, weight: Double), directed. Returns
-    * (id, dist) for reachable vertices. */
+    * `library/SingleSourceShortestPaths.java`): Bellman-Ford edge
+    * relaxation as a DELTA iteration — only vertices whose distance
+    * just improved relax their out-edges in the next superstep.
+    * edges: (src, dst, weight: Double), directed. Returns (id, dist)
+    * for reachable vertices. */
   def shortestPaths(vertices: DataFrame, edges: DataFrame, source: Long,
                     maxIter: Int = 20): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("weight"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var dist = vertices.select(col("id"),
-        when(col("id") === source, 0.0).as("dist")) // null = unreachable
-      .localCheckpoint()
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIter) {
-      val relaxed = e
-        .join(dist.filter(col("dist").isNotNull).withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("dist") + col("weight")).as("via"))
-      val next = dist.join(relaxed, Seq("id"), "left_outer")
-        .select(col("id"),
-          when(col("dist").isNull, col("via"))
-            .otherwise(when(col("via") < col("dist"), col("via"))
-              .otherwise(col("dist"))).as("dist"))
-        .localCheckpoint() // eager + lineage cut (see scale notes)
-      changed = next.join(dist.withColumnRenamed("dist", "old"), "id")
-        .filter(col("dist").isNotNull &&
-          (col("old").isNull || col("dist") < col("old"))).count()
-      dist = next
-      i += 1
+    val init = vertices.select(col("id"),
+      when(col("id") === source, 0.0).as("dist")) // null = unreachable
+    val ws0 = init.filter(col("dist").isNotNull)
+    val dist = Iterate.delta(init, ws0, Seq("id"), maxIter) {
+      (solution, workset) =>
+        val relaxed = e
+          .join(workset.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id"))
+          .agg(min(col("dist") + col("weight")).as("via"))
+        val delta = relaxed.join(solution, "id")
+          .filter(col("dist").isNull || col("via") < col("dist"))
+          .select(col("id"), col("via").as("dist"))
+        (delta, delta)
     }
     e.unpersist()
     dist.filter(col("dist").isNotNull)
@@ -157,20 +148,18 @@ object GraphOps {
     val bidir = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = vertices.select(col("id"), col("id").as("label"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
+    val init = vertices.select(col("id"), col("id").as("label"))
+    val labels = Iterate.bulk(init, iters) { (ls, _) =>
       val freq = bidir
-        .join(labels.withColumnRenamed("id", "src"), "src")
+        .join(ls.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"), col("label"))
         .agg(count(lit(1)).as("f"))
       // most frequent neighbor label, ties to the smallest label
       val top = freq.groupBy(col("id"))
         .agg(max_by(col("label"), struct(col("f"), -col("label"))).as("nbr_label"))
-      labels = labels.join(top, Seq("id"), "left_outer")
+      ls.join(top, Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("nbr_label"), col("label")).as("label"))
-        .localCheckpoint() // eager + lineage cut (see scale notes)
-    }
+    }()
     bidir.unpersist()
     labels
   }
@@ -215,12 +204,12 @@ object GraphOps {
       .union(edges.select(col("dst").as("src"), col("src").as("dst"),
         col("weight")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var state = vertices.select(col("id"), col("id").as("label"),
-        lit(1.0).as("score"))
-      .localCheckpoint()
-    for (step <- 1 to maxIter) {
+    val init = vertices.select(col("id"), col("id").as("label"),
+      lit(1.0).as("score"))
+    val state = Iterate.bulk(init, maxIter) { (st, i) =>
+      val step = i + 1 // reference supersteps are 1-based
       val msgs = bidir
-        .join(state.withColumnRenamed("id", "src"), "src")
+        .join(st.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("label"),
           (col("score") * col("weight")).as("s"))
       val perLabel = msgs.groupBy(col("id"), col("label"))
@@ -228,8 +217,7 @@ object GraphOps {
       val best = perLabel.groupBy(col("id"))
         .agg(max_by(struct(col("label"), col("mx")),
           struct(col("tot"), (-col("label")).as("nl"))).as("b"))
-      state = state
-        .join(best, Seq("id"), "left_outer")
+      st.join(best, Seq("id"), "left_outer")
         .select(col("id"),
           coalesce(col("b.label"), col("label")).as("newLabel"),
           when(col("b.label").isNull, col("score"))
@@ -237,8 +225,7 @@ object GraphOps {
               when(col("b.label") =!= col("label"), delta / step)
                 .otherwise(0.0)).as("score"))
         .withColumnRenamed("newLabel", "label")
-        .localCheckpoint() // eager + lineage cut (see scale notes)
-    }
+    }()
     bidir.unpersist()
     state.select(col("id"), col("label"))
   }
@@ -258,16 +245,15 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-    var scores = verts
+    val init = verts
       .select(col("id"), lit(1.0).as("hub"), lit(1.0).as("auth"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
+    val scores = Iterate.bulk(init, iters) { (sc, _) =>
       // Norms guarded twice: sum() over zero rows is null (NPE on
       // getDouble with an empty edge set), and a zero norm would turn
       // every score into NaN and poison all later iterations — divide
       // only when the norm is positive.
       val authRaw = e
-        .join(scores.select(col("id").as("src"), col("hub")), "src")
+        .join(sc.select(col("id").as("src"), col("hub")), "src")
         .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("a"))
       val authN = math.sqrt(
         authRaw.agg(coalesce(sum(col("a") * col("a")), lit(0.0)))
@@ -282,13 +268,12 @@ object GraphOps {
       val hubN = math.sqrt(
         hubRaw.agg(coalesce(sum(col("h") * col("h")), lit(0.0)))
           .head().getDouble(0))
-      scores = verts.join(hubRaw, Seq("id"), "left_outer")
+      verts.join(hubRaw, Seq("id"), "left_outer")
         .join(auth, "id")
         .select(col("id"),
           (if (hubN > 0) coalesce(col("h"), lit(0.0)) / lit(hubN)
            else lit(0.0)).as("hub"), col("auth"))
-        .localCheckpoint() // eager + lineage cut (see scale notes)
-    }
+    }()
     e.unpersist()
     scores
   }
