@@ -178,6 +178,74 @@ object Retract {
       }
   }
 
+  // ---- changelog INTO A TOP-N (RetractableTopNFunction itself) ------
+
+  /** One refreshed rank row: the current occupant of `rank` within
+    * `pkey`'s top-N (newest emission per (pkey, rank) is current). */
+  case class RankedRow(pkey: String, rank: Int, id: Long, value: Long)
+
+  /** Retractable Top-N (reference `RetractableTopNFunction.java`: a
+    * rank operator downstream of an aggregate must CONSUME
+    * retractions — on UPDATE_BEFORE it removes the old row, possibly
+    * promoting a previously-overtaken row back into the top-N; naive
+    * insert-only ranking can never demote).
+    *
+    * Input: changelog rows (pkey, id, value, delta) — delta +1 asserts
+    * "id currently holds value", -1 retracts a previously asserted
+    * (id, value). State per pkey: the full id → value map (the
+    * reference's data-state SortedMap, same unbounded-below caveat —
+    * every live id must be retained because ANY of them can re-enter
+    * the top-N after a retraction).
+    *
+    * Delta application is ORDER-INDEPENDENT within a batch: deltas are
+    * netted per (id, value) first, net-negative entries remove the
+    * id's current value if it matches, net-positive entries set it.
+    * A shuffled (old,-1)/(new,+1) pair therefore lands identically
+    * regardless of arrival order — the changelog contract survives the
+    * exchange between operators, which is what lets this chain behind
+    * [[countPerUserKeyedChangelog]] without ordering assumptions.
+    *
+    * Emits the refreshed top-N of every touched pkey each batch,
+    * ranked by value desc (ties → smaller id, deterministic). */
+  def retractableTopN(changes: Dataset[(String, Long, Long, Long)],
+                      n: Int): Dataset[RankedRow] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Long, Long], RankedRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (pkey, rows, state: GroupState[Map[Long, Long]]) =>
+          var cur = state.getOption.getOrElse(Map.empty[Long, Long])
+          rows.toSeq.groupBy(_._2).foreach { case (id, rs) =>
+            val net = rs.groupBy(_._3).view
+              .mapValues(_.map(_._4).sum).toMap
+            net.foreach { case (value, d) =>
+              if (d < 0 && cur.get(id).contains(value)) cur -= id
+            }
+            net.foreach { case (value, d) => if (d > 0) cur += id -> value }
+          }
+          state.update(cur)
+          cur.toSeq.sortBy { case (id, v) => (-v, id) }.take(n)
+            .zipWithIndex.map { case ((id, v), i) =>
+              RankedRow(pkey, i + 1, id, v)
+            }.iterator
+      }
+  }
+
+  /** The full reference flow StreamExecGroupAggregate →
+    * StreamExecRank in AccRetract mode: per-user event counts as a
+    * keyed changelog feeding the retractable Top-N ("most active
+    * users"). A user overtaking another DEMOTES them — visible only
+    * because the rank operator consumed the retraction. */
+  def topUsersByCount(events: Dataset[Event], n: Int): Dataset[RankedRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    retractableTopN(
+      countPerUserKeyedChangelog(events)
+        .map(c => ("all", c.user_id, c.bucket, c.delta)), n)
+  }
+
   // ---- pattern 2: foreachBatch + MERGE ------------------------------
 
   /** Create the keyed inner-result table (idempotent). */

@@ -98,4 +98,30 @@ class RetractSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(after2 == Map(1L -> 2L, 3L -> 1L)) // u1 no longer double-counted
   }
+
+  test("retractable top-n demotes overtaken rows and re-promotes on retraction") {
+    val spark2 = spark; import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = Retract.topUsersByCount(ms.toDS(), n = 2)
+      .writeStream.format("memory").queryName("rtopn").outputMode("append").start()
+    def top2(): List[(Long, Long)] = {
+      // newest emission per rank = current occupant
+      val rows = spark.table("rtopn").collect()
+        .map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).zipWithIndex
+      rows.groupBy(_._1._1).toList.sortBy(_._1)
+        .map { case (_, vs) => val r = vs.maxBy(_._2)._1; (r._2, r._3) }
+    }
+    // batch 1: u1 ×3, u2 ×2, u3 ×1 → top2 = u1(3), u2(2)
+    ms.addData((1L to 3L).map(i => ev(i, 1)) ++
+      (4L to 5L).map(i => ev(i, 2)) :+ ev(6L, 3): _*)
+    q.processAllAvailable()
+    assert(top2() == List((1L, 3L), (2L, 2L)), s"after b1: ${top2()}")
+    // batch 2: u3 ×3 → u3(4) overtakes; u2 DEMOTED out of the top-2 —
+    // only visible because the rank consumed u3's bucket retractions
+    ms.addData((7L to 9L).map(i => ev(i, 3)): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(top2() == List((3L, 4L), (1L, 3L)), s"after b2: ${top2()}")
+  }
 }
