@@ -28,13 +28,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * timed-out side output, approximated as a tagged second stream —
   * SURVEY §7.3).
   *
-  * Strictness caveat (non-branching NFA): `next` is exact when the
-  * preceding step is non-looping — the partial sits at the strict head
-  * exactly when the previous event bound the prior step, so a
-  * non-matching event kills it. After a looping step (`A+ next B`) the
-  * loop keeps the partial at the loop index, so strictness degrades to
-  * relaxed there (Flink's shared-buffer NFA branches; this engine
-  * follows skip-till-next with a single branch per start).
+  * Strict contiguity is EXACT everywhere, including after loops and
+  * optionals (`A+ next B`, `A B? next C`): strict heads are only
+  * observable by partials POSITIONED at them when an event arrives.
+  * Whenever a bind leaves a strict step reachable (the loop "might end
+  * here", an optional "might stay unbound"), the NFA arms an explicit
+  * branch at that strict head — the materialized form of Flink's
+  * shared-buffer branching (bindings are copied instead of shared; one
+  * armed branch per loop occurrence, which the immediately-next event
+  * either completes or kills). A partial that merely DRIFTS into a
+  * strict head by skipping satisfied/optional steps on a later event
+  * is retained where it stood (or dies, if nothing it skipped can ever
+  * bind again) — it never binds the strict step relaxed.
   *
   * Scale notes: pattern matching is keyed — partials live per key and
   * are pruned by `within`, so state is bounded by (open partials ×
@@ -151,9 +156,11 @@ object Cep {
     * output).
     *
     * Skip-till-next-match: a partial ignores non-matching events and
-    * takes the first matching one (no branching). A final `oneOrMore`
-    * step emits on its first occurrence (non-greedy); a non-final one
-    * accumulates until a later step matches. */
+    * takes the first matching one. Branching happens only where
+    * strictness demands it: binds that leave a strict head reachable
+    * arm an explicit branch there (see the object doc). A final
+    * `oneOrMore` step emits on its first occurrence (non-greedy); a
+    * non-final one accumulates until a later step matches. */
   def advance[T](pattern: Pattern[T], partials: List[PartialMatch[T]],
                  events: Iterator[(Long, T)],
                  skip: AfterMatchSkip = NoSkip)
@@ -204,14 +211,59 @@ object Cep {
         var committed = p.stepIdx
         var closed = p.closedLoops
         var skippedOpt = false // advanced past an optional/satisfied-loop step
+        // whether anything skipped this event can still bind later —
+        // if not, a retained partial would be a zombie (see strict
+        // skip-arrival below, where it dies instead)
+        var rebindable = false
+        // Arm explicit branches at strict heads reachable from `from`
+        // by skipping optional steps: the "loop ended here" / "the
+        // optional stays unbound" alternatives must OBSERVE the
+        // immediately-next event, which the single drifting partial
+        // cannot. `includeFrom` = the `from` position itself needs a
+        // branch (loop end; for a plain bind the partial lands there
+        // naturally). Scan stops at the first non-optional step — a
+        // strict guard or bindable step beyond it is not reachable by
+        // skips until that step resolves.
+        def armStrict(from: Int, bound: Map[String, List[T]],
+                      cls: Set[Int], includeFrom: Boolean): Unit = {
+          var j = from
+          var go = true
+          while (go && j < pattern.steps.size) {
+            val sj = pattern.steps(j)
+            if (sj.strict && (includeFrom || j > from))
+              next += PartialMatch(j, p.startUs, bound, cls)
+            go = sj.optional
+            j += 1
+          }
+        }
         while (i < pattern.steps.size) {
           val st = pattern.steps(i)
           if (st.negated) {
+            if (st.strict && skippedOpt) {
+              // a strict one-event guard reached by drifting on a later
+              // event: its window already passed (the armed branch saw
+              // it) — hold position, never re-evaluate the guard
+              if (retain && rebindable)
+                next += PartialMatch(committed, p.startUs, p.bindings, closed)
+              return
+            }
             if (st.pred(e, p.bindings)) return // guard violated: partial dies
             i += 1
             if (st.strict) committed = i // notNext: passed for good
             // notFollowedBy: committed stays — the guard re-arms until
             // the following step binds; this event may bind it below.
+          } else if (st.strict && skippedOpt && !st.optional) {
+            // strict heads never bind via drift (relaxed would leak in);
+            // the branch armed at bind time handles the legal case
+            if (retain && rebindable)
+              next += PartialMatch(committed, p.startUs, p.bindings, closed)
+            return
+          } else if (st.strict && skippedOpt && st.optional) {
+            // an optional strict step reached by drift: can't bind (its
+            // armed branch owns the immediate-successor case) but CAN
+            // stay unbound — step over it; not rebindable by this
+            // partial (drifting can never bind a strict step)
+            i += 1
           } else {
           val cnt = p.bindings.getOrElse(st.name, Nil).size
           if (st.oneOrMore && !closed(i) && st.untilPred.exists(_(e, p.bindings))) {
@@ -235,8 +287,18 @@ object Cep {
                 out += bound
                 completed = true
                 completedStarts += p.startUs
-              } else next += PartialMatch(
-                if (looping) i else nextIdx, p.startUs, bound, closed)
+              } else if (looping) {
+                next += PartialMatch(i, p.startUs, bound, closed)
+                // the loop may also END at this occurrence: strict
+                // heads after it must observe the immediately-next
+                // event — arm the loop-ended branch(es) now
+                armStrict(nextIdx, bound, closed + i, includeFrom = true)
+              } else {
+                next += PartialMatch(nextIdx, p.startUs, bound, closed)
+                // strict heads hiding behind skippable optionals (the
+                // partial itself lands at nextIdx, which needs no arm)
+                armStrict(nextIdx, bound, closed, includeFrom = false)
+              }
             }
             return
           } else if (st.optional || (st.oneOrMore && cnt > 0) ||
@@ -244,6 +306,8 @@ object Cep {
             // consecutive(): the first non-matching event closes an
             // open loop for good — later occurrences cannot resume it.
             if (st.loopConsecutive && cnt > 0 && !closed(i)) closed += i
+            else if (st.optional || !closed(i))
+              rebindable = true // optional / open loop may bind later
             i += 1 // skippable: optional, or looping step already satisfied
             skippedOpt = true
           } else {
@@ -251,9 +315,8 @@ object Cep {
             // is broken and can never reach times(m) — partial dies.
             if (st.loopConsecutive && cnt > 0) return
             // Strict head not matched by the immediately-next event:
-            // the partial dies — unless the strict step was only
-            // reached by skipping optional/loop steps this event (the
-            // non-branching approximation documented above).
+            // the partial dies (drift arrivals were already diverted
+            // above, so reaching here positioned-and-strict is fatal).
             if (st.strict && !skippedOpt) return
             if (retain) // keep waiting
               next += PartialMatch(committed, p.startUs, p.bindings, closed)

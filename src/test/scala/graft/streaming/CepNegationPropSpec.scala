@@ -154,4 +154,47 @@ class CepNegationPropSpec extends AnyFunSuite {
       got == expected
     })
   }
+
+  test("strict next AFTER a loop (A+ next B) equals brute-force branch matching") {
+    check(Prop.forAll(genCase(Gen.oneOf("A", "B", "C"))) { case (raw, w) =>
+      val evs = mkEvents(raw)
+      val pat = Cep.Pattern.begin[Ev]("a")((e, _) => e.typ == "A")
+        .oneOrMore
+        .next("b")((e, _) => e.typ == "B")
+        .within(w)
+      val (done, _, _) =
+        Cep.advance(pat, Nil, evs.map(e => (e.ts, e)).iterator)
+      val got = done.map(m => (m("a").map(_.id), m("b").head.id)).toSet
+
+      // brute force over the branch space: a match starts at some A
+      // (index i0), the relaxed loop binds EVERY A (skip-till-next)
+      // from i0 through some later A at index j — and the loop "ends"
+      // at j only legally if evs(j+1) is the B, since B is strict-next
+      // after the loop's last binding. Window bounds the whole match
+      // (expiry happens before binding, so the B must be within too).
+      val expected = (for {
+        (a0, i0) <- evs.zipWithIndex if a0.typ == "A"
+        j <- i0 until evs.length if evs(j).typ == "A"
+        if j + 1 < evs.length && evs(j + 1).typ == "B"
+        if evs(j + 1).ts - a0.ts <= w
+        loop = (i0 to j).map(evs(_)).filter(_.typ == "A")
+      } yield (loop.map(_.id).toList, evs(j + 1).id)).toSet
+      got == expected
+    })
+  }
+
+  test("A+ consecutive next B: only an unbroken run ending right before B matches") {
+    // events: A A X A B — the X breaks the consecutive run, so the
+    // armed strict branches from the first run die at X and the
+    // closed-loop partial can never reach B; only the run that starts
+    // AFTER the break (the single A before B) matches.
+    val evs = mkEvents(List((1L, "A"), (2L, "A"), (3L, "X"), (4L, "A"), (5L, "B")))
+    val pat = Cep.Pattern.begin[Ev]("a")((e, _) => e.typ == "A")
+      .oneOrMore.consecutive
+      .next("b")((e, _) => e.typ == "B")
+      .within(100L)
+    val (done, _, _) = Cep.advance(pat, Nil, evs.map(e => (e.ts, e)).iterator)
+    val got = done.map(m => (m("a").map(_.id), m("b").head.id)).toSet
+    assert(got == Set((List(3L), 4L)), s"matches: $got")
+  }
 }
