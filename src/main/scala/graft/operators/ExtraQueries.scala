@@ -158,11 +158,17 @@ object ExtraQueries {
       val cust = Tables.customer(s, d)
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
         .select(col("c_custkey"), col("cust_nation"))
+      // orders joins its (nation-filtered, ~2/25) customer side FIRST,
+      // so only qualifying orders reach the big lineitem join — the
+      // same dim-reduction-below-the-fact rule as the supplier side;
+      // joining full orders and filtering by customer after would
+      // shuffle 12× the orders rows for identical output.
+      val qualOrders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
       Tables.lineitem(s, d)
         .join(sup, col("l_suppkey") === col("s_suppkey"))
-        .join(Tables.orders(s, d),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(qualOrders, col("l_orderkey") === col("o_orderkey"))
         .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
                 (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
         .groupBy(col("supp_nation"), col("cust_nation"),
