@@ -164,10 +164,15 @@ class PlanShapeSpec extends SparkSpec {
       s"top-100 did not plan as TakeOrdered:\n$plan")
   }
 
-  test("q107 (TPC-H Q21) double correlation plans as semi + anti joins") {
+  test("q107 (TPC-H Q21) decorrelates to one aggregate pass over lineitem") {
     val plan = formatted("q107_tpch_q21")
-    assert(plan.contains("LeftSemi"), s"EXISTS not a semi join:\n$plan")
-    assert(plan.contains("LeftAnti"), s"NOT EXISTS not an anti join:\n$plan")
+    // the EXISTS + NOT EXISTS pair is rewritten to two aggregate
+    // levels: exactly ONE lineitem scan (no late-set self-joins), no
+    // countDistinct Expand (the (order, supplier) pre-aggregate
+    // carries max(shipdate) with map-side combine instead)
+    val scans = "lineitem\\.parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"lineitem scanned $scans times:\n$plan")
+    assert(!plan.contains("Expand"), s"distinct-agg expand crept back:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
 
