@@ -222,6 +222,49 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Duplicated-span coverage (the Lee et al. "Deduplicating
+    // Training Data" diagnostic): per document, the fraction of its
+    // distinct 4-token shingles that occur in at least one OTHER
+    // document — the span-level contamination a document-level dedup
+    // misses. SCALE NOTE: unlike pair-generating LSH (q66), the
+    // per-shingle df is one aggregate row per shingle — no pair
+    // blowup, no df-cap needed; two bounded shuffles (shingle df,
+    // doc rollup).
+    "q108_dup_span" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextQueries.shingles4(col("text"))).as("sh"))
+        .distinct()
+      val dfTab = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      sh.join(dfTab, "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+          expr("n_dup * 1000000L div n_shingles").as("dup_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cross-source overlap matrix: distinct 4-token shingles shared
+    // by each source pair — the corpus-level contamination view
+    // (which crawls/dumps duplicate each other). SCALE NOTE: the join
+    // key is the shingle and each shingle appears in at most
+    // |sources| rows per side, so the self-join fans out at most
+    // |sources|²/2 per shingle — bounded by a catalog constant, not
+    // the data.
+    "q109_source_overlap" -> ((s, d) => {
+      val ss = Tables.documents(s, d)
+        .select(col("source"),
+          explode(TextQueries.shingles4(col("text"))).as("sh"))
+        .distinct()
+      ss.select(col("source").as("src_a"), col("sh"))
+        .join(ss.select(col("source").as("src_b"), col("sh")), Seq("sh"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // Vocabulary building: corpus-wide token frequency + document
     // frequency, top 100 by tf (ties → lexicographic). One shuffle on
     // token with map-side partial agg; the global rank runs over the
@@ -359,6 +402,27 @@ object PipelineQueries {
          |    FROM documents WHERE source <> 'src0'))
          |SELECT doc_id, count(*)::BIGINT AS n_shared
          |FROM corpus JOIN bench USING (sh)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q108_dup_span" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(${TextQueries.shinglesSql}) AS sh
+         |    FROM documents)),
+         |df AS (SELECT sh, count(*)::BIGINT AS df FROM sh GROUP BY sh)
+         |SELECT doc_id, count(*)::BIGINT AS n_shingles,
+         |  sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+         |  (sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 1000000
+         |     // count(*))::BIGINT AS dup_ppm
+         |FROM sh JOIN df USING (sh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q109_source_overlap" ->
+      s"""WITH ss AS (
+         |  SELECT DISTINCT source, sh FROM (
+         |    SELECT source, unnest(${TextQueries.shinglesSql}) AS sh
+         |    FROM documents))
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  count(*)::BIGINT AS n_shared
+         |FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
