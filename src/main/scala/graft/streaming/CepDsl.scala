@@ -15,9 +15,14 @@ package graft.streaming
   *             | ">"   — strict contiguity (next)
   *             | "!"   — relaxed negation (notFollowedBy)
   *             | "!>"  — strict negation (notNext)
-  *   quant    := "?" | "+" | "{n}" | "{m,n}"
+  *   quant    := "?" | "+" | "++" | "{n}" | "{m,n}"
   *   duration := <int>("us"|"ms"|"s"|"m"|"h"|"d")?   (default us)
   * }}}
+  *
+  * `+` is a relaxed loop (Pattern-API `oneOrMore`, accumulates across
+  * gaps); `++` is the consecutive loop (`oneOrMore.consecutive`) —
+  * the faithful transcription of SQL MATCH_RECOGNIZE's `A+`, whose
+  * quantifier adjacency is strict.
   *
   * Each NAME is bound to its predicate from the `preds` map — the DSL
   * analog of MATCH_RECOGNIZE's DEFINE clause. SQL's `PATTERN (A B)`
@@ -36,7 +41,7 @@ package graft.streaming
 object CepDsl {
 
   private val StepRe =
-    """((?:!>?|>)?)([A-Za-z_][A-Za-z0-9_]*)((?:\?|\+|\{\d+(?:,\d+)?\})?)""".r
+    """((?:!>?|>)?)([A-Za-z_][A-Za-z0-9_]*)((?:\?|\+\+?|\{\d+(?:,\d+)?\})?)""".r
   private val DurRe = """(\d+)(us|ms|s|m|h|d)?""".r
 
   /** Parse a duration literal to microseconds. */
@@ -75,6 +80,7 @@ object CepDsl {
       case ""  => p
       case "?" => p.optional
       case "+" => p.oneOrMore
+      case "++" => p.oneOrMore.consecutive
       case q if q.startsWith("{") =>
         val inner = q.substring(1, q.length - 1)
         inner.split(",") match {

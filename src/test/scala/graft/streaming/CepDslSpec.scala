@@ -84,6 +84,18 @@ class CepDslSpec extends AnyFunSuite with graft.SparkSpec {
     assert(gotOpt == List((None, 1L)))
   }
 
+  test("consecutive loop: A B++ C stops accumulating at the first gap") {
+    // B B X B: the relaxed loop would take all three Bs; the
+    // consecutive loop is closed by the X, so only the first run binds
+    val e = evs(0L -> "A", 1L -> "B", 2L -> "B", 3L -> "X", 4L -> "B", 5L -> "C")
+    val got = run(CepDsl.compileSimple("A B++ C", simple), e)
+      .map(m => (m("B").map(_.id), m("C").head.id))
+    assert(got == List((List(1L, 2L), 5L)), s"matches: $got")
+    val gotRelaxed = run(CepDsl.compileSimple("A B+ C", simple), e)
+      .map(m => (m("B").map(_.id), m("C").head.id))
+    assert(gotRelaxed == List((List(1L, 2L, 4L), 5L)), s"matches: $gotRelaxed")
+  }
+
   test("rejects malformed patterns") {
     intercept[IllegalArgumentException](
       CepDsl.compileSimple("A NOPE", simple)) // undefined name
