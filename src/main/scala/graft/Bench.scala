@@ -42,7 +42,8 @@ object Bench {
     "q91_tpch_q19",       // disjunctive multi-column predicate join
     "q100_tpch_q2",       // per-(part,supp) min-cost correlation (Q2)
     "q103_tpch_q9",       // profit decomposition, 4-way join (Q9)
-    "q107_tpch_q21")      // EXISTS + NOT EXISTS double correlation (Q21)
+    "q107_tpch_q21",      // decorrelated double-EXISTS (Q21)
+    "q108_dup_span")      // duplicated-span coverage (shingle df rollup)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
