@@ -23,7 +23,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `times(n)` (Pattern.java:382), `until` (Pattern.java:220 — closes a
   * looping step; the closing event is not consumed by the loop),
   * `within` time bound, after-match skip strategies (cep/nfa/
-  * aftermatch/): NO_SKIP, SKIP_PAST_LAST_EVENT, SKIP_TO_NEXT, and
+  * aftermatch/): NO_SKIP, SKIP_PAST_LAST_EVENT, SKIP_TO_NEXT,
+  * SKIP_TO_FIRST/SKIP_TO_LAST(step), and
   * timed-out partial matches returned as a third output (Flink's
   * timed-out side output, approximated as a tagged second stream —
   * SURVEY §7.3).
@@ -60,6 +61,16 @@ object Cep {
   /** Discard partials that started at the same event as the completed
     * match (SkipToNextStrategy.java). */
   case object SkipToNext extends AfterMatchSkip
+  /** Discard partials that started strictly before the FIRST event the
+    * completed match bound to step `name`
+    * (SkipToFirstStrategy.java via SkipToElementStrategy.shouldPrune:
+    * start < pruningId; partials starting AT the boundary survive).
+    * A match without the step bound (optional) prunes nothing — the
+    * reference's non-throwing variant. */
+  case class SkipToFirst(name: String) extends AfterMatchSkip
+  /** Same with the LAST bound occurrence of step `name`
+    * (SkipToLastStrategy.java). */
+  case class SkipToLast(name: String) extends AfterMatchSkip
 
   /** A pattern step; `pred` is an iterative condition — it sees the
     * candidate event and the events bound so far (Flink
@@ -145,10 +156,14 @@ object Cep {
   }
 
   /** `closedLoops` = indices of oneOrMore steps shut by their `until`
-    * condition (no further accumulation allowed). */
+    * condition (no further accumulation allowed). `bindTs` mirrors
+    * `bindings` with each bound event's timestamp — the pattern-
+    * relative skip strategies (SkipToFirst/SkipToLast) prune against
+    * a named step's binding time. */
   case class PartialMatch[T](stepIdx: Int, startUs: Long,
                              bindings: Map[String, List[T]],
-                             closedLoops: Set[Int] = Set.empty)
+                             closedLoops: Set[Int] = Set.empty,
+                             bindTs: Map[String, List[Long]] = Map.empty)
 
   /** Run the NFA over one key's events (must be fed in event-time
     * order). Returns (completed matches, surviving partials, timed-out
@@ -200,6 +215,8 @@ object Cep {
       val next = List.newBuilder[PartialMatch[T]]
       var completed = false
       var completedStarts = Set.empty[Long]
+      // SkipToFirst/SkipToLast boundary: max over this event's matches
+      var pruneTs = Long.MinValue
       // Advance one partial by this event: bind it, skip past
       // satisfied/optional steps, or keep it waiting. `committed` is
       // where the partial is retained if this event binds nothing —
@@ -225,13 +242,14 @@ object Cep {
         // strict guard or bindable step beyond it is not reachable by
         // skips until that step resolves.
         def armStrict(from: Int, bound: Map[String, List[T]],
-                      cls: Set[Int], includeFrom: Boolean): Unit = {
+                      cls: Set[Int], boundTs: Map[String, List[Long]],
+                      includeFrom: Boolean): Unit = {
           var j = from
           var go = true
           while (go && j < pattern.steps.size) {
             val sj = pattern.steps(j)
             if (sj.strict && (includeFrom || j > from))
-              next += PartialMatch(j, p.startUs, bound, cls)
+              next += PartialMatch(j, p.startUs, bound, cls, boundTs)
             go = sj.optional
             j += 1
           }
@@ -244,7 +262,8 @@ object Cep {
               // event: its window already passed (the armed branch saw
               // it) — hold position, never re-evaluate the guard
               if (retain && rebindable)
-                next += PartialMatch(committed, p.startUs, p.bindings, closed)
+                next += PartialMatch(committed, p.startUs, p.bindings, closed,
+                  p.bindTs)
               return
             }
             if (st.pred(e, p.bindings)) return // guard violated: partial dies
@@ -256,7 +275,8 @@ object Cep {
             // strict heads never bind via drift (relaxed would leak in);
             // the branch armed at bind time handles the legal case
             if (retain && rebindable)
-              next += PartialMatch(committed, p.startUs, p.bindings, closed)
+              next += PartialMatch(committed, p.startUs, p.bindings, closed,
+                p.bindTs)
             return
           } else if (st.strict && skippedOpt && st.optional) {
             // an optional strict step reached by drift: can't bind (its
@@ -275,9 +295,11 @@ object Cep {
                      st.pred(e, p.bindings)) {
             val bound = p.bindings.updated(st.name,
               p.bindings.getOrElse(st.name, Nil) :+ e)
+            val boundTs = p.bindTs.updated(st.name,
+              p.bindTs.getOrElse(st.name, Nil) :+ tsUs)
             val newCnt = cnt + 1
             if (newCnt < st.times) { // times(n)/times(m,_): need more
-              next += PartialMatch(i, p.startUs, bound, closed)
+              next += PartialMatch(i, p.startUs, bound, closed, boundTs)
             } else {
               // looping steps stay at i to accumulate: oneOrMore
               // unbounded, times(m,n) until n occurrences
@@ -287,17 +309,26 @@ object Cep {
                 out += bound
                 completed = true
                 completedStarts += p.startUs
+                // pattern-relative skip boundary: the first/last ts the
+                // match bound to the strategy's named step
+                skip match {
+                  case SkipToFirst(n) =>
+                    boundTs.get(n).foreach(ts => pruneTs = pruneTs max ts.head)
+                  case SkipToLast(n) =>
+                    boundTs.get(n).foreach(ts => pruneTs = pruneTs max ts.last)
+                  case _ => ()
+                }
               } else if (looping) {
-                next += PartialMatch(i, p.startUs, bound, closed)
+                next += PartialMatch(i, p.startUs, bound, closed, boundTs)
                 // the loop may also END at this occurrence: strict
                 // heads after it must observe the immediately-next
                 // event — arm the loop-ended branch(es) now
-                armStrict(nextIdx, bound, closed + i, includeFrom = true)
+                armStrict(nextIdx, bound, closed + i, boundTs, includeFrom = true)
               } else {
-                next += PartialMatch(nextIdx, p.startUs, bound, closed)
+                next += PartialMatch(nextIdx, p.startUs, bound, closed, boundTs)
                 // strict heads hiding behind skippable optionals (the
                 // partial itself lands at nextIdx, which needs no arm)
-                armStrict(nextIdx, bound, closed, includeFrom = false)
+                armStrict(nextIdx, bound, closed, boundTs, includeFrom = false)
               }
             }
             return
@@ -319,12 +350,14 @@ object Cep {
             // above, so reaching here positioned-and-strict is fatal).
             if (st.strict && !skippedOpt) return
             if (retain) // keep waiting
-              next += PartialMatch(committed, p.startUs, p.bindings, closed)
+              next += PartialMatch(committed, p.startUs, p.bindings, closed,
+                p.bindTs)
             return
           }
           }
         }
-        if (retain) next += PartialMatch(committed, p.startUs, p.bindings, closed)
+        if (retain)
+          next += PartialMatch(committed, p.startUs, p.bindings, closed, p.bindTs)
       }
       // Partials run oldest-first, so the earliest match wins; the skip
       // strategy prunes later partials as soon as a match completes
@@ -334,6 +367,11 @@ object Cep {
         case NoSkip => false
         case SkipPastLastEvent => completed && p.startUs <= tsUs
         case SkipToNext => completedStarts.contains(p.startUs)
+        case SkipToFirst(_) | SkipToLast(_) =>
+          // strictly before the boundary: a partial starting AT the
+          // named step's binding survives (SkipToElementStrategy
+          // shouldPrune: start < pruningId)
+          pruneTs != Long.MinValue && p.startUs < pruneTs
       }
       open.foreach(p => if (!prunedBySkip(p)) step(p, retain = true))
       step(PartialMatch[T](0, tsUs, Map.empty), retain = false)

@@ -99,6 +99,28 @@ class CepAdvancedSpec extends SparkSpec {
     assert(all.size == 3) // NO_SKIP keeps every start
   }
 
+  test("SKIP_TO_FIRST prunes starts before the loop's first binding, keeps at it") {
+    val pat = Cep.Pattern.begin[Event]("v")(isType("view")).oneOrMore
+      .followedBy("p")(isType("purchase"))
+    // starts at t10, t11, t12; first match (start t10) binds v at
+    // {10, 11, 12}... — on SKIP_TO_FIRST("v") the boundary is the
+    // match's FIRST v (t10): same-start partials survive, nothing
+    // earlier exists; on SKIP_TO_LAST("v") the boundary is the last
+    // bound v, pruning the t11 start but keeping the t12 one
+    val evs = Seq(ev(1, 10, 1, "view"), ev(2, 11, 1, "view"),
+                  ev(4, 12, 1, "view"), ev(3, 13, 1, "purchase"))
+    val (first, _, _) = run(pat, Cep.SkipToFirst("v"))(evs: _*)
+    // boundary = t10 → no partial starts before it → like NO_SKIP
+    assert(first.size == 3, s"skipToFirst kept: ${first.map(ids)}")
+    val (last, _, _) = run(pat, Cep.SkipToLast("v"))(evs: _*)
+    // the first completion (start t10) binds v={1,2,4}, last at t12:
+    // the t11 start is pruned, the t12 start survives and completes
+    assert(last.map(ids).toSet == Set(
+      Map("v" -> List(1L, 2L, 4L), "p" -> List(3L)),
+      Map("v" -> List(4L), "p" -> List(3L))),
+      s"skipToLast kept: ${last.map(ids)}")
+  }
+
   test("partials dropped by within are returned as timed-out matches") {
     val pat = Cep.Pattern.begin[Event]("v")(isType("view"))
       .followedBy("p")(isType("purchase"))
