@@ -22,6 +22,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `optional`, `oneOrMore` (accumulates, emits on first completion),
   * `times(n)` (Pattern.java:382), `until` (Pattern.java:220 — closes a
   * looping step; the closing event is not consumed by the loop),
+  * reluctant loops by DEFAULT with a `greedy` opt-out (Pattern.java:520
+  * — every satisfied occurrence also spawns the stopped-loop branch,
+  * so A+ B over A A B yields {A1}B, {A1 A2}B and {A2}B exactly as the
+  * reference NFA; `greedy` keeps only the maximal form),
   * `within` time bound, after-match skip strategies (cep/nfa/
   * aftermatch/): NO_SKIP, SKIP_PAST_LAST_EVENT, SKIP_TO_NEXT,
   * SKIP_TO_FIRST/SKIP_TO_LAST(step), and
@@ -92,7 +96,8 @@ object Cep {
                      untilPred: Option[(T, Map[String, List[T]]) => Boolean] = None,
                      strict: Boolean = false,
                      negated: Boolean = false,
-                     loopConsecutive: Boolean = false)
+                     loopConsecutive: Boolean = false,
+                     greedy: Boolean = false)
 
   case class Pattern[T](steps: Vector[Step[T]], withinUs: Long = Long.MaxValue) {
     def followedBy(name: String)(pred: (T, Map[String, List[T]]) => Boolean): Pattern[T] =
@@ -140,6 +145,18 @@ object Cep {
     def times(m: Int, n: Int): Pattern[T] = {
       require(m >= 1 && n >= m, "times(m,n) needs 1 <= m <= n")
       copy(steps = steps.init :+ steps.last.copy(times = m, timesMax = n))
+    }
+    /** Greedy quantifier (Pattern.java:520 `greedy()`): the loop
+      * emits only its longest form — no "loop stops here" branch per
+      * occurrence. The DEFAULT is the reference's reluctant mode:
+      * every occurrence at-or-past the minimum also spawns a branch
+      * that stops the loop, so A+ B over A A B yields the prefix
+      * matches {A1}B and {A1 A2}B (plus {A2}B from the later start),
+      * exactly as the reference NFA. */
+    def greedy: Pattern[T] = {
+      require(steps.last.oneOrMore || steps.last.timesMax > steps.last.times,
+        "greedy applies to a loop that can vary in length")
+      copy(steps = steps.init :+ steps.last.copy(greedy = true))
     }
     /** Stop condition for a oneOrMore last step (Pattern.java:220):
       * once an event satisfies `pred`, the loop stops accumulating
@@ -288,6 +305,12 @@ object Cep {
           val cnt = p.bindings.getOrElse(st.name, Nil).size
           if (st.oneOrMore && !closed(i) && st.untilPred.exists(_(e, p.bindings))) {
             if (cnt == 0) return // loop can never be satisfied: drop partial
+            // reluctant loop: the stopped-loop branches spawned at each
+            // bind own every continuation (including this very event,
+            // which they are offered independently) — the loop-resident
+            // partial's only job was extending, so it dies here. A
+            // greedy loop has no branches and proceeds itself.
+            if (!st.greedy) return
             closed += i // stop accumulating; event may match a later step
             i += 1
           } else if (!closed(i) &&
@@ -320,10 +343,18 @@ object Cep {
                 }
               } else if (looping) {
                 next += PartialMatch(i, p.startUs, bound, closed, boundTs)
-                // the loop may also END at this occurrence: strict
-                // heads after it must observe the immediately-next
-                // event — arm the loop-ended branch(es) now
-                armStrict(nextIdx, bound, closed + i, boundTs, includeFrom = true)
+                // the loop may also END at this occurrence. Reluctant
+                // (default, as the reference): spawn the stopped-loop
+                // branch so shorter loop forms can complete — A+ B
+                // over A A B yields {A1}B as well as {A1 A2}B. Greedy
+                // skips it UNLESS the head is strict (strictness needs
+                // a positioned observer regardless of greed).
+                if (!st.greedy || pattern.steps(nextIdx).strict)
+                  next += PartialMatch(nextIdx, p.startUs, bound,
+                    closed + i, boundTs)
+                // strict heads hiding deeper behind skippable optionals
+                armStrict(nextIdx, bound, closed + i, boundTs,
+                  includeFrom = false)
               } else {
                 next += PartialMatch(nextIdx, p.startUs, bound, closed, boundTs)
                 // strict heads hiding behind skippable optionals (the
@@ -332,14 +363,31 @@ object Cep {
               }
             }
             return
-          } else if (st.optional || (st.oneOrMore && cnt > 0) ||
+          } else if ((st.oneOrMore && cnt > 0) ||
                      (st.timesMax > st.times && cnt >= st.times)) {
-            // consecutive(): the first non-matching event closes an
-            // open loop for good — later occurrences cannot resume it.
+            // a satisfied loop the event did not extend. Reluctant
+            // (default): the stopped-loop branches own all
+            // continuations — the loop-resident partial either keeps
+            // waiting for more loop events (relaxed gap) or, if the
+            // loop can never extend again (consecutive run broken,
+            // or already closed), dies.
+            if (!st.greedy) {
+              if (st.loopConsecutive || closed(i)) return
+              if (retain)
+                next += PartialMatch(committed, p.startUs, p.bindings, closed,
+                  p.bindTs)
+              return
+            }
+            // greedy: no branches exist — the partial itself proceeds
+            // past the loop (closing a consecutive run for good).
             if (st.loopConsecutive && cnt > 0 && !closed(i)) closed += i
-            else if (st.optional || !closed(i))
-              rebindable = true // optional / open loop may bind later
-            i += 1 // skippable: optional, or looping step already satisfied
+            else if (!closed(i))
+              rebindable = true // open loop may bind later
+            i += 1 // skippable: looping step already satisfied
+            skippedOpt = true
+          } else if (st.optional) {
+            rebindable = true // an optional step may bind later
+            i += 1
             skippedOpt = true
           } else {
             // consecutive() mid-run below the minimum count: the run

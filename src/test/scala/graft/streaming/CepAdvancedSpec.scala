@@ -100,7 +100,9 @@ class CepAdvancedSpec extends SparkSpec {
   }
 
   test("SKIP_TO_FIRST prunes starts before the loop's first binding, keeps at it") {
-    val pat = Cep.Pattern.begin[Event]("v")(isType("view")).oneOrMore
+    // greedy loop: one (maximal) match per start, keeping the skip-
+    // boundary assertions below focused on the strategies themselves
+    val pat = Cep.Pattern.begin[Event]("v")(isType("view")).oneOrMore.greedy
       .followedBy("p")(isType("purchase"))
     // starts at t10, t11, t12; first match (start t10) binds v at
     // {10, 11, 12}... — on SKIP_TO_FIRST("v") the boundary is the

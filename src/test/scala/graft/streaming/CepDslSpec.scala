@@ -75,9 +75,11 @@ class CepDslSpec extends AnyFunSuite with graft.SparkSpec {
     val got = run(CepDsl.compileSimple("A B{2} C", simple), e)
       .map(m => (m("B").map(_.id), m("C").head.id))
     assert(got == List((List(1L, 2L), 3L)))
+    // reluctant loop (the reference default): every prefix of the
+    // accumulated run completes as its own match
     val gotPlus = run(CepDsl.compileSimple("A B+ C", simple), e)
       .map(m => (m("B").map(_.id), m("C").head.id))
-    assert(gotPlus == List((List(1L, 2L), 3L)))
+    assert(gotPlus == List((List(1L, 2L), 3L), (List(1L), 3L)))
     val gotOpt = run(CepDsl.compileSimple("A B? C", simple),
       evs(0L -> "A", 1L -> "C"))
       .map(m => (m.get("B"), m("C").head.id))
@@ -85,15 +87,17 @@ class CepDslSpec extends AnyFunSuite with graft.SparkSpec {
   }
 
   test("consecutive loop: A B++ C stops accumulating at the first gap") {
-    // B B X B: the relaxed loop would take all three Bs; the
-    // consecutive loop is closed by the X, so only the first run binds
+    // B B X B: the relaxed loop takes all three Bs (and, reluctant,
+    // completes every prefix); the consecutive loop is closed by the
+    // X, so only prefixes of the FIRST run bind
     val e = evs(0L -> "A", 1L -> "B", 2L -> "B", 3L -> "X", 4L -> "B", 5L -> "C")
     val got = run(CepDsl.compileSimple("A B++ C", simple), e)
       .map(m => (m("B").map(_.id), m("C").head.id))
-    assert(got == List((List(1L, 2L), 5L)), s"matches: $got")
+    assert(got == List((List(1L, 2L), 5L), (List(1L), 5L)), s"matches: $got")
     val gotRelaxed = run(CepDsl.compileSimple("A B+ C", simple), e)
       .map(m => (m("B").map(_.id), m("C").head.id))
-    assert(gotRelaxed == List((List(1L, 2L, 4L), 5L)), s"matches: $gotRelaxed")
+    assert(gotRelaxed == List((List(1L, 2L, 4L), 5L), (List(1L, 2L), 5L),
+      (List(1L), 5L)), s"matches: $gotRelaxed")
   }
 
   test("rejects malformed patterns") {

@@ -116,16 +116,20 @@ class CepNegationPropSpec extends AnyFunSuite {
 
       // brute force: from each starting A, the loop takes consecutive
       // As until the first non-A event inside the window breaks it for
-      // good; the first B at-or-after the break (relaxed, within the
-      // window of the start) completes. Expiry cuts the scan: an event
-      // past the bound kills the partial before anything else sees it.
+      // good; reluctant (the reference default), EVERY PREFIX of the
+      // accumulated run is its own loop form, completed by the first B
+      // after the run (all events between a prefix end and the break
+      // are As, so every prefix sees the same first B), within the
+      // window of the start. Expiry cuts the scan: an event past the
+      // bound kills the partial before anything else sees it.
       val expected = (for {
         (a0, i0) <- evs.zipWithIndex if a0.typ == "A"
         inWin = evs.drop(i0 + 1).takeWhile(e => e.ts - a0.ts <= w)
         run = inWin.takeWhile(_.typ == "A")
         rest = inWin.drop(run.length)
-        b <- rest.find(_.typ == "B")
-      } yield ((a0 :: run).map(_.id), b.id)).toSet
+        b <- rest.find(_.typ == "B").toList
+        t <- 0 to run.length
+      } yield ((a0 :: run.take(t)).map(_.id), b.id)).toSet
       got == expected
     })
   }
