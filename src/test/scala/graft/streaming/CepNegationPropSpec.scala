@@ -134,6 +134,58 @@ class CepNegationPropSpec extends AnyFunSuite {
     })
   }
 
+  test("reluctant relaxed loop (A+ B) equals brute-force prefix enumeration") {
+    check(Prop.forAll(genCase(Gen.oneOf("A", "B", "C"))) { case (raw, w) =>
+      val evs = mkEvents(raw)
+      val pat = Cep.Pattern.begin[Ev]("a")((e, _) => e.typ == "A")
+        .oneOrMore
+        .followedBy("b")((e, _) => e.typ == "B")
+        .within(w)
+      val (done, _, _) =
+        Cep.advance(pat, Nil, evs.map(e => (e.ts, e)).iterator)
+      val got = done.map(m => (m("a").map(_.id), m("b").head.id)).toSet
+
+      // brute force: from each starting A (i0), the relaxed loop binds
+      // EVERY A inside the window (skip-till-next); reluctant, the
+      // loop may stop after any occurrence j — that form completes
+      // with the first B strictly after j, still inside the window.
+      val expected = (for {
+        (a0, i0) <- evs.zipWithIndex if a0.typ == "A"
+        inWin = evs.drop(i0 + 1).takeWhile(e => e.ts - a0.ts <= w)
+        aPos = -1 +: inWin.zipWithIndex.filter(_._1.typ == "A").map(_._2)
+        j <- aPos // -1 = the loop is just {a0}
+        b <- inWin.drop(j + 1).find(_.typ == "B").toList
+        loop = a0 :: inWin.take(j + 1).filter(_.typ == "A")
+      } yield (loop.map(_.id), b.id)).toSet
+      got == expected
+    })
+  }
+
+  test("greedy loop keeps only the maximal form per start") {
+    check(Prop.forAll(genCase(Gen.oneOf("A", "B", "C"))) { case (raw, w) =>
+      val evs = mkEvents(raw)
+      val pat = Cep.Pattern.begin[Ev]("a")((e, _) => e.typ == "A")
+        .oneOrMore.greedy
+        .followedBy("b")((e, _) => e.typ == "B")
+        .within(w)
+      val (done, _, _) =
+        Cep.advance(pat, Nil, evs.map(e => (e.ts, e)).iterator)
+      val got = done.map(m => (m("a").map(_.id), m("b").head.id)).toSet
+
+      // brute force: the loop takes every A up to the first B inside
+      // the window (the greedy partial drifts to the next step only
+      // when the event matches it), one match per start.
+      val expected = (for {
+        (a0, i0) <- evs.zipWithIndex if a0.typ == "A"
+        inWin = evs.drop(i0 + 1).takeWhile(e => e.ts - a0.ts <= w)
+        bIdx = inWin.indexWhere(_.typ == "B")
+        if bIdx >= 0
+        loop = a0 :: inWin.take(bIdx).filter(_.typ == "A")
+      } yield (loop.map(_.id), inWin(bIdx).id)).toSet
+      got == expected
+    })
+  }
+
   test("strict next with times(n) equals brute-force consecutive run") {
     check(Prop.forAll(genCase(Gen.oneOf("A", "B"))) { case (raw, w) =>
       val evs = mkEvents(raw)
