@@ -146,6 +146,13 @@ object Cep {
       require(m >= 1 && n >= m, "times(m,n) needs 1 <= m <= n")
       copy(steps = steps.init :+ steps.last.copy(times = m, timesMax = n))
     }
+    /** At least n occurrences (Pattern.java:430 `timesOrMore`): an
+      * unbounded loop with a raised minimum — reluctant like every
+      * loop (prefixes from n up), `greedy` applies as usual. */
+    def timesOrMore(n: Int): Pattern[T] = {
+      require(n >= 1, "timesOrMore(n) needs n >= 1")
+      copy(steps = steps.init :+ steps.last.copy(times = n, oneOrMore = true))
+    }
     /** Greedy quantifier (Pattern.java:520 `greedy()`): the loop
       * emits only its longest form — no "loop stops here" branch per
       * occurrence. The DEFAULT is the reference's reluctant mode:

@@ -15,7 +15,7 @@ package graft.streaming
   *             | ">"   — strict contiguity (next)
   *             | "!"   — relaxed negation (notFollowedBy)
   *             | "!>"  — strict negation (notNext)
-  *   quant    := "?" | "+" | "++" | "{n}" | "{m,n}"
+  *   quant    := "?" | "+" | "++" | "{n}" | "{m,n}" | "{n,}"
   *   duration := <int>("us"|"ms"|"s"|"m"|"h"|"d")?   (default us)
   * }}}
   *
@@ -41,7 +41,7 @@ package graft.streaming
 object CepDsl {
 
   private val StepRe =
-    """((?:!>?|>)?)([A-Za-z_][A-Za-z0-9_]*)((?:\?|\+\+?|\{\d+(?:,\d+)?\})?)""".r
+    """((?:!>?|>)?)([A-Za-z_][A-Za-z0-9_]*)((?:\?|\+\+?|\{\d+(?:,\d*)?\})?)""".r
   private val DurRe = """(\d+)(us|ms|s|m|h|d)?""".r
 
   /** Parse a duration literal to microseconds. */
@@ -83,7 +83,8 @@ object CepDsl {
       case "++" => p.oneOrMore.consecutive
       case q if q.startsWith("{") =>
         val inner = q.substring(1, q.length - 1)
-        inner.split(",") match {
+        if (inner.endsWith(",")) p.timesOrMore(inner.init.toInt)
+        else inner.split(",") match {
           case Array(n)    => p.times(n.toInt)
           case Array(m, n) => p.times(m.toInt, n.toInt)
         }

@@ -100,6 +100,18 @@ class CepDslSpec extends AnyFunSuite with graft.SparkSpec {
       (List(1L), 5L)), s"matches: $gotRelaxed")
   }
 
+  test("timesOrMore: A B{2,} C needs at least two, accumulates beyond") {
+    val e = evs(0L -> "A", 1L -> "B", 2L -> "B", 3L -> "B", 4L -> "C")
+    val got = run(CepDsl.compileSimple("A B{2,} C", simple), e)
+      .map(m => (m("B").map(_.id), m("C").head.id))
+    // reluctant: every form from the 2-minimum up
+    assert(got == List((List(1L, 2L, 3L), 4L), (List(1L, 2L), 4L)),
+      s"matches: $got")
+    // a single B never completes
+    assert(run(CepDsl.compileSimple("A B{2,} C", simple),
+      evs(0L -> "A", 1L -> "B", 2L -> "C")).isEmpty)
+  }
+
   test("rejects malformed patterns") {
     intercept[IllegalArgumentException](
       CepDsl.compileSimple("A NOPE", simple)) // undefined name
