@@ -204,6 +204,37 @@ object EventQueries {
         .orderBy(col("user_id"), col("view_id"))
     }),
 
+    // CEP loop quantifier, oracle-bound: "one or more views, then a
+    // purchase, within 10 min" under the reference's RELUCTANT loop
+    // semantics — every stop point of the view run is its own match,
+    // completed by the first purchase after it. The oracle enumerates
+    // (start view, stop view) pairs directly, so the NFA's branch
+    // spawning is checked value-for-value against SQL.
+    "q110_cep_loop" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.{Cep, Event}
+      val pat = Cep.Pattern
+        .begin[Event]("a")((e, _) => e.event_type == "view")
+        .oneOrMore
+        .followedBy("b")((e, _) => e.event_type == "purchase")
+        .within(3600000000L)
+      val types = Set("view", "purchase")
+      graft.Tables.events(s, d).as[Event]
+        .filter(e => types(e.event_type))
+        .groupByKey(_.user_id)
+        .flatMapGroups { (user: Long, rows: Iterator[Event]) =>
+          val sorted = rows.toList
+            .sortBy(e => (Event.micros(e.ts), e.event_id))
+            .map(e => (Event.micros(e.ts), e))
+          Cep.advance(pat, Nil, sorted.iterator)._1.iterator.map { m =>
+            val vs = m("a")
+            (user, vs.head.event_id, vs.last.event_id, vs.size.toLong,
+              m("b").head.event_id)
+          }
+        }.toDF("user_id", "first_view", "last_view", "n_views", "purchase_id")
+        .orderBy(col("user_id"), col("first_view"), col("last_view"))
+    }),
+
     // Count-tumbling window batch analog (CountTumblingWindowAssigner):
     // fixed windows of 10 events per user in time order.
     "q57_count_window" -> ((s, d) => {
@@ -299,6 +330,30 @@ object EventQueries {
         |   AND epoch_us(c.ts) - epoch_us(v.ts) <= 600000000)
         |WHERE rn = 1 AND c_type = 'purchase'
         |ORDER BY user_id, view_id""".stripMargin),
+    "q110_cep_loop" -> (evCte +
+      """,
+        |views AS (SELECT * FROM ev WHERE event_type = 'view'),
+        |purch AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+        |pairs AS (
+        |  SELECT s.user_id, s.event_id AS first_view, j.event_id AS last_view,
+        |    s.ts AS s_ts, j.ts AS j_ts, j.event_id AS j_id,
+        |    (SELECT count(*) FROM views v WHERE v.user_id = s.user_id
+        |       AND (v.ts > s.ts OR (v.ts = s.ts AND v.event_id >= s.event_id))
+        |       AND (v.ts < j.ts OR (v.ts = j.ts AND v.event_id <= j.event_id))
+        |    )::BIGINT AS n_views
+        |  FROM views s JOIN views j ON s.user_id = j.user_id
+        |   AND (j.ts > s.ts OR (j.ts = s.ts AND j.event_id >= s.event_id))
+        |   AND epoch_us(j.ts) - epoch_us(s.ts) <= 3600000000)
+        |SELECT user_id, first_view, last_view, n_views, purchase_id FROM (
+        |  SELECT pr.user_id, pr.first_view, pr.last_view, pr.n_views,
+        |    p.event_id AS purchase_id,
+        |    row_number() OVER (
+        |      PARTITION BY pr.user_id, pr.first_view, pr.last_view
+        |      ORDER BY p.ts, p.event_id) AS rn
+        |  FROM pairs pr JOIN purch p ON p.user_id = pr.user_id
+        |   AND (p.ts > pr.j_ts OR (p.ts = pr.j_ts AND p.event_id > pr.j_id))
+        |   AND epoch_us(p.ts) - epoch_us(pr.s_ts) <= 3600000000)
+        |WHERE rn = 1 ORDER BY user_id, first_view, last_view""".stripMargin),
     "q55_dedup_keeplast" -> (evCte +
       """
         |SELECT user_id, event_type, event_id, round(value,2) AS value FROM (
