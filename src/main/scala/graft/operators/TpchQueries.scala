@@ -42,17 +42,23 @@ object TpchQueries {
       val o = Tables.orders(s, d)
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
                 col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
-      // Derived scan predicate Catalyst cannot infer across the join
-      // residual: o_orderdate >= 1996-01-01 and l_shipdate >
-      // o_orderdate + 30d together imply l_shipdate > 1996-01-31, so
-      // the lineitem scan prunes ~the complement before the shuffle
-      // (the manual constraint-propagation trick; soak showed q89 as
-      // the heaviest headliner without it).
-      val l = Tables.lineitem(s, d)
+      // Two reductions before the semi join's shuffle:
+      //  - derived scan predicate Catalyst cannot infer across the
+      //    join residual: o_orderdate >= 1996-01-01 and l_shipdate >
+      //    o_orderdate + 30d together imply l_shipdate > 1996-01-31,
+      //    so the lineitem scan prunes the complement;
+      //  - the EXISTS only asks "does ANY line ship 30+ days after
+      //    ordering", and max(l_shipdate) answers it — the per-order
+      //    max pre-aggregate (map-side combined) shuffles ONE row per
+      //    order instead of every pruned lineitem (soak: the heaviest
+      //    headliner without these, 6.6x per 10x data with only the
+      //    scan prune).
+      val latest = Tables.lineitem(s, d)
         .filter(col("l_shipdate") > lit("1996-01-31").cast("timestamp"))
-        .select(col("l_orderkey"), col("l_shipdate"))
-      o.join(l, col("l_orderkey") === col("o_orderkey") &&
-               col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("max_ship"))
+      o.join(latest, col("l_orderkey") === col("o_orderkey") &&
+               col("max_ship") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
              "left_semi")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("order_count"))
