@@ -205,7 +205,7 @@ object EventQueries {
     }),
 
     // CEP loop quantifier, oracle-bound: "one or more views, then a
-    // purchase, within 10 min" under the reference's RELUCTANT loop
+    // purchase, within 1 hour" under the reference's RELUCTANT loop
     // semantics — every stop point of the view run is its own match,
     // completed by the first purchase after it. The oracle enumerates
     // (start view, stop view) pairs directly, so the NFA's branch

@@ -51,26 +51,32 @@ object TpchQueries2 {
       val p = Tables.part(s, d)
         .filter(col("p_size") <= 25 && col("p_type") === "STANDARD")
         .select(col("p_partkey"), col("p_name"))
-      // The part filter keeps ~1/12 of parts, and both the offers agg
-      // and the per-part min are keyed by partkey — so restrict
-      // lineitem FIRST via a broadcast semi join on the filtered dim.
-      // Aggregating all of lineitem and filtering after would shuffle
-      // 12× the data for the same result (the r2 q85 lesson applied).
-      val offers = Tables.lineitem(s, d)
-        .join(broadcast(p.select(col("p_partkey").as("f_pk"))),
-          col("l_partkey") === col("f_pk"), "left_semi")
-        .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(min(expr(
-          "cast(round(l_extendedprice * 100) as bigint) div cast(l_quantity as bigint)"))
-          .as("unit_cents"))
-      val minPP = offers.groupBy(col("l_partkey").as("mp_partkey"))
-        .agg(min(col("unit_cents")).as("min_cents"))
       val eur = Tables.supplier(s, d)
         .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
         .join(Tables.region(s, d).filter(col("r_name") === "EUROPE"),
           col("n_regionkey") === col("r_regionkey"))
         .select(col("s_suppkey"), col("s_name"), col("n_name"),
           expr("cast(round(s_acctbal * 100) as bigint)").as("acctbal_cents"))
+      // The part filter keeps ~1/12 of parts, and both the offers agg
+      // and the per-part min are keyed by partkey — so restrict
+      // lineitem FIRST via a broadcast semi join on the filtered dim.
+      // Aggregating all of lineitem and filtering after would shuffle
+      // 12× the data for the same result (the r2 q85 lesson applied).
+      // The EUROPE restriction ALSO lands before the aggregate: Q2's
+      // correlated subquery scopes the min to suppliers of the chosen
+      // region, so a part whose globally cheapest supplier is
+      // non-European still returns its cheapest European one.
+      val offers = Tables.lineitem(s, d)
+        .join(broadcast(p.select(col("p_partkey").as("f_pk"))),
+          col("l_partkey") === col("f_pk"), "left_semi")
+        .join(broadcast(eur.select(col("s_suppkey").as("f_sk"))),
+          col("l_suppkey") === col("f_sk"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(expr(
+          "cast(round(l_extendedprice * 100) as bigint) div cast(l_quantity as bigint)"))
+          .as("unit_cents"))
+      val minPP = offers.groupBy(col("l_partkey").as("mp_partkey"))
+        .agg(min(col("unit_cents")).as("min_cents"))
       offers
         .join(minPP, col("l_partkey") === col("mp_partkey") &&
                      col("unit_cents") === col("min_cents"))
@@ -278,11 +284,18 @@ object TpchQueries2 {
 
   val oracle: Map[String, String] = Map(
     "q100_tpch_q2" ->
-      """WITH offers AS (
+      """WITH eur AS (
+        |  SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |offers AS (
         |  SELECT l_partkey, l_suppkey,
         |    min(CAST(round(l_extendedprice * 100) AS BIGINT)
         |        // l_quantity::BIGINT)::BIGINT AS unit_cents
-        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM eur)
+        |  GROUP BY l_partkey, l_suppkey)
         |SELECT s_name, n_name, p_partkey, p_name, unit_cents,
         |  CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
         |FROM offers

@@ -181,13 +181,29 @@ object Cep {
 
   /** `closedLoops` = indices of oneOrMore steps shut by their `until`
     * condition (no further accumulation allowed). `bindTs` mirrors
-    * `bindings` with each bound event's timestamp — the pattern-
-    * relative skip strategies (SkipToFirst/SkipToLast) prune against
-    * a named step's binding time. */
+    * `bindings` with each bound event's timestamp. `startSeq` /
+    * `bindSeq` carry a monotonic per-event sequence number — the
+    * pattern-relative skip strategies (SkipToFirst/SkipToLast/
+    * SkipToNext) prune by EVENT IDENTITY, as the reference's
+    * SkipToElementStrategy does (`start < pruningId`): two distinct
+    * events sharing a timestamp must still prune correctly, which a
+    * timestamp compare cannot express. */
   case class PartialMatch[T](stepIdx: Int, startUs: Long,
                              bindings: Map[String, List[T]],
                              closedLoops: Set[Int] = Set.empty,
-                             bindTs: Map[String, List[Long]] = Map.empty)
+                             bindTs: Map[String, List[Long]] = Map.empty,
+                             startSeq: Long = 0L,
+                             bindSeq: Map[String, List[Long]] = Map.empty)
+
+  /** Sequence base for the NEXT advance() call over the same key:
+    * strictly above every sequence number recorded in the surviving
+    * partials, so cross-batch (streaming) seq assignment stays
+    * monotonic with event order. */
+  def nextSeqBase[T](partials: List[PartialMatch[T]]): Long =
+    partials.foldLeft(0L) { (acc, p) =>
+      acc max (p.startSeq + 1) max
+        (p.bindSeq.values.flatten.foldLeft(0L)(_ max _) + 1)
+    }
 
   /** Run the NFA over one key's events (must be fed in event-time
     * order). Returns (completed matches, surviving partials, timed-out
@@ -202,7 +218,8 @@ object Cep {
     * non-final one accumulates until a later step matches. */
   def advance[T](pattern: Pattern[T], partials: List[PartialMatch[T]],
                  events: Iterator[(Long, T)],
-                 skip: AfterMatchSkip = NoSkip)
+                 skip: AfterMatchSkip = NoSkip,
+                 seqBase: Long = 0L)
       : (List[Map[String, List[T]]], List[PartialMatch[T]], List[PartialMatch[T]]) = {
     // Negation guards bind nothing, so they cannot start or end a
     // pattern and cannot carry quantifiers (Pattern.java:190 — a NOT
@@ -229,7 +246,12 @@ object Cep {
     // the hot path (the round-1 "quadratic advance" note).
     val allOptionalFrom = Array.tabulate(pattern.steps.size + 1)(i =>
       pattern.steps.drop(i).forall(_.optional))
+    // Monotonic per-event sequence (the reference NFA's event id):
+    // skip strategies prune by it, so timestamp ties resolve exactly
+    // as SkipToElementStrategy's `start < pruningId` does.
+    var seq = seqBase - 1L
     events.foreach { case (tsUs, e) =>
+      seq += 1L
       // `open` is ordered by startUs (partials are only ever appended in
       // event order), so the expired set is a prefix: span stops at the
       // first survivor instead of scanning every partial per event.
@@ -240,7 +262,7 @@ object Cep {
       var completed = false
       var completedStarts = Set.empty[Long]
       // SkipToFirst/SkipToLast boundary: max over this event's matches
-      var pruneTs = Long.MinValue
+      var pruneSeq = Long.MinValue
       // Advance one partial by this event: bind it, skip past
       // satisfied/optional steps, or keep it waiting. `committed` is
       // where the partial is retained if this event binds nothing —
@@ -267,13 +289,15 @@ object Cep {
         // skips until that step resolves.
         def armStrict(from: Int, bound: Map[String, List[T]],
                       cls: Set[Int], boundTs: Map[String, List[Long]],
+                      boundSeq: Map[String, List[Long]],
                       includeFrom: Boolean): Unit = {
           var j = from
           var go = true
           while (go && j < pattern.steps.size) {
             val sj = pattern.steps(j)
             if (sj.strict && (includeFrom || j > from))
-              next += PartialMatch(j, p.startUs, bound, cls, boundTs)
+              next += PartialMatch(j, p.startUs, bound, cls, boundTs,
+                p.startSeq, boundSeq)
             go = sj.optional
             j += 1
           }
@@ -287,7 +311,7 @@ object Cep {
               // it) — hold position, never re-evaluate the guard
               if (retain && rebindable)
                 next += PartialMatch(committed, p.startUs, p.bindings, closed,
-                  p.bindTs)
+                  p.bindTs, p.startSeq, p.bindSeq)
               return
             }
             if (st.pred(e, p.bindings)) return // guard violated: partial dies
@@ -300,7 +324,7 @@ object Cep {
             // the branch armed at bind time handles the legal case
             if (retain && rebindable)
               next += PartialMatch(committed, p.startUs, p.bindings, closed,
-                p.bindTs)
+                p.bindTs, p.startSeq, p.bindSeq)
             return
           } else if (st.strict && skippedOpt && st.optional) {
             // an optional strict step reached by drift: can't bind (its
@@ -327,9 +351,12 @@ object Cep {
               p.bindings.getOrElse(st.name, Nil) :+ e)
             val boundTs = p.bindTs.updated(st.name,
               p.bindTs.getOrElse(st.name, Nil) :+ tsUs)
+            val boundSeq = p.bindSeq.updated(st.name,
+              p.bindSeq.getOrElse(st.name, Nil) :+ seq)
             val newCnt = cnt + 1
             if (newCnt < st.times) { // times(n)/times(m,_): need more
-              next += PartialMatch(i, p.startUs, bound, closed, boundTs)
+              next += PartialMatch(i, p.startUs, bound, closed, boundTs,
+                p.startSeq, boundSeq)
             } else {
               // looping steps stay at i to accumulate: oneOrMore
               // unbounded, times(m,n) until n occurrences
@@ -338,18 +365,20 @@ object Cep {
               if (allOptionalFrom(nextIdx)) { // consumed on first completion
                 out += bound
                 completed = true
-                completedStarts += p.startUs
-                // pattern-relative skip boundary: the first/last ts the
-                // match bound to the strategy's named step
+                completedStarts += p.startSeq
+                // pattern-relative skip boundary: the first/last EVENT
+                // (by sequence) the match bound to the strategy's named
+                // step — the reference's pruningId
                 skip match {
                   case SkipToFirst(n) =>
-                    boundTs.get(n).foreach(ts => pruneTs = pruneTs max ts.head)
+                    boundSeq.get(n).foreach(s => pruneSeq = pruneSeq max s.head)
                   case SkipToLast(n) =>
-                    boundTs.get(n).foreach(ts => pruneTs = pruneTs max ts.last)
+                    boundSeq.get(n).foreach(s => pruneSeq = pruneSeq max s.last)
                   case _ => ()
                 }
               } else if (looping) {
-                next += PartialMatch(i, p.startUs, bound, closed, boundTs)
+                next += PartialMatch(i, p.startUs, bound, closed, boundTs,
+                  p.startSeq, boundSeq)
                 // the loop may also END at this occurrence. Reluctant
                 // (default, as the reference): spawn the stopped-loop
                 // branch so shorter loop forms can complete — A+ B
@@ -358,15 +387,17 @@ object Cep {
                 // a positioned observer regardless of greed).
                 if (!st.greedy || pattern.steps(nextIdx).strict)
                   next += PartialMatch(nextIdx, p.startUs, bound,
-                    closed + i, boundTs)
+                    closed + i, boundTs, p.startSeq, boundSeq)
                 // strict heads hiding deeper behind skippable optionals
-                armStrict(nextIdx, bound, closed + i, boundTs,
+                armStrict(nextIdx, bound, closed + i, boundTs, boundSeq,
                   includeFrom = false)
               } else {
-                next += PartialMatch(nextIdx, p.startUs, bound, closed, boundTs)
+                next += PartialMatch(nextIdx, p.startUs, bound, closed, boundTs,
+                  p.startSeq, boundSeq)
                 // strict heads hiding behind skippable optionals (the
                 // partial itself lands at nextIdx, which needs no arm)
-                armStrict(nextIdx, bound, closed, boundTs, includeFrom = false)
+                armStrict(nextIdx, bound, closed, boundTs, boundSeq,
+                  includeFrom = false)
               }
             }
             return
@@ -382,7 +413,7 @@ object Cep {
               if (st.loopConsecutive || closed(i)) return
               if (retain)
                 next += PartialMatch(committed, p.startUs, p.bindings, closed,
-                  p.bindTs)
+                  p.bindTs, p.startSeq, p.bindSeq)
               return
             }
             // greedy: no branches exist — the partial itself proceeds
@@ -406,13 +437,14 @@ object Cep {
             if (st.strict && !skippedOpt) return
             if (retain) // keep waiting
               next += PartialMatch(committed, p.startUs, p.bindings, closed,
-                p.bindTs)
+                p.bindTs, p.startSeq, p.bindSeq)
             return
           }
           }
         }
         if (retain)
-          next += PartialMatch(committed, p.startUs, p.bindings, closed, p.bindTs)
+          next += PartialMatch(committed, p.startUs, p.bindings, closed,
+            p.bindTs, p.startSeq, p.bindSeq)
       }
       // Partials run oldest-first, so the earliest match wins; the skip
       // strategy prunes later partials as soon as a match completes
@@ -421,15 +453,16 @@ object Cep {
       def prunedBySkip(p: PartialMatch[T]): Boolean = skip match {
         case NoSkip => false
         case SkipPastLastEvent => completed && p.startUs <= tsUs
-        case SkipToNext => completedStarts.contains(p.startUs)
+        case SkipToNext => completedStarts.contains(p.startSeq)
         case SkipToFirst(_) | SkipToLast(_) =>
-          // strictly before the boundary: a partial starting AT the
-          // named step's binding survives (SkipToElementStrategy
-          // shouldPrune: start < pruningId)
-          pruneTs != Long.MinValue && p.startUs < pruneTs
+          // strictly before the boundary EVENT: a partial starting AT
+          // the named step's binding survives, and a partial started at
+          // a DIFFERENT event with the same timestamp prunes correctly
+          // (SkipToElementStrategy shouldPrune: start < pruningId)
+          pruneSeq != Long.MinValue && p.startSeq < pruneSeq
       }
       open.foreach(p => if (!prunedBySkip(p)) step(p, retain = true))
-      step(PartialMatch[T](0, tsUs, Map.empty), retain = false)
+      step(PartialMatch[T](0, tsUs, Map.empty, startSeq = seq), retain = false)
       open = next.result().filterNot(prunedBySkip)
     }
     (out.result(), open, timedOut.result())
@@ -495,8 +528,9 @@ object Cep {
         case (user, rows, state: GroupState[List[PartialMatch[Event]]]) =>
           val sorted = rows.toList.sortBy(e => (Event.micros(e.ts), e.event_id))
             .map(e => (Event.micros(e.ts), e))
+          val prev = state.getOption.getOrElse(Nil)
           val (done, open, _) =
-            advance(pattern, state.getOption.getOrElse(Nil), sorted.iterator, skip)
+            advance(pattern, prev, sorted.iterator, skip, nextSeqBase(prev))
           state.update(open)
           done.map(m => (user, m)).iterator
       }
@@ -523,8 +557,9 @@ object Cep {
         case (user, rows, state: GroupState[List[PartialMatch[Event]]]) =>
           val sorted = rows.toList.sortBy(e => (Event.micros(e.ts), e.event_id))
             .map(e => (Event.micros(e.ts), e))
+          val prev = state.getOption.getOrElse(Nil)
           val (done, open, expired) =
-            advance(pattern, state.getOption.getOrElse(Nil), sorted.iterator, skip)
+            advance(pattern, prev, sorted.iterator, skip, nextSeqBase(prev))
           state.update(open)
           (done.map(m => (user, m, false)) ++
             expired.map(p => (user, p.bindings, true))).iterator

@@ -126,7 +126,8 @@ object EventTimeOps {
           val (partials, buf) = state.getOption.getOrElse((Nil, List.empty[Event]))
           val (ready, hold) = split(buf ++ rows, state)
           val (done, open, _) = Cep.advance(pattern, partials,
-            ready.iterator.map(e => (us(e), e)), skip)
+            ready.iterator.map(e => (us(e), e)), skip,
+            Cep.nextSeqBase(partials))
           if (open.nonEmpty || hold.nonEmpty) state.update((open, hold))
           else state.remove()
           arm(hold, state)

@@ -181,8 +181,16 @@ object Retract {
   // ---- changelog INTO A TOP-N (RetractableTopNFunction itself) ------
 
   /** One refreshed rank row: the current occupant of `rank` within
-    * `pkey`'s top-N (newest emission per (pkey, rank) is current). */
+    * `pkey`'s top-N (newest emission per (pkey, rank) is current).
+    * `id == TombstoneId` means the rank is now VACANT — the changelog
+    * delete record for a row leaving the top-N without a successor
+    * (the reference RetractableTopNFunction emits explicit
+    * DELETE/retract rows in this case). */
   case class RankedRow(pkey: String, rank: Int, id: Long, value: Long)
+
+  /** Sentinel occupant for a vacated rank (real ids are nonnegative
+    * throughout the catalog). */
+  val TombstoneId: Long = -1L
 
   /** Retractable Top-N (reference `RetractableTopNFunction.java`: a
     * rank operator downstream of an aggregate must CONSUME
@@ -206,17 +214,25 @@ object Retract {
     * [[countPerUserKeyedChangelog]] without ordering assumptions.
     *
     * Emits the refreshed top-N of every touched pkey each batch,
-    * ranked by value desc (ties → smaller id, deterministic). */
+    * ranked by value desc (ties → smaller id, deterministic). When a
+    * batch's net retractions SHRINK the top-N (a deletion with no
+    * replacing assert), the vacated ranks are emitted as
+    * [[TombstoneId]] rows — without them the "newest emission per
+    * (pkey, rank) is current" contract would leave a stale occupant
+    * (the reference emits explicit retract records for rows leaving
+    * the top-N). State carries the previously emitted rank count so
+    * only genuinely vacated ranks get tombstones. */
   def retractableTopN(changes: Dataset[(String, Long, Long, Long)],
                       n: Int): Dataset[RankedRow] = {
     val spark = changes.sparkSession
     import spark.implicits._
     changes
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Map[Long, Long], RankedRow](
+      .flatMapGroupsWithState[(Map[Long, Long], Int), RankedRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (pkey, rows, state: GroupState[Map[Long, Long]]) =>
-          var cur = state.getOption.getOrElse(Map.empty[Long, Long])
+        case (pkey, rows, state: GroupState[(Map[Long, Long], Int)]) =>
+          var (cur, lastEmitted) =
+            state.getOption.getOrElse((Map.empty[Long, Long], 0))
           rows.toSeq.groupBy(_._2).foreach { case (id, rs) =>
             val net = rs.groupBy(_._3).view
               .mapValues(_.map(_._4).sum).toMap
@@ -225,11 +241,14 @@ object Retract {
             }
             net.foreach { case (value, d) => if (d > 0) cur += id -> value }
           }
-          state.update(cur)
-          cur.toSeq.sortBy { case (id, v) => (-v, id) }.take(n)
-            .zipWithIndex.map { case ((id, v), i) =>
-              RankedRow(pkey, i + 1, id, v)
-            }.iterator
+          val top = cur.toSeq.sortBy { case (id, v) => (-v, id) }.take(n)
+          state.update((cur, top.size))
+          val ranked = top.zipWithIndex.map { case ((id, v), i) =>
+            RankedRow(pkey, i + 1, id, v)
+          }
+          val tombstones = (top.size + 1 to lastEmitted)
+            .map(r => RankedRow(pkey, r, TombstoneId, 0L))
+          (ranked ++ tombstones).iterator
       }
   }
 

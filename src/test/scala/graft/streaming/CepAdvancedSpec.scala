@@ -82,21 +82,32 @@ class CepAdvancedSpec extends SparkSpec {
     assert(skipped.map(ids) == List(Map("c" -> List(1L, 2L))))
   }
 
-  test("SKIP_TO_NEXT drops only partials sharing the match's start") {
+  test("SKIP_TO_NEXT drops only partials sharing the match's start EVENT") {
     val pat = Cep.Pattern.begin[Event]("v")(isType("view"))
       .followedBy("p")(isType("purchase"))
-    // two views at the SAME timestamp start two same-start partials;
-    // a later-started view is unaffected by the skip
+    // two views at the SAME timestamp are still DIFFERENT start events
+    // (SkipToNextStrategy prunes by event id, not timestamp): each
+    // gets its own match, exactly like NO_SKIP here
     val evs = Seq(ev(1, 10, 1, "view"), ev(2, 10, 1, "view"),
                   ev(4, 11, 1, "view"), ev(3, 12, 1, "purchase"))
     val (done, _, _) = run(pat, Cep.SkipToNext)(evs: _*)
-    // the earliest same-start partial wins; view#2's is pruned,
-    // view#4 (different start) still completes
     assert(done.map(ids).toSet == Set(
       Map("v" -> List(1L), "p" -> List(3L)),
+      Map("v" -> List(2L), "p" -> List(3L)),
       Map("v" -> List(4L), "p" -> List(3L))))
     val (all, _, _) = run(pat, Cep.NoSkip)(evs: _*)
     assert(all.size == 3) // NO_SKIP keeps every start
+    // partials genuinely sharing a start EVENT — a reluctant loop's
+    // branches — ARE pruned: one match per start event survives
+    val loop = Cep.Pattern.begin[Event]("v")(isType("view")).oneOrMore
+      .followedBy("p")(isType("purchase"))
+    val evs2 = Seq(ev(1, 10, 1, "view"), ev(2, 11, 1, "view"),
+                   ev(3, 12, 1, "purchase"))
+    val (done2, _, _) = run(loop, Cep.SkipToNext)(evs2: _*)
+    assert(done2.map(ids).toSet == Set(
+      Map("v" -> List(1L, 2L), "p" -> List(3L)),
+      Map("v" -> List(2L), "p" -> List(3L))),
+      s"one match per start event: ${done2.map(ids)}")
   }
 
   test("SKIP_TO_FIRST prunes starts before the loop's first binding, keeps at it") {

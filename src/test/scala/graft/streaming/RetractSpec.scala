@@ -106,11 +106,12 @@ class RetractSpec extends SparkSpec {
     val q = Retract.topUsersByCount(ms.toDS(), n = 2)
       .writeStream.format("memory").queryName("rtopn").outputMode("append").start()
     def top2(): List[(Long, Long)] = {
-      // newest emission per rank = current occupant
+      // newest emission per rank = current occupant; tombstone = vacant
       val rows = spark.table("rtopn").collect()
         .map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).zipWithIndex
       rows.groupBy(_._1._1).toList.sortBy(_._1)
         .map { case (_, vs) => val r = vs.maxBy(_._2)._1; (r._2, r._3) }
+        .filter(_._1 != Retract.TombstoneId)
     }
     // batch 1: u1 ×3, u2 ×2, u3 ×1 → top2 = u1(3), u2(2)
     ms.addData((1L to 3L).map(i => ev(i, 1)) ++
@@ -123,5 +124,30 @@ class RetractSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     assert(top2() == List((3L, 4L), (1L, 3L)), s"after b2: ${top2()}")
+  }
+
+  test("retractable top-n tombstones a vacated rank on net deletion") {
+    val spark2 = spark; import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Long, Long)]
+    val q = Retract.retractableTopN(ms.toDS(), n = 2)
+      .writeStream.format("memory").queryName("rtomb").outputMode("append").start()
+    def current(): Map[Int, (Long, Long)] = {
+      val rows = spark.table("rtomb").collect()
+        .map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).zipWithIndex
+      rows.groupBy(_._1._1)
+        .map { case (rank, vs) => val r = vs.maxBy(_._2)._1; rank -> (r._2, r._3) }
+    }
+    // batch 1: two asserted rows fill both ranks
+    ms.addData(("k", 10L, 5L, 1L), ("k", 20L, 3L, 1L))
+    q.processAllAvailable()
+    assert(current() == Map(1 -> (10L, 5L), 2 -> (20L, 3L)))
+    // batch 2: id 20 retracted with NO replacing assert — rank 2 must
+    // be tombstoned or the old occupant would read as still current
+    ms.addData(("k", 20L, 3L, -1L))
+    q.processAllAvailable()
+    q.stop()
+    assert(current() == Map(1 -> (10L, 5L), 2 -> (Retract.TombstoneId, 0L)),
+      s"vacated rank not tombstoned: ${current()}")
   }
 }

@@ -29,10 +29,33 @@ class StreamIterateSpec extends SparkSpec {
       // each processAllAvailable drains one feedback generation; the
       // deepest record needs 3 hops, run a couple extra for slack
       (1 to 6).foreach(_ => q.processAllAvailable())
-      val rows = spark.read.parquet(out).collect()
+      val rows = spark.read.option("recursiveFileLookup", "true")
+        .parquet(out).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toList.sorted
       assert(rows == List(1L -> 0L, 2L -> 0L, 3L -> 0L),
         s"loop exits: $rows")
+    } finally q.stop()
+  }
+
+  test("NULL exit predicate routes to the exit side, not the void") {
+    val spark2 = spark; import spark2.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-sitn")
+    val (in, fb, out, ck) = (s"$base/in", s"$base/fb", s"$base/out", s"$base/ck")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(fb))
+
+    // v = NULL makes (v > 0) three-valued NULL — must exit, not drop
+    val seed = Seq((1L, Some(1L)), (2L, None: Option[Long])).toDF("id", "v")
+    seed.write.mode("overwrite").parquet(in)
+
+    val q = StreamIterate.loop(spark, seed.schema, in, fb, out, ck)(
+      step = _.select(col("id"), (col("v") - 1).as("v")), // NULL-1 stays NULL
+      isFeedback = col("v") > 0)
+    try {
+      (1 to 4).foreach(_ => q.processAllAvailable())
+      val ids = spark.read.option("recursiveFileLookup", "true")
+        .parquet(out).select("id").as[Long].collect().sorted.toList
+      assert(ids == List(1L, 2L), s"NULL-predicate row lost: $ids")
     } finally q.stop()
   }
 }
