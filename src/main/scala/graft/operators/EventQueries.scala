@@ -190,16 +190,11 @@ object EventQueries {
         }
         .within(600000000L)
       val types = Set("view", "click", "purchase")
-      graft.Tables.events(s, d).as[Event]
-        .filter(e => types(e.event_type))
-        .groupByKey(_.user_id)
-        .flatMapGroups { (user: Long, rows: Iterator[Event]) =>
-          val sorted = rows.toList
-            .sortBy(e => (Event.micros(e.ts), e.event_id))
-            .map(e => (Event.micros(e.ts), e))
-          Cep.advance(pat, Nil, sorted.iterator)._1.iterator.map { m =>
-            (user, m("a").head.event_id, m("b").head.event_id)
-          }
+      Cep.matchBatchSorted(
+          graft.Tables.events(s, d).as[Event].filter(e => types(e.event_type)),
+          pat)
+        .map { case (user, m) =>
+          (user, m("a").head.event_id, m("b").head.event_id)
         }.toDF("user_id", "view_id", "purchase_id")
         .orderBy(col("user_id"), col("view_id"))
     }),
@@ -219,18 +214,13 @@ object EventQueries {
         .followedBy("b")((e, _) => e.event_type == "purchase")
         .within(3600000000L)
       val types = Set("view", "purchase")
-      graft.Tables.events(s, d).as[Event]
-        .filter(e => types(e.event_type))
-        .groupByKey(_.user_id)
-        .flatMapGroups { (user: Long, rows: Iterator[Event]) =>
-          val sorted = rows.toList
-            .sortBy(e => (Event.micros(e.ts), e.event_id))
-            .map(e => (Event.micros(e.ts), e))
-          Cep.advance(pat, Nil, sorted.iterator)._1.iterator.map { m =>
-            val vs = m("a")
-            (user, vs.head.event_id, vs.last.event_id, vs.size.toLong,
-              m("b").head.event_id)
-          }
+      Cep.matchBatchSorted(
+          graft.Tables.events(s, d).as[Event].filter(e => types(e.event_type)),
+          pat)
+        .map { case (user, m) =>
+          val vs = m("a")
+          (user, vs.head.event_id, vs.last.event_id, vs.size.toLong,
+            m("b").head.event_id)
         }.toDF("user_id", "first_view", "last_view", "n_views", "purchase_id")
         .orderBy(col("user_id"), col("first_view"), col("last_view"))
     }),

@@ -219,7 +219,8 @@ object Cep {
   def advance[T](pattern: Pattern[T], partials: List[PartialMatch[T]],
                  events: Iterator[(Long, T)],
                  skip: AfterMatchSkip = NoSkip,
-                 seqBase: Long = 0L)
+                 seqBase: Long = 0L,
+                 collectTimeouts: Boolean = true)
       : (List[Map[String, List[T]]], List[PartialMatch[T]], List[PartialMatch[T]]) = {
     // Negation guards bind nothing, so they cannot start or end a
     // pattern and cannot carry quantifiers (Pattern.java:190 — a NOT
@@ -256,7 +257,11 @@ object Cep {
       // event order), so the expired set is a prefix: span stops at the
       // first survivor instead of scanning every partial per event.
       val (expired, alive) = open.span(p => tsUs - p.startUs > pattern.withinUs)
-      timedOut ++= expired
+      // collectTimeouts=false keeps a long-running pass O(open
+      // partials): a hot key under a short `within` expires one
+      // partial per start event, and a caller that never reads the
+      // timed-out channel must not pay O(events) to carry them.
+      if (collectTimeouts) timedOut ++= expired
       open = alive
       val next = List.newBuilder[PartialMatch[T]]
       var completed = false
@@ -483,22 +488,21 @@ object Cep {
           Event.micros(e.ts) > Event.micros(bound("a").head.ts)
       }
       .within(withinUs)
-    events.filter(e => e.event_type == firstType || e.event_type == secondType)
-      .groupByKey(_.user_id)
-      .flatMapGroups { (user: Long, rows: Iterator[Event]) =>
-        val sorted = rows.toList
-          .sortBy(e => (Event.micros(e.ts), e.event_id))
-          .map(e => (Event.micros(e.ts), e))
-        advance(pat, Nil, sorted.iterator)._1.iterator.map { m =>
-          val a = m("a").head; val b = m("b").head
-          FollowRow(user, a.event_id, b.event_id,
-            Event.micros(b.ts) - Event.micros(a.ts))
-        }
+    matchBatchSorted(
+      events.filter(e => e.event_type == firstType || e.event_type == secondType),
+      pat)
+      .map { case (user, m) =>
+        val a = m("a").head; val b = m("b").head
+        FollowRow(user, a.event_id, b.event_id,
+          Event.micros(b.ts) - Event.micros(a.ts))
       }
   }
 
   /** Batch CEP over a keyed Dataset of events (event-time sorted per
-    * key inside). */
+    * key inside). NOTE: flatMapGroups hands each key's rows unsorted,
+    * so this materializes the key's FULL history to sort it — fine for
+    * moderate keys, unbounded on hot ones. [[matchBatchSorted]] is the
+    * scale-safe form; this stays for arbitrary key types. */
   def matchBatch[K](events: Dataset[Event], keyOf: Event => K,
                     pattern: Pattern[Event], skip: AfterMatchSkip = NoSkip)(
       implicit ke: Encoder[K], oe: Encoder[(K, Map[String, List[Event]])])
@@ -509,6 +513,56 @@ object Cep {
         .map(e => (Event.micros(e.ts), e))
       advance(pattern, Nil, sorted.iterator, skip)._1.map(m => (k, m)).iterator
     }
+  }
+
+  /** Batch CEP with BOUNDED per-key memory — the sort-based grouping
+    * form of [[matchBatch]] (the `SortedGroups` one-pass shape): one
+    * shuffle on user_id, a partition-local sort on (user_id, ts,
+    * event_id) through Spark's external sorter (spills like the
+    * reference's UnilateralSortMerger), then ONE streaming pass
+    * feeding each key-contiguous run into the NFA event by event.
+    * Nothing buffers a key's history: resident state during the pass
+    * is the NFA's own open partials, pruned by `within` — the
+    * reference NFA's buffer bound (NFA.java:85 + shared-buffer
+    * pruning). A hot key with 10⁶ events under a short `within`
+    * horizon runs in O(open partials), where flatMapGroups would hold
+    * all 10⁶ rows to sort them. */
+  def matchBatchSorted(events: Dataset[Event], pattern: Pattern[Event],
+                       skip: AfterMatchSkip = NoSkip)
+      : Dataset[(Long, Map[String, List[Event]])] = {
+    import org.apache.spark.sql.functions.col
+    implicit val outEnc: Encoder[(Long, Map[String, List[Event]])] =
+      Encoders.kryo[(Long, Map[String, List[Event]])]
+    events.repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(Long, Map[String, List[Event]])] {
+          private var pending: Iterator[(Long, Map[String, List[Event]])] =
+            Iterator.empty
+          def hasNext: Boolean = {
+            while (!pending.hasNext && buf.hasNext) {
+              val user = buf.head.user_id
+              // lazy view of this key's run — advance() pulls events
+              // one at a time straight off the sorted partition
+              val run: Iterator[(Long, Event)] = new Iterator[(Long, Event)] {
+                def hasNext: Boolean = buf.hasNext && buf.head.user_id == user
+                def next(): (Long, Event) = {
+                  val e = buf.next(); (Event.micros(e.ts), e)
+                }
+              }
+              val done = advance(pattern, Nil, run, skip,
+                collectTimeouts = false)._1
+              pending = done.map(m => (user, m)).iterator
+            }
+            pending.hasNext
+          }
+          def next(): (Long, Map[String, List[Event]]) = {
+            if (!hasNext) throw new NoSuchElementException("empty partition run")
+            pending.next()
+          }
+        }
+      }
   }
 
   /** Streaming CEP: partials persist in keyed state across batches
