@@ -43,7 +43,10 @@ object Bench {
     "q100_tpch_q2",       // per-(part,supp) min-cost correlation (Q2)
     "q103_tpch_q9",       // profit decomposition, 4-way join (Q9)
     "q107_tpch_q21",      // decorrelated double-EXISTS (Q21)
-    "q108_dup_span")      // duplicated-span coverage (shingle df rollup)
+    "q108_dup_span",      // duplicated-span coverage (shingle df rollup)
+    "q111_ds_union_rollup", // multi-channel union → rollup (TPC-DS q5/q77)
+    "q112_ds_yoy_selfjoin", // multi-alias YoY self-join (TPC-DS q64/q74)
+    "q116_ds_rollup_rank")  // rank over rollup output (TPC-DS q67)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -15,7 +15,8 @@ object SparkEntry {
     AggQueries.queries ++ JoinQueries.queries ++ WindowQueries.queries ++
     CalcQueries.queries ++ EventQueries.queries ++
     TextQueries.queries ++ VectorQueries.queries ++ ExtraQueries.queries ++
-    PipelineQueries.queries ++ TpchQueries.queries ++ TpchQueries2.queries
+    PipelineQueries.queries ++ TpchQueries.queries ++ TpchQueries2.queries ++
+    TpcdsShapes.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +24,6 @@ object SparkEntry {
     AggQueries.oracle ++ JoinQueries.oracle ++ WindowQueries.oracle ++
     CalcQueries.oracle ++ EventQueries.oracle ++
     TextQueries.oracle ++ VectorQueries.oracle ++ ExtraQueries.oracle ++
-    PipelineQueries.oracle ++ TpchQueries.oracle ++ TpchQueries2.oracle
+    PipelineQueries.oracle ++ TpchQueries.oracle ++ TpchQueries2.oracle ++
+    TpcdsShapes.oracle
 }
