@@ -207,21 +207,23 @@ object EventQueries {
     // spawning is checked value-for-value against SQL.
     "q110_cep_loop" -> ((s, d) => {
       import s.implicits._
-      import graft.streaming.{Cep, Event}
-      val pat = Cep.Pattern
-        .begin[Event]("a")((e, _) => e.event_type == "view")
-        .oneOrMore
-        .followedBy("b")((e, _) => e.event_type == "purchase")
-        .within(3600000000L)
+      import graft.streaming.{Cep, CepDsl, Event}
+      // fully declarative: pattern AND output both compile from the
+      // MATCH_RECOGNIZE-shaped DSL — the measures replace the
+      // hand-written extraction lambda (StreamExecMatch.scala:69)
+      val pat = CepDsl.compile[Event]("A+ B within 1h", Map(
+        "A" -> ((e, _) => e.event_type == "view"),
+        "B" -> ((e, _) => e.event_type == "purchase")))
+      val ms = CepDsl.compileMeasures[Event](
+        "first(A.event_id) AS first_view, last(A.event_id) AS last_view, " +
+          "count(A) AS n_views, first(B.event_id) AS purchase_id",
+        Event.fieldTable)
       val types = Set("view", "purchase")
-      Cep.matchBatchSorted(
-          graft.Tables.events(s, d).as[Event].filter(e => types(e.event_type)),
-          pat)
-        .map { case (user, m) =>
-          val vs = m("a")
-          (user, vs.head.event_id, vs.last.event_id, vs.size.toLong,
-            m("b").head.event_id)
-        }.toDF("user_id", "first_view", "last_view", "n_views", "purchase_id")
+      Cep.selectMeasures(
+          Cep.matchBatchSorted(
+            graft.Tables.events(s, d).as[Event].filter(e => types(e.event_type)),
+            pat),
+          "user_id", ms)
         .orderBy(col("user_id"), col("first_view"), col("last_view"))
     }),
 

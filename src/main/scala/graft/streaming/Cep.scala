@@ -473,6 +473,65 @@ object Cep {
     (out.result(), open, timedOut.result())
   }
 
+  // ---- MEASURES (MATCH_RECOGNIZE's output clause) -------------------
+
+  /** One declarative output column over a match's step bindings — the
+    * MEASURES surface of SQL MATCH_RECOGNIZE (reference
+    * `StreamExecMatch.scala:69` translates measure calls;
+    * `FlinkSqlOperatorTable.java:944+` declares FIRST/LAST/...).
+    * `eval` sees the full binding map and yields the column value;
+    * `field` carries the output name + type for the emitted rows. */
+  case class Measure[T](field: org.apache.spark.sql.types.StructField,
+                        eval: Map[String, List[T]] => Any)
+
+  /** Builders for the standard measure functions. A measure over an
+    * unbound optional step yields NULL (nullable fields), matching
+    * SQL MEASURES semantics. */
+  object Measures {
+    import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructField}
+    /** FIRST(step.field): the projection of the step's first bound
+      * event. */
+    def first[T](step: String, as: String, dt: DataType)(f: T => Any): Measure[T] =
+      Measure(StructField(as, dt, nullable = true),
+        m => m.get(step).flatMap(_.headOption).map(f).orNull)
+    /** LAST(step.field): same over the last bound occurrence. */
+    def last[T](step: String, as: String, dt: DataType)(f: T => Any): Measure[T] =
+      Measure(StructField(as, dt, nullable = true),
+        m => m.get(step).flatMap(_.lastOption).map(f).orNull)
+    /** COUNT(step): occurrences bound to the step (0 if unbound). */
+    def count[T](step: String, as: String): Measure[T] =
+      Measure(StructField(as, LongType, nullable = false),
+        m => m.getOrElse(step, Nil).size.toLong)
+    /** SUM(step.field) over an integral projection (0 if unbound). */
+    def sumLong[T](step: String, as: String)(f: T => Long): Measure[T] =
+      Measure(StructField(as, LongType, nullable = false),
+        m => m.getOrElse(step, Nil).map(f).sum)
+    /** SUM(step.field) over a floating projection (0.0 if unbound). */
+    def sumDouble[T](step: String, as: String)(f: T => Double): Measure[T] =
+      Measure(StructField(as, DoubleType, nullable = false),
+        m => m.getOrElse(step, Nil).map(f).sum)
+    /** AVG(step.field); NULL when the step is unbound. */
+    def avg[T](step: String, as: String)(f: T => Double): Measure[T] =
+      Measure(StructField(as, DoubleType, nullable = true),
+        m => { val vs = m.getOrElse(step, Nil)
+               if (vs.isEmpty) null else vs.map(f).sum / vs.size })
+  }
+
+  /** Project matches through a MEASURES list into a DataFrame —
+    * (key column, then one column per measure), the compiled form of
+    * MATCH_RECOGNIZE's `MEASURES ... ONE ROW PER MATCH`. Replaces
+    * hand-written per-query extraction lambdas. */
+  def selectMeasures(matches: Dataset[(Long, Map[String, List[Event]])],
+                     keyName: String, measures: Seq[Measure[Event]])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(
+      StructField(keyName, LongType, nullable = false) +: measures.map(_.field))
+    implicit val enc: Encoder[Row] = Encoders.row(schema)
+    matches.map { case (k, m) => Row.fromSeq(k +: measures.map(_.eval(m))) }
+  }
+
   case class FollowRow(user_id: Long, first_id: Long, second_id: Long, delta_us: Long)
 
   /** The common 2-step pattern as a typed operator: for each

@@ -121,4 +121,64 @@ object CepDsl {
     compile(src, preds.map { case (k, f) =>
       k -> ((e: T, _: Map[String, List[T]]) => f(e))
     })
+
+  // ---- MEASURES clause ---------------------------------------------
+
+  private val MeasureRe =
+    """(?i)(first|last|count|sum|avg)\(\s*([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s*\)\s+as\s+([A-Za-z_][A-Za-z0-9_]*)""".r
+
+  /** Compile a MEASURES clause — the declarative output surface of
+    * MATCH_RECOGNIZE (`MEASURES FIRST(A.x) AS ..., COUNT(A) AS ...`),
+    * reference `StreamExecMatch.scala:69` /
+    * `FlinkSqlOperatorTable.java:944+` — into [[Cep.Measure]]s that
+    * [[Cep.selectMeasures]] applies at match emission.
+    *
+    * Grammar: comma-separated `fn(STEP.field) AS alias` with
+    * fn ∈ {first, last, count, sum, avg}; `count(STEP)` takes no
+    * field. `fields` resolves field names to (Spark type, projection)
+    * — [[Event.fieldTable]] for the events schema. sum/avg require a
+    * numeric field (LongType or DoubleType). */
+  def compileMeasures[T](src: String,
+                         fields: Map[String, (org.apache.spark.sql.types.DataType, T => Any)])
+      : Seq[Cep.Measure[T]] = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    src.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map {
+      case MeasureRe(fn, step, fieldOrNull, alias) =>
+        val field = Option(fieldOrNull)
+        def resolved = {
+          val f = field.getOrElse(throw new IllegalArgumentException(
+            s"${fn.toLowerCase}($step) needs a field: ${fn.toLowerCase}($step.<field>)"))
+          fields.getOrElse(f, throw new IllegalArgumentException(
+            s"unknown field '$f' in measure '$fn($step.$f)'"))
+        }
+        fn.toLowerCase match {
+          case "count" =>
+            require(field.isEmpty, s"count($step) takes no field")
+            Cep.Measures.count[T](step, alias)
+          case "first" =>
+            val (dt, proj) = resolved
+            Cep.Measures.first[T](step, alias, dt)(proj)
+          case "last" =>
+            val (dt, proj) = resolved
+            Cep.Measures.last[T](step, alias, dt)(proj)
+          case "sum" => resolved match {
+            case (LongType, proj) =>
+              Cep.Measures.sumLong[T](step, alias)(e => proj(e).asInstanceOf[Long])
+            case (DoubleType, proj) =>
+              Cep.Measures.sumDouble[T](step, alias)(e => proj(e).asInstanceOf[Double])
+            case (dt, _) => throw new IllegalArgumentException(
+              s"sum needs a numeric field, got $dt")
+          }
+          case "avg" => resolved match {
+            case (LongType, proj) =>
+              Cep.Measures.avg[T](step, alias)(e => proj(e).asInstanceOf[Long].toDouble)
+            case (DoubleType, proj) =>
+              Cep.Measures.avg[T](step, alias)(e => proj(e).asInstanceOf[Double])
+            case (dt, _) => throw new IllegalArgumentException(
+              s"avg needs a numeric field, got $dt")
+          }
+        }
+      case bad => throw new IllegalArgumentException(s"bad measure: '$bad'")
+    }
+  }
 }

@@ -17,4 +17,18 @@ object Event {
     * milliseconds; the sub-ms component lives in getNanos. */
   def micros(t: Timestamp): Long =
     t.getTime * 1000 + (t.getNanos / 1000) % 1000
+
+  /** Field table for the CEP MEASURES DSL (CepDsl.compileMeasures):
+    * column name → (Spark type, projection) — the DSL analog of the
+    * schema MATCH_RECOGNIZE resolves `A.field` references against. */
+  val fieldTable: Map[String, (org.apache.spark.sql.types.DataType, Event => Any)] = {
+    import org.apache.spark.sql.types._
+    Map(
+      "event_id"   -> (LongType,      (e: Event) => e.event_id),
+      "ts"         -> (TimestampType, (e: Event) => e.ts),
+      "user_id"    -> (LongType,      (e: Event) => e.user_id),
+      "event_type" -> (StringType,    (e: Event) => e.event_type),
+      "value"      -> (DoubleType,    (e: Event) => e.value),
+      "props"      -> (StringType,    (e: Event) => e.props))
+  }
 }
