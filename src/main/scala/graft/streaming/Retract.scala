@@ -148,11 +148,11 @@ object Retract {
     *
     * `dim` must be a static (batch) DataFrame with columns
     * (user_id, dim_value) — stream-static joins are stateless, so
-    * deltas pass through unmodified. For a CHANGING dimension, use the
+    * deltas pass through unmodified. For a CHANGING dimension — both
+    * inputs changelogs — use [[deltaJoin]], the bilateral-state form
+    * (Flink's StreamExecJoin in AccRetract mode), or the
     * foreachBatch+MERGE pattern below (materialize the inner result,
-    * re-join per batch) — a delta×delta join would need bilateral
-    * state, which is exactly what Flink's planner generates and Spark
-    * expresses as its own stream-stream join.
+    * re-join per batch).
     *
     * Emits (dim_value, bucket, n_users) refreshes; the newest row per
     * (dim_value, bucket) is the current outer aggregate. */
@@ -175,6 +175,76 @@ object Retract {
           val now = state.getOption.getOrElse(0L) + rows.map(_._3).sum
           state.update(now)
           Iterator((dv, bucket, now))
+      }
+  }
+
+  // ---- delta × delta changelog JOIN (bilateral state) ---------------
+
+  /** One side's changelog row for [[deltaJoin]]: `leftSide` tags the
+    * input, `delta` = ±n asserts/retracts n copies of `value` under
+    * `key`. */
+  case class SideDelta(key: Long, leftSide: Boolean, value: Long, delta: Long)
+
+  /** A join-result changelog row: the (left, right) pairing under
+    * `key` changed multiplicity by `delta`. */
+  case class JoinDelta(key: Long, left: Long, right: Long, delta: Long)
+
+  /** BILATERAL delta×delta equi-join — both inputs are changelogs and
+    * the output is the changelog of the join result (the case
+    * [[changelogThroughJoin]]'s stream-static form cannot cover; the
+    * reference's StreamExecJoin in AccRetract mode keeps exactly this
+    * state: per key, each side's live rows, `StreamingJoinOperator`
+    * matching ± records against the opposite side's state).
+    *
+    * Both tagged inputs union into ONE keyed stateful op; state per
+    * key is the pair of value→count multisets. Batch deltas are
+    * NETTED per (side, value) first, so application is
+    * order-independent within a batch (the same contract
+    * [[retractableTopN]] keeps); the emitted join deltas are computed
+    * set-theoretically —
+    *   Δjoin(l,r) = newL(l)·newR(r) − oldL(l)·oldR(r)
+    * over the touched pairs — which equals dL×oldR + oldL×dR + dL×dR
+    * and never enumerates unchanged pairs. A retraction overtaking
+    * its accumulate across batches nets a NEGATIVE count in state and
+    * self-corrects when the accumulate lands (the reference tolerates
+    * the same transient via its record counters).
+    *
+    * Scale: state is bounded by live rows per join key (identical to
+    * any stream-stream join); emission is O(changed × opposite-side
+    * live), the join's true output delta. */
+  def deltaJoin(changes: Dataset[SideDelta]): Dataset[JoinDelta] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[(Map[Long, Long], Map[Long, Long]), JoinDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[(Map[Long, Long], Map[Long, Long])]) =>
+          val (oldL, oldR) = state.getOption
+            .getOrElse((Map.empty[Long, Long], Map.empty[Long, Long]))
+          val rs = rows.toSeq
+          def netOf(side: Boolean) = rs.filter(_.leftSide == side)
+            .groupBy(_.value).view.mapValues(_.map(_.delta).sum)
+            .filter(_._2 != 0L).toMap
+          val dL = netOf(true); val dR = netOf(false)
+          def applied(m: Map[Long, Long], d: Map[Long, Long]) =
+            d.foldLeft(m) { case (acc, (v, c)) =>
+              val n = acc.getOrElse(v, 0L) + c
+              if (n == 0L) acc - v else acc.updated(v, n)
+            }
+          val newL = applied(oldL, dL); val newR = applied(oldR, dR)
+          val touched: Set[(Long, Long)] =
+            (for { l <- dL.keySet; r <- oldR.keySet ++ newR.keySet }
+              yield (l, r)) ++
+            (for { l <- oldL.keySet ++ newL.keySet; r <- dR.keySet }
+              yield (l, r))
+          val out = touched.iterator.map { case (l, r) =>
+            JoinDelta(key, l, r,
+              newL.getOrElse(l, 0L) * newR.getOrElse(r, 0L) -
+                oldL.getOrElse(l, 0L) * oldR.getOrElse(r, 0L))
+          }.filter(_.delta != 0L).toList
+          state.update((newL, newR))
+          out.iterator
       }
   }
 

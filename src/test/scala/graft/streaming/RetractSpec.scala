@@ -150,4 +150,48 @@ class RetractSpec extends SparkSpec {
     assert(current() == Map(1 -> (10L, 5L), 2 -> (Retract.TombstoneId, 0L)),
       s"vacated rank not tombstoned: ${current()}")
   }
+
+  test("delta×delta join: accumulated output deltas equal the true join at every batch") {
+    val spark2 = spark; import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    import Retract.{JoinDelta, SideDelta}
+    val rnd = new scala.util.Random(7)
+    val ms = MemoryStream[SideDelta]
+    val q = Retract.deltaJoin(ms.toDS())
+      .writeStream.format("memory").queryName("djoin").outputMode("append").start()
+    // model: per key, both sides' live multisets, mutated batch by
+    // batch with random asserts AND retracts of previously live rows
+    val live = Array.fill(2)(
+      scala.collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L))
+    def trueJoin(): Map[(Long, Long, Long), Long] =
+      (for {
+        ((k, l), cl) <- live(0).toSeq
+        ((k2, r), cr) <- live(1).toSeq if k2 == k
+      } yield (k, l, r) -> cl * cr).filter(_._2 != 0L).toMap
+    def applied(): Map[(Long, Long, Long), Long] =
+      spark.table("djoin").as[JoinDelta].collect()
+        .groupBy(d => (d.key, d.left, d.right))
+        .view.mapValues(_.map(_.delta).sum).filter(_._2 != 0L).toMap
+    (1 to 5).foreach { _ =>
+      val batch = (1 to 12).map { _ =>
+        val side = rnd.nextBoolean()
+        val idx = if (side) 0 else 1
+        val retractable = live(idx).filter(_._2 > 0L).keys.toSeq
+        if (retractable.nonEmpty && rnd.nextInt(3) == 0) {
+          val (k, v) = retractable(rnd.nextInt(retractable.size))
+          live(idx)((k, v)) -= 1
+          SideDelta(k, side, v, -1L)
+        } else {
+          val (k, v) = (rnd.nextInt(3).toLong, rnd.nextInt(4).toLong)
+          live(idx)((k, v)) += 1
+          SideDelta(k, side, v, 1L)
+        }
+      }
+      ms.addData(batch: _*)
+      q.processAllAvailable()
+      assert(applied() == trueJoin(),
+        s"join changelog diverged:\n applied=${applied()}\n truth=${trueJoin()}")
+    }
+    q.stop()
+  }
 }
