@@ -63,16 +63,24 @@ object Bench {
     // by the soak run, whose generated dir has no embeddings table).
     val skipped = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
-    val names = headline.filter(SparkEntry.queries.contains).filterNot(skipped)
+    // SPARK_GRAFT_QUERIES=all → the COMPLETE catalog (full-catalog
+    // soak sweeps); default = the headline set (driver contract).
+    val base =
+      if (sys.env.get("SPARK_GRAFT_QUERIES").contains("all"))
+        SparkEntry.queries.keys.toSeq.sorted
+      else headline
+    val names = base.filter(SparkEntry.queries.contains).filterNot(skipped)
     names.foreach(run) // warm-up pass (untimed)
     def timed(name: String): Double = {
       val t0 = System.nanoTime(); run(name); (System.nanoTime() - t0) / 1e9
     }
-    // Three full timed passes, min per query. Passes are interleaved
-    // (all queries, then all again) so a multi-second host stall
-    // window cannot cover every measurement of the same query — the
-    // host shows bursty multi-minute load windows (see env notes).
-    val passes = (1 to 3).map(_ => names.map(timed))
+    // Timed passes (SPARK_GRAFT_RUNS, default 3), min per query.
+    // Passes are interleaved (all queries, then all again) so a
+    // multi-second host stall window cannot cover every measurement of
+    // the same query — the host shows bursty multi-minute load windows
+    // (see env notes).
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val passes = (1 to nRuns).map(_ => names.map(timed))
     val results = names.zipWithIndex
       .map { case (n, i) => n -> passes.map(_(i)).min }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -168,6 +168,59 @@ object TpcdsShapes {
         .orderBy(col("g_ty"), col("g_br"), col("p_type"), col("rnk"))
     }),
 
+    // TPC-DS q49 shape: worst return ratios per channel with DUAL
+    // ranking — per (channel, part) the quantity-return ratio AND the
+    // amount-return ratio, each ranked within the channel, keeping
+    // rows in either top-10 (q49 unions the per-channel results of
+    // exactly this dual-rank pattern). Scale: one shuffle on
+    // (channel, part) with map-side partials; both windows share one
+    // partitioning by channel over the aggregate only.
+    "q119_ds_returns_ratio" -> ((s, d) => {
+      val qtyE = "cast(l_quantity as bigint)"
+      val perPart = Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus").as("channel"), col("l_partkey"))
+        .agg(
+          expr(s"sum(case when l_returnflag = 'R' then $qtyE else 0 end)")
+            .as("ret_qty"),
+          expr(s"sum($qtyE)").as("tot_qty"),
+          expr(s"sum(case when l_returnflag = 'R' then $liCents else 0 end)")
+            .as("ret_cents"),
+          expr(s"sum($liCents)").as("tot_cents"))
+        .withColumn("qty_ratio_ppm", expr(
+          "cast((cast(ret_qty as decimal(38,0)) * 1000000) div tot_qty as bigint)"))
+        .withColumn("amt_ratio_ppm", expr(
+          "cast((cast(ret_cents as decimal(38,0)) * 1000000) div tot_cents as bigint)"))
+      val byChannel = Window.partitionBy(col("channel"))
+      val ranked = perPart
+        .withColumn("qty_rnk", rank().over(
+          byChannel.orderBy(col("qty_ratio_ppm").desc, col("l_partkey"))))
+        .withColumn("amt_rnk", rank().over(
+          byChannel.orderBy(col("amt_ratio_ppm").desc, col("l_partkey"))))
+      ranked.filter(col("qty_rnk") <= 10 || col("amt_rnk") <= 10)
+        .select(col("channel"), col("l_partkey"), col("qty_ratio_ppm"),
+          col("amt_ratio_ppm"), col("qty_rnk"), col("amt_rnk"))
+        .orderBy(col("channel"), col("qty_rnk"), col("amt_rnk"), col("l_partkey"))
+    }),
+
+    // TPC-DS q80/q66 shape: explicit GROUPING SETS over the channel
+    // hierarchy — (status, priority), (status), (priority), () — a
+    // custom set list neither ROLLUP nor CUBE expresses (the (priority)
+    // set without (status, ())-closure). Uses the SQL surface, which
+    // is where MATCH the reference exposes it too. Scale: one Expand
+    // ×4 after projection to 3 columns, one shuffle.
+    "q120_ds_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("gs_orders")
+      s.sql(s"""
+        SELECT o_orderstatus, o_orderpriority,
+          count(1) AS n_orders,
+          sum($oCents) AS total_cents,
+          grouping(o_orderstatus) AS g_st, grouping(o_orderpriority) AS g_pr
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          (o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_st, g_pr, o_orderstatus, o_orderpriority""")
+    }),
+
     // TPC-DS q51 shape: two channels' cumulative revenue FULL OUTER
     // JOINed on the period — here month-of-year for 2000 vs the
     // partial 2001 (months 8-12 exist only on one side, exercising
@@ -280,6 +333,43 @@ object TpcdsShapes {
         |  FROM rolled)
         |WHERE rnk <= 3
         |ORDER BY g_ty, g_br, p_type, rnk""".stripMargin,
+    "q119_ds_returns_ratio" ->
+      """WITH perpart AS (
+        |  SELECT l_linestatus AS channel, l_partkey,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity::BIGINT
+        |      ELSE 0 END) AS BIGINT) AS ret_qty,
+        |    CAST(sum(l_quantity::BIGINT) AS BIGINT) AS tot_qty,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R'
+        |      THEN CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS ret_cents,
+        |    CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+        |         AS BIGINT) AS tot_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT channel, l_partkey,
+        |    (ret_qty * 1000000 // tot_qty)::BIGINT AS qty_ratio_ppm,
+        |    (ret_cents * 1000000 // tot_cents)::BIGINT AS amt_ratio_ppm
+        |  FROM perpart),
+        |rr AS (
+        |  SELECT *,
+        |    rank() OVER (PARTITION BY channel
+        |      ORDER BY qty_ratio_ppm DESC, l_partkey) AS qty_rnk,
+        |    rank() OVER (PARTITION BY channel
+        |      ORDER BY amt_ratio_ppm DESC, l_partkey) AS amt_rnk
+        |  FROM ranked)
+        |SELECT channel, l_partkey, qty_ratio_ppm, amt_ratio_ppm, qty_rnk, amt_rnk
+        |FROM rr WHERE qty_rnk <= 10 OR amt_rnk <= 10
+        |ORDER BY channel, qty_rnk, amt_rnk, l_partkey""".stripMargin,
+    "q120_ds_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  grouping(o_orderstatus) AS g_st, grouping(o_orderpriority) AS g_pr
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_st, g_pr, o_orderstatus, o_orderpriority""".stripMargin,
     "q117_ds_cum_fullouter" ->
       """WITH m0 AS (
         |  SELECT month(o_orderdate)::INT AS mon_2000,
