@@ -70,11 +70,13 @@ class CepSortedSpec extends SparkSpec {
     def key(m: (Long, Map[String, List[Event]])): (Long, Long, Long) =
       (m._1, m._2("a").head.event_id, m._2("b").head.event_id)
     implicit val outEnc = Encoders.kryo[(Long, Map[String, List[Event]])]
-    val viaSorted = Cep.matchBatchSorted(ds, pat).collect().map(key).toSet
-    val viaGroups = Cep.matchBatch[Long](ds, _.user_id, pat)
-      .collect().map(key).toSet
-    assert(viaSorted == viaGroups,
-      s"sorted=${viaSorted.size} grouped=${viaGroups.size}")
-    assert(viaSorted.nonEmpty, "fixture must actually produce matches")
+    for (skip <- Seq(Cep.NoSkip, Cep.SkipPastLastEvent, Cep.SkipToNext)) {
+      val viaSorted = Cep.matchBatchSorted(ds, pat, skip).collect().map(key).toSet
+      val viaGroups = Cep.matchBatch[Long](ds, _.user_id, pat, skip)
+        .collect().map(key).toSet
+      assert(viaSorted == viaGroups,
+        s"$skip: sorted=${viaSorted.size} grouped=${viaGroups.size}")
+      assert(viaSorted.nonEmpty, s"$skip: fixture must actually produce matches")
+    }
   }
 }

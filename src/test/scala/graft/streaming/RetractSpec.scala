@@ -194,4 +194,28 @@ class RetractSpec extends SparkSpec {
     }
     q.stop()
   }
+
+  test("delta×delta join self-corrects a retraction overtaking its accumulate") {
+    val spark2 = spark; import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    import Retract.{JoinDelta, SideDelta}
+    val ms = MemoryStream[SideDelta]
+    val q = Retract.deltaJoin(ms.toDS())
+      .writeStream.format("memory").queryName("djoin2").outputMode("append").start()
+    def net(): Map[(Long, Long, Long), Long] =
+      spark.table("djoin2").as[JoinDelta].collect()
+        .groupBy(d => (d.key, d.left, d.right))
+        .view.mapValues(_.map(_.delta).sum).filter(_._2 != 0L).toMap
+    // batch 1: right side asserts r=5; left side RETRACTS l=1 that was
+    // never asserted — state nets l=1 to count -1 (the reference's
+    // transient record-counter state for out-of-order retractions)
+    ms.addData(SideDelta(1L, false, 5L, 1L), SideDelta(1L, true, 1L, -1L))
+    q.processAllAvailable()
+    // batch 2: the overtaken accumulate lands — counts cancel to zero,
+    // so the final net join output must be EMPTY, not a phantom pair
+    ms.addData(SideDelta(1L, true, 1L, 1L))
+    q.processAllAvailable()
+    q.stop()
+    assert(net() == Map.empty, s"phantom pair survived: ${net()}")
+  }
 }
