@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Oracle-bound Gelly queries (round 4): the graph library operators
+  * (`GraphOps`) run against a DETERMINISTIC co-purchase graph derived
+  * from the TPC-H tables and checked value-for-value against DuckDB
+  * (triangle closure, Jaccard counts, recursive-CTE BFS) — upgrading
+  * triangle count / Jaccard / SSSP from spec-only to oracle-checked,
+  * the same treatment q83 gave Summarization.
+  *
+  * The graph: parts co-occurring in a 1997 order are connected
+  * (canonical src < dst, deduplicated). Scale: the pair generator
+  * self-joins lineitem ON ORDERKEY — pairs per order are bounded by
+  * lines-per-order² (a catalog constant ≤ ~7² ≈ 21, not data-sized),
+  * and the join is co-located after one shuffle on orderkey. ~18k
+  * edges over ~1.8k vertices at sf0.01.
+  */
+object GraphQueries {
+
+  /** Canonical co-purchase edges (src < dst, distinct). */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).filter(year(col("o_orderdate")) === 1997)
+        .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .distinct()
+  }
+
+  // oracle-side twin of coPurchaseEdges
+  private val edCte =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE year(o_orderdate) = 1997),
+      |ed AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |   AND a.l_partkey < b.l_partkey)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // Gelly TriangleEnumerator/TriangleCount (library/TriangleEnumerator
+    // .java): per-vertex triangle membership via the wedge join —
+    // one self-join on the smaller endpoint + one closure probe, no
+    // iteration, no enumeration of non-closing wedges downstream.
+    "q121_graph_triangles" -> ((s, d) =>
+      GraphOps.triangleCounts(coPurchaseEdges(s, d))
+        .orderBy(col("id"))),
+
+    // Gelly JaccardIndex (library/similarity/JaccardIndex.java):
+    // neighborhood similarity from per-vertex posting lists —
+    // candidate pairs only where a common neighbor exists, never
+    // all-pairs. Output as round(jaccard, 6) for repr parity.
+    "q122_graph_jaccard" -> ((s, d) =>
+      GraphOps.jaccardSimilarity(coPurchaseEdges(s, d))
+        .filter(col("jaccard") >= 0.25)
+        .select(col("u"), col("v"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("u"), col("v"))),
+
+    // Gelly SingleSourceShortestPaths (library/
+    // SingleSourceShortestPaths.java) on unit weights = BFS depth:
+    // workset-driven delta iteration (Iterate.delta — only vertices
+    // whose distance improved relax their edges next superstep).
+    // Oracle = recursive-CTE closure with min-per-vertex.
+    "q123_graph_sssp" -> ((s, d) => {
+      val ed = coPurchaseEdges(s, d)
+      val bidir = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+        .withColumn("weight", lit(1.0))
+      val vertices = bidir.select(col("src").as("id")).distinct()
+      // bounded driver action: one scalar (the smallest part id)
+      val source = ed.agg(min(col("src"))).head().getLong(0)
+      GraphOps.shortestPaths(vertices, bidir, source, maxIter = 20)
+        .orderBy(col("id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q121_graph_triangles" -> (edCte +
+      """,
+        |tri AS (
+        |  SELECT w.a, w.b, w.c FROM
+        |    (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |     FROM ed e1 JOIN ed e2 ON e1.src = e2.src AND e1.dst < e2.dst) w
+        |  JOIN ed e3 ON w.b = e3.src AND w.c = e3.dst)
+        |SELECT id, count(*) AS n_triangles FROM (
+        |  SELECT a AS id FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |GROUP BY id ORDER BY id""".stripMargin),
+    "q122_graph_jaccard" -> (edCte +
+      """,
+        |bidir AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+        |deg AS (SELECT src AS id, count(*) AS deg FROM bidir GROUP BY 1),
+        |co AS (
+        |  SELECT n1.dst AS u, n2.dst AS v, count(*) AS co
+        |  FROM bidir n1 JOIN bidir n2
+        |    ON n1.src = n2.src AND n1.dst < n2.dst
+        |  GROUP BY 1, 2)
+        |SELECT u, v, round(co::DOUBLE / (du.deg + dv.deg - co), 6) AS jaccard
+        |FROM co JOIN deg du ON u = du.id JOIN deg dv ON v = dv.id
+        |WHERE co::DOUBLE / (du.deg + dv.deg - co) >= 0.25
+        |ORDER BY u, v""".stripMargin),
+    "q123_graph_sssp" -> (edCte +
+      """,
+        |bidir AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+        |s AS (SELECT min(src) AS sid FROM ed)
+        |SELECT id, min(dist)::DOUBLE AS dist FROM (
+        |  WITH RECURSIVE d(id, dist) AS (
+        |    SELECT sid, 0 FROM s
+        |    UNION
+        |    SELECT e.dst, d.dist + 1
+        |    FROM d JOIN bidir e ON e.src = d.id WHERE d.dist < 8)
+        |  SELECT id, dist FROM d)
+        |GROUP BY id ORDER BY id""".stripMargin)
+  )
+}
