@@ -63,6 +63,44 @@ object GraphQueries {
         .select(col("u"), col("v"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("u"), col("v"))),
 
+    // Gelly ConnectedComponents (library/ConnectedComponents.java) as
+    // the workset-driven delta iteration, on the SPARSER January-1997
+    // graph (584 vertices, 72 components — the year graph collapses
+    // to one giant component). Oracle = recursive reachability
+    // closure + min per vertex.
+    "q124_graph_cc" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+                  col("o_orderdate") < lit("1997-02-01").cast("timestamp"))
+          .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val ed = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
+      val vertices = ed.select(col("src").as("id"))
+        .union(ed.select(col("dst").as("id"))).distinct()
+      GraphOps.connectedComponents(vertices, ed, maxIter = 30)
+        .orderBy(col("id"))
+    }),
+
+    // Gelly PageRank (library/PageRank.java): 5 fixed supersteps,
+    // damping 0.85, on the bidirected year graph (no dangling
+    // vertices — every vertex has an edge, so the dangling-mass term
+    // is exactly zero on both sides). Oracle = the 5 iterations
+    // UNROLLED as chained CTEs; ranks land as integer e9 to keep the
+    // hash compare off raw float repr.
+    "q125_graph_pagerank" -> ((s, d) => {
+      val ed = coPurchaseEdges(s, d)
+      val bidir = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+      val vertices = bidir.select(col("src").as("id")).distinct()
+      GraphOps.pageRank(vertices, bidir, iters = 5, damping = 0.85)
+        .select(col("id"),
+          expr("cast(round(rank * 1000000000) as bigint)").as("rank_e9"))
+        .orderBy(col("id"))
+    }),
+
     // Gelly SingleSourceShortestPaths (library/
     // SingleSourceShortestPaths.java) on unit weights = BFS depth:
     // workset-driven delta iteration (Iterate.delta — only vertices
@@ -106,6 +144,63 @@ object GraphQueries {
         |FROM co JOIN deg du ON u = du.id JOIN deg dv ON v = dv.id
         |WHERE co::DOUBLE / (du.deg + dv.deg - co) >= 0.25
         |ORDER BY u, v""".stripMargin),
+    "q124_graph_cc" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-02-01'),
+        |ed AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey),
+        |bidir AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed)
+        |SELECT id, min(reach) AS component FROM (
+        |  WITH RECURSIVE r(id, reach) AS (
+        |    SELECT src, src FROM (SELECT DISTINCT src FROM bidir)
+        |    UNION
+        |    SELECT r.id, e.dst FROM r JOIN bidir e ON e.src = r.reach)
+        |  SELECT id, reach FROM r)
+        |GROUP BY id ORDER BY id""".stripMargin,
+    "q125_graph_pagerank" -> (edCte +
+      """,
+        |bidir AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+        |deg AS (SELECT src AS id, count(*) AS deg FROM bidir GROUP BY 1),
+        |verts AS (SELECT DISTINCT src AS id FROM bidir),
+        |nv AS (SELECT count(*)::DOUBLE AS n FROM verts),
+        |r0 AS (SELECT id, 1.0/(SELECT n FROM nv) AS rank FROM verts),
+        |r1 AS (SELECT v.id, (1.0-0.85)/(SELECT n FROM nv)
+        |         + 0.85*coalesce(s.c, 0) AS rank
+        |       FROM verts v LEFT JOIN (
+        |         SELECT e.dst AS id, sum(r.rank/d.deg) AS c
+        |         FROM bidir e JOIN r0 r ON e.src = r.id
+        |         JOIN deg d ON d.id = e.src GROUP BY e.dst) s ON v.id = s.id),
+        |r2 AS (SELECT v.id, (1.0-0.85)/(SELECT n FROM nv)
+        |         + 0.85*coalesce(s.c, 0) AS rank
+        |       FROM verts v LEFT JOIN (
+        |         SELECT e.dst AS id, sum(r.rank/d.deg) AS c
+        |         FROM bidir e JOIN r1 r ON e.src = r.id
+        |         JOIN deg d ON d.id = e.src GROUP BY e.dst) s ON v.id = s.id),
+        |r3 AS (SELECT v.id, (1.0-0.85)/(SELECT n FROM nv)
+        |         + 0.85*coalesce(s.c, 0) AS rank
+        |       FROM verts v LEFT JOIN (
+        |         SELECT e.dst AS id, sum(r.rank/d.deg) AS c
+        |         FROM bidir e JOIN r2 r ON e.src = r.id
+        |         JOIN deg d ON d.id = e.src GROUP BY e.dst) s ON v.id = s.id),
+        |r4 AS (SELECT v.id, (1.0-0.85)/(SELECT n FROM nv)
+        |         + 0.85*coalesce(s.c, 0) AS rank
+        |       FROM verts v LEFT JOIN (
+        |         SELECT e.dst AS id, sum(r.rank/d.deg) AS c
+        |         FROM bidir e JOIN r3 r ON e.src = r.id
+        |         JOIN deg d ON d.id = e.src GROUP BY e.dst) s ON v.id = s.id),
+        |r5 AS (SELECT v.id, (1.0-0.85)/(SELECT n FROM nv)
+        |         + 0.85*coalesce(s.c, 0) AS rank
+        |       FROM verts v LEFT JOIN (
+        |         SELECT e.dst AS id, sum(r.rank/d.deg) AS c
+        |         FROM bidir e JOIN r4 r ON e.src = r.id
+        |         JOIN deg d ON d.id = e.src GROUP BY e.dst) s ON v.id = s.id)
+        |SELECT id, CAST(round(rank*1000000000) AS BIGINT) AS rank_e9
+        |FROM r5 ORDER BY id""".stripMargin),
     "q123_graph_sssp" -> (edCte +
       """,
         |bidir AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
