@@ -101,6 +101,29 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // Gelly LabelPropagation (library/LabelPropagation.java): 3 fixed
+    // supersteps on the January graph, each vertex adopting its
+    // neighbors' most frequent label with ties to the SMALLEST label
+    // — deterministic, so the oracle unrolls the supersteps as CTEs,
+    // encoding the (freq, smallest-label) preference as the single
+    // sortable key f·1e7 − label (labels ≪ 1e7).
+    "q126_graph_lpa" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+                  col("o_orderdate") < lit("1997-02-01").cast("timestamp"))
+          .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val ed = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
+      val vertices = ed.select(col("src").as("id"))
+        .union(ed.select(col("dst").as("id"))).distinct()
+      GraphOps.labelPropagation(vertices, ed, iters = 3)
+        .orderBy(col("id"))
+    }),
+
     // Gelly SingleSourceShortestPaths (library/
     // SingleSourceShortestPaths.java) on unit weights = BFS depth:
     // workset-driven delta iteration (Iterate.delta — only vertices
@@ -201,6 +224,40 @@ object GraphQueries {
         |         JOIN deg d ON d.id = e.src GROUP BY e.dst) s ON v.id = s.id)
         |SELECT id, CAST(round(rank*1000000000) AS BIGINT) AS rank_e9
         |FROM r5 ORDER BY id""".stripMargin),
+    "q126_graph_lpa" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-02-01'),
+        |ed AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey),
+        |bidir AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+        |l0 AS (SELECT DISTINCT src AS id, src AS label FROM bidir),
+        |l1 AS (
+        |  SELECT v.id, coalesce(t.nl, v.label) AS label
+        |  FROM l0 v LEFT JOIN (
+        |    SELECT id, arg_max(label, f*10000000 - label) AS nl FROM (
+        |      SELECT e.dst AS id, l.label, count(*) AS f
+        |      FROM bidir e JOIN l0 l ON e.src = l.id
+        |      GROUP BY e.dst, l.label) GROUP BY id) t ON v.id = t.id),
+        |l2 AS (
+        |  SELECT v.id, coalesce(t.nl, v.label) AS label
+        |  FROM l1 v LEFT JOIN (
+        |    SELECT id, arg_max(label, f*10000000 - label) AS nl FROM (
+        |      SELECT e.dst AS id, l.label, count(*) AS f
+        |      FROM bidir e JOIN l1 l ON e.src = l.id
+        |      GROUP BY e.dst, l.label) GROUP BY id) t ON v.id = t.id),
+        |l3 AS (
+        |  SELECT v.id, coalesce(t.nl, v.label) AS label
+        |  FROM l2 v LEFT JOIN (
+        |    SELECT id, arg_max(label, f*10000000 - label) AS nl FROM (
+        |      SELECT e.dst AS id, l.label, count(*) AS f
+        |      FROM bidir e JOIN l2 l ON e.src = l.id
+        |      GROUP BY e.dst, l.label) GROUP BY id) t ON v.id = t.id)
+        |SELECT id, label FROM l3 ORDER BY id""".stripMargin,
     "q123_graph_sssp" -> (edCte +
       """,
         |bidir AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
