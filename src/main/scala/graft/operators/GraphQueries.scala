@@ -124,6 +124,19 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // Gelly HITS (library/linkanalysis/HITS.java): 3 hub/authority
+    // supersteps with L2 normalization on the DIRECTED canonical
+    // graph (src < dst, so low part ids are pure hubs — auth 0 — a
+    // real directed-graph asymmetry). Oracle = the supersteps
+    // unrolled as MATERIALIZED CTEs (plain CTEs re-inline the whole
+    // chain per reference — exponential), scores as integer e9.
+    "q127_graph_hits" -> ((s, d) =>
+      GraphOps.hits(coPurchaseEdges(s, d), iters = 3)
+        .select(col("id"),
+          expr("cast(round(hub * 1000000000) as bigint)").as("hub_e9"),
+          expr("cast(round(auth * 1000000000) as bigint)").as("auth_e9"))
+        .orderBy(col("id"))),
+
     // Gelly SingleSourceShortestPaths (library/
     // SingleSourceShortestPaths.java) on unit weights = BFS depth:
     // workset-driven delta iteration (Iterate.delta — only vertices
@@ -258,6 +271,39 @@ object GraphQueries {
         |      FROM bidir e JOIN l2 l ON e.src = l.id
         |      GROUP BY e.dst, l.label) GROUP BY id) t ON v.id = t.id)
         |SELECT id, label FROM l3 ORDER BY id""".stripMargin,
+    "q127_graph_hits" -> {
+      val iter = (k: Int) => {
+        val p = k - 1
+        s"""a${k}r AS MATERIALIZED (SELECT e.dst AS id, sum(s.hub) AS a
+           |  FROM ed e JOIN s$p s ON e.src = s.id GROUP BY e.dst),
+           |a${k}n AS MATERIALIZED (SELECT sqrt(sum(a*a)) AS v FROM a${k}r),
+           |a$k AS MATERIALIZED (
+           |  SELECT v.id, coalesce(r.a, 0)/(SELECT v FROM a${k}n) AS auth
+           |  FROM verts v LEFT JOIN a${k}r r ON v.id = r.id),
+           |h${k}r AS MATERIALIZED (SELECT e.src AS id, sum(a.auth) AS h
+           |  FROM ed e JOIN a$k a ON e.dst = a.id GROUP BY e.src),
+           |h${k}n AS MATERIALIZED (SELECT sqrt(sum(h*h)) AS v FROM h${k}r),
+           |s$k AS MATERIALIZED (
+           |  SELECT v.id, coalesce(r.h, 0)/(SELECT v FROM h${k}n) AS hub,
+           |         a$k.auth
+           |  FROM verts v LEFT JOIN h${k}r r ON v.id = r.id
+           |  JOIN a$k ON v.id = a$k.id)""".stripMargin
+      }
+      """WITH li AS MATERIALIZED (
+        |  SELECT l_orderkey, l_partkey FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE year(o_orderdate) = 1997),
+        |ed AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey),
+        |verts AS MATERIALIZED (SELECT src AS id FROM ed UNION SELECT dst FROM ed),
+        |s0 AS MATERIALIZED (SELECT id, 1.0 AS hub, 1.0 AS auth FROM verts),
+        |""".stripMargin + Seq(1, 2, 3).map(iter).mkString(",\n") + """
+        |SELECT id, CAST(round(hub*1000000000) AS BIGINT) AS hub_e9,
+        |       CAST(round(auth*1000000000) AS BIGINT) AS auth_e9
+        |FROM s3 ORDER BY id""".stripMargin
+    },
     "q123_graph_sssp" -> (edCte +
       """,
         |bidir AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
