@@ -137,6 +137,19 @@ object GraphQueries {
           expr("cast(round(auth * 1000000000) as bigint)").as("auth_e9"))
         .orderBy(col("id"))),
 
+    // Gelly LocalClusteringCoefficient (library/clustering/
+    // undirected/LocalClusteringCoefficient.java): triangles(v) over
+    // possible neighbor pairs — non-iterative, one wedge join + one
+    // degree count. Coefficient emitted as ppm (integral div) for
+    // repr parity.
+    "q128_graph_clustering" -> ((s, d) =>
+      GraphOps.clusteringCoefficient(coPurchaseEdges(s, d))
+        .select(col("id"), col("degree"), col("n_triangles"),
+          expr("cast(case when degree < 2 then 0 else " +
+            "(cast(n_triangles as decimal(38,0)) * 2000000) div " +
+            "(degree * (degree - 1)) end as bigint)").as("coeff_ppm"))
+        .orderBy(col("id"))),
+
     // Gelly SingleSourceShortestPaths (library/
     // SingleSourceShortestPaths.java) on unit weights = BFS depth:
     // workset-driven delta iteration (Iterate.delta — only vertices
@@ -304,6 +317,29 @@ object GraphQueries {
         |       CAST(round(auth*1000000000) AS BIGINT) AS auth_e9
         |FROM s3 ORDER BY id""".stripMargin
     },
+    "q128_graph_clustering" -> (edCte +
+      """,
+        |tri AS (
+        |  SELECT w.a, w.b, w.c FROM
+        |    (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |     FROM ed e1 JOIN ed e2 ON e1.src = e2.src AND e1.dst < e2.dst) w
+        |  JOIN ed e3 ON w.b = e3.src AND w.c = e3.dst),
+        |tcnt AS (
+        |  SELECT id, count(*) AS n_triangles FROM (
+        |    SELECT a AS id FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY id),
+        |deg AS (
+        |  SELECT id, count(*) AS degree FROM (
+        |    SELECT src AS id FROM ed UNION ALL SELECT dst FROM ed)
+        |  GROUP BY id)
+        |SELECT deg.id, degree,
+        |  coalesce(n_triangles, 0) AS n_triangles,
+        |  CASE WHEN degree < 2 THEN 0
+        |       ELSE (coalesce(n_triangles, 0) * 2000000
+        |             // (degree * (degree - 1)))::BIGINT END AS coeff_ppm
+        |FROM deg LEFT JOIN tcnt ON deg.id = tcnt.id
+        |ORDER BY deg.id""".stripMargin),
     "q123_graph_sssp" -> (edCte +
       """,
         |bidir AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
