@@ -272,6 +272,11 @@ object EventQueries {
         }.toSeq :+
         (col("ts") >= bounds.last)
       chunks.zipWithIndex.foreach { case (cond, i) =>
+        // coalesce(1) is replay-harness fidelity, not an operator
+        // choice: one file per chunk makes chunk = micro-batch exact
+        // (many part files per chunk would split one epoch across
+        // batches in undefined file order). The production ingest
+        // path has no such writer — streams arrive already epoched.
         ev.filter(cond).coalesce(1).write.mode("overwrite")
           .parquet(s"$base/stage_$i")
         val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/stage_$i"))

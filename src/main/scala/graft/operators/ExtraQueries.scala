@@ -304,7 +304,10 @@ object ExtraQueries {
             year(col("o_orderdate").cast("date")).cast("long").as("value")),
           "l_orderkey")
         .select(col("src"), col("dst"), col("value"))
-      val (_, se) = GraphOps.summarize(verts, edges)
+      // vertices are DIMENSIONS (customers+suppliers: fixed-cardinality
+      // in a warehouse) while edges scale with lineitem — broadcast the
+      // id→rep map so neither fact-sized edge join shuffles
+      val (_, se) = GraphOps.summarize(verts, edges, broadcastVertexMap = true)
       se.orderBy(col("src"), col("dst"), col("value"))
     }),
 

@@ -313,16 +313,24 @@ object GraphOps {
     *
     * Scale: the (value → rep, cnt) group table is |distinct values| —
     * broadcast-sized in practice, so tagging members with their rep is
-    * a broadcast join; the member→rep map itself is |vertices|-sized,
-    * so the two edge-endpoint joins shuffle on vertex id, and the edge
-    * rollup is one shuffle on (srep, drep, value). */
-  def summarize(vertices: DataFrame, edges: DataFrame)
+    * a broadcast join; the member→rep map itself is |vertices|-sized.
+    * By default the two edge-endpoint joins shuffle on vertex id (the
+    * only correct general plan — vertices can be fact-sized). When
+    * the CALLER knows the vertex set is dimension-sized (as in q83,
+    * where vertices are customers+suppliers and only edges scale with
+    * fact volume), `broadcastVertexMap = true` broadcasts the id→rep
+    * map instead, removing BOTH fact-sized edge shuffles — the edge
+    * rollup's (srep, drep, value) shuffle then moves pre-condensed
+    * groups only. */
+  def summarize(vertices: DataFrame, edges: DataFrame,
+                broadcastVertexMap: Boolean = false)
       : (DataFrame, DataFrame) = {
     val groups = vertices.groupBy(col("value"))
       .agg(min(col("id")).as("rep"), count(lit(1)).as("cnt"))
     val sumVerts = groups.select(col("rep").as("id"), col("value"), col("cnt"))
-    val v2r = vertices.join(broadcast(groups.select(col("value"), col("rep"))),
+    val v2rMap = vertices.join(broadcast(groups.select(col("value"), col("rep"))),
       "value").select(col("id"), col("rep"))
+    val v2r = if (broadcastVertexMap) broadcast(v2rMap) else v2rMap
     val sumEdges = edges.select(col("src"), col("dst"),
         col("value").as("evalue"))
       .join(v2r.withColumnRenamed("id", "src")
