@@ -248,12 +248,10 @@ object EventQueries {
         }
         .within(600000000L)
       val base = java.nio.file.Files.createTempDirectory("graft-cepstream")
-      val (in, out, ck) = (s"$base/in", s"$base/out", s"$base/ck")
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val (out, ck) = (s"$base/out", s"$base/ck")
       val ev = Tables.events(s, d).as[Event]
         .filter(e => e.event_type == "view" || e.event_type == "purchase")
-      // time-ordered chunks, written sequentially so the file source
-      // (oldest-modtime-first) replays them in event-time order. One
+      // time-ordered chunks replayed one-per-micro-batch. One
       // boundary is placed at a real match's PURCHASE timestamp so
       // that pair's partial (view bound, waiting) provably crosses a
       // micro-batch boundary through the state store — without it a
@@ -271,24 +269,8 @@ object EventQueries {
           col("ts") >= lo && col("ts") < hi
         }.toSeq :+
         (col("ts") >= bounds.last)
-      chunks.zipWithIndex.foreach { case (cond, i) =>
-        // coalesce(1) is replay-harness fidelity, not an operator
-        // choice: one file per chunk makes chunk = micro-batch exact
-        // (many part files per chunk would split one epoch across
-        // batches in undefined file order). The production ingest
-        // path has no such writer — streams arrive already epoched.
-        ev.filter(cond).coalesce(1).write.mode("overwrite")
-          .parquet(s"$base/stage_$i")
-        val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/stage_$i"))
-          .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .findFirst()
-        if (part.isPresent) // an empty range writes no part file
-          java.nio.file.Files.move(part.get(),
-            java.nio.file.Paths.get(in, f"chunk_$i%02d.parquet"))
-      }
-      val schema = s.read.parquet(in).schema
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(in).as[Event]
+      val (inDir, schema) = graft.streaming.Replay.fileEpochs(ev, chunks, base.toString)
+      val stream = graft.streaming.Replay.stream(s, inDir, schema)
       val matched = Cep.matchStream(stream, pat).map { case (user, m) =>
         val a = m("a").head; val b = m("b").head
         (user, a.event_id, b.event_id, Event.micros(b.ts) - Event.micros(a.ts))
@@ -300,6 +282,76 @@ object EventQueries {
       q.awaitTermination()
       s.read.parquet(out)
         .orderBy(col("user_id"), col("view_id"))
+    }),
+
+    // STREAMING group window aggregate oracle-bound (the reference's
+    // StreamExecGroupWindowAggregate path, stream-first like CEP):
+    // the same 1h tumbling windows as q50, computed by a REAL
+    // watermarked streaming aggregation over the four-epoch file
+    // replay — append mode emits each window exactly once when the
+    // watermark passes it, so windows open across micro-batch
+    // boundaries close incrementally; a far-future FLUSH sentinel in
+    // the last epoch advances the watermark past the final real
+    // window (it is filtered after the watermark node, so it moves
+    // event-time without entering the aggregate). Hashed against the
+    // identical q50 SQL oracle.
+    "q129_window_stream" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.{Event, Replay}
+      import org.apache.spark.sql.streaming.Trigger
+      val base = java.nio.file.Files.createTempDirectory("graft-winstream")
+      val (out, ck) = (s"$base/out", s"$base/ck")
+      val real = Tables.events(s, d).as[Event]
+      // chunk bounds from the DATA's own span (two bounded scalars) so
+      // the replay is genuinely multi-batch at every scale factor
+      val (loUs, hiUs) = {
+        val r = real.agg(min(col("ts")), max(col("ts"))).head()
+        (Event.micros(r.getTimestamp(0)), Event.micros(r.getTimestamp(1)))
+      }
+      def tsOf(us: Long) = new java.sql.Timestamp(us / 1000)
+      val cut = (q: Long) => lit(tsOf(loUs + (hiUs - loUs) * q / 4))
+      // TWO flush epochs past the data: the first advances the
+      // watermark beyond every real window; the second triggers the
+      // batch in which those newly-closed windows actually EMIT
+      // (append mode emits a window in the batch AFTER the watermark
+      // passes it — one flush would close the last window but leave
+      // it sitting in state at termination).
+      def flush(id: Long, offDays: Long) = Event(id,
+        tsOf(hiUs + offDays * 86400L * 1000000L), -1L, "flush", 0.0, "{}")
+      val ev = real.union(Seq(flush(-1L, 1), flush(-2L, 2)).toDS())
+      val fcol = col("event_type") === "flush"
+      val chunks = Seq(
+        col("ts") < cut(1) && !fcol,
+        col("ts") >= cut(1) && col("ts") < cut(2) && !fcol,
+        col("ts") >= cut(2) && col("ts") < cut(3) && !fcol,
+        col("ts") >= cut(3) && !fcol,
+        col("event_id") === -1L && fcol,
+        col("event_id") === -2L && fcol)
+      val (inDir, schema) = Replay.fileEpochs(ev, chunks, base.toString)
+      // NO flush filter anywhere inside the streaming plan: a filter
+      // on event_type — even placed above the aggregate — is
+      // predicate-pushed through the Aggregate (grouping column) and
+      // then through the EventTimeWatermark node, so flush rows would
+      // be dropped BEFORE the watermark operator ever observes their
+      // event time, silently freezing the watermark at the last real
+      // event and leaving the final window unemitted (verified via
+      // batchWatermarkMs in the checkpoint). The sentinel groups are
+      // filtered from the SINK OUTPUT instead — and in practice never
+      // emit anyway, because their own windows have no later batch to
+      // close them.
+      val agg = Replay.stream(s, inDir, schema)
+        .withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumCents.as("cents_v"))
+        .select(col("w.start").as("w_start"), col("event_type"),
+          col("n"), col("cents_v"))
+      val q = agg.writeStream
+        .option("checkpointLocation", ck)
+        .outputMode("append").format("parquet").option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out).filter(col("event_type") =!= "flush")
+        .orderBy(col("w_start"), col("event_type"))
     }),
 
     // Count-tumbling window batch analog (CountTumblingWindowAssigner):
@@ -317,6 +369,14 @@ object EventQueries {
 
   val oracle: Map[String, String] = Map(
     "q50_window_tumble" -> (evCte +
+      """
+        |SELECT date_trunc('hour', ts) AS w_start, event_type,
+        |  count(*) AS n,
+        |  sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents_v
+        |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // identical SQL to q50: the watermarked streaming aggregation must
+    // close every window on exactly the batch result
+    "q129_window_stream" -> (evCte +
       """
         |SELECT date_trunc('hour', ts) AS w_start, event_type,
         |  count(*) AS n,

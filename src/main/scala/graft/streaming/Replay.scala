@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, Dataset, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** File-stream replay harness: re-emit a batch Dataset as a
+  * Structured Streaming file source whose micro-batch boundaries are
+  * EXACTLY the given time chunks — the tool behind the
+  * streaming-vs-oracle parity queries (q118, q129). Each chunk is
+  * written as ONE parquet file (coalesce(1) is replay fidelity, not
+  * an operator choice: several part files per chunk would split one
+  * epoch across micro-batches in undefined file order), written
+  * sequentially so the file source's oldest-modtime-first order
+  * replays them as consecutive batches under maxFilesPerTrigger=1. */
+object Replay {
+
+  /** Write `ds` into `base/in` as one file per chunk condition;
+    * returns (inputDir, schema). Rows matching no condition are
+    * dropped — make the conditions a partition of the time range. */
+  def fileEpochs(ds: Dataset[Event], conds: Seq[Column], base: String)
+      : (String, StructType) = {
+    val in = s"$base/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    conds.zipWithIndex.foreach { case (cond, i) =>
+      ds.filter(cond).coalesce(1).write.mode("overwrite")
+        .parquet(s"$base/stage_$i")
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/stage_$i"))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst()
+      if (part.isPresent) // an empty range writes no part file
+        java.nio.file.Files.move(part.get(),
+          java.nio.file.Paths.get(in, f"chunk_$i%02d.parquet"))
+    }
+    (in, ds.sparkSession.read.parquet(in).schema)
+  }
+
+  /** Open the replay as a one-file-per-trigger stream. */
+  def stream(spark: SparkSession, in: String, schema: StructType)
+      : Dataset[Event] = {
+    import spark.implicits._
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in).as[Event]
+  }
+}
