@@ -354,6 +354,63 @@ object EventQueries {
         .orderBy(col("w_start"), col("event_type"))
     }),
 
+    // STREAMING session windows oracle-bound (the reference's
+    // EventTimeSessionWindows path): Spark's session_window with a
+    // 30-minute gap over the multi-epoch replay — sessions merge in
+    // the state store as epochs arrive and emit (append mode) when
+    // the watermark passes session-end+gap. Session ORDINALS
+    // (sess_id) are assigned after the fact by ranking closed
+    // sessions per user — the ordinal is presentation, the session
+    // ASSIGNMENT is what streams. Same double-flush + sink-side
+    // sentinel filter as q129 (see the pushdown note there). Hashed
+    // against the identical q52 SQL oracle.
+    "q130_session_stream" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.{Event, Replay}
+      import org.apache.spark.sql.streaming.Trigger
+      val base = java.nio.file.Files.createTempDirectory("graft-sessstream")
+      val (out, ck) = (s"$base/out", s"$base/ck")
+      val real = Tables.events(s, d).as[Event]
+      val (loUs, hiUs) = {
+        val r = real.agg(min(col("ts")), max(col("ts"))).head()
+        (Event.micros(r.getTimestamp(0)), Event.micros(r.getTimestamp(1)))
+      }
+      def tsOf(us: Long) = new java.sql.Timestamp(us / 1000)
+      val cut = (q: Long) => lit(tsOf(loUs + (hiUs - loUs) * q / 4))
+      def flush(id: Long, offDays: Long) = Event(id,
+        tsOf(hiUs + offDays * 86400L * 1000000L), -1L, "flush", 0.0, "{}")
+      val ev = real.union(Seq(flush(-1L, 1), flush(-2L, 2)).toDS())
+      val fcol = col("event_type") === "flush"
+      val chunks = Seq(
+        col("ts") < cut(1) && !fcol,
+        col("ts") >= cut(1) && col("ts") < cut(2) && !fcol,
+        col("ts") >= cut(2) && col("ts") < cut(3) && !fcol,
+        col("ts") >= cut(3) && !fcol,
+        col("event_id") === -1L && fcol,
+        col("event_id") === -2L && fcol)
+      val (inDir, schema) = Replay.fileEpochs(ev, chunks, base.toString)
+      val sess = Replay.stream(s, inDir, schema)
+        .withWatermark("ts", "1 minute")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"),
+          sumCents.as("cents_v"))
+        .select(col("user_id"), col("n_events"), col("sess_start"),
+          col("sess_end"), col("cents_v"))
+      val q = sess.writeStream
+        .option("checkpointLocation", ck)
+        .outputMode("append").format("parquet").option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out).filter(col("user_id") >= 0) // drop flush sentinels
+        .withColumn("sess_id", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("sess_start")))
+          .cast("long"))
+        .select(col("user_id"), col("sess_id"), col("n_events"),
+          col("sess_start"), col("sess_end"), col("cents_v"))
+        .orderBy(col("user_id"), col("sess_id"))
+    }),
+
     // Count-tumbling window batch analog (CountTumblingWindowAssigner):
     // fixed windows of 10 events per user in time order.
     "q57_count_window" -> ((s, d) => {
@@ -394,6 +451,25 @@ object EventQueries {
         |                        - k.g * 900000000) < 3600000000)
         |GROUP BY w_start ORDER BY w_start""".stripMargin),
     "q52_window_session" -> (evCte +
+      """,
+        |sess AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT *, (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS sess_id
+        |  FROM sess)
+        |SELECT user_id, sess_id, count(*) AS n_events,
+        |  min(ts) AS sess_start, max(ts) AS sess_end,
+        |  sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents_v
+        |FROM numbered GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin),
+    // identical SQL to q52: the streaming session_window assignment
+    // must close every session on exactly the batch result
+    "q130_session_stream" -> (evCte +
       """,
         |sess AS (
         |  SELECT user_id, ts, event_id, value,
