@@ -411,6 +411,44 @@ object EventQueries {
         .orderBy(col("user_id"), col("sess_id"))
     }),
 
+    // STREAMING keep-first dedup oracle-bound (the reference's
+    // StreamExecDeduplicate keep-first): the keyed seen-marker op
+    // (StatefulOps.dedupFirstWithTtl, TTL effectively infinite) over
+    // the time-ordered epoch replay — the first batch containing a
+    // key wins across batches, the in-batch (ts, event_id) min wins
+    // within one, so arrival order inside a micro-batch never leaks
+    // into the result. flatMapGroupsWithState emits immediately: no
+    // watermark, no flush sentinels. Oracle = ROW_NUMBER()=1.
+    "q131_dedup_stream" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.{Event, Replay, StatefulOps}
+      import org.apache.spark.sql.streaming.Trigger
+      val base = java.nio.file.Files.createTempDirectory("graft-dedupstream")
+      val (out, ck) = (s"$base/out", s"$base/ck")
+      val real = Tables.events(s, d).as[Event]
+      val (loUs, hiUs) = {
+        val r = real.agg(min(col("ts")), max(col("ts"))).head()
+        (Event.micros(r.getTimestamp(0)), Event.micros(r.getTimestamp(1)))
+      }
+      def tsOf(us: Long) = new java.sql.Timestamp(us / 1000)
+      val cut = (q: Long) => lit(tsOf(loUs + (hiUs - loUs) * q / 4))
+      val chunks = Seq(
+        col("ts") < cut(1),
+        col("ts") >= cut(1) && col("ts") < cut(2),
+        col("ts") >= cut(2) && col("ts") < cut(3),
+        col("ts") >= cut(3))
+      val (inDir, schema) = Replay.fileEpochs(real, chunks, base.toString)
+      val deduped = StatefulOps
+        .dedupFirstWithTtl(Replay.stream(s, inDir, schema), Long.MaxValue / 2)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+      val q = deduped.writeStream
+        .option("checkpointLocation", ck)
+        .outputMode("append").format("parquet").option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("user_id"), col("event_type"))
+    }),
+
     // Count-tumbling window batch analog (CountTumblingWindowAssigner):
     // fixed windows of 10 events per user in time order.
     "q57_count_window" -> ((s, d) => {
@@ -486,6 +524,14 @@ object EventQueries {
         |  min(ts) AS sess_start, max(ts) AS sess_end,
         |  sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents_v
         |FROM numbered GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin),
+    "q131_dedup_stream" -> (evCte +
+      """
+        |SELECT user_id, event_type, event_id, ts FROM (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM ev)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin),
     "q53_interval_join" -> (evCte +
       """
         |SELECT p.user_id AS user_id, p.event_id AS p_id, x.event_id AS e_id,
