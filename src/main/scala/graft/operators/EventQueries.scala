@@ -449,6 +449,50 @@ object EventQueries {
       s.read.parquet(out).orderBy(col("user_id"), col("event_type"))
     }),
 
+    // STREAMING interval join oracle-bound (the reference's
+    // TimeBoundedStreamJoin / StreamExecWindowJoin): the library's
+    // stream-stream intervalJoin over TWO independent file-stream
+    // readers of the same epoch replay — purchases held in join state
+    // match errors arriving in LATER micro-batches and vice versa.
+    // Inner joins emit eagerly on match (watermarks gate state
+    // EVICTION, not emission), so no flush sentinels are needed.
+    // Hashed against the identical q53 SQL oracle.
+    "q132_interval_stream" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.{Event, Replay, StreamJoins}
+      import org.apache.spark.sql.streaming.Trigger
+      val base = java.nio.file.Files.createTempDirectory("graft-ivstream")
+      val (out, ck) = (s"$base/out", s"$base/ck")
+      val real = Tables.events(s, d).as[Event]
+      val (loUs, hiUs) = {
+        val r = real.agg(min(col("ts")), max(col("ts"))).head()
+        (Event.micros(r.getTimestamp(0)), Event.micros(r.getTimestamp(1)))
+      }
+      def tsOf(us: Long) = new java.sql.Timestamp(us / 1000)
+      val cut = (q: Long) => lit(tsOf(loUs + (hiUs - loUs) * q / 4))
+      val chunks = Seq(
+        col("ts") < cut(1),
+        col("ts") >= cut(1) && col("ts") < cut(2),
+        col("ts") >= cut(2) && col("ts") < cut(3),
+        col("ts") >= cut(3))
+      val (inDir, schema) = Replay.fileEpochs(real, chunks, base.toString)
+      def side(tpe: String, outCol: String) =
+        Replay.stream(s, inDir, schema).toDF()
+          .filter(col("event_type") === tpe)
+          .select(col("user_id"), col("ts"), col("event_id").as(outCol))
+      val joined = StreamJoins.intervalJoin(
+          side("purchase", "p_id"), side("error", "e_id"),
+          "user_id", "ts", "1 minute", "10 MINUTES", "10 MINUTES")
+        .select(expr("l.user_id").as("user_id"), col("p_id"), col("e_id"),
+          (unix_micros(expr("r.ts")) - unix_micros(expr("l.ts"))).as("delta_us"))
+      val q = joined.writeStream
+        .option("checkpointLocation", ck)
+        .outputMode("append").format("parquet").option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("user_id"), col("p_id"), col("e_id"))
+    }),
+
     // Count-tumbling window batch analog (CountTumblingWindowAssigner):
     // fixed windows of 10 events per user in time order.
     "q57_count_window" -> ((s, d) => {
@@ -533,6 +577,18 @@ object EventQueries {
         |  FROM ev)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin),
     "q53_interval_join" -> (evCte +
+      """
+        |SELECT p.user_id AS user_id, p.event_id AS p_id, x.event_id AS e_id,
+        |  epoch_us(x.ts) - epoch_us(p.ts) AS delta_us
+        |FROM (SELECT * FROM ev WHERE event_type='purchase') p
+        |JOIN (SELECT * FROM ev WHERE event_type='error') x
+        |  ON p.user_id = x.user_id
+        | AND x.ts >= p.ts - INTERVAL 10 MINUTE
+        | AND x.ts <= p.ts + INTERVAL 10 MINUTE
+        |ORDER BY user_id, p_id, e_id""".stripMargin),
+    // identical SQL to q53: the stream-stream join must land on the
+    // batch interval-join rows exactly
+    "q132_interval_stream" -> (evCte +
       """
         |SELECT p.user_id AS user_id, p.event_id AS p_id, x.event_id AS e_id,
         |  epoch_us(x.ts) - epoch_us(p.ts) AS delta_us
