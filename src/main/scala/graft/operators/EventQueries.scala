@@ -493,6 +493,51 @@ object EventQueries {
       s.read.parquet(out).orderBy(col("user_id"), col("p_id"), col("e_id"))
     }),
 
+    // STREAMING temporal as-of join oracle-bound (the reference's
+    // TemporalRowTimeJoinOperator.java:71, stream-first like CEP):
+    // the out-of-order-safe buffered as-of join over the epoch
+    // replay — each purchase joins the latest view at-or-before it,
+    // rows buffering until the watermark confirms completeness. The
+    // drain sentinels are far-future VIEWS for user -1 (the op's
+    // internal type filter would drop a 'flush' type before the
+    // watermark node — the q129 pushdown trap in another coat; a
+    // view for a userless key advances event time and joins
+    // nothing). Hashed against the identical q54 SQL oracle.
+    "q133_asof_stream" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.{Event, EventTimeOps, Replay}
+      import org.apache.spark.sql.streaming.Trigger
+      val base = java.nio.file.Files.createTempDirectory("graft-asofstream")
+      val (out, ck) = (s"$base/out", s"$base/ck")
+      val real = Tables.events(s, d).as[Event]
+      val (loUs, hiUs) = {
+        val r = real.agg(min(col("ts")), max(col("ts"))).head()
+        (Event.micros(r.getTimestamp(0)), Event.micros(r.getTimestamp(1)))
+      }
+      def tsOf(us: Long) = new java.sql.Timestamp(us / 1000)
+      val cut = (q: Long) => lit(tsOf(loUs + (hiUs - loUs) * q / 4))
+      def drain(id: Long, offDays: Long) = Event(id,
+        tsOf(hiUs + offDays * 86400L * 1000000L), -1L, "view", 0.0, "{}")
+      val ev = real.union(Seq(drain(-1L, 1), drain(-2L, 2)).toDS())
+      val chunks = Seq(
+        col("ts") < cut(1),
+        col("ts") >= cut(1) && col("ts") < cut(2),
+        col("ts") >= cut(2) && col("ts") < cut(3),
+        col("ts") >= cut(3) && col("user_id") >= 0,
+        col("event_id") === -1L,
+        col("event_id") === -2L)
+      val (inDir, schema) = Replay.fileEpochs(ev, chunks, base.toString)
+      val joined = EventTimeOps.asOfJoinBuffered(
+          Replay.stream(s, inDir, schema), "view", "purchase", "1 minute")
+      val q = joined.writeStream
+        .option("checkpointLocation", ck)
+        .outputMode("append").format("parquet").option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out).filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("purchase_id"))
+    }),
+
     // Count-tumbling window batch analog (CountTumblingWindowAssigner):
     // fixed windows of 10 events per user in time order.
     "q57_count_window" -> ((s, d) => {
@@ -599,6 +644,20 @@ object EventQueries {
         | AND x.ts <= p.ts + INTERVAL 10 MINUTE
         |ORDER BY user_id, p_id, e_id""".stripMargin),
     "q54_asof_join" -> (evCte +
+      """
+        |SELECT user_id, purchase_id, last_view_id, lag_us FROM (
+        |  SELECT p.user_id, p.event_id AS purchase_id,
+        |    v.event_id AS last_view_id,
+        |    epoch_us(p.ts) - epoch_us(v.ts) AS lag_us,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |  FROM (SELECT * FROM ev WHERE event_type='purchase') p
+        |  LEFT JOIN (SELECT * FROM ev WHERE event_type='view') v
+        |    ON p.user_id = v.user_id AND v.ts <= p.ts)
+        |WHERE rn = 1 ORDER BY user_id, purchase_id""".stripMargin),
+    // identical SQL to q54: the buffered streaming as-of join must
+    // land on the batch as-of rows exactly
+    "q133_asof_stream" -> (evCte +
       """
         |SELECT user_id, purchase_id, last_view_id, lag_us FROM (
         |  SELECT p.user_id, p.event_id AS purchase_id,
