@@ -538,6 +538,48 @@ object EventQueries {
         .orderBy(col("user_id"), col("purchase_id"))
     }),
 
+    // STREAMING bounded OVER oracle-bound (the reference's
+    // RowTimeRowsBoundedPrecedingFunction): ROWS 4 PRECEDING running
+    // aggregates per user over the epoch replay — the n-row window
+    // carries across micro-batches in keyed state. Values are mapped
+    // to WHOLE-CENT doubles before the op so the running double sum
+    // is exact (integers ≤ 2^53) and casts losslessly to BIGINT for
+    // the hash compare. Emits per row immediately: no watermark, no
+    // sentinels. Oracle = the SQL ROWS frame.
+    "q134_over_stream" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.{Event, Replay, StatefulOps}
+      import org.apache.spark.sql.streaming.Trigger
+      val base = java.nio.file.Files.createTempDirectory("graft-overstream")
+      val (out, ck) = (s"$base/out", s"$base/ck")
+      val real = Tables.events(s, d).as[Event]
+      val (loUs, hiUs) = {
+        val r = real.agg(min(col("ts")), max(col("ts"))).head()
+        (Event.micros(r.getTimestamp(0)), Event.micros(r.getTimestamp(1)))
+      }
+      def tsOf(us: Long) = new java.sql.Timestamp(us / 1000)
+      val cut = (q: Long) => lit(tsOf(loUs + (hiUs - loUs) * q / 4))
+      val chunks = Seq(
+        col("ts") < cut(1),
+        col("ts") >= cut(1) && col("ts") < cut(2),
+        col("ts") >= cut(2) && col("ts") < cut(3),
+        col("ts") >= cut(3))
+      val (inDir, schema) = Replay.fileEpochs(real, chunks, base.toString)
+      val over = StatefulOps.boundedRowsOver(
+          Replay.stream(s, inDir, schema)
+            .map(e => e.copy(value = math.round(e.value * 100).toDouble)),
+          n = 5)
+      val q = over.toDF()
+        .select(col("user_id"), col("event_id"),
+          expr("cast(sum_prev as bigint)").as("cents_prev"), col("cnt_prev"))
+        .writeStream
+        .option("checkpointLocation", ck)
+        .outputMode("append").format("parquet").option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("user_id"), col("event_id"))
+    }),
+
     // Count-tumbling window batch analog (CountTumblingWindowAssigner):
     // fixed windows of 10 events per user in time order.
     "q57_count_window" -> ((s, d) => {
@@ -669,6 +711,15 @@ object EventQueries {
         |  LEFT JOIN (SELECT * FROM ev WHERE event_type='view') v
         |    ON p.user_id = v.user_id AND v.ts <= p.ts)
         |WHERE rn = 1 ORDER BY user_id, purchase_id""".stripMargin),
+    "q134_over_stream" -> (evCte +
+      """
+        |SELECT user_id, event_id,
+        |  (sum(CAST(round(value*100) AS BIGINT)) OVER w)::BIGINT AS cents_prev,
+        |  (count(*) OVER w)::INT AS cnt_prev
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin),
     "q58_cep_follow" -> (evCte +
       """
         |SELECT user_id, view_id, purchase_id, delta_us FROM (
