@@ -349,7 +349,7 @@ object GraphQueries {
         |    SELECT sid, 0 FROM s
         |    UNION
         |    SELECT e.dst, d.dist + 1
-        |    FROM d JOIN bidir e ON e.src = d.id WHERE d.dist < 8)
+        |    FROM d JOIN bidir e ON e.src = d.id WHERE d.dist < 20)
         |  SELECT id, dist FROM d)
         |GROUP BY id ORDER BY id""".stripMargin)
   )

@@ -24,12 +24,22 @@ object Replay {
     conds.zipWithIndex.foreach { case (cond, i) =>
       ds.filter(cond).coalesce(1).write.mode("overwrite")
         .parquet(s"$base/stage_$i")
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/stage_$i"))
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .findFirst()
-      if (part.isPresent) // an empty range writes no part file
-        java.nio.file.Files.move(part.get(),
-          java.nio.file.Paths.get(in, f"chunk_$i%02d.parquet"))
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/stage_$i"))
+      val part =
+        try listing
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst()
+        finally listing.close() // Files.list holds a directory handle
+      if (part.isPresent) { // an empty range writes no part file
+        val dst = java.nio.file.Paths.get(in, f"chunk_$i%02d.parquet")
+        java.nio.file.Files.move(part.get(), dst)
+        // Epoch order must be the file source's oldest-modtime-first
+        // order; sequential writes can TIE on coarse-modtime
+        // filesystems, leaving replay order undefined. Pin an
+        // explicitly increasing modtime per chunk index.
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1_000_000_000_000L + i * 60_000L))
+      }
     }
     (in, ds.sparkSession.read.parquet(in).schema)
   }

@@ -50,17 +50,33 @@ object TxnSink {
   /** Write one micro-batch exactly-once: call from foreachBatch with
     * the engine's batchId. Expects columns (id: bigint, v: bigint).
     * Idempotent under replay at BOTH granularities — whole-batch
-    * re-run and single-partition task retry. */
+    * re-run and single-partition task retry.
+    *
+    * The marker key is (batchId, partitionId), which is only sound if
+    * a REPLAYED batch routes every row to the same partition id it got
+    * the first time — a changed spark.sql.shuffle.partitions or a
+    * nondeterministic upstream shuffle would silently drop rows that
+    * land in an already-marked partition. So the write FIRST
+    * repartitions on hash(id) with a FIXED partition count baked into
+    * the sink (not inherited from the session): the row→partition map
+    * is then a pure function of the data, stable across replays and
+    * config changes. */
   def writeBatch(batch: DataFrame, batchId: Long, url: String,
-                 table: String): Unit = {
-    batch.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+                 table: String, numParts: Int = 8): Unit = {
+    val stable = batch.repartition(numParts,
+      org.apache.spark.sql.functions.col(batch.columns.head))
+    stable.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       val partId = org.apache.spark.TaskContext.getPartitionId()
       val conn = java.sql.DriverManager.getConnection(url)
       try {
         conn.setAutoCommit(false)
-        // serializable so the marker read and insert are one atomic
-        // decision against concurrent replays
-        conn.setTransactionIsolation(java.sql.Connection.TRANSACTION_SERIALIZABLE)
+        // READ COMMITTED is enough: the check-then-insert race between
+        // concurrent replays is resolved by the marker PK, not by
+        // isolation — the losing transaction's marker INSERT violates
+        // the PK and rolls back its rows too. (Serializable would add
+        // previous-key range locks on the commits btree and deadlock
+        // under concurrent adjacent-key inserts.)
+        conn.setTransactionIsolation(java.sql.Connection.TRANSACTION_READ_COMMITTED)
         val check = conn.prepareStatement(
           s"SELECT 1 FROM ${table}_COMMITS WHERE BATCH_ID = ? AND PART_ID = ?")
         check.setLong(1, batchId); check.setInt(2, partId)
@@ -68,11 +84,17 @@ object TxnSink {
         check.close()
         if (!seen) {
           val ins = conn.prepareStatement(s"INSERT INTO $table (ID, V) VALUES (?, ?)")
+          // flush every 10k rows so a large partition never buffers the
+          // whole JDBC batch in executor memory; atomicity is the
+          // surrounding transaction's, not the batch's
+          var pending = 0
           rows.foreach { r =>
             ins.setLong(1, r.getLong(0)); ins.setLong(2, r.getLong(1))
-            ins.addBatch()
+            ins.addBatch(); pending += 1
+            if (pending >= 10000) { ins.executeBatch(); pending = 0 }
           }
-          ins.executeBatch(); ins.close()
+          if (pending > 0) ins.executeBatch()
+          ins.close()
           val mark = conn.prepareStatement(
             s"INSERT INTO ${table}_COMMITS (BATCH_ID, PART_ID) VALUES (?, ?)")
           mark.setLong(1, batchId); mark.setInt(2, partId)
@@ -82,7 +104,12 @@ object TxnSink {
           conn.rollback() // replayed partition: already committed, skip
         }
       } catch {
-        case e: Throwable => try conn.rollback() finally (); throw e
+        case e: Throwable =>
+          // a rollback failure (dead connection) must not mask the
+          // original cause — swallow it and rethrow the real error
+          try conn.rollback()
+          catch { case _: Throwable => () }
+          throw e
       } finally conn.close()
     }
   }
