@@ -1,0 +1,367 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.Tables
+import graft.streaming.{Event, Replay, Retract, SemiAntiJoin, StatefulOps}
+
+/** Round-5 streaming↔batch parity pack: the remaining spec-only
+  * stateful streaming operators, each driven through the file-stream
+  * Replay harness (one micro-batch per time chunk) and hashed against
+  * a one-shot DuckDB oracle — the technique that oracle-bound
+  * q118/q129–q134.
+  *
+  * Reference operators faced here:
+  *  - per-key Top-N            `rank/AppendOnlyTopNFunction.java`
+  *  - keep-last dedup          `deduplicate/DeduplicateKeepLastRowFunction.java`
+  *  - streaming semi/anti join `join/stream/StreamingSemiAntiJoinOperator.java:35`
+  *  - count windows            `window/assigners/CountTumblingWindowAssigner`
+  *  - retract chain (agg→rank) `aggregate/GroupAggFunction.java:44` +
+  *                             `rank/RetractableTopNFunction.java`
+  *
+  * Update-mode operators (Top-N, keep-last) cannot sink to parquet
+  * directly; they run through foreachBatch, appending every per-batch
+  * refresh tagged with its batchId, and the FINAL state — newest
+  * emission per key — is what faces the oracle. That is exactly the
+  * reference's changelog contract ("latest row per key is current").
+  * The retract chain goes one further and MERGEs its changelog into a
+  * keyed JDBC table (tombstones = DELETE), proving the changelog
+  * algebra lands a downstream materialization on the one-shot truth.
+  */
+object StreamParityQueries {
+
+  // Oracle-side CTE: same ns→µs truncation the Spark loader applies
+  // (see EventQueries.evCte).
+  private val evCte =
+    """WITH ev AS (SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts,
+      |            user_id, event_type, value, props FROM events)""".stripMargin
+
+  private def tsOf(us: Long) = new java.sql.Timestamp(us / 1000)
+
+  /** (min ts µs, max ts µs) of the dataset — two bounded scalars. */
+  private def spanOf(real: Dataset[Event]): (Long, Long) = {
+    val r = real.agg(min(col("ts")), max(col("ts"))).head()
+    (Event.micros(r.getTimestamp(0)), Event.micros(r.getTimestamp(1)))
+  }
+
+  /** Four data-derived time-quarter chunk conditions — a partition of
+    * the range, so the replay is genuinely multi-batch at every scale
+    * factor and keyed state provably carries across micro-batches. */
+  private def quarterChunks(loUs: Long, hiUs: Long): Seq[Column] = {
+    val cut = (q: Long) => lit(tsOf(loUs + (hiUs - loUs) * q / 4))
+    Seq(
+      col("ts") < cut(1),
+      col("ts") >= cut(1) && col("ts") < cut(2),
+      col("ts") >= cut(2) && col("ts") < cut(3),
+      col("ts") >= cut(3))
+  }
+
+  /** Run an append-mode streaming frame to parquet, read it back. */
+  private def runAppend(df: DataFrame, base: String, s: SparkSession): DataFrame = {
+    val (out, ck) = (s"$base/out", s"$base/ck")
+    val q = df.writeStream.option("checkpointLocation", ck)
+      .outputMode("append").format("parquet").option("path", out)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(out)
+  }
+
+  /** Run an UPDATE-mode streaming frame via foreachBatch (parquet has
+    * no update sink): every per-batch refresh is appended tagged with
+    * its batchId; the caller reduces to newest-emission-per-key. */
+  private def runUpdate(df: DataFrame, base: String, s: SparkSession): DataFrame = {
+    val (out, ck) = (s"$base/out", s"$base/ck")
+    val q = df.writeStream.option("checkpointLocation", ck)
+      .outputMode("update")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.withColumn("batch_id", lit(id)).write.mode("append").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(out)
+  }
+
+  /** Newest emission per key group = the operator's final state. */
+  private def latestPerKey(hist: DataFrame, keys: Column*): DataFrame =
+    hist.withColumn("__rn", row_number().over(
+        Window.partitionBy(keys: _*).orderBy(col("batch_id").desc)))
+      .filter(col("__rn") === 1).drop("__rn", "batch_id")
+
+  val queries: Map[String, Q] = Map(
+
+    // STREAMING Top-N per key oracle-bound (AppendOnlyTopNFunction):
+    // top-3 events per user by value through the quarter replay — the
+    // per-user leaderboard genuinely reshuffles across micro-batches
+    // (a later quarter's event can evict an earlier one from state).
+    // Values are mapped to whole-cent doubles BEFORE the op so ranking
+    // and the hash compare are exact-integer on both sides (the q134
+    // trick). Final state = newest refresh per (user, rank).
+    "q135_topn_stream" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-topnstream")
+      val real = Tables.events(s, d).as[Event]
+      val (lo, hi) = spanOf(real)
+      val (inDir, schema) = Replay.fileEpochs(real, quarterChunks(lo, hi), base.toString)
+      val top = StatefulOps.topNPerKey(
+        Replay.stream(s, inDir, schema)
+          .map(e => e.copy(value = math.round(e.value * 100).toDouble)),
+        n = 3)
+      latestPerKey(runUpdate(top.toDF(), base.toString, s),
+          col("user_id"), col("rank"))
+        .select(col("user_id"), col("rank").as("rnk"), col("event_id"),
+          expr("cast(value as bigint)").as("cents_v"))
+        .orderBy(col("user_id"), col("rnk"))
+    }),
+
+    // STREAMING keep-LAST dedup oracle-bound (the r4 list's keep-first
+    // sibling, DeduplicateKeepLastRowFunction): latest row per
+    // (user, type) through the quarter replay — by construction most
+    // keys' winners arrive in the LAST quarter's micro-batch,
+    // overwriting winners emitted by earlier batches, so the
+    // cross-batch overwrite path is load-bearing. Final state = newest
+    // emission per key; oracle = the identical q55 SQL.
+    "q136_dedup_last_stream" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-keylaststream")
+      val real = Tables.events(s, d).as[Event]
+      val (lo, hi) = spanOf(real)
+      val (inDir, schema) = Replay.fileEpochs(real, quarterChunks(lo, hi), base.toString)
+      val ded = StatefulOps.dedupKeepLast(Replay.stream(s, inDir, schema))
+      latestPerKey(runUpdate(ded.toDF(), base.toString, s),
+          col("user_id"), col("event_type"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          round(col("value"), 2).as("value"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // STREAMING semi join oracle-bound (StreamingSemiAntiJoinOperator):
+    // purchases of users who EVER log a high-value error (value > 95 —
+    // every user has SOME error, so the plain-key form would be
+    // all-pass; the threshold makes ~12% of purchases semi-negative).
+    // Two independent file-stream readers of the same replay; a left
+    // arriving before its first right parks in state and emits when
+    // the right lands batches later (and vice versa). Retention is
+    // effectively infinite so the operator's final output IS the
+    // batch EXISTS semantics.
+    "q137_semi_stream" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-semistream")
+      val real = Tables.events(s, d).as[Event]
+      val (lo, hi) = spanOf(real)
+      val (inDir, schema) = Replay.fileEpochs(real, quarterChunks(lo, hi), base.toString)
+      val left = Replay.stream(s, inDir, schema)
+        .filter(col("event_type") === "purchase")
+      val right = Replay.stream(s, inDir, schema)
+        .filter(col("event_type") === "error" && col("value") > 95)
+      val out = SemiAntiJoin.semiJoin(left, right,
+        delay = "1 minute", retentionMs = Long.MaxValue / 4)
+      runAppend(out.toDF().select(col("user_id"), col("event_id"), col("ts")),
+          base.toString, s)
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // STREAMING anti join oracle-bound — the hard half: a left may
+    // only emit once the WATERMARK HORIZON proves no matching right
+    // can still arrive. The emission gap is set to the full data span,
+    // so "no right before my horizon" degenerates to exactly the batch
+    // NOT EXISTS, and two far-future right-side drain sentinels (user
+    // -1, joining nothing) push the watermark past every left's
+    // horizon — the first advances event time, the second triggers the
+    // batch in which the armed event-time timeouts actually fire.
+    "q138_anti_stream" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-antistream")
+      val real = Tables.events(s, d).as[Event]
+      val (lo, hi) = spanOf(real)
+      val spanMs = (hi - lo) / 1000
+      def drain(id: Long, offDays: Long) = Event(id,
+        tsOf(hi + spanMs * 1000 + offDays * 86400L * 1000000L),
+        -1L, "error", 100.0, "{}")
+      val ev = real.union(Seq(drain(-1L, 1), drain(-2L, 2)).toDS())
+      val cut = (q: Long) => lit(tsOf(lo + (hi - lo) * q / 4))
+      val chunks = Seq(
+        col("ts") < cut(1),
+        col("ts") >= cut(1) && col("ts") < cut(2),
+        col("ts") >= cut(2) && col("ts") < cut(3),
+        col("ts") >= cut(3) && col("user_id") >= 0,
+        col("event_id") === -1L,
+        col("event_id") === -2L)
+      val (inDir, schema) = Replay.fileEpochs(ev, chunks, base.toString)
+      val left = Replay.stream(s, inDir, schema)
+        .filter(col("event_type") === "purchase")
+      val right = Replay.stream(s, inDir, schema)
+        .filter(col("event_type") === "error" && col("value") > 95)
+      val out = SemiAntiJoin.antiJoin(left, right,
+        delay = "1 minute", gapMs = spanMs, retentionMs = Long.MaxValue / 4)
+      runAppend(out.toDF().select(col("user_id"), col("event_id"), col("ts")),
+          base.toString, s)
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // STREAMING count windows oracle-bound (CountTumblingWindowAssigner
+    // + count trigger): tumbling 10-event windows per user through the
+    // quarter replay — a user's window routinely fills across a chunk
+    // boundary, so the buffered-remainder state path is load-bearing.
+    // The op emits a window only when it FILLS (the reference's count
+    // trigger), so the oracle keeps only complete windows (HAVING
+    // count(*) = 10). Cents mapped before the op for exact sums.
+    "q139_countwin_stream" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-cntwinstream")
+      val real = Tables.events(s, d).as[Event]
+      val (lo, hi) = spanOf(real)
+      val (inDir, schema) = Replay.fileEpochs(real, quarterChunks(lo, hi), base.toString)
+      val wins = StatefulOps.countTumbleWindow(
+        Replay.stream(s, inDir, schema)
+          .map(e => e.copy(value = math.round(e.value * 100).toDouble)),
+        size = 10)
+      runAppend(wins.toDF()
+          .select(col("user_id"), col("w_id"), col("n"),
+            expr("cast(sum_v as bigint)").as("cents_v")),
+          base.toString, s)
+        .orderBy(col("user_id"), col("w_id"))
+    }),
+
+    // STREAMING retract chain END STATE oracle-bound (the full
+    // reference flow GroupAggFunction → RetractableTopNFunction in
+    // AccRetract mode): per-user event counts as a ±1 keyed changelog
+    // feeding the retractable Top-10 "most active users" leaderboard;
+    // every rank refresh (and tombstone) MERGEs into a keyed Derby
+    // table per micro-batch — UPDATE/INSERT per rank, DELETE on
+    // tombstone — and the TABLE'S final content faces the one-shot
+    // SQL. This proves the changelog algebra (retraction emission,
+    // demotion, order-independent delta application) against the
+    // oracle, not just the property models.
+    "q140_retract_stream" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-retractstream")
+      val (out, ck) = (s"$base/out", s"$base/ck")
+      val url = s"jdbc:derby:$base/db;create=true"
+      initRankTable(url)
+      val real = Tables.events(s, d).as[Event]
+      val (lo, hi) = spanOf(real)
+      val (inDir, schema) = Replay.fileEpochs(real, quarterChunks(lo, hi), base.toString)
+      val ranks = Retract.topUsersByCount(Replay.stream(s, inDir, schema), n = 10)
+      val q = ranks.toDF().writeStream.option("checkpointLocation", ck)
+        .outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) => mergeRanks(b, url) }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.format("jdbc").option("url", url)
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .option("dbtable", "RANKS").load()
+        .filter(col("ID") =!= Retract.TombstoneId)
+        .select(col("RNK").cast("int").as("rnk"), col("ID").as("user_id"),
+          col("VAL").as("cnt"))
+        .orderBy(col("rnk"))
+    })
+  )
+
+  /** Keyed rank table for the q140 MERGE target (idempotent DDL). */
+  private def initRankTable(url: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        "CREATE TABLE RANKS (PKEY VARCHAR(64) NOT NULL, RNK INT NOT NULL, " +
+          "ID BIGINT, VAL BIGINT, PRIMARY KEY (PKEY, RNK))")
+      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+      st.close()
+    } finally conn.close()
+  }
+
+  /** MERGE one micro-batch of rank refreshes: tombstone → DELETE the
+    * vacated rank, otherwise UPDATE-else-INSERT the occupant — the
+    * "newest emission per (pkey, rank) is current" contract applied to
+    * an external keyed store (the reference's retract-consuming sink).
+    * Rows per batch are ≤ N+tombstones per touched pkey, so the
+    * round-trip is tiny; executor-side like Retract.upsertUserCounts. */
+  private def mergeRanks(batch: DataFrame, url: String): Unit = {
+    batch.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val del = conn.prepareStatement(
+            "DELETE FROM RANKS WHERE PKEY = ? AND RNK = ?")
+          val up = conn.prepareStatement(
+            "UPDATE RANKS SET ID = ?, VAL = ? WHERE PKEY = ? AND RNK = ?")
+          val ins = conn.prepareStatement(
+            "INSERT INTO RANKS (PKEY, RNK, ID, VAL) VALUES (?, ?, ?, ?)")
+          rows.foreach { r =>
+            val pkey = r.getAs[String]("pkey")
+            val rank = r.getAs[Number]("rank").intValue()
+            val id = r.getAs[Number]("id").longValue()
+            val value = r.getAs[Number]("value").longValue()
+            if (id == Retract.TombstoneId) {
+              del.setString(1, pkey); del.setInt(2, rank); del.executeUpdate()
+            } else {
+              up.setLong(1, id); up.setLong(2, value)
+              up.setString(3, pkey); up.setInt(4, rank)
+              if (up.executeUpdate() == 0) {
+                ins.setString(1, pkey); ins.setInt(2, rank)
+                ins.setLong(3, id); ins.setLong(4, value)
+                ins.executeUpdate()
+              }
+            }
+          }
+          conn.commit(); del.close(); up.close(); ins.close()
+        } finally conn.close()
+      }
+    }
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q135_topn_stream" -> (evCte +
+      """
+        |SELECT user_id, rnk, event_id, cents_v FROM (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value*100) AS BIGINT) AS cents_v,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(round(value*100) AS BIGINT) DESC, event_id) AS INT) AS rnk
+        |  FROM ev)
+        |WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin),
+    // identical SQL to q55: the streaming keep-last final state must
+    // land on the batch keep-last rows exactly
+    "q136_dedup_last_stream" -> (evCte +
+      """
+        |SELECT user_id, event_type, event_id, round(value,2) AS value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM ev)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin),
+    "q137_semi_stream" -> (evCte +
+      """
+        |SELECT user_id, event_id, ts FROM ev p
+        |WHERE p.event_type = 'purchase' AND EXISTS (
+        |  SELECT 1 FROM ev x WHERE x.user_id = p.user_id
+        |    AND x.event_type = 'error' AND x.value > 95)
+        |ORDER BY user_id, event_id""".stripMargin),
+    "q138_anti_stream" -> (evCte +
+      """
+        |SELECT user_id, event_id, ts FROM ev p
+        |WHERE p.event_type = 'purchase' AND NOT EXISTS (
+        |  SELECT 1 FROM ev x WHERE x.user_id = p.user_id
+        |    AND x.event_type = 'error' AND x.value > 95)
+        |ORDER BY user_id, event_id""".stripMargin),
+    // q57's SQL restricted to COMPLETE windows — the count trigger
+    // only fires when a window fills
+    "q139_countwin_stream" -> (evCte +
+      """
+        |SELECT user_id, w_id, count(*) AS n,
+        |  sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents_v FROM (
+        |  SELECT user_id, value,
+        |    (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) // 10 AS w_id
+        |  FROM ev)
+        |GROUP BY user_id, w_id HAVING count(*) = 10
+        |ORDER BY user_id, w_id""".stripMargin),
+    "q140_retract_stream" -> (evCte +
+      """,
+        |counts AS (SELECT user_id, count(*)::BIGINT AS cnt FROM ev GROUP BY user_id)
+        |SELECT CAST(rn AS INT) AS rnk, user_id, cnt FROM (
+        |  SELECT user_id, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, user_id) AS rn FROM counts)
+        |WHERE rn <= 10 ORDER BY rnk""".stripMargin)
+  )
+}
