@@ -224,6 +224,33 @@ object StreamParityQueries {
         .orderBy(col("user_id"), col("w_id"))
     }),
 
+    // MATCH_RECOGNIZE from SQL TEXT oracle-bound (the reference
+    // compiles actual SQL — StreamExecMatch.scala:69 + Calcite parser
+    // symbols in FlinkSqlOperatorTable.java:944+; previously this
+    // library only had the string DSL, so a user pasting the clause
+    // had to hand-translate). q110's loop pattern re-expressed as the
+    // literal MATCH_RECOGNIZE clause — parser → CepDsl → NFA — and
+    // hashed against the identical q110 SQL oracle: same rows proves
+    // the SQL surface compiles to the same machine. `A+?` is SQL's
+    // reluctant loop = the reference NFA's every-stop-point branches.
+    "q141_match_recognize" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.{Event, MatchRecognize}
+      val sql = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES first(A.event_id) AS first_view, last(A.event_id) AS last_view,
+                   count(A) AS n_views, first(B.event_id) AS purchase_id
+          PATTERN (A+? B) WITHIN INTERVAL '1' HOUR
+          DEFINE A AS A.event_type = 'view', B AS B.event_type = 'purchase'
+        )"""
+      val types = Set("view", "purchase")
+      MatchRecognize.run(
+          Tables.events(s, d).as[Event].filter(e => types(e.event_type)), sql)
+        .orderBy(col("user_id"), col("first_view"), col("last_view"))
+    }),
+
     // STREAMING retract chain END STATE oracle-bound (the full
     // reference flow GroupAggFunction → RetractableTopNFunction in
     // AccRetract mode): per-user event counts as a ±1 keyed changelog
@@ -356,6 +383,32 @@ object StreamParityQueries {
         |  FROM ev)
         |GROUP BY user_id, w_id HAVING count(*) = 10
         |ORDER BY user_id, w_id""".stripMargin),
+    // identical SQL to q110: the SQL-text front-end must land on the
+    // DSL-compiled NFA's exact rows
+    "q141_match_recognize" -> (evCte +
+      """,
+        |views AS (SELECT * FROM ev WHERE event_type = 'view'),
+        |purch AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+        |pairs AS (
+        |  SELECT s.user_id, s.event_id AS first_view, j.event_id AS last_view,
+        |    s.ts AS s_ts, j.ts AS j_ts, j.event_id AS j_id,
+        |    (SELECT count(*) FROM views v WHERE v.user_id = s.user_id
+        |       AND (v.ts > s.ts OR (v.ts = s.ts AND v.event_id >= s.event_id))
+        |       AND (v.ts < j.ts OR (v.ts = j.ts AND v.event_id <= j.event_id))
+        |    )::BIGINT AS n_views
+        |  FROM views s JOIN views j ON s.user_id = j.user_id
+        |   AND (j.ts > s.ts OR (j.ts = s.ts AND j.event_id >= s.event_id))
+        |   AND epoch_us(j.ts) - epoch_us(s.ts) <= 3600000000)
+        |SELECT user_id, first_view, last_view, n_views, purchase_id FROM (
+        |  SELECT pr.user_id, pr.first_view, pr.last_view, pr.n_views,
+        |    p.event_id AS purchase_id,
+        |    row_number() OVER (
+        |      PARTITION BY pr.user_id, pr.first_view, pr.last_view
+        |      ORDER BY p.ts, p.event_id) AS rn
+        |  FROM pairs pr JOIN purch p ON p.user_id = pr.user_id
+        |   AND (p.ts > pr.j_ts OR (p.ts = pr.j_ts AND p.event_id > pr.j_id))
+        |   AND epoch_us(p.ts) - epoch_us(pr.s_ts) <= 3600000000)
+        |WHERE rn = 1 ORDER BY user_id, first_view, last_view""".stripMargin),
     "q140_retract_stream" -> (evCte +
       """,
         |counts AS (SELECT user_id, count(*)::BIGINT AS cnt FROM ev GROUP BY user_id)
