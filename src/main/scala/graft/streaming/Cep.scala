@@ -53,6 +53,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Cep {
 
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.cep")
+
+  /** Hot-key state safety valve. The partial-match list is bounded in
+    * practice by `within` pruning and reluctant-default loops, but an
+    * adversarial workload — a hot key feeding a long greedy `oneOrMore`
+    * under NoSkip — starts a new partial at every loop event and holds
+    * O(partials × match-length) rows (the reference bounds this
+    * differently, by sharing binding tails across partials:
+    * `cep/nfa/sharedbuffer/SharedBuffer.java`). `maxPartials` is
+    * ADMISSION control: once a key is saturated, new pattern STARTS
+    * are shed (loudly — a WARN per advance pass plus the `onDrop`
+    * callback) while in-flight partials keep running to completion;
+    * evicting oldest instead would kill matches just before they
+    * complete. Default = unbounded, the reference's behavior. */
+  final case class CepGuard(maxPartials: Int = Int.MaxValue,
+                            onDrop: Int => Unit = _ => ()) extends Serializable
+
   /** After-match skip strategy (reference cep/nfa/aftermatch/
     * AfterMatchSkipStrategy.java): what happens to OTHER partial
     * matches when a match completes. */
@@ -220,7 +238,8 @@ object Cep {
                  events: Iterator[(Long, T)],
                  skip: AfterMatchSkip = NoSkip,
                  seqBase: Long = 0L,
-                 collectTimeouts: Boolean = true)
+                 collectTimeouts: Boolean = true,
+                 guard: CepGuard = CepGuard())
       : (List[Map[String, List[T]]], List[PartialMatch[T]], List[PartialMatch[T]]) = {
     // Negation guards bind nothing, so they cannot start or end a
     // pattern and cannot carry quantifiers (Pattern.java:190 — a NOT
@@ -239,6 +258,7 @@ object Cep {
       }
     }
     var open = partials
+    var dropped = 0
     val out = List.newBuilder[Map[String, List[T]]]
     val timedOut = List.newBuilder[PartialMatch[T]]
     // allOptionalFrom(i): every step at index >= i is optional — the
@@ -469,6 +489,20 @@ object Cep {
       open.foreach(p => if (!prunedBySkip(p)) step(p, retain = true))
       step(PartialMatch[T](0, tsUs, Map.empty, startSeq = seq), retain = false)
       open = next.result().filterNot(prunedBySkip)
+      // hot-key safety valve: shed the NEWEST starts past the cap
+      // (open is in start order, fresh starts append last) — in-flight
+      // older partials keep running; see CepGuard
+      if (open.size > guard.maxPartials) {
+        dropped += open.size - guard.maxPartials
+        open = open.take(guard.maxPartials)
+      }
+    }
+    if (dropped > 0) {
+      guard.onDrop(dropped)
+      log.warn(s"CEP partial-match cap ${guard.maxPartials} hit: shed " +
+        s"$dropped new pattern starts this pass (hot key / long loop " +
+        "workload — results may miss matches; raise maxPartials or " +
+        "tighten `within`)")
     }
     (out.result(), open, timedOut.result())
   }
@@ -626,15 +660,24 @@ object Cep {
 
   /** Streaming CEP: partials persist in keyed state across batches
     * (in-order delivery within the watermark assumed; see
-    * EventTimeOps.matchStreamBuffered for the out-of-order-safe form). */
+    * EventTimeOps.matchStreamBuffered for the out-of-order-safe form).
+    * `guard` bounds per-key state on hot keys; shed starts are
+    * surfaced through the `graft.cep.shed_starts` accumulator (visible
+    * in the Spark UI / REST metrics) on top of the guard's own
+    * callback — a saturated key degrades loudly, never silently. */
   def matchStream(events: Dataset[Event], pattern: Pattern[Event],
-                  skip: AfterMatchSkip = NoSkip)
+                  skip: AfterMatchSkip = NoSkip,
+                  guard: CepGuard = CepGuard())
       : Dataset[(Long, Map[String, List[Event]])] = {
     import events.sparkSession.implicits._
     implicit val stateEnc: Encoder[List[PartialMatch[Event]]] =
       Encoders.kryo[List[PartialMatch[Event]]]
     implicit val outEnc: Encoder[(Long, Map[String, List[Event]])] =
       Encoders.kryo[(Long, Map[String, List[Event]])]
+    val shedAcc = events.sparkSession.sparkContext
+      .longAccumulator("graft.cep.shed_starts")
+    val userDrop = guard.onDrop
+    val metered = guard.copy(onDrop = n => { shedAcc.add(n); userDrop(n) })
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[List[PartialMatch[Event]], (Long, Map[String, List[Event]])](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -643,7 +686,8 @@ object Cep {
             .map(e => (Event.micros(e.ts), e))
           val prev = state.getOption.getOrElse(Nil)
           val (done, open, _) =
-            advance(pattern, prev, sorted.iterator, skip, nextSeqBase(prev))
+            advance(pattern, prev, sorted.iterator, skip, nextSeqBase(prev),
+              guard = metered)
           state.update(open)
           done.map(m => (user, m)).iterator
       }
