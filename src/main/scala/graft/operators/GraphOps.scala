@@ -38,20 +38,15 @@ object GraphOps {
     val bidir = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // min-label propagation as a vertex program on the generic Pregel
+    // surface (VertexCentricIteration.java): active vertices scatter
+    // their label, gather = min, a vertex adopts a smaller label and
+    // re-activates — the classic HCC compute function.
     val init = vertices.select(col("id"), col("id").as("component"))
-    val labels = Iterate.delta(init, init, Seq("id"), maxIter) {
-      (solution, workset) =>
-        // changed vertices broadcast their label; a vertex joins the
-        // delta only if some neighbor's label beats its current one
-        val candidates = bidir
-          .join(workset.withColumnRenamed("id", "src"), "src")
-          .groupBy(col("dst").as("id"))
-          .agg(min(col("component")).as("cand"))
-        val delta = candidates.join(solution, "id")
-          .filter(col("cand") < col("component"))
-          .select(col("id"), col("cand").as("component"))
-        (delta, delta)
-    }
+    val labels = Pregel.delta(init, bidir, "component", maxIter)(
+      sendMsg = col("src_component"),
+      mergeMsg = ms => min(ms),
+      vprog = (cur, m) => when(m < cur, m).otherwise(cur))
     bidir.unpersist()
     labels
   }
@@ -121,20 +116,18 @@ object GraphOps {
                     maxIter: Int = 20): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("weight"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Bellman-Ford relaxation as a vertex program on the generic
+    // Pregel surface (the reference ships exactly this as the Pregel
+    // example, pregel/SSSP-style ComputeFunction): active vertices
+    // scatter dist+weight along out-edges, gather = min, a vertex
+    // adopts a shorter distance and re-activates.
     val init = vertices.select(col("id"),
       when(col("id") === source, 0.0).as("dist")) // null = unreachable
-    val ws0 = init.filter(col("dist").isNotNull)
-    val dist = Iterate.delta(init, ws0, Seq("id"), maxIter) {
-      (solution, workset) =>
-        val relaxed = e
-          .join(workset.withColumnRenamed("id", "src"), "src")
-          .groupBy(col("dst").as("id"))
-          .agg(min(col("dist") + col("weight")).as("via"))
-        val delta = relaxed.join(solution, "id")
-          .filter(col("dist").isNull || col("via") < col("dist"))
-          .select(col("id"), col("via").as("dist"))
-        (delta, delta)
-    }
+    val dist = Pregel.delta(init, e, "dist", maxIter,
+        initialActive = col("dist").isNotNull)(
+      sendMsg = col("src_dist") + col("weight"),
+      mergeMsg = ms => min(ms),
+      vprog = (cur, m) => when(cur.isNull || m < cur, m).otherwise(cur))
     e.unpersist()
     dist.filter(col("dist").isNotNull)
   }
