@@ -146,6 +146,8 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectQueryStagePrepRule(_ => BroadcastShuffleElision)
+  }
 }
