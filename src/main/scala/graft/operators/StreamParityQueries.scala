@@ -224,6 +224,120 @@ object StreamParityQueries {
         .orderBy(col("user_id"), col("w_id"))
     }),
 
+    // STREAMING sliding count windows oracle-bound
+    // (CountSlidingWindowAssigner — the q139 tumble's sibling): every
+    // 5th event per user aggregates the trailing 10, the ring buffer
+    // and the seen-counter carrying across micro-batches. Oracle =
+    // every 5th row by row_number with a ROWS 9 PRECEDING frame.
+    "q142_countslide_stream" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-cntslidestream")
+      val real = Tables.events(s, d).as[Event]
+      val (lo, hi) = spanOf(real)
+      val (inDir, schema) = Replay.fileEpochs(real, quarterChunks(lo, hi), base.toString)
+      val wins = StatefulOps.countSlideWindow(
+        Replay.stream(s, inDir, schema)
+          .map(e => e.copy(value = math.round(e.value * 100).toDouble)),
+        size = 10, slide = 5)
+      runAppend(wins.toDF()
+          .select(col("user_id"), col("w_id"), col("n"),
+            expr("cast(sum_v as bigint)").as("cents_v")),
+          base.toString, s)
+        .orderBy(col("user_id"), col("w_id"))
+    }),
+
+    // STREAMING RANGE-bounded OVER oracle-bound (the reference's
+    // RowTimeRangeBoundedPrecedingFunction — the q134 ROWS frame's
+    // time-range sibling): per-user trailing 30-minute aggregates,
+    // the in-range buffer carrying across micro-batches. (user, ts)
+    // is unique in this data, so the RANGE frame's peer-row semantics
+    // cannot diverge between the op's (ts, event_id) order and SQL.
+    "q143_rangeover_stream" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-rangestream")
+      val real = Tables.events(s, d).as[Event]
+      val (lo, hi) = spanOf(real)
+      val (inDir, schema) = Replay.fileEpochs(real, quarterChunks(lo, hi), base.toString)
+      val over = StatefulOps.boundedRangeOver(
+        Replay.stream(s, inDir, schema)
+          .map(e => e.copy(value = math.round(e.value * 100).toDouble)),
+        rangeMs = 1800000L)
+      runAppend(over.toDF()
+          .select(col("user_id"), col("event_id"),
+            expr("cast(sum_prev as bigint)").as("cents_prev"), col("cnt_prev")),
+          base.toString, s)
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // STREAMING global sort-limit oracle-bound
+    // (StreamExecSortLimit.scala:52): the 20 best events over the
+    // WHOLE stream, every refresh appended via foreachBatch; newest
+    // emission per rank = the final leaderboard. The singleton state
+    // key is inherent to a global limit (the reference's global rank
+    // has the same shape).
+    "q144_sortlimit_stream" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-sortlimitstream")
+      val real = Tables.events(s, d).as[Event]
+      val (lo, hi) = spanOf(real)
+      val (inDir, schema) = Replay.fileEpochs(real, quarterChunks(lo, hi), base.toString)
+      val top = StatefulOps.sortLimitGlobal(
+        Replay.stream(s, inDir, schema)
+          .map(e => e.copy(value = math.round(e.value * 100).toDouble)),
+        k = 20)
+      latestPerKey(runUpdate(top.toDF(), base.toString, s), col("rank"))
+        .select(col("rank").as("rnk"), col("event_id"),
+          expr("cast(value as bigint)").as("cents_v"))
+        .orderBy(col("rnk"))
+    }),
+
+    // STREAMING left-outer interval join oracle-bound (the reference's
+    // 6-join-type streaming matrix, StreamExecWindowJoin outer rows:
+    // an unmatched left emits null-padded ONLY when the watermark
+    // proves no right can still arrive — inner q132 never exercised
+    // that path). Spark's own stream-stream outer machinery handles
+    // the horizon; far-future sentinels on BOTH sides (user -1, 1 day
+    // apart so they cannot join each other) push the two-source
+    // watermark past every pending left. NULL match columns are
+    // coalesced to -1/0 on both sides: a nullable int64 materializes
+    // as float64 in pandas and would repr-mismatch the oracle.
+    "q145_outer_interval_stream" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.StreamJoins
+      val base = java.nio.file.Files.createTempDirectory("graft-outerivstream")
+      val real = Tables.events(s, d).as[Event]
+      val (lo, hi) = spanOf(real)
+      def drain(id: Long, typ: String, offDays: Long) = Event(id,
+        tsOf(hi + offDays * 86400L * 1000000L), -1L, typ, 100.0, "{}")
+      val ev = real.union(Seq(
+        drain(-1L, "purchase", 1), drain(-2L, "error", 2),
+        drain(-3L, "purchase", 3), drain(-4L, "error", 4)).toDS())
+      val cut = (q: Long) => lit(tsOf(lo + (hi - lo) * q / 4))
+      val chunks = Seq(
+        col("ts") < cut(1),
+        col("ts") >= cut(1) && col("ts") < cut(2),
+        col("ts") >= cut(2) && col("ts") < cut(3),
+        col("ts") >= cut(3) && col("user_id") >= 0,
+        col("event_id") === -1L, col("event_id") === -2L,
+        col("event_id") === -3L, col("event_id") === -4L)
+      val (inDir, schema) = Replay.fileEpochs(ev, chunks, base.toString)
+      def side(tpe: String, outCol: String) =
+        Replay.stream(s, inDir, schema).toDF()
+          .filter(col("event_type") === tpe)
+          .select(col("user_id"), col("ts"), col("event_id").as(outCol))
+      val joined = StreamJoins.intervalJoin(
+          side("purchase", "p_id"), side("error", "e_id"),
+          "user_id", "ts", "1 minute", "10 MINUTES", "10 MINUTES",
+          joinType = "left_outer")
+        .select(expr("l.user_id").as("user_id"), col("p_id"),
+          coalesce(col("e_id"), lit(-1L)).as("e_id"),
+          coalesce(unix_micros(expr("r.ts")) - unix_micros(expr("l.ts")), lit(0L))
+            .as("delta_us"))
+      runAppend(joined, base.toString, s)
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("p_id"), col("e_id"))
+    }),
+
     // MATCH_RECOGNIZE from SQL TEXT oracle-bound (the reference
     // compiles actual SQL — StreamExecMatch.scala:69 + Calcite parser
     // symbols in FlinkSqlOperatorTable.java:944+; previously this
@@ -383,6 +497,48 @@ object StreamParityQueries {
         |  FROM ev)
         |GROUP BY user_id, w_id HAVING count(*) = 10
         |ORDER BY user_id, w_id""".stripMargin),
+    "q142_countslide_stream" -> (evCte +
+      """
+        |SELECT user_id, w_id, n, cents_v FROM (
+        |  SELECT user_id,
+        |    rn // 5 - 1 AS w_id,
+        |    CAST(least(rn, 10) AS INT) AS n,
+        |    (sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))::BIGINT AS cents_v,
+        |    rn
+        |  FROM (SELECT user_id, ts, event_id,
+        |          CAST(round(value*100) AS BIGINT) AS cents,
+        |          row_number() OVER (PARTITION BY user_id
+        |            ORDER BY ts, event_id) AS rn FROM ev))
+        |WHERE rn % 5 = 0 ORDER BY user_id, w_id""".stripMargin),
+    "q143_rangeover_stream" -> (evCte +
+      """
+        |SELECT user_id, event_id,
+        |  (sum(CAST(round(value*100) AS BIGINT)) OVER w)::BIGINT AS cents_prev,
+        |  (count(*) OVER w)::INT AS cnt_prev
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin),
+    "q144_sortlimit_stream" -> (evCte +
+      """
+        |SELECT CAST(rn AS INT) AS rnk, event_id, cents_v FROM (
+        |  SELECT event_id, CAST(round(value*100) AS BIGINT) AS cents_v,
+        |    row_number() OVER (ORDER BY CAST(round(value*100) AS BIGINT) DESC,
+        |                       event_id) AS rn
+        |  FROM ev)
+        |WHERE rn <= 20 ORDER BY rnk""".stripMargin),
+    "q145_outer_interval_stream" -> (evCte +
+      """
+        |SELECT p.user_id AS user_id, p.event_id AS p_id,
+        |  coalesce(x.event_id, -1) AS e_id,
+        |  coalesce(epoch_us(x.ts) - epoch_us(p.ts), 0) AS delta_us
+        |FROM (SELECT * FROM ev WHERE event_type='purchase') p
+        |LEFT JOIN (SELECT * FROM ev WHERE event_type='error') x
+        |  ON p.user_id = x.user_id
+        | AND x.ts >= p.ts - INTERVAL 10 MINUTE
+        | AND x.ts <= p.ts + INTERVAL 10 MINUTE
+        |ORDER BY user_id, p_id, e_id""".stripMargin),
     // identical SQL to q110: the SQL-text front-end must land on the
     // DSL-compiled NFA's exact rows
     "q141_match_recognize" -> (evCte +
