@@ -16,7 +16,8 @@ object SparkEntry {
     CalcQueries.queries ++ EventQueries.queries ++
     TextQueries.queries ++ VectorQueries.queries ++ ExtraQueries.queries ++
     PipelineQueries.queries ++ TpchQueries.queries ++ TpchQueries2.queries ++
-    TpcdsShapes.queries ++ GraphQueries.queries ++ StreamParityQueries.queries
+    TpcdsShapes.queries ++ GraphQueries.queries ++
+    StreamParityQueries.queries ++ UdxQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
     CalcQueries.oracle ++ EventQueries.oracle ++
     TextQueries.oracle ++ VectorQueries.oracle ++ ExtraQueries.oracle ++
     PipelineQueries.oracle ++ TpchQueries.oracle ++ TpchQueries2.oracle ++
-    TpcdsShapes.oracle ++ GraphQueries.oracle ++ StreamParityQueries.oracle
+    TpcdsShapes.oracle ++ GraphQueries.oracle ++
+    StreamParityQueries.oracle ++ UdxQueries.oracle
 }

@@ -115,6 +115,24 @@ object VectorQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // IVF ANN oracle-bound through its exact-equivalence invariant:
+    // with nprobe = K (every inverted list probed) the search result
+    // is INDEPENDENT of the centroids — each corpus vector lives in
+    // exactly one list, so every (probe, corpus) pair is scored
+    // exactly once and the output must equal brute-force top-k. That
+    // binds the whole fit→assign→probe→rerank pipeline (IvfAnn) to
+    // the same DuckDB oracle as q70: any partitioning bug (a vector
+    // in no list / two lists, a probe missing a list, rerank ordering
+    // drift) breaks the hash. The recall-vs-scan trade at nprobe < K
+    // stays property-tested in IvfAnnSpec.
+    "q146_ivf_exact" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val model = IvfAnn.fit(e, "embedding", k = 8, lloydIters = 2)
+      val probes = e.filter(col("vec_id") <= 20)
+      IvfAnn.search(e, probes, "embedding", model, k = 5, nprobe = 8)
+        .orderBy(col("pid"), col("rk"))
+    }),
+
     // ANN via bucket join: candidates share the probe's bucket;
     // exact cosine re-rank within bucket, top-3.
     "q72_lsh_ann" -> ((s, d) => {
@@ -213,6 +231,21 @@ object VectorQueries {
          |    row_number() OVER (PARTITION BY pid ORDER BY sim DESC, cid) AS rk
          |  FROM sims)
          |SELECT pid, rk, cid, round(sim, 6) AS sim6
-         |FROM ranked WHERE rk <= 3 ORDER BY pid, rk""".stripMargin
+         |FROM ranked WHERE rk <= 3 ORDER BY pid, rk""".stripMargin,
+    // nprobe=K ≡ brute force: the oracle is exactly q70's.
+    "q146_ivf_exact" ->
+      s"""WITH pairs AS (
+         |  SELECT p.vec_id AS pid, c.vec_id AS cid,
+         |    p.embedding AS pe, c.embedding AS ce
+         |  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id <= 20),
+         |sims AS (
+         |  SELECT pid, cid, $cosineSql AS sim FROM pairs),
+         |ranked AS (
+         |  SELECT pid, cid, sim,
+         |    row_number() OVER (PARTITION BY pid ORDER BY sim DESC, cid) AS rk
+         |  FROM sims)
+         |SELECT pid, rk, cid, round(sim, 6) AS sim6
+         |FROM ranked WHERE rk <= 5 ORDER BY pid, rk""".stripMargin
   )
 }
