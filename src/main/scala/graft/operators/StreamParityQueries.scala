@@ -338,6 +338,212 @@ object StreamParityQueries {
         .orderBy(col("user_id"), col("p_id"), col("e_id"))
     }),
 
+    // STREAMING dynamic-gap session windows oracle-bound
+    // (DynamicEventTimeSessionWindows — the q130 fixed-gap bind's
+    // per-row-gap sibling): errors close after 5 minutes of silence,
+    // everything else after 20, sessions merging in the state store
+    // across micro-batches. Double-flush sentinels as q129/q130 (see
+    // EventQueries for the pushdown trap note); sentinels filtered at
+    // SINK READ, never inside the streaming plan. Oracle = running-max
+    // islands: a session breaks exactly when ts >= max(prev ts+gap) —
+    // prior sessions' ends can never exceed the current session's
+    // start, so the cumulative max is safe.
+    "q150_session_dynamic_stream" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.WindowedAggs
+      val base = java.nio.file.Files.createTempDirectory("graft-dynsessstream")
+      val real = Tables.events(s, d).as[Event]
+      val (lo, hi) = spanOf(real)
+      def flush(id: Long, offDays: Long) = Event(id,
+        tsOf(hi + offDays * 86400L * 1000000L), -1L, "flush", 0.0, "{}")
+      val ev = real.union(Seq(flush(-1L, 1), flush(-2L, 2)).toDS())
+      val cut = (q: Long) => lit(tsOf(lo + (hi - lo) * q / 4))
+      val fcol = col("event_type") === "flush"
+      val chunks = Seq(
+        col("ts") < cut(1) && !fcol,
+        col("ts") >= cut(1) && col("ts") < cut(2) && !fcol,
+        col("ts") >= cut(2) && col("ts") < cut(3) && !fcol,
+        col("ts") >= cut(3) && !fcol,
+        col("event_id") === -1L && fcol,
+        col("event_id") === -2L && fcol)
+      val (inDir, schema) = Replay.fileEpochs(ev, chunks, base.toString)
+      // session_window's dynamic gap must be CalendarIntervalType
+      // (ANSI INTERVAL literals parse as DayTimeIntervalType)
+      def mins(m: Int) =
+        lit(new org.apache.spark.unsafe.types.CalendarInterval(0, 0, m * 60000000L))
+      val gap = when(col("event_type") === "error", mins(5)).otherwise(mins(20))
+      val sess = WindowedAggs.sessionDynamic(
+        Replay.stream(s, inDir, schema).toDF()
+          .withColumn("cents", expr("cast(round(value*100) as bigint)")),
+        "ts", gap, "1 minute", Seq(col("user_id")),
+        Seq(count(lit(1)).as("n"), sum(col("cents")).as("cents_v")))
+        .select(col("user_id"), col("session_window.start").as("w_start"),
+          col("session_window.end").as("w_end"), col("n"), col("cents_v"))
+      runAppend(sess, base.toString, s)
+        .filter(col("user_id") >= 0) // drop flush sentinels
+        .orderBy(col("user_id"), col("w_start"))
+    }),
+
+    // STREAMING sync lookup join oracle-bound (LookupJoinRunner.java:36
+    // — the reference's dimension-table point-lookup enrich): events
+    // flow through mapPartitions with ONE client per partition
+    // resolving user_id%25 against the nation dimension; the oracle is
+    // the plain relational join the lookup must agree with.
+    "q151_lookup_stream" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.StreamJoins
+      val base = java.nio.file.Files.createTempDirectory("graft-lookupstream")
+      val real = Tables.events(s, d).as[Event]
+      val (lo, hi) = spanOf(real)
+      val (inDir, schema) = Replay.fileEpochs(real, quarterChunks(lo, hi), base.toString)
+      val nmap = Tables.load(s, d, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val joined = StreamJoins.lookupJoin(
+        Replay.stream(s, inDir, schema).toDF().select("event_id", "user_id"),
+        "user_id", () => (k: Long) => nmap.get(k % 25), "n_name")
+      runAppend(joined, base.toString, s).orderBy(col("event_id"))
+    }),
+
+    // STREAMING async lookup join oracle-bound (AsyncDataStream
+    // .unorderedWait): same dimension, lookups issued as futures with
+    // bounded in-flight concurrency; unordered completion within a
+    // partition cannot show through the sorted compare — same oracle.
+    "q152_lookup_async_stream" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.StreamJoins
+      val base = java.nio.file.Files.createTempDirectory("graft-alookupstream")
+      val real = Tables.events(s, d).as[Event]
+      val (lo, hi) = spanOf(real)
+      val (inDir, schema) = Replay.fileEpochs(real, quarterChunks(lo, hi), base.toString)
+      val nmap = Tables.load(s, d, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val joined = StreamJoins.lookupJoinAsync(
+        Replay.stream(s, inDir, schema).toDF().select("event_id", "user_id"),
+        "user_id",
+        () => (k: Long) => scala.concurrent.Future.successful(nmap.get(k % 25)),
+        "n_name")
+      runAppend(joined, base.toString, s).orderBy(col("event_id"))
+    }),
+
+    // STREAMING late-data side output oracle-bound (WindowOperator
+    // .java:139 lateDataOutputTag): the replay deliberately delivers
+    // the SECOND time-quarter first, so every first-quarter event
+    // whose key already saw a later timestamp arrives >10 min behind
+    // its key's max event time and is tagged late. The oracle
+    // recomputes the per-key running max over the same arrival order
+    // (epoch index is derivable from the ts-range chunk layout).
+    "q153_late_tag_stream" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.WindowedAggs
+      val base = java.nio.file.Files.createTempDirectory("graft-latestream")
+      val real = Tables.events(s, d).as[Event]
+      val (lo, hi) = spanOf(real)
+      val cut = (q: Long) => lit(tsOf(lo + (hi - lo) * q / 4))
+      val chunks = Seq( // quarter 2 arrives FIRST; quarter 1 is late
+        col("ts") >= cut(1) && col("ts") < cut(2),
+        col("ts") < cut(1),
+        col("ts") >= cut(2) && col("ts") < cut(3),
+        col("ts") >= cut(3))
+      val (inDir, schema) = Replay.fileEpochs(real, chunks, base.toString)
+      val tagged = WindowedAggs.tagLate(Replay.stream(s, inDir, schema), 600000L)
+      runAppend(tagged.toDF()
+          .select(col("_1.event_id").as("event_id"), col("_2").as("is_late")),
+        base.toString, s)
+        .orderBy(col("event_id"))
+    }),
+
+    // STREAMING ingestion dedup vs a static corpus oracle-bound
+    // (dedup-against-history, StreamingSemiAntiJoinOperator.java:35
+    // with a frozen side): the lower-doc_id half is the corpus, the
+    // upper half streams in three micro-batches, and each batch's
+    // stream-static LEFT ANTI on md5(text) drops exact re-crawls.
+    "q154_dedup_corpus_stream" -> ((s, d) => {
+      import graft.streaming.StreamDedup
+      val base = java.nio.file.Files.createTempDirectory("graft-dedupstream")
+      val docs = Tables.documents(s, d)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val half = maxId / 2
+      val (c1, c2) = (half + (maxId - half) / 3, half + 2 * ((maxId - half) / 3))
+      val corpus = docs.filter(col("doc_id") < half)
+      val chunks = Seq(
+        col("doc_id") >= half && col("doc_id") < c1,
+        col("doc_id") >= c1 && col("doc_id") < c2,
+        col("doc_id") >= c2)
+      val (inDir, schema) =
+        Replay.fileEpochs(docs.filter(col("doc_id") >= half), chunks, base.toString)
+      val out = StreamDedup.dropSeenExact(
+        Replay.streamDf(s, inDir, schema), corpus).select("doc_id")
+      runAppend(out, base.toString, s).orderBy(col("doc_id"))
+    }),
+
+    // STREAMING near-dup flagging vs the corpus's LSH bucket table
+    // oracle-bound: per-row minhash signature (all-expression — no
+    // shuffle on the stream side), band explode, stream-static SEMI
+    // join against the corpus bands; streaming dropDuplicates emits
+    // each flagged doc exactly once across batches. Oracle = the same
+    // banded-minhash algebra in DuckDB (sig SQL shared with q64/q65).
+    "q155_neardup_corpus_stream" -> ((s, d) => {
+      import graft.streaming.StreamDedup
+      val base = java.nio.file.Files.createTempDirectory("graft-neardupstream")
+      val docs = Tables.documents(s, d)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val half = maxId / 2
+      val (c1, c2) = (half + (maxId - half) / 3, half + 2 * ((maxId - half) / 3))
+      val corpus = docs.filter(col("doc_id") < half)
+      val chunks = Seq(
+        col("doc_id") >= half && col("doc_id") < c1,
+        col("doc_id") >= c1 && col("doc_id") < c2,
+        col("doc_id") >= c2)
+      val (inDir, schema) =
+        Replay.fileEpochs(docs.filter(col("doc_id") >= half), chunks, base.toString)
+      val out = StreamDedup.flagNearDups(
+        Replay.streamDf(s, inDir, schema), StreamDedup.corpusBands(corpus))
+      runAppend(out, base.toString, s).orderBy(col("doc_id"))
+    }),
+
+    // STREAMING FULL OUTER interval join oracle-bound — q145's
+    // left-outer sibling: BOTH sides' unmatched rows must null-pad
+    // exactly once when the watermark proves no partner can arrive.
+    "q156_full_outer_interval_stream" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.StreamJoins
+      val base = java.nio.file.Files.createTempDirectory("graft-fouterivstream")
+      val real = Tables.events(s, d).as[Event]
+      val (lo, hi) = spanOf(real)
+      def drain(id: Long, typ: String, offDays: Long) = Event(id,
+        tsOf(hi + offDays * 86400L * 1000000L), -1L, typ, 100.0, "{}")
+      val ev = real.union(Seq(
+        drain(-1L, "purchase", 1), drain(-2L, "error", 2),
+        drain(-3L, "purchase", 3), drain(-4L, "error", 4)).toDS())
+      val cut = (q: Long) => lit(tsOf(lo + (hi - lo) * q / 4))
+      val chunks = Seq(
+        col("ts") < cut(1),
+        col("ts") >= cut(1) && col("ts") < cut(2),
+        col("ts") >= cut(2) && col("ts") < cut(3),
+        col("ts") >= cut(3) && col("user_id") >= 0,
+        col("event_id") === -1L, col("event_id") === -2L,
+        col("event_id") === -3L, col("event_id") === -4L)
+      val (inDir, schema) = Replay.fileEpochs(ev, chunks, base.toString)
+      def side(tpe: String, outCol: String) =
+        Replay.stream(s, inDir, schema).toDF()
+          .filter(col("event_type") === tpe)
+          .select(col("user_id"), col("ts"), col("event_id").as(outCol))
+      val joined = StreamJoins.intervalJoin(
+          side("purchase", "p_id"), side("error", "e_id"),
+          "user_id", "ts", "1 minute", "10 MINUTES", "10 MINUTES",
+          joinType = "full_outer")
+        .select(coalesce(expr("l.user_id"), expr("r.user_id")).as("user_id"),
+          coalesce(col("p_id"), lit(-1L)).as("p_id"),
+          coalesce(col("e_id"), lit(-1L)).as("e_id"),
+          coalesce(unix_micros(expr("r.ts")) - unix_micros(expr("l.ts")), lit(0L))
+            .as("delta_us"))
+      runAppend(joined, base.toString, s)
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("p_id"), col("e_id"))
+    }),
+
     // MATCH_RECOGNIZE from SQL TEXT oracle-bound (the reference
     // compiles actual SQL — StreamExecMatch.scala:69 + Calcite parser
     // symbols in FlinkSqlOperatorTable.java:944+; previously this
@@ -571,6 +777,91 @@ object StreamParityQueries {
         |SELECT CAST(rn AS INT) AS rnk, user_id, cnt FROM (
         |  SELECT user_id, cnt,
         |    row_number() OVER (ORDER BY cnt DESC, user_id) AS rn FROM counts)
-        |WHERE rn <= 10 ORDER BY rnk""".stripMargin)
+        |WHERE rn <= 10 ORDER BY rnk""".stripMargin),
+    // Dynamic-gap sessions as running-max islands: a session breaks
+    // exactly when ts >= max over all earlier rows of (ts + its gap) —
+    // prior sessions' ends can never exceed the current session's
+    // running max, so the cumulative max is the merged-session end.
+    // Spark session ends are EXCLUSIVE: ts == prev end starts a new
+    // session (>=, not >).
+    "q150_session_dynamic_stream" -> (evCte +
+      """,
+        |g AS (SELECT user_id, ts, CAST(round(value*100) AS BIGINT) AS cents,
+        |  CASE WHEN event_type = 'error' THEN INTERVAL 5 MINUTE
+        |       ELSE INTERVAL 20 MINUTE END AS gap FROM ev),
+        |m AS (SELECT *, max(ts + gap) OVER (PARTITION BY user_id
+        |        ORDER BY ts, cents
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |      FROM g),
+        |s AS (SELECT *, sum(CASE WHEN prev_end IS NULL OR ts >= prev_end
+        |        THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |        ORDER BY ts, cents ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(ts) AS w_start, max(ts + gap) AS w_end,
+        |  count(*)::BIGINT AS n, sum(cents)::BIGINT AS cents_v
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, w_start""".stripMargin),
+    // the lookup enrich must agree with the plain relational join
+    "q151_lookup_stream" -> (evCte +
+      """
+        |SELECT e.event_id, e.user_id, n.n_name
+        |FROM ev e JOIN nation n ON n.n_nationkey = e.user_id % 25
+        |ORDER BY e.event_id""".stripMargin),
+    "q152_lookup_async_stream" -> (evCte +
+      """
+        |SELECT e.event_id, e.user_id, n.n_name
+        |FROM ev e JOIN nation n ON n.n_nationkey = e.user_id % 25
+        |ORDER BY e.event_id""".stripMargin),
+    // per-key running max over ARRIVAL order (epoch = the replay's
+    // chunk index: quarter 2 first, then 1, 3, 4; the cut timestamps
+    // replicate tsOf's µs→ms truncation), strict < with a 10-minute
+    // allowed lag — exactly tagLate's state recurrence.
+    "q153_late_tag_stream" -> (evCte +
+      """,
+        |b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM ev),
+        |c AS (SELECT ((lo + (hi - lo) * 1 // 4) // 1000) * 1000 AS c1,
+        |             ((lo + (hi - lo) * 2 // 4) // 1000) * 1000 AS c2,
+        |             ((lo + (hi - lo) * 3 // 4) // 1000) * 1000 AS c3 FROM b),
+        |e AS (SELECT event_id, user_id, epoch_us(ts) AS tu,
+        |  CASE WHEN epoch_us(ts) >= c1 AND epoch_us(ts) < c2 THEN 0
+        |       WHEN epoch_us(ts) < c1 THEN 1
+        |       WHEN epoch_us(ts) >= c2 AND epoch_us(ts) < c3 THEN 2
+        |       ELSE 3 END AS ep FROM ev, c),
+        |m AS (SELECT event_id, tu, max(tu) OVER (PARTITION BY user_id
+        |        ORDER BY ep, tu, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM e)
+        |SELECT event_id, (pm IS NOT NULL AND tu < pm - 600000000) AS is_late
+        |FROM m ORDER BY event_id""".stripMargin),
+    "q154_dedup_corpus_stream" ->
+      """WITH hf AS (SELECT max(doc_id) // 2 AS half FROM documents)
+        |SELECT d.doc_id FROM documents d, hf
+        |WHERE d.doc_id >= hf.half
+        |  AND d.text NOT IN (SELECT c.text FROM documents c, hf
+        |                     WHERE c.doc_id < hf.half)
+        |ORDER BY d.doc_id""".stripMargin,
+    // same banded-minhash algebra as the q64/q65 oracles (sig CTE is
+    // literally shared): flagged = any (band, h) in common with the
+    // sub-half corpus
+    "q155_neardup_corpus_stream" -> {
+      val sigArr = "[" + (0 until TextQueries.nSig).map(j => s"m$j").mkString(",") + "]"
+      s"""WITH hf AS (SELECT max(doc_id) // 2 AS half FROM documents),
+         |sig AS (${TextQueries.sigSelectSql}),
+         |bands AS (
+         |  SELECT doc_id, g.g AS band, ($sigArr)[g.g + 1] AS h
+         |  FROM sig, generate_series(0, ${TextQueries.nSig - 1}) g(g)),
+         |cb AS (SELECT DISTINCT band, h FROM bands, hf WHERE doc_id < half),
+         |sb AS (SELECT doc_id, band, h FROM bands, hf WHERE doc_id >= half)
+         |SELECT DISTINCT sb.doc_id AS doc_id FROM sb JOIN cb USING (band, h)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q156_full_outer_interval_stream" -> (evCte +
+      """
+        |SELECT coalesce(p.user_id, x.user_id) AS user_id,
+        |  coalesce(p.event_id, -1) AS p_id, coalesce(x.event_id, -1) AS e_id,
+        |  coalesce(epoch_us(x.ts) - epoch_us(p.ts), 0) AS delta_us
+        |FROM (SELECT * FROM ev WHERE event_type='purchase') p
+        |FULL JOIN (SELECT * FROM ev WHERE event_type='error') x
+        |  ON p.user_id = x.user_id
+        | AND x.ts >= p.ts - INTERVAL 10 MINUTE
+        | AND x.ts <= p.ts + INTERVAL 10 MINUTE
+        |ORDER BY user_id, p_id, e_id""".stripMargin)
   )
 }

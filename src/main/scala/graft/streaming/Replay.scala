@@ -16,8 +16,9 @@ object Replay {
 
   /** Write `ds` into `base/in` as one file per chunk condition;
     * returns (inputDir, schema). Rows matching no condition are
-    * dropped — make the conditions a partition of the time range. */
-  def fileEpochs(ds: Dataset[Event], conds: Seq[Column], base: String)
+    * dropped — make the conditions a partition of the time range.
+    * Schema-generic: any Dataset replays (events, documents, ...). */
+  def fileEpochs(ds: Dataset[_], conds: Seq[Column], base: String)
       : (String, StructType) = {
     val in = s"$base/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
@@ -48,7 +49,12 @@ object Replay {
   def stream(spark: SparkSession, in: String, schema: StructType)
       : Dataset[Event] = {
     import spark.implicits._
-    spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(in).as[Event]
+    streamDf(spark, in, schema).as[Event]
   }
+
+  /** Untyped replay stream for non-Event schemas. */
+  def streamDf(spark: SparkSession, in: String, schema: StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
 }
