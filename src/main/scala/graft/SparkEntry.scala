@@ -17,7 +17,8 @@ object SparkEntry {
     TextQueries.queries ++ VectorQueries.queries ++ ExtraQueries.queries ++
     PipelineQueries.queries ++ TpchQueries.queries ++ TpchQueries2.queries ++
     TpcdsShapes.queries ++ GraphQueries.queries ++
-    StreamParityQueries.queries ++ UdxQueries.queries
+    StreamParityQueries.queries ++ StreamParityQueries2.queries ++
+    UdxQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     TextQueries.oracle ++ VectorQueries.oracle ++ ExtraQueries.oracle ++
     PipelineQueries.oracle ++ TpchQueries.oracle ++ TpchQueries2.oracle ++
     TpcdsShapes.oracle ++ GraphQueries.oracle ++
-    StreamParityQueries.oracle ++ UdxQueries.oracle
+    StreamParityQueries.oracle ++ StreamParityQueries2.oracle ++
+    UdxQueries.oracle
 }

@@ -34,14 +34,14 @@ object StreamParityQueries {
 
   // Oracle-side CTE: same ns→µs truncation the Spark loader applies
   // (see EventQueries.evCte).
-  private val evCte =
+  private[operators] val evCte =
     """WITH ev AS (SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts,
       |            user_id, event_type, value, props FROM events)""".stripMargin
 
-  private def tsOf(us: Long) = new java.sql.Timestamp(us / 1000)
+  private[operators] def tsOf(us: Long) = new java.sql.Timestamp(us / 1000)
 
   /** (min ts µs, max ts µs) of the dataset — two bounded scalars. */
-  private def spanOf(real: Dataset[Event]): (Long, Long) = {
+  private[operators] def spanOf(real: Dataset[Event]): (Long, Long) = {
     val r = real.agg(min(col("ts")), max(col("ts"))).head()
     (Event.micros(r.getTimestamp(0)), Event.micros(r.getTimestamp(1)))
   }
@@ -49,7 +49,7 @@ object StreamParityQueries {
   /** Four data-derived time-quarter chunk conditions — a partition of
     * the range, so the replay is genuinely multi-batch at every scale
     * factor and keyed state provably carries across micro-batches. */
-  private def quarterChunks(loUs: Long, hiUs: Long): Seq[Column] = {
+  private[operators] def quarterChunks(loUs: Long, hiUs: Long): Seq[Column] = {
     val cut = (q: Long) => lit(tsOf(loUs + (hiUs - loUs) * q / 4))
     Seq(
       col("ts") < cut(1),
@@ -59,7 +59,7 @@ object StreamParityQueries {
   }
 
   /** Run an append-mode streaming frame to parquet, read it back. */
-  private def runAppend(df: DataFrame, base: String, s: SparkSession): DataFrame = {
+  private[operators] def runAppend(df: DataFrame, base: String, s: SparkSession): DataFrame = {
     val (out, ck) = (s"$base/out", s"$base/ck")
     val q = df.writeStream.option("checkpointLocation", ck)
       .outputMode("append").format("parquet").option("path", out)
@@ -71,7 +71,7 @@ object StreamParityQueries {
   /** Run an UPDATE-mode streaming frame via foreachBatch (parquet has
     * no update sink): every per-batch refresh is appended tagged with
     * its batchId; the caller reduces to newest-emission-per-key. */
-  private def runUpdate(df: DataFrame, base: String, s: SparkSession): DataFrame = {
+  private[operators] def runUpdate(df: DataFrame, base: String, s: SparkSession): DataFrame = {
     val (out, ck) = (s"$base/out", s"$base/ck")
     val q = df.writeStream.option("checkpointLocation", ck)
       .outputMode("update")
@@ -84,7 +84,7 @@ object StreamParityQueries {
   }
 
   /** Newest emission per key group = the operator's final state. */
-  private def latestPerKey(hist: DataFrame, keys: Column*): DataFrame =
+  private[operators] def latestPerKey(hist: DataFrame, keys: Column*): DataFrame =
     hist.withColumn("__rn", row_number().over(
         Window.partitionBy(keys: _*).orderBy(col("batch_id").desc)))
       .filter(col("__rn") === 1).drop("__rn", "batch_id")
