@@ -18,7 +18,7 @@ object SparkEntry {
     PipelineQueries.queries ++ TpchQueries.queries ++ TpchQueries2.queries ++
     TpcdsShapes.queries ++ GraphQueries.queries ++
     StreamParityQueries.queries ++ StreamParityQueries2.queries ++
-    UdxQueries.queries
+    UdxQueries.queries ++ FormatQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +29,5 @@ object SparkEntry {
     PipelineQueries.oracle ++ TpchQueries.oracle ++ TpchQueries2.oracle ++
     TpcdsShapes.oracle ++ GraphQueries.oracle ++
     StreamParityQueries.oracle ++ StreamParityQueries2.oracle ++
-    UdxQueries.oracle
+    UdxQueries.oracle ++ FormatQueries.oracle
 }

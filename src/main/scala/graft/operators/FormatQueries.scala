@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Format-connector round-trip binds (SURVEY §2.7): each query writes
+  * the events table through a non-parquet format, reads it back with
+  * an explicit schema, and aggregates — hashed against the SQL on the
+  * ORIGINAL parquet, so a value corrupted anywhere in the
+  * write→parse→read path (quoting, header skew, type coercion,
+  * timestamp parsing) breaks the oracle row.
+  *
+  * Reference: `flink-formats/flink-csv`, `flink-formats/flink-json`,
+  * `flink-orc` (SURVEY §2.7 rows CSV / JSON / ORC).
+  *
+  * Text formats carry whole-cent BIGINTs (float text round-trips are
+  * repr-fragile by design — documented in [oracle parity]); ORC is
+  * binary and round-trips the full row including µs timestamps and
+  * raw doubles.
+  */
+object FormatQueries {
+
+  private def aggAfter(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_v"),
+        countDistinct(col("user_id")).as("users"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+
+  private def centsProj(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), expr("cast(round(value*100) as bigint)").as("cents"))
+
+  val queries: Map[String, Q] = Map(
+
+    "q167_csv_roundtrip" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-csvrt")
+      val ev = centsProj(s, d)
+      ev.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+      aggAfter(s.read.schema(ev.schema).option("header", "true")
+        .csv(s"$base/csv"))
+    }),
+
+    "q168_json_roundtrip" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-jsonrt")
+      val ev = centsProj(s, d)
+      ev.write.mode("overwrite").json(s"$base/json")
+      aggAfter(s.read.schema(ev.schema).json(s"$base/json"))
+    }),
+
+    // ORC is binary: full-fidelity round trip including the µs
+    // timestamp and the raw double — the aggregate covers both.
+    "q169_orc_roundtrip" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-orcrt")
+      val ev = Tables.events(s, d)
+      ev.write.mode("overwrite").orc(s"$base/orc")
+      s.read.orc(s"$base/orc")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(round(value*100) as bigint)")).as("cents_v"),
+          min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+        .orderBy(col("event_type"))
+    })
+  )
+
+  private val centsSum = "sum(CAST(round(value*100) AS BIGINT))::BIGINT"
+
+  val oracle: Map[String, String] = Map(
+    "q167_csv_roundtrip" ->
+      s"""SELECT event_type, count(*)::BIGINT AS n, $centsSum AS cents_v,
+         |  count(DISTINCT user_id)::BIGINT AS users,
+         |  min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q168_json_roundtrip" ->
+      s"""SELECT event_type, count(*)::BIGINT AS n, $centsSum AS cents_v,
+         |  count(DISTINCT user_id)::BIGINT AS users,
+         |  min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q169_orc_roundtrip" ->
+      s"""SELECT event_type, count(*)::BIGINT AS n, $centsSum AS cents_v,
+         |  min(make_timestamp(epoch_ns(ts)//1000)) AS min_ts,
+         |  max(make_timestamp(epoch_ns(ts)//1000)) AS max_ts
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

@@ -36,7 +36,12 @@ object IvfAnn {
     -array_max(scored).getField("negIdx")
   }
 
-  /** Fit K centroids with a few Lloyd iterations. */
+  /** Fit K centroids with a few Lloyd iterations. Seeding is the
+    * first K vectors by id (deterministic TakeOrdered, K×dim to the
+    * driver) — NOT kmeans++: quantization cells only need to be
+    * balanced-ish for IVF recall, and a deterministic seed keeps the
+    * oracle bind (q146) reproducible; swap in a sampled seed if cell
+    * skew ever shows on real embeddings. */
   def fit(vectors: DataFrame, embCol: String, k: Int, lloydIters: Int = 2): Model = {
     val first = vectors.orderBy(col("vec_id")).limit(k)
       .select(toD(col(embCol)).as("e")).collect()

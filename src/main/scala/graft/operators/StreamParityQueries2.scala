@@ -244,6 +244,21 @@ object StreamParityQueries2 {
       fires(s, d, "devict", WindowOps.EventTimeTrigger,
         WindowOps.DeltaEvictor(10000.0))),
 
+    // TimeEvictor oracle-bound: at the closing fire keep only rows
+    // within 2 days of the NEWEST buffered row — a window-relative
+    // time suffix.
+    "q165_time_evictor_stream" -> ((s, d) =>
+      fires(s, d, "tevict", WindowOps.EventTimeTrigger,
+        WindowOps.TimeEvictor(keepMs = 2 * 86400000L))),
+
+    // DeltaTrigger oracle-bound: fire when a row's value drifts ≥ $100
+    // from the ANCHOR (window's first value, re-anchored at each
+    // fire) — a data-dependent recurrence the oracle walks with a
+    // recursive CTE carrying the anchor row-by-row.
+    "q166_delta_trigger_stream" -> ((s, d) =>
+      fires(s, d, "dtrig", WindowOps.DeltaTrigger(10000.0),
+        WindowOps.NoEvictor)),
+
     // Weighted community detection oracle-bound (the one Gelly library
     // algorithm still spec-only): co-purchase graph with shared-order
     // counts as weights, TWO supersteps. Bounded at 2 so every score
@@ -350,6 +365,42 @@ object StreamParityQueries2 {
         |           0)::DOUBLE AS sum_v,
         |  true AS closing
         |FROM r2 GROUP BY user_id, w_start
+        |ORDER BY user_id, w_start_ms, closing, n, sum_v""".stripMargin),
+    "q165_time_evictor_stream" -> (winCte +
+      """,
+        |r2 AS (SELECT *, max(epoch_us(ts)) OVER (PARTITION BY user_id,
+        |         w_start) AS mx_tu FROM r)
+        |SELECT user_id, w_start::BIGINT AS w_start_ms,
+        |  count(*) FILTER (WHERE mx_tu - epoch_us(ts) <= 172800000000)::BIGINT AS n,
+        |  coalesce(sum(cents) FILTER (WHERE mx_tu - epoch_us(ts) <= 172800000000),
+        |           0)::DOUBLE AS sum_v,
+        |  true AS closing
+        |FROM r2 GROUP BY user_id, w_start
+        |ORDER BY user_id, w_start_ms, closing, n, sum_v""".stripMargin),
+    // anchor recurrence: row 1 anchors itself (|v-v|=0 never fires);
+    // each later row fires iff it drifts >= 10000 cents from the
+    // carried anchor and then becomes the new anchor. Early fires emit
+    // the full cumulative buffer (no purging); closing emits the
+    // whole window.
+    "q166_delta_trigger_stream" -> (winCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |walk AS (
+        |  SELECT user_id, w_start, rn, cents AS anchor, false AS fired,
+        |    csum, cnt, tot
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.w_start, r.rn,
+        |    CASE WHEN abs(r.cents - w.anchor) >= 10000
+        |         THEN r.cents ELSE w.anchor END,
+        |    abs(r.cents - w.anchor) >= 10000, r.csum, r.cnt, r.tot
+        |  FROM walk w JOIN r ON r.user_id = w.user_id
+        |    AND r.w_start = w.w_start AND r.rn = w.rn + 1)
+        |SELECT user_id, w_start::BIGINT AS w_start_ms, rn::BIGINT AS n,
+        |  csum::DOUBLE AS sum_v, false AS closing
+        |FROM walk WHERE fired
+        |UNION ALL
+        |SELECT user_id, w_start::BIGINT, cnt::BIGINT, tot::DOUBLE, true
+        |FROM (SELECT DISTINCT user_id, w_start, cnt, tot FROM r)
         |ORDER BY user_id, w_start_ms, closing, n, sum_v""".stripMargin),
     // two unrolled supersteps; arg-max by (tot DESC, label ASC) = the
     // Spark side's max_by(struct(label, mx), struct(tot, -label))
