@@ -244,6 +244,96 @@ object StreamParityQueries2 {
       fires(s, d, "devict", WindowOps.EventTimeTrigger,
         WindowOps.DeltaEvictor(10000.0))),
 
+    // STREAMING RIGHT OUTER interval join oracle-bound — completes the
+    // outer family (LEFT q145, FULL q156): unmatched ERROR rows
+    // null-pad exactly once at the watermark horizon.
+    "q170_right_outer_interval_stream" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.StreamJoins
+      val base = java.nio.file.Files.createTempDirectory("graft-routerivstream")
+      val real = Tables.events(s, d).as[Event]
+      val (lo, hi) = spanOf(real)
+      def drain(id: Long, typ: String, offDays: Long) = Event(id,
+        tsOf(hi + offDays * 86400L * 1000000L), -1L, typ, 100.0, "{}")
+      val ev = real.union(Seq(
+        drain(-1L, "purchase", 1), drain(-2L, "error", 2),
+        drain(-3L, "purchase", 3), drain(-4L, "error", 4)).toDS())
+      val cut = (q: Long) => lit(tsOf(lo + (hi - lo) * q / 4))
+      val chunks = Seq(
+        col("ts") < cut(1),
+        col("ts") >= cut(1) && col("ts") < cut(2),
+        col("ts") >= cut(2) && col("ts") < cut(3),
+        col("ts") >= cut(3) && col("user_id") >= 0,
+        col("event_id") === -1L, col("event_id") === -2L,
+        col("event_id") === -3L, col("event_id") === -4L)
+      val (inDir, schema) = Replay.fileEpochs(ev, chunks, base.toString)
+      def side(tpe: String, outCol: String) =
+        Replay.stream(s, inDir, schema).toDF()
+          .filter(col("event_type") === tpe)
+          .select(col("user_id"), col("ts"), col("event_id").as(outCol))
+      val joined = StreamJoins.intervalJoin(
+          side("purchase", "p_id"), side("error", "e_id"),
+          "user_id", "ts", "1 minute", "10 MINUTES", "10 MINUTES",
+          joinType = "right_outer")
+        .select(coalesce(expr("l.user_id"), expr("r.user_id")).as("user_id"),
+          coalesce(col("p_id"), lit(-1L)).as("p_id"), col("e_id"),
+          coalesce(unix_micros(expr("r.ts")) - unix_micros(expr("l.ts")), lit(0L))
+            .as("delta_us"))
+      StreamParityQueries.runAppend(joined, base.toString, s)
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("p_id"), col("e_id"))
+    }),
+
+    // QUERYABLE STATE oracle-bound (asQueryableState approximation):
+    // the complete-mode memory sink IS the serving layer — every
+    // micro-batch replaces the in-memory table with the operator's
+    // current state, so `spark.table(...)` is the point-lookup surface
+    // while the query runs. Its FINAL content faces the one-shot SQL.
+    "q171_queryable_state" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-qstate")
+      val real = { import s.implicits._; Tables.events(s, d).as[Event] }
+      val (lo, hi) = spanOf(real)
+      val (inDir, schema) = Replay.fileEpochs(real, quarterChunks(lo, hi), base.toString)
+      s.catalog.dropTempView("graft_qstate")
+      val counts = Replay.stream(s, inDir, schema).toDF()
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(round(value*100) as bigint)")).as("cents_v"))
+      val q = counts.writeStream
+        .option("checkpointLocation", s"$base/ck")
+        .outputMode("complete").format("memory").queryName("graft_qstate")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("graft_qstate").orderBy(col("user_id"))
+    }),
+
+    // STATE PROCESSOR READ PATH oracle-bound: a keyed streaming count
+    // runs over the replay (sink discarded — the STATE is the
+    // artifact), then the checkpoint's keyed state is read back
+    // offline via the statestore source and hashed against the batch
+    // GROUP BY. Savepoint analysis facing the oracle.
+    "q172_state_read" -> ((s, d) => {
+      import graft.streaming.StateInspect
+      val base = java.nio.file.Files.createTempDirectory("graft-stateread")
+      val real = { import s.implicits._; Tables.events(s, d).as[Event] }
+      val (lo, hi) = spanOf(real)
+      val (inDir, schema) = Replay.fileEpochs(real, quarterChunks(lo, hi), base.toString)
+      val ck = s"$base/ck"
+      val counts = Replay.stream(s, inDir, schema).toDF()
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val q = counts.writeStream.option("checkpointLocation", ck)
+        .outputMode("update")
+        // the batch must still EXECUTE for the state stores to commit
+        .foreachBatch { (b: DataFrame, _: Long) => b.count(); () }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val st = StateInspect.readState(s, ck)
+      val valField = st.select(col("value.*")).columns.head
+      st.select(col("key.user_id").as("user_id"),
+          col(s"value.`$valField`").cast("long").as("n"))
+        .orderBy(col("user_id"))
+    }),
+
     // TimeEvictor oracle-bound: at the closing fire keep only rows
     // within 2 days of the NEWEST buffered row — a window-relative
     // time suffix.
@@ -366,6 +456,26 @@ object StreamParityQueries2 {
         |  true AS closing
         |FROM r2 GROUP BY user_id, w_start
         |ORDER BY user_id, w_start_ms, closing, n, sum_v""".stripMargin),
+    "q170_right_outer_interval_stream" -> (evCte +
+      """
+        |SELECT coalesce(p.user_id, x.user_id) AS user_id,
+        |  coalesce(p.event_id, -1) AS p_id, x.event_id AS e_id,
+        |  coalesce(epoch_us(x.ts) - epoch_us(p.ts), 0) AS delta_us
+        |FROM (SELECT * FROM ev WHERE event_type='purchase') p
+        |RIGHT JOIN (SELECT * FROM ev WHERE event_type='error') x
+        |  ON p.user_id = x.user_id
+        | AND x.ts >= p.ts - INTERVAL 10 MINUTE
+        | AND x.ts <= p.ts + INTERVAL 10 MINUTE
+        |ORDER BY user_id, p_id, e_id""".stripMargin),
+    "q171_queryable_state" -> (evCte +
+      """
+        |SELECT user_id, count(*)::BIGINT AS n,
+        |  sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents_v
+        |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin),
+    "q172_state_read" -> (evCte +
+      """
+        |SELECT user_id, count(*)::BIGINT AS n
+        |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin),
     "q165_time_evictor_stream" -> (winCte +
       """,
         |r2 AS (SELECT *, max(epoch_us(ts)) OVER (PARTITION BY user_id,
