@@ -18,6 +18,7 @@ object SparkEntry {
     PipelineQueries.queries ++ TpchQueries.queries ++ TpchQueries2.queries ++
     TpcdsShapes.queries ++ GraphQueries.queries ++
     StreamParityQueries.queries ++ StreamParityQueries2.queries ++
+    StreamParityQueries3.queries ++
     UdxQueries.queries ++ FormatQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -29,5 +30,6 @@ object SparkEntry {
     PipelineQueries.oracle ++ TpchQueries.oracle ++ TpchQueries2.oracle ++
     TpcdsShapes.oracle ++ GraphQueries.oracle ++
     StreamParityQueries.oracle ++ StreamParityQueries2.oracle ++
+    StreamParityQueries3.oracle ++
     UdxQueries.oracle ++ FormatQueries.oracle
 }

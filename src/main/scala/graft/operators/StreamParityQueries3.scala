@@ -1,0 +1,157 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.streaming.{Event, Replay, StateBootstrap, WindowOps}
+import StreamParityQueries.{evCte, latestPerKey, runAppend, runUpdate, spanOf, tsOf}
+
+/** Round-5 parity pack, part 3: the state BOOTSTRAP (write) path —
+  * the last partial row of SURVEY §2.8 — oracle-bound.
+  *
+  * Reference: `flink-libraries/flink-state-processing-api/.../
+  * OperatorTransformation.java:66` (bootstrapWith) +
+  * `KeyedOperatorTransformation.java:73` + `Savepoint.java:75`:
+  * batch-compute keyed state, write it as a savepoint, start the
+  * streaming job from it. Spark-first equivalent:
+  * `flatMapGroupsWithState(..., initialState)` — see
+  * `streaming/StateBootstrap.scala`.
+  */
+object StreamParityQueries3 {
+
+  val queries: Map[String, Q] = Map(
+
+    // STATE BOOTSTRAP oracle-bound: per-user running (count, cents)
+    // aggregate. The FIRST half of events is batch-aggregated into a
+    // KeyAgg table — the "savepoint" — and the stream replays only the
+    // SECOND half (two micro-batches) on top of that initial state.
+    // Final state (newest emission per touched user, bootstrapped row
+    // for untouched users) must equal the one-shot GROUP BY over ALL
+    // events: wrong iff the bootstrap is dropped, double-applied, or
+    // mis-keyed. Most users have rows in both halves, so the
+    // merge path is load-bearing for nearly every output row.
+    "q173_state_bootstrap" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-bootstrap")
+      val real = Tables.events(s, d).as[Event]
+      val (lo, hi) = spanOf(real)
+      val mid = tsOf(lo + (hi - lo) / 2)
+      val cut34 = tsOf(lo + (hi - lo) * 3 / 4)
+
+      // batch "savepoint": keyed state computed from the first half
+      val init = real.filter(col("ts") < lit(mid))
+        .groupByKey(_.user_id)
+        .mapGroups { (u, it) =>
+          var (c, cents) = (0L, 0L)
+          it.foreach { e => c += 1; cents += math.round(e.value * 100) }
+          StateBootstrap.KeyAgg(u, c, cents)
+        }
+
+      // stream continuation: ONLY the second half replays
+      val (inDir, schema) = Replay.fileEpochs(
+        real.filter(col("ts") >= lit(mid)),
+        Seq(col("ts") < lit(cut34), col("ts") >= lit(cut34)),
+        base.toString)
+      val cont = StateBootstrap.runningAggBootstrapped(
+        Replay.stream(s, inDir, schema), init)
+
+      val touched = latestPerKey(
+        runUpdate(cont.toDF(), base.toString, s), col("user_id"))
+      // untouched keys: bootstrapped state the stream never saw
+      val untouched = init.toDF().join(touched.select("user_id"),
+        Seq("user_id"), "left_anti")
+      touched.unionByName(untouched)
+        .select(col("user_id"), col("cnt"), col("cents"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ContinuousEventTimeTrigger oracle-bound — the carried-forward
+    // "spec-only by design" trigger. Its fires DO depend on micro-batch
+    // watermark timing, but under the replay that timing is a known
+    // deterministic schedule, verified by probe and encoded below:
+    // file batches run back-to-back (no intermediate no-data batches
+    // — data availability preempts them), so the watermark during the
+    // batch of quarter q is w_{q-1} = maxTs(quarter q-1) - delay.
+    // With interval = 1 ms (any watermark advance fires) and ONE
+    // giant window (size 1e12 ms spans the whole table, start pinned
+    // at 1e12 ms), each key fires on every invocation whose watermark
+    // advanced: invoked via data or via the re-armed event-time timer
+    // chain from its first batch onward. Per key with first quarter
+    // q0, the early-fire contents are the cumulative prefixes C_q for
+    // q in max(q0,2)..4 (no fire in the first batch when wm=0), plus
+    // one more C_4 at the first sentinel's batch (wm=w_4), then the
+    // closing C_4 once the second sentinel's watermark passes the
+    // window end. The oracle rebuilds exactly that multiset; one fire
+    // added, dropped, or mis-filled anywhere in the schedule breaks
+    // the (user, n, cents, closing, times) hash. Values are mapped to
+    // whole cents BEFORE the op so streaming-order double sums are
+    // exact integers (the q134 trick).
+    // Reference: windowing/triggers/ContinuousEventTimeTrigger.java.
+    "q174_cont_trigger_stream" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-cet")
+      val real = Tables.events(s, d).as[Event]
+        .map(e => e.copy(value = math.round(e.value * 100).toDouble))
+      val (lo, hi) = spanOf(real)
+      val cut = (k: Long) => lit(tsOf(lo + (hi - lo) * k / 4))
+      val endMs = 2_000_000_000_000L // window = [1e12, 2e12) ms
+      def sent(id: Long, ms: Long) =
+        Event(id, new Timestamp(ms), -1L, "flush", 0.0, "{}")
+      val ev = real.union(Seq(
+        sent(-1L, endMs + 120000L),            // closes the real window
+        sent(-2L, endMs + 86400000L)).toDS())  // runs the closing batch
+      val chunks = Seq(
+        col("user_id") >= 0 && col("ts") < cut(1),
+        col("user_id") >= 0 && col("ts") >= cut(1) && col("ts") < cut(2),
+        col("user_id") >= 0 && col("ts") >= cut(2) && col("ts") < cut(3),
+        col("user_id") >= 0 && col("ts") >= cut(3),
+        col("event_id") === -1L,
+        col("event_id") === -2L)
+      val (inDir, schema) = Replay.fileEpochs(ev, chunks, base.toString)
+      val fires = WindowOps.tumble(Replay.stream(s, inDir, schema),
+        sizeMs = 1_000_000_000_000L, delay = "1 minute",
+        trigger = WindowOps.ContinuousEventTimeTrigger(1L))
+      runAppend(fires.toDF(), base.toString, s)
+        .filter(col("user_id") >= 0)
+        .groupBy(col("user_id"), col("n"),
+          expr("cast(sum_v as bigint)").as("cents"), col("closing"))
+        .agg(count(lit(1)).as("times"))
+        .orderBy(col("user_id"), col("n"), col("cents"), col("closing"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    // one-shot truth over the WHOLE table: bootstrap half + stream half
+    "q173_state_bootstrap" -> (evCte +
+      """
+        |SELECT user_id, count(*) AS cnt,
+        |  sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents
+        |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // the deterministic fire schedule of the replay (see the Spark
+    // side): early fires = prefixes C_q, q in max(q0,2)..4, + one
+    // extra C_4 (first-sentinel batch), closing = C_4
+    "q174_cont_trigger_stream" -> (evCte +
+      """,
+        |b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM ev),
+        |c AS (SELECT ((lo + (hi - lo) * 1 // 4) // 1000) * 1000 AS c1,
+        |             ((lo + (hi - lo) * 2 // 4) // 1000) * 1000 AS c2,
+        |             ((lo + (hi - lo) * 3 // 4) // 1000) * 1000 AS c3 FROM b),
+        |e AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
+        |  CASE WHEN epoch_us(ts) < c1 THEN 1 WHEN epoch_us(ts) < c2 THEN 2
+        |       WHEN epoch_us(ts) < c3 THEN 3 ELSE 4 END AS qr FROM ev, c),
+        |u AS (SELECT user_id, min(qr) AS q0 FROM e GROUP BY user_id),
+        |pre AS (SELECT e.user_id, g.q, count(*) AS n, sum(e.cents) AS cents
+        |        FROM e JOIN (VALUES (2),(3),(4)) AS g(q) ON e.qr <= g.q
+        |        GROUP BY e.user_id, g.q),
+        |fires AS (
+        |  SELECT p.user_id, p.n, p.cents, false AS closing
+        |  FROM pre p JOIN u USING (user_id) WHERE p.q >= greatest(u.q0, 2)
+        |  UNION ALL
+        |  SELECT user_id, n, cents, false FROM pre WHERE q = 4
+        |  UNION ALL
+        |  SELECT user_id, n, cents, true FROM pre WHERE q = 4)
+        |SELECT user_id, n, cents::BIGINT AS cents, closing,
+        |  count(*) AS times
+        |FROM fires GROUP BY user_id, n, cents, closing
+        |ORDER BY user_id, n, cents, closing""".stripMargin))
+}
