@@ -164,6 +164,54 @@ object GraphQueries {
       val source = ed.agg(min(col("src"))).head().getLong(0)
       GraphOps.shortestPaths(vertices, bidir, source, maxIter = 20)
         .orderBy(col("id"))
+    }),
+
+    // SSSP re-expressed on the PULL-based Gather-Sum-Apply surface
+    // (gsa/GatherSumApplyIteration.java:59 — the reference's own GSA
+    // flagship, library/GSASingleSourceShortestPaths.java): gather =
+    // neighbor dist + weight per edge, sum = min, apply = keep the
+    // smaller. Same graph, same source, same oracle as q123 — the
+    // third iteration abstraction must land on the identical closure.
+    "q175_gsa_sssp" -> ((s, d) => {
+      val ed = coPurchaseEdges(s, d)
+      val bidir = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+        .withColumn("weight", lit(1.0))
+      val vertices = bidir.select(col("src").as("id")).distinct()
+      val source = ed.agg(min(col("src"))).head().getLong(0)
+      val init = vertices.select(col("id"),
+        when(col("id") === source, 0.0).as("dist"))
+      Gsa.run(init, bidir, "dist", maxIter = 20)(
+        gather = col("nbr_dist") + col("weight"),
+        sum = ms => min(ms),
+        apply = (cur, m) => when(cur.isNull || m < cur, m).otherwise(cur))
+        .filter(col("dist").isNotNull)
+        .orderBy(col("id"))
+    }),
+
+    // Connected components re-expressed on the scatter-gather surface
+    // (spargel/ScatterGatherIteration.java:76 — the reference's own
+    // spargel flagship, library/ConnectedComponents.java runs on it):
+    // scatter the label along edges, combine = min, gather adopts a
+    // smaller label. Same January graph, same oracle as q124.
+    "q176_sg_cc" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+                  col("o_orderdate") < lit("1997-02-01").cast("timestamp"))
+          .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val ed = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
+      val bidir = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+      val vertices = bidir.select(col("src").as("id")).distinct()
+      val init = vertices.select(col("id"), col("id").as("component"))
+      ScatterGather.run(init, bidir, "component", maxIter = 30)(
+        scatter = col("src_component"),
+        combine = ms => min(ms),
+        gather = (cur, m) => when(m < cur, m).otherwise(cur))
+        .orderBy(col("id"))
     })
   )
 
@@ -351,6 +399,39 @@ object GraphQueries {
         |    SELECT e.dst, d.dist + 1
         |    FROM d JOIN bidir e ON e.src = d.id WHERE d.dist < 20)
         |  SELECT id, dist FROM d)
-        |GROUP BY id ORDER BY id""".stripMargin)
+        |GROUP BY id ORDER BY id""".stripMargin),
+    // q175 = the q123 closure verbatim (GSA must land on the same
+    // distances); q176 = the q124 closure verbatim (scatter-gather
+    // must land on the same components)
+    "q175_gsa_sssp" -> (edCte +
+      """,
+        |bidir AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+        |s AS (SELECT min(src) AS sid FROM ed)
+        |SELECT id, min(dist)::DOUBLE AS dist FROM (
+        |  WITH RECURSIVE d(id, dist) AS (
+        |    SELECT sid, 0 FROM s
+        |    UNION
+        |    SELECT e.dst, d.dist + 1
+        |    FROM d JOIN bidir e ON e.src = d.id WHERE d.dist < 20)
+        |  SELECT id, dist FROM d)
+        |GROUP BY id ORDER BY id""".stripMargin),
+    "q176_sg_cc" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-02-01'),
+        |ed AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey),
+        |bidir AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed)
+        |SELECT id, min(reach) AS component FROM (
+        |  WITH RECURSIVE r(id, reach) AS (
+        |    SELECT src, src FROM (SELECT DISTINCT src FROM bidir)
+        |    UNION
+        |    SELECT r.id, e.dst FROM r JOIN bidir e ON e.src = r.reach)
+        |  SELECT id, reach FROM r)
+        |GROUP BY id ORDER BY id""".stripMargin
   )
 }

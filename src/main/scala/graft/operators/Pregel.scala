@@ -73,3 +73,62 @@ object Pregel {
     }
   }
 }
+
+/** The reference's SECOND iteration surface — scatter-gather
+  * (`flink-gelly/.../spargel/ScatterGatherIteration.java:76`:
+  * `ScatterFunction.sendMessages` over a vertex's out-edges +
+  * `GatherFunction.updateVertex(vertex, MessageIterator)`). Spargel's
+  * dataflow is the same push model [[Pregel.delta]] runs — messages
+  * only along edges, activity = vertices updated last superstep — so
+  * this surface maps the two-UDF API onto it: `scatter` is the
+  * per-edge message expression, `combine` the MessageIterator
+  * reduction, `gather` the vertex update. */
+object ScatterGather {
+  def run(vertices: DataFrame, edges: DataFrame, valueCol: String,
+          maxIter: Int, initialActive: Column = lit(true))(
+         scatter: Column,
+         combine: Column => Column,
+         gather: (Column, Column) => Column): DataFrame =
+    Pregel.delta(vertices, edges, valueCol, maxIter, initialActive)(
+      scatter, combine, gather)
+}
+
+/** The reference's THIRD iteration surface — Gather-Sum-Apply
+  * (`flink-gelly/.../gsa/GatherSumApplyIteration.java:59`:
+  * `GatherFunction(Neighbor) → M`, `SumFunction.sum`,
+  * `ApplyFunction.apply`). PULL-based and BULK: every superstep every
+  * vertex re-gathers over its full in-neighborhood — `gather` runs
+  * per edge with the source neighbor's value visible as
+  * `nbr_<valueCol>`, `sum` reduces the partials per destination,
+  * `apply(old, summed)` rewrites the vertex. Convergence = no vertex
+  * value changed (the reference's internal updated-count aggregator),
+  * checked with one null-safe anti-filter per superstep. Each
+  * superstep is one join + one aggregate + one left join — all
+  * Catalyst expressions, shuffles O(edges), the plan you want when
+  * most of the graph is still changing (the regime GSA targets;
+  * switch to [[Pregel.delta]] when frontiers are sparse). */
+object Gsa {
+  def run(vertices: DataFrame, edges: DataFrame, valueCol: String,
+          maxIter: Int)(
+         gather: Column,
+         sum: Column => Column,
+         apply: (Column, Column) => Column): DataFrame = {
+    require(vertices.columns.toSeq.sorted == Seq("id", valueCol).sorted,
+      s"vertices must be exactly (id, $valueCol) — pack richer state into a struct")
+    Iterate.bulk(vertices, maxIter) { (sol, _) =>
+      val partials = edges
+        .join(sol.select(col("id").as("src"),
+          col(valueCol).as(s"nbr_$valueCol")), "src")
+        .select(col("dst").as("id"), gather.as("m"))
+        .filter(col("m").isNotNull)
+      val sums = partials.groupBy(col("id")).agg(sum(col("m")).as("__sum"))
+      sol.join(sums, Seq("id"), "left")
+        .select(col("id"),
+          when(col("__sum").isNull, col(valueCol))
+            .otherwise(apply(col(valueCol), col("__sum"))).as(valueCol))
+    } { (prev, next) =>
+      next.alias("n").join(prev.alias("p"), col("n.id") === col("p.id"))
+        .filter(!(col(s"n.$valueCol") <=> col(s"p.$valueCol"))).isEmpty
+    }
+  }
+}
