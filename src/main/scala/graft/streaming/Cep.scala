@@ -39,9 +39,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Whenever a bind leaves a strict step reachable (the loop "might end
   * here", an optional "might stay unbound"), the NFA arms an explicit
   * branch at that strict head — the materialized form of Flink's
-  * shared-buffer branching (bindings are copied instead of shared; one
-  * armed branch per loop occurrence, which the immediately-next event
-  * either completes or kills). A partial that merely DRIFTS into a
+  * shared-buffer branching (one armed branch per loop occurrence,
+  * which the immediately-next event either completes or kills).
+  * Binding storage is persistent `Vector`s: partials branching from a
+  * common prefix SHARE the prefix trie (append = O(log32 n) new nodes,
+  * never a copy) — the same prefix-sharing `SharedBuffer.java` gets
+  * from its event store + versioned back-pointers, expressed as a
+  * persistent data structure. A partial that merely DRIFTS into a
   * strict head by skipping satisfied/optional steps on a later event
   * is retained where it stood (or dies, if nothing it skipped can ever
   * bind again) — it never binds the strict step relaxed.
@@ -59,10 +63,11 @@ object Cep {
   /** Hot-key state safety valve. The partial-match list is bounded in
     * practice by `within` pruning and reluctant-default loops, but an
     * adversarial workload — a hot key feeding a long greedy `oneOrMore`
-    * under NoSkip — starts a new partial at every loop event and holds
-    * O(partials × match-length) rows (the reference bounds this
-    * differently, by sharing binding tails across partials:
-    * `cep/nfa/sharedbuffer/SharedBuffer.java`). `maxPartials` is
+    * under NoSkip — starts a new partial at every loop event. Binding
+    * prefixes are SHARED across branched partials (persistent-Vector
+    * tries — the `cep/nfa/sharedbuffer/SharedBuffer.java` economy), so
+    * memory is O(distinct bound events + partials·log len), but the
+    * per-event predicate sweep is still O(open partials). `maxPartials` is
     * ADMISSION control: once a key is saturated, new pattern STARTS
     * are shed (loudly — a WARN per advance pass plus the `onDrop`
     * callback) while in-flight partials keep running to completion;
@@ -106,37 +111,37 @@ object Cep {
     * the next event; `notFollowedBy` when relaxed: guards every event
     * until the following step binds). */
   case class Step[T](name: String,
-                     pred: (T, Map[String, List[T]]) => Boolean,
+                     pred: (T, Map[String, Vector[T]]) => Boolean,
                      optional: Boolean = false,
                      oneOrMore: Boolean = false,
                      times: Int = 1,
                      timesMax: Int = 0,
-                     untilPred: Option[(T, Map[String, List[T]]) => Boolean] = None,
+                     untilPred: Option[(T, Map[String, Vector[T]]) => Boolean] = None,
                      strict: Boolean = false,
                      negated: Boolean = false,
                      loopConsecutive: Boolean = false,
                      greedy: Boolean = false)
 
   case class Pattern[T](steps: Vector[Step[T]], withinUs: Long = Long.MaxValue) {
-    def followedBy(name: String)(pred: (T, Map[String, List[T]]) => Boolean): Pattern[T] =
+    def followedBy(name: String)(pred: (T, Map[String, Vector[T]]) => Boolean): Pattern[T] =
       copy(steps = steps :+ Step(name, pred))
     /** Strict contiguity (Pattern.java:475): the event immediately
       * after the previous step's binding must match this step, or the
       * partial match is discarded. */
-    def next(name: String)(pred: (T, Map[String, List[T]]) => Boolean): Pattern[T] =
+    def next(name: String)(pred: (T, Map[String, Vector[T]]) => Boolean): Pattern[T] =
       copy(steps = steps :+ Step(name, pred, strict = true))
     /** Strict negation (Pattern.java:205): the partial dies if the
       * event immediately after the previous binding matches `pred`;
       * otherwise the guard is passed permanently (and that same event
       * may bind the following step). Binds nothing. */
-    def notNext(name: String)(pred: (T, Map[String, List[T]]) => Boolean): Pattern[T] =
+    def notNext(name: String)(pred: (T, Map[String, Vector[T]]) => Boolean): Pattern[T] =
       copy(steps = steps :+ Step(name, pred, strict = true, negated = true))
     /** Relaxed negation (Pattern.java:177): the partial dies if ANY
       * event matching `pred` arrives between the previous step's
       * binding and the following step's binding (checked before the
       * following step on the same event). Binds nothing; cannot end a
       * pattern (Pattern.java:190 — a NOT pattern needs a successor). */
-    def notFollowedBy(name: String)(pred: (T, Map[String, List[T]]) => Boolean): Pattern[T] =
+    def notFollowedBy(name: String)(pred: (T, Map[String, Vector[T]]) => Boolean): Pattern[T] =
       copy(steps = steps :+ Step(name, pred, negated = true))
     def optional: Pattern[T] =
       copy(steps = steps.init :+ steps.last.copy(optional = true))
@@ -187,13 +192,13 @@ object Cep {
       * once an event satisfies `pred`, the loop stops accumulating
       * (the event itself is not consumed by the loop and may match a
       * later step). */
-    def until(pred: (T, Map[String, List[T]]) => Boolean): Pattern[T] =
+    def until(pred: (T, Map[String, Vector[T]]) => Boolean): Pattern[T] =
       copy(steps = steps.init :+ steps.last.copy(untilPred = Some(pred)))
     def within(us: Long): Pattern[T] = copy(withinUs = us)
   }
 
   object Pattern {
-    def begin[T](name: String)(pred: (T, Map[String, List[T]]) => Boolean): Pattern[T] =
+    def begin[T](name: String)(pred: (T, Map[String, Vector[T]]) => Boolean): Pattern[T] =
       Pattern(Vector(Step(name, pred)))
   }
 
@@ -207,11 +212,11 @@ object Cep {
     * events sharing a timestamp must still prune correctly, which a
     * timestamp compare cannot express. */
   case class PartialMatch[T](stepIdx: Int, startUs: Long,
-                             bindings: Map[String, List[T]],
+                             bindings: Map[String, Vector[T]],
                              closedLoops: Set[Int] = Set.empty,
-                             bindTs: Map[String, List[Long]] = Map.empty,
+                             bindTs: Map[String, Vector[Long]] = Map.empty,
                              startSeq: Long = 0L,
-                             bindSeq: Map[String, List[Long]] = Map.empty)
+                             bindSeq: Map[String, Vector[Long]] = Map.empty)
 
   /** Sequence base for the NEXT advance() call over the same key:
     * strictly above every sequence number recorded in the surviving
@@ -240,7 +245,7 @@ object Cep {
                  seqBase: Long = 0L,
                  collectTimeouts: Boolean = true,
                  guard: CepGuard = CepGuard())
-      : (List[Map[String, List[T]]], List[PartialMatch[T]], List[PartialMatch[T]]) = {
+      : (List[Map[String, Vector[T]]], List[PartialMatch[T]], List[PartialMatch[T]]) = {
     // Negation guards bind nothing, so they cannot start or end a
     // pattern and cannot carry quantifiers (Pattern.java:190 — a NOT
     // pattern must be followed by a positive one; quantified/optional
@@ -259,7 +264,7 @@ object Cep {
     }
     var open = partials
     var dropped = 0
-    val out = List.newBuilder[Map[String, List[T]]]
+    val out = List.newBuilder[Map[String, Vector[T]]]
     val timedOut = List.newBuilder[PartialMatch[T]]
     // allOptionalFrom(i): every step at index >= i is optional — the
     // completion test. Precomputed once; the inner loop previously
@@ -312,9 +317,9 @@ object Cep {
         // naturally). Scan stops at the first non-optional step — a
         // strict guard or bindable step beyond it is not reachable by
         // skips until that step resolves.
-        def armStrict(from: Int, bound: Map[String, List[T]],
-                      cls: Set[Int], boundTs: Map[String, List[Long]],
-                      boundSeq: Map[String, List[Long]],
+        def armStrict(from: Int, bound: Map[String, Vector[T]],
+                      cls: Set[Int], boundTs: Map[String, Vector[Long]],
+                      boundSeq: Map[String, Vector[Long]],
                       includeFrom: Boolean): Unit = {
           var j = from
           var go = true
@@ -358,7 +363,7 @@ object Cep {
             // partial (drifting can never bind a strict step)
             i += 1
           } else {
-          val cnt = p.bindings.getOrElse(st.name, Nil).size
+          val cnt = p.bindings.getOrElse(st.name, Vector.empty).size
           if (st.oneOrMore && !closed(i) && st.untilPred.exists(_(e, p.bindings))) {
             if (cnt == 0) return // loop can never be satisfied: drop partial
             // reluctant loop: the stopped-loop branches spawned at each
@@ -373,11 +378,11 @@ object Cep {
                      !(st.timesMax > st.times && cnt >= st.timesMax) &&
                      st.pred(e, p.bindings)) {
             val bound = p.bindings.updated(st.name,
-              p.bindings.getOrElse(st.name, Nil) :+ e)
+              p.bindings.getOrElse(st.name, Vector.empty) :+ e)
             val boundTs = p.bindTs.updated(st.name,
-              p.bindTs.getOrElse(st.name, Nil) :+ tsUs)
+              p.bindTs.getOrElse(st.name, Vector.empty) :+ tsUs)
             val boundSeq = p.bindSeq.updated(st.name,
-              p.bindSeq.getOrElse(st.name, Nil) :+ seq)
+              p.bindSeq.getOrElse(st.name, Vector.empty) :+ seq)
             val newCnt = cnt + 1
             if (newCnt < st.times) { // times(n)/times(m,_): need more
               next += PartialMatch(i, p.startUs, bound, closed, boundTs,
@@ -516,7 +521,7 @@ object Cep {
     * `eval` sees the full binding map and yields the column value;
     * `field` carries the output name + type for the emitted rows. */
   case class Measure[T](field: org.apache.spark.sql.types.StructField,
-                        eval: Map[String, List[T]] => Any)
+                        eval: Map[String, Vector[T]] => Any)
 
   /** Builders for the standard measure functions. A measure over an
     * unbound optional step yields NULL (nullable fields), matching
@@ -535,19 +540,19 @@ object Cep {
     /** COUNT(step): occurrences bound to the step (0 if unbound). */
     def count[T](step: String, as: String): Measure[T] =
       Measure(StructField(as, LongType, nullable = false),
-        m => m.getOrElse(step, Nil).size.toLong)
+        m => m.getOrElse(step, Vector.empty).size.toLong)
     /** SUM(step.field) over an integral projection (0 if unbound). */
     def sumLong[T](step: String, as: String)(f: T => Long): Measure[T] =
       Measure(StructField(as, LongType, nullable = false),
-        m => m.getOrElse(step, Nil).map(f).sum)
+        m => m.getOrElse(step, Vector.empty).map(f).sum)
     /** SUM(step.field) over a floating projection (0.0 if unbound). */
     def sumDouble[T](step: String, as: String)(f: T => Double): Measure[T] =
       Measure(StructField(as, DoubleType, nullable = false),
-        m => m.getOrElse(step, Nil).map(f).sum)
+        m => m.getOrElse(step, Vector.empty).map(f).sum)
     /** AVG(step.field); NULL when the step is unbound. */
     def avg[T](step: String, as: String)(f: T => Double): Measure[T] =
       Measure(StructField(as, DoubleType, nullable = true),
-        m => { val vs = m.getOrElse(step, Nil)
+        m => { val vs = m.getOrElse(step, Vector.empty)
                if (vs.isEmpty) null else vs.map(f).sum / vs.size })
   }
 
@@ -555,7 +560,7 @@ object Cep {
     * (key column, then one column per measure), the compiled form of
     * MATCH_RECOGNIZE's `MEASURES ... ONE ROW PER MATCH`. Replaces
     * hand-written per-query extraction lambdas. */
-  def selectMeasures(matches: Dataset[(Long, Map[String, List[Event]])],
+  def selectMeasures(matches: Dataset[(Long, Map[String, Vector[Event]])],
                      keyName: String, measures: Seq[Measure[Event]])
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.Row
@@ -598,8 +603,8 @@ object Cep {
     * scale-safe form; this stays for arbitrary key types. */
   def matchBatch[K](events: Dataset[Event], keyOf: Event => K,
                     pattern: Pattern[Event], skip: AfterMatchSkip = NoSkip)(
-      implicit ke: Encoder[K], oe: Encoder[(K, Map[String, List[Event]])])
-      : Dataset[(K, Map[String, List[Event]])] = {
+      implicit ke: Encoder[K], oe: Encoder[(K, Map[String, Vector[Event]])])
+      : Dataset[(K, Map[String, Vector[Event]])] = {
     import events.sparkSession.implicits._
     events.groupByKey(keyOf).flatMapGroups { (k: K, rows: Iterator[Event]) =>
       val sorted = rows.toList.sortBy(e => (Event.micros(e.ts), e.event_id))
@@ -622,16 +627,16 @@ object Cep {
     * all 10⁶ rows to sort them. */
   def matchBatchSorted(events: Dataset[Event], pattern: Pattern[Event],
                        skip: AfterMatchSkip = NoSkip)
-      : Dataset[(Long, Map[String, List[Event]])] = {
+      : Dataset[(Long, Map[String, Vector[Event]])] = {
     import org.apache.spark.sql.functions.col
-    implicit val outEnc: Encoder[(Long, Map[String, List[Event]])] =
-      Encoders.kryo[(Long, Map[String, List[Event]])]
+    implicit val outEnc: Encoder[(Long, Map[String, Vector[Event]])] =
+      Encoders.kryo[(Long, Map[String, Vector[Event]])]
     events.repartition(col("user_id"))
       .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
       .mapPartitions { it =>
         val buf = it.buffered
-        new Iterator[(Long, Map[String, List[Event]])] {
-          private var pending: Iterator[(Long, Map[String, List[Event]])] =
+        new Iterator[(Long, Map[String, Vector[Event]])] {
+          private var pending: Iterator[(Long, Map[String, Vector[Event]])] =
             Iterator.empty
           def hasNext: Boolean = {
             while (!pending.hasNext && buf.hasNext) {
@@ -650,7 +655,7 @@ object Cep {
             }
             pending.hasNext
           }
-          def next(): (Long, Map[String, List[Event]]) = {
+          def next(): (Long, Map[String, Vector[Event]]) = {
             if (!hasNext) throw new NoSuchElementException("empty partition run")
             pending.next()
           }
@@ -668,18 +673,18 @@ object Cep {
   def matchStream(events: Dataset[Event], pattern: Pattern[Event],
                   skip: AfterMatchSkip = NoSkip,
                   guard: CepGuard = CepGuard())
-      : Dataset[(Long, Map[String, List[Event]])] = {
+      : Dataset[(Long, Map[String, Vector[Event]])] = {
     import events.sparkSession.implicits._
     implicit val stateEnc: Encoder[List[PartialMatch[Event]]] =
       Encoders.kryo[List[PartialMatch[Event]]]
-    implicit val outEnc: Encoder[(Long, Map[String, List[Event]])] =
-      Encoders.kryo[(Long, Map[String, List[Event]])]
+    implicit val outEnc: Encoder[(Long, Map[String, Vector[Event]])] =
+      Encoders.kryo[(Long, Map[String, Vector[Event]])]
     val shedAcc = events.sparkSession.sparkContext
       .longAccumulator("graft.cep.shed_starts")
     val userDrop = guard.onDrop
     val metered = guard.copy(onDrop = n => { shedAcc.add(n); userDrop(n) })
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[PartialMatch[Event]], (Long, Map[String, List[Event]])](
+      .flatMapGroupsWithState[List[PartialMatch[Event]], (Long, Map[String, Vector[Event]])](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (user, rows, state: GroupState[List[PartialMatch[Event]]]) =>
           val sorted = rows.toList.sortBy(e => (Event.micros(e.ts), e.event_id))
@@ -702,14 +707,14 @@ object Cep {
     * `within` — filter each into its own sink. */
   def matchStreamWithTimeouts(events: Dataset[Event], pattern: Pattern[Event],
                               skip: AfterMatchSkip = NoSkip)
-      : Dataset[(Long, Map[String, List[Event]], Boolean)] = {
+      : Dataset[(Long, Map[String, Vector[Event]], Boolean)] = {
     import events.sparkSession.implicits._
     implicit val stateEnc: Encoder[List[PartialMatch[Event]]] =
       Encoders.kryo[List[PartialMatch[Event]]]
-    implicit val outEnc: Encoder[(Long, Map[String, List[Event]], Boolean)] =
-      Encoders.kryo[(Long, Map[String, List[Event]], Boolean)]
+    implicit val outEnc: Encoder[(Long, Map[String, Vector[Event]], Boolean)] =
+      Encoders.kryo[(Long, Map[String, Vector[Event]], Boolean)]
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[PartialMatch[Event]], (Long, Map[String, List[Event]], Boolean)](
+      .flatMapGroupsWithState[List[PartialMatch[Event]], (Long, Map[String, Vector[Event]], Boolean)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (user, rows, state: GroupState[List[PartialMatch[Event]]]) =>
           val sorted = rows.toList.sortBy(e => (Event.micros(e.ts), e.event_id))

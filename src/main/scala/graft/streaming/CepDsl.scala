@@ -63,7 +63,7 @@ object CepDsl {
     * (predicates see the candidate event and the bindings so far,
     * like MATCH_RECOGNIZE DEFINE / Flink IterativeCondition). */
   def compile[T](src: String,
-                 preds: Map[String, (T, Map[String, List[T]]) => Boolean])
+                 preds: Map[String, (T, Map[String, Vector[T]]) => Boolean])
       : Cep.Pattern[T] = {
     val toks = src.trim.split("\\s+").toList
     require(toks.nonEmpty && toks.head.nonEmpty, "empty pattern")
@@ -119,7 +119,7 @@ object CepDsl {
   def compileSimple[T](src: String, preds: Map[String, T => Boolean])
       : Cep.Pattern[T] =
     compile(src, preds.map { case (k, f) =>
-      k -> ((e: T, _: Map[String, List[T]]) => f(e))
+      k -> ((e: T, _: Map[String, Vector[T]]) => f(e))
     })
 
   // ---- MEASURES clause ---------------------------------------------

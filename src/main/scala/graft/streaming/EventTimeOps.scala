@@ -111,16 +111,16 @@ object EventTimeOps {
     * buffers per timestamp and drains on watermark). */
   def matchStreamBuffered(events: Dataset[Event], pattern: Cep.Pattern[Event],
                           delay: String, skip: Cep.AfterMatchSkip = Cep.NoSkip)
-      : Dataset[(Long, Map[String, List[Event]])] = {
+      : Dataset[(Long, Map[String, Vector[Event]])] = {
     val spark = events.sparkSession
     import spark.implicits._
     implicit val stateEnc: Encoder[(List[Cep.PartialMatch[Event]], List[Event])] =
       Encoders.kryo[(List[Cep.PartialMatch[Event]], List[Event])]
-    implicit val outEnc: Encoder[(Long, Map[String, List[Event]])] =
-      Encoders.kryo[(Long, Map[String, List[Event]])]
+    implicit val outEnc: Encoder[(Long, Map[String, Vector[Event]])] =
+      Encoders.kryo[(Long, Map[String, Vector[Event]])]
     events.withWatermark("ts", delay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[(List[Cep.PartialMatch[Event]], List[Event]), (Long, Map[String, List[Event]])](
+      .flatMapGroupsWithState[(List[Cep.PartialMatch[Event]], List[Event]), (Long, Map[String, Vector[Event]])](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (user, rows, state: GroupState[(List[Cep.PartialMatch[Event]], List[Event])]) =>
           val (partials, buf) = state.getOption.getOrElse((Nil, List.empty[Event]))

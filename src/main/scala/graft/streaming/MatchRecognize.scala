@@ -130,7 +130,7 @@ object MatchRecognize {
         defines.keys.find(!vars(_)).foreach(v =>
           fail(s"DEFINE for '$v' but '$v' is not in PATTERN"))
         val preds = vars.map(v => v -> defines.getOrElse(v,
-          (_: Event, _: Map[String, List[Event]]) => true)).toMap
+          (_: Event, _: Map[String, Vector[Event]]) => true)).toMap
         val pat0 = CepDsl.compile[Event](dslPat + withinDsl, preds)
         // post-pass: greediness is per-variable SQL syntax, which the
         // DSL string cannot carry — set it directly on the steps
@@ -205,7 +205,7 @@ object MatchRecognize {
 
   // ---- DEFINE expression parser -------------------------------------
 
-  private type Pred = (Event, Map[String, List[Event]]) => Boolean
+  private type Pred = (Event, Map[String, Vector[Event]]) => Boolean
 
   private def parseDefines(src: String): Map[String, Pred] =
     src.split("""(?i),(?=\s*[A-Za-z_]\w*\s+AS\s)""").map { clause =>
@@ -236,7 +236,7 @@ object MatchRecognize {
 
     // operand → (event, bindings) => Option[Any]; None = unresolvable
     // (absent cross-variable binding) which makes any comparison false
-    def operand(): (Event, Map[String, List[Event]]) => Option[Any] = {
+    def operand(): (Event, Map[String, Vector[Event]]) => Option[Any] = {
       val t = eat()
       if (t.startsWith("'")) { val s = t.substring(1, t.length - 1); (_, _) => Some(s) }
       else if (t.head.isDigit) { val d = t.toDouble; (_, _) => Some(d) }

@@ -13,7 +13,7 @@ class CepAdvancedSpec extends SparkSpec {
     Event(id, new Timestamp(tSec * 1000), user, typ, 0.0, "{}")
 
   private val isType = (t: String) =>
-    (e: Event, _: Map[String, List[Event]]) => e.event_type == t
+    (e: Event, _: Map[String, Vector[Event]]) => e.event_type == t
 
   private def run(pat: Cep.Pattern[Event],
                   skip: Cep.AfterMatchSkip = Cep.NoSkip)(events: Event*) = {
@@ -22,7 +22,7 @@ class CepAdvancedSpec extends SparkSpec {
     Cep.advance(pat, Nil, sorted.iterator, skip)
   }
 
-  private def ids(m: Map[String, List[Event]]): Map[String, List[Long]] =
+  private def ids(m: Map[String, Vector[Event]]): Map[String, Vector[Long]] =
     m.view.mapValues(_.map(_.event_id)).toMap
 
   test("times(2) needs exactly two occurrences before the next step") {

@@ -13,7 +13,7 @@ class CepGuardSpec extends SparkSpec {
     Event(id, new Timestamp(tSec * 1000), 1L, typ, 0.0, "{}")
 
   private val isType = (t: String) =>
-    (e: Event, _: Map[String, List[Event]]) => e.event_type == t
+    (e: Event, _: Map[String, Vector[Event]]) => e.event_type == t
 
   // the adversarial shape from the round-4 verdict: greedy unbounded
   // loop, hot key, successor never fires

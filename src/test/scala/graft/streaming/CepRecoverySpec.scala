@@ -25,7 +25,7 @@ class CepRecoverySpec extends SparkSpec {
     def start() = Cep.matchStream(ms.toDS(), pat)
       .writeStream
       .foreachBatch {
-        (df: org.apache.spark.sql.Dataset[(Long, Map[String, List[Event]])],
+        (df: org.apache.spark.sql.Dataset[(Long, Map[String, Vector[Event]])],
          _: Long) =>
           matches.synchronized {
             matches ++= df.collect().map { case (u, m) =>

@@ -67,9 +67,9 @@ class CepSortedSpec extends SparkSpec {
           Event.micros(e.ts) > Event.micros(bound("a").head.ts)
       }
       .within(30000000L)
-    def key(m: (Long, Map[String, List[Event]])): (Long, Long, Long) =
+    def key(m: (Long, Map[String, Vector[Event]])): (Long, Long, Long) =
       (m._1, m._2("a").head.event_id, m._2("b").head.event_id)
-    implicit val outEnc = Encoders.kryo[(Long, Map[String, List[Event]])]
+    implicit val outEnc = Encoders.kryo[(Long, Map[String, Vector[Event]])]
     for (skip <- Seq(Cep.NoSkip, Cep.SkipPastLastEvent, Cep.SkipToNext)) {
       val viaSorted = Cep.matchBatchSorted(ds, pat, skip).collect().map(key).toSet
       val viaGroups = Cep.matchBatch[Long](ds, _.user_id, pat, skip)

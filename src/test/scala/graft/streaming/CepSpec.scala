@@ -17,7 +17,7 @@ class CepSpec extends SparkSpec {
   }
 
   private val isType = (t: String) =>
-    (e: Event, _: Map[String, List[Event]]) => e.event_type == t
+    (e: Event, _: Map[String, Vector[Event]]) => e.event_type == t
 
   test("3-step relaxed pattern matches across gaps") {
     val pat = Cep.Pattern.begin[Event]("v")(isType("view"))

@@ -12,7 +12,7 @@ class MatchRecognizeSpec extends SparkSpec {
     Event(id, new Timestamp(tSec * 1000), user, typ, v, "{}")
 
   private def matches(pat: Cep.Pattern[Event], skip: Cep.AfterMatchSkip,
-                      events: Event*): List[Map[String, List[Long]]] = {
+                      events: Event*): List[Map[String, Vector[Long]]] = {
     val sorted = events.toList.sortBy(e => (Event.micros(e.ts), e.event_id))
       .map(e => (Event.micros(e.ts), e))
     Cep.advance(pat, Nil, sorted.iterator, skip)._1
@@ -86,7 +86,7 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(!p(ev(1, 10, 1, "click", 20.0), Map.empty))
     // cross-variable ref reads the LAST binding of that variable
     val q = MatchRecognize.compileExpr("B.value > A.value", "B")
-    val bound = Map("A" -> List(ev(1, 10, 1, "view", 3.0), ev(2, 11, 1, "view", 7.0)))
+    val bound = Map("A" -> Vector(ev(1, 10, 1, "view", 3.0), ev(2, 11, 1, "view", 7.0)))
     assert(q(ev(3, 12, 1, "purchase", 8.0), bound))  // 8 > last(A)=7
     assert(!q(ev(3, 12, 1, "purchase", 5.0), bound)) // 5 < 7
     assert(!q(ev(3, 12, 1, "purchase", 8.0), Map.empty)) // absent binding
