@@ -2,9 +2,10 @@ package graft.operators
 
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import graft.Tables
-import graft.streaming.{Event, Replay, StateBootstrap, WindowOps}
-import StreamParityQueries.{evCte, latestPerKey, runAppend, runUpdate, spanOf, tsOf}
+import graft.streaming.{BroadcastState, Event, Replay, StateBootstrap, WindowOps}
+import StreamParityQueries.{evCte, latestPerKey, quarterChunks, runAppend, runUpdate, spanOf, tsOf}
 
 /** Round-5 parity pack, part 3: the state BOOTSTRAP (write) path —
   * the last partial row of SURVEY §2.8 — oracle-bound.
@@ -117,6 +118,36 @@ object StreamParityQueries3 {
           expr("cast(sum_v as bigint)").as("cents"), col("closing"))
         .agg(count(lit(1)).as("times"))
         .orderBy(col("user_id"), col("n"), col("cents"), col("closing"))
+    }),
+
+    // DYNAMIC broadcast state oracle-bound (BroadcastProcessFunction,
+    // DataStream.java:430 + BroadcastProcessFunction.java:51): the
+    // control stream (error events with value > 90 → "block this
+    // user") and the data stream (purchases) arrive as one tagged
+    // quarter replay; each micro-batch merges its control rows into
+    // the rules store BEFORE flagging its purchases. Rule visibility
+    // is therefore micro-batch-causal: a purchase is blocked iff some
+    // qualifying error for its user occurred in the SAME quarter or
+    // earlier — apply-before-merge, a dropped store merge, or
+    // cross-batch leakage each break the hash.
+    "q177_broadcast_state_stream" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-bstate")
+      import s.implicits._
+      val real = Tables.events(s, d).as[Event]
+      val (lo, hi) = spanOf(real)
+      val (inDir, schema) = Replay.fileEpochs(real, quarterChunks(lo, hi), base.toString)
+      BroadcastState.run(
+          Replay.streamDf(s, inDir, schema),
+          StructType(Seq(StructField("user_id", LongType))), base.toString)(
+        extractRules = b => b
+          .filter(col("event_type") === "error" && col("value") > 90)
+          .select(col("user_id")).distinct())(
+        applyRules = (b, rules) => b
+          .filter(col("event_type") === "purchase")
+          .join(rules.withColumn("blocked", lit(true)), Seq("user_id"), "left")
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("blocked"), lit(false)).as("blocked")))
+        .orderBy(col("event_id"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -153,5 +184,24 @@ object StreamParityQueries3 {
         |SELECT user_id, n, cents::BIGINT AS cents, closing,
         |  count(*) AS times
         |FROM fires GROUP BY user_id, n, cents, closing
-        |ORDER BY user_id, n, cents, closing""".stripMargin))
+        |ORDER BY user_id, n, cents, closing""".stripMargin),
+
+    // micro-batch-causal rule visibility: blocked iff a qualifying
+    // error for the user sits in the same quarter or earlier
+    "q177_broadcast_state_stream" -> (evCte +
+      """,
+        |b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM ev),
+        |c AS (SELECT ((lo + (hi - lo) * 1 // 4) // 1000) * 1000 AS c1,
+        |             ((lo + (hi - lo) * 2 // 4) // 1000) * 1000 AS c2,
+        |             ((lo + (hi - lo) * 3 // 4) // 1000) * 1000 AS c3 FROM b),
+        |e AS (SELECT *, CASE WHEN epoch_us(ts) < c1 THEN 1
+        |                     WHEN epoch_us(ts) < c2 THEN 2
+        |                     WHEN epoch_us(ts) < c3 THEN 3 ELSE 4 END AS qr
+        |      FROM ev, c),
+        |rules AS (SELECT user_id, min(qr) AS rq FROM e
+        |          WHERE event_type = 'error' AND value > 90 GROUP BY user_id)
+        |SELECT p.event_id, p.user_id,
+        |  (r.user_id IS NOT NULL AND r.rq <= p.qr) AS blocked
+        |FROM e p LEFT JOIN rules r ON p.user_id = r.user_id
+        |WHERE p.event_type = 'purchase' ORDER BY p.event_id""".stripMargin))
 }
