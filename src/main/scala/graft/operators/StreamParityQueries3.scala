@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import graft.Tables
-import graft.streaming.{BroadcastState, Event, Replay, StateBootstrap, WindowOps}
+import graft.streaming.{BroadcastState, Event, Replay, StateBootstrap, StateV2, WindowOps}
 import StreamParityQueries.{evCte, latestPerKey, quarterChunks, runAppend, runUpdate, spanOf, tsOf}
 
 /** Round-5 parity pack, part 3: the state BOOTSTRAP (write) path —
@@ -148,6 +148,28 @@ object StreamParityQueries3 {
           .select(col("event_id"), col("user_id"),
             coalesce(col("blocked"), lit(false)).as("blocked")))
         .orderBy(col("event_id"))
+    }),
+
+    // The state-v2 surface (transformWithState + StatefulProcessor +
+    // named ValueState, RocksDB-backed) oracle-bound: keep-last dedup
+    // re-expressed as a KeyedProcessFunction analog through the same
+    // quarter replay as q136, against the identical ROW_NUMBER DESC
+    // oracle — the v2 API must land on the v1 rows exactly.
+    "q178_statev2_dedup_stream" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-statev2")
+      val real = Tables.events(s, d).as[Event]
+      val (lo, hi) = spanOf(real)
+      val (inDir, schema) = Replay.fileEpochs(real, quarterChunks(lo, hi), base.toString)
+      StateV2.withRocksDb(s) {
+        val ded = StateV2.dedupKeepLastV2(Replay.stream(s, inDir, schema))
+        latestPerKey(runUpdate(ded.toDF(), base.toString, s),
+            col("user_id"), col("event_type"))
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            round(col("value"), 2).as("value"))
+          .orderBy(col("user_id"), col("event_type"))
+          .localCheckpoint() // materialize before the provider resets
+      }
     }))
 
   val oracle: Map[String, String] = Map(
@@ -203,5 +225,14 @@ object StreamParityQueries3 {
         |SELECT p.event_id, p.user_id,
         |  (r.user_id IS NOT NULL AND r.rq <= p.qr) AS blocked
         |FROM e p LEFT JOIN rules r ON p.user_id = r.user_id
-        |WHERE p.event_type = 'purchase' ORDER BY p.event_id""".stripMargin))
+        |WHERE p.event_type = 'purchase' ORDER BY p.event_id""".stripMargin),
+
+    // identical SQL to q136/q55: the v2 API's final state must equal
+    // the batch keep-last rows
+    "q178_statev2_dedup_stream" -> (evCte +
+      """
+        |SELECT user_id, event_type, event_id, round(value,2) AS value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM ev)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin))
 }
