@@ -24,9 +24,11 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
-      // events.parquet stores TIMESTAMP(NANOS), which the Spark reader
-      // rejects; read nanos as long session-wide (Tables.events converts
-      // to µs timestamps). Set once here, not as a read side effect.
+      // Legacy-data fallback: older driver testdata generations stored
+      // events.ts as TIMESTAMP(NANOS), which the Spark reader rejects;
+      // reading nanos as long keeps those files loadable (Tables.events
+      // dispatches on the scanned dtype). Current testdata ships
+      // timestamp[us], which this flag does not affect.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 

@@ -42,15 +42,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), read as a
-    * long via spark.sql.legacy.parquet.nanosAsLong (set once in
-    * GraftSession.builder, not as a read side effect here) and
-    * truncated to microseconds — the same ns→µs truncation the DuckDB
-    * oracle applies via make_timestamp(epoch_ns(ts)//1000). */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+  /** events.parquet has shipped `ts` in two physical encodings across
+    * driver testdata generations: parquet TIMESTAMP(NANOS) (read as a
+    * long via spark.sql.legacy.parquet.nanosAsLong, set once in
+    * GraftSession.builder as a legacy-data fallback) and plain
+    * timestamp[us]. Dispatch on the scanned dtype so both yield the
+    * same µs-precision TIMESTAMP column: longs get the ns→µs
+    * truncation the DuckDB oracle applies via
+    * make_timestamp(epoch_ns(ts)//1000); native timestamps are cast
+    * as-is (session timezone is UTC, values identical). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df = load(s, d, "events")
+    val ts = df.schema("ts").dataType match {
+      case LongType => expr("timestamp_micros(ts div 1000)")
+      case TimestampType | TimestampNTZType => col("ts").cast(TimestampType)
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other")
+    }
+    df.withColumn("ts", ts)
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import graft.Tables
-import graft.streaming.{BroadcastState, Event, Replay, StateBootstrap, StateV2, WindowOps}
+import graft.streaming.{BroadcastState, Event, MatchRecognize, Replay, StateBootstrap, StateV2, WindowOps}
 import StreamParityQueries.{evCte, latestPerKey, quarterChunks, runAppend, runUpdate, spanOf, tsOf}
 
 /** Round-5 parity pack, part 3: the state BOOTSTRAP (write) path —
@@ -170,6 +170,86 @@ object StreamParityQueries3 {
           .orderBy(col("user_id"), col("event_type"))
           .localCheckpoint() // materialize before the provider resets
       }
+    }),
+
+    // MATCH_RECOGNIZE pattern ALTERNATION oracle-bound (reference
+    // group patterns, `cep/pattern/GroupPattern.java`; SQL:2016
+    // PATTERN (A (B|C))): each 'view' start binds the FIRST following
+    // purchase-OR-error within 1 hour, and the classifier identity —
+    // WHICH alternative matched — survives into MEASURES as the
+    // count(B)/count(C) split. The oracle recomputes the first
+    // qualifying successor per view with a row_number over the union
+    // of both types; a bind under the wrong alternative, a missed
+    // leftmost preference, or alternation-blind counting each break
+    // the hash.
+    "q179_match_alternation" -> ((s, d) => {
+      import s.implicits._
+      val sql = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES first(A.event_id) AS view_id, count(B) AS n_buy,
+                   count(C) AS n_err
+          PATTERN (A (B|C)) WITHIN INTERVAL '1' HOUR
+          DEFINE A AS A.event_type = 'view', B AS B.event_type = 'purchase',
+                 C AS C.event_type = 'error'
+        )"""
+      val types = Set("view", "purchase", "error")
+      MatchRecognize.run(
+          Tables.events(s, d).as[Event].filter(e => types(e.event_type)), sql)
+        .orderBy(col("user_id"), col("view_id"))
+    }),
+
+    // Named ListState on the v2 surface oracle-bound (the reference's
+    // ListStateDescriptor family, `flink-core/.../api/common/state/
+    // ListStateDescriptor.java`; RowTimeRowsBoundedPrecedingFunction
+    // keeps exactly this rolling tail in ListState): q134's ROWS 4
+    // PRECEDING running aggregate re-expressed through
+    // transformWithState + getListState, RocksDB-backed, same quarter
+    // replay, against the identical SQL ROWS-frame oracle — the v2
+    // ListState must land on the v1 rows exactly. Cents mapping keeps
+    // the running double sum exact (q134 trick).
+    "q180_statev2_liststate" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-statev2l")
+      val real = Tables.events(s, d).as[Event]
+      val (lo, hi) = spanOf(real)
+      val (inDir, schema) = Replay.fileEpochs(real, quarterChunks(lo, hi), base.toString)
+      StateV2.withRocksDb(s) {
+        val over = StateV2.boundedRowsOverV2(
+          Replay.stream(s, inDir, schema)
+            .map(e => e.copy(value = math.round(e.value * 100).toDouble)),
+          n = 5)
+        runAppend(over.toDF()
+            .select(col("user_id"), col("event_id"),
+              expr("cast(sum_prev as bigint)").as("cents_prev"), col("cnt_prev")),
+            base.toString, s)
+          .orderBy(col("user_id"), col("event_id"))
+          .localCheckpoint() // materialize before the provider resets
+      }
+    }),
+
+    // Named MapState on the v2 surface oracle-bound (the reference's
+    // MapStateDescriptor family, `flink-core/.../api/common/state/
+    // MapStateDescriptor.java`): per-user event_type→count map,
+    // update-mode changelog through the quarter replay; the FINAL
+    // emission per (user, type) must equal the one-shot GROUP BY —
+    // a lost map entry, a reset counter, or cross-batch leakage each
+    // break the hash.
+    "q181_statev2_mapstate" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-statev2m")
+      val real = Tables.events(s, d).as[Event]
+      val (lo, hi) = spanOf(real)
+      val (inDir, schema) = Replay.fileEpochs(real, quarterChunks(lo, hi), base.toString)
+      StateV2.withRocksDb(s) {
+        val cnts = StateV2.typeCountsV2(Replay.stream(s, inDir, schema))
+        latestPerKey(runUpdate(cnts.toDF(), base.toString, s),
+            col("user_id"), col("event_type"))
+          .select(col("user_id"), col("event_type"), col("cnt"))
+          .orderBy(col("user_id"), col("event_type"))
+          .localCheckpoint() // materialize before the provider resets
+      }
     }))
 
   val oracle: Map[String, String] = Map(
@@ -234,5 +314,42 @@ object StreamParityQueries3 {
         |SELECT user_id, event_type, event_id, round(value,2) AS value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
         |    ORDER BY ts DESC, event_id DESC) AS rn FROM ev)
-        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin))
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin),
+
+    // first purchase-or-error after each view within the hour; the
+    // classifier split is the CASE over the winner's type
+    "q179_match_alternation" -> (evCte +
+      """
+        |SELECT user_id, view_id,
+        |  CASE WHEN x_type = 'purchase' THEN 1 ELSE 0 END::BIGINT AS n_buy,
+        |  CASE WHEN x_type = 'error' THEN 1 ELSE 0 END::BIGINT AS n_err
+        |FROM (
+        |  SELECT v.user_id, v.event_id AS view_id, x.event_type AS x_type,
+        |    row_number() OVER (PARTITION BY v.user_id, v.event_id
+        |      ORDER BY x.ts, x.event_id) AS rn
+        |  FROM (SELECT * FROM ev WHERE event_type = 'view') v
+        |  JOIN (SELECT * FROM ev WHERE event_type IN ('purchase','error')) x
+        |    ON x.user_id = v.user_id
+        |   AND (x.ts > v.ts OR (x.ts = v.ts AND x.event_id > v.event_id))
+        |   AND epoch_us(x.ts) - epoch_us(v.ts) <= 3600000000)
+        |WHERE rn = 1 ORDER BY user_id, view_id""".stripMargin),
+
+    // identical frame to q134: the v2 ListState must land on the SQL
+    // ROWS-frame rows exactly
+    "q180_statev2_liststate" -> (evCte +
+      """
+        |SELECT user_id, event_id,
+        |  (sum(CAST(round(value*100) AS BIGINT)) OVER w)::BIGINT AS cents_prev,
+        |  (count(*) OVER w)::INT AS cnt_prev
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin),
+
+    // one-shot GROUP BY truth for the MapState changelog's final state
+    "q181_statev2_mapstate" -> (evCte +
+      """
+        |SELECT user_id, event_type, count(*) AS cnt
+        |FROM ev GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin))
 }

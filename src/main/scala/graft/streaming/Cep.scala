@@ -109,7 +109,17 @@ object Cep {
     * `negated` = a guard step that binds nothing — an event matching
     * `pred` KILLS the partial (`notNext` when strict: guards exactly
     * the next event; `notFollowedBy` when relaxed: guards every event
-    * until the following step binds). */
+    * until the following step binds).
+    *
+    * `alts` nonEmpty makes this an ALTERNATION step (SQL pattern
+    * `(B|C)`, reference `cep/pattern/GroupPattern.java` group
+    * patterns): an event matches if any alternative's predicate does,
+    * and binds under the FIRST matching alternative's name (leftmost
+    * preference, deterministic — no backtracking across alternatives;
+    * the classifier identity is preserved so MEASURES can reference
+    * each alternative separately). `name` is display-only for such a
+    * step; quantifiers count occurrences ACROSS alternatives, so
+    * `(B|C)+` is a loop whose occurrences may bind different names. */
   case class Step[T](name: String,
                      pred: (T, Map[String, Vector[T]]) => Boolean,
                      optional: Boolean = false,
@@ -120,7 +130,8 @@ object Cep {
                      strict: Boolean = false,
                      negated: Boolean = false,
                      loopConsecutive: Boolean = false,
-                     greedy: Boolean = false)
+                     greedy: Boolean = false,
+                     alts: Vector[(String, (T, Map[String, Vector[T]]) => Boolean)] = Vector.empty)
 
   case class Pattern[T](steps: Vector[Step[T]], withinUs: Long = Long.MaxValue) {
     def followedBy(name: String)(pred: (T, Map[String, Vector[T]]) => Boolean): Pattern[T] =
@@ -195,11 +206,29 @@ object Cep {
     def until(pred: (T, Map[String, Vector[T]]) => Boolean): Pattern[T] =
       copy(steps = steps.init :+ steps.last.copy(untilPred = Some(pred)))
     def within(us: Long): Pattern[T] = copy(withinUs = us)
+    /** Relaxed-contiguity alternation (`(B|C)` after the previous
+      * step) — see [[Step.alts]]. */
+    def followedByAny(alts: (String, (T, Map[String, Vector[T]]) => Boolean)*): Pattern[T] =
+      copy(steps = steps :+ Pattern.altStep(alts.toVector))
+    /** Strict-contiguity alternation (`next` into `(B|C)`). */
+    def nextAny(alts: (String, (T, Map[String, Vector[T]]) => Boolean)*): Pattern[T] =
+      copy(steps = steps :+ Pattern.altStep(alts.toVector).copy(strict = true))
   }
 
   object Pattern {
     def begin[T](name: String)(pred: (T, Map[String, Vector[T]]) => Boolean): Pattern[T] =
       Pattern(Vector(Step(name, pred)))
+    /** Pattern starting with an alternation step — see [[Step.alts]]. */
+    def beginAny[T](alts: (String, (T, Map[String, Vector[T]]) => Boolean)*): Pattern[T] =
+      Pattern(Vector(altStep(alts.toVector)))
+    private[streaming] def altStep[T](
+        alts: Vector[(String, (T, Map[String, Vector[T]]) => Boolean)]): Step[T] = {
+      require(alts.size >= 2, "an alternation needs at least two alternatives")
+      require(alts.map(_._1).distinct.size == alts.size,
+        "alternation alternatives must have distinct names")
+      Step(alts.map(_._1).mkString("|"),
+        (e, b) => alts.exists(_._2(e, b)), alts = alts)
+    }
   }
 
   /** `closedLoops` = indices of oneOrMore steps shut by their `until`
@@ -254,6 +283,8 @@ object Cep {
     require(!pattern.steps.last.negated,
       "pattern cannot end with notNext/notFollowedBy (Pattern.java:190)")
     pattern.steps.zipWithIndex.foreach { case (st, i) =>
+      require(st.alts.isEmpty || !st.negated,
+        s"alternation step '${st.name}' cannot be negated")
       if (st.negated) {
         require(!st.optional && !st.oneOrMore && st.times == 1 && st.untilPred.isEmpty,
           s"negated step '${st.name}' cannot be quantified")
@@ -363,7 +394,12 @@ object Cep {
             // partial (drifting can never bind a strict step)
             i += 1
           } else {
-          val cnt = p.bindings.getOrElse(st.name, Vector.empty).size
+          // occurrence count: an alternation step counts across its
+          // alternatives' names ((B|C)+ is ONE loop, mixed bindings)
+          val cnt =
+            if (st.alts.isEmpty) p.bindings.getOrElse(st.name, Vector.empty).size
+            else st.alts.iterator.map(a =>
+              p.bindings.getOrElse(a._1, Vector.empty).size).sum
           if (st.oneOrMore && !closed(i) && st.untilPred.exists(_(e, p.bindings))) {
             if (cnt == 0) return // loop can never be satisfied: drop partial
             // reluctant loop: the stopped-loop branches spawned at each
@@ -376,13 +412,19 @@ object Cep {
             i += 1
           } else if (!closed(i) &&
                      !(st.timesMax > st.times && cnt >= st.timesMax) &&
-                     st.pred(e, p.bindings)) {
-            val bound = p.bindings.updated(st.name,
-              p.bindings.getOrElse(st.name, Vector.empty) :+ e)
-            val boundTs = p.bindTs.updated(st.name,
-              p.bindTs.getOrElse(st.name, Vector.empty) :+ tsUs)
-            val boundSeq = p.bindSeq.updated(st.name,
-              p.bindSeq.getOrElse(st.name, Vector.empty) :+ seq)
+                     (if (st.alts.isEmpty) st.pred(e, p.bindings)
+                      else st.alts.exists(_._2(e, p.bindings)))) {
+            // alternation: bind under the FIRST matching alternative's
+            // name (leftmost preference, Step.alts doc)
+            val bindName =
+              if (st.alts.isEmpty) st.name
+              else st.alts.find(_._2(e, p.bindings)).get._1
+            val bound = p.bindings.updated(bindName,
+              p.bindings.getOrElse(bindName, Vector.empty) :+ e)
+            val boundTs = p.bindTs.updated(bindName,
+              p.bindTs.getOrElse(bindName, Vector.empty) :+ tsUs)
+            val boundSeq = p.bindSeq.updated(bindName,
+              p.bindSeq.getOrElse(bindName, Vector.empty) :+ seq)
             val newCnt = cnt + 1
             if (newCnt < st.times) { // times(n)/times(m,_): need more
               next += PartialMatch(i, p.startUs, bound, closed, boundTs,

@@ -10,7 +10,8 @@ package graft.streaming
   *
   * {{{
   *   pattern  := step+ ("within" duration)?
-  *   step     := flags NAME quant?
+  *   step     := flags NAMES quant?
+  *   NAMES    := NAME ("|" NAME)*     — 2+ names = alternation (B|C)
   *   flags    := ""    — relaxed contiguity (followedBy)
   *             | ">"   — strict contiguity (next)
   *             | "!"   — relaxed negation (notFollowedBy)
@@ -18,6 +19,11 @@ package graft.streaming
   *   quant    := "?" | "+" | "++" | "{n}" | "{m,n}" | "{n,}"
   *   duration := <int>("us"|"ms"|"s"|"m"|"h"|"d")?   (default us)
   * }}}
+  *
+  * An alternation step `B|C` (reference group patterns,
+  * `cep/pattern/GroupPattern.java`) binds each matching event under
+  * the first alternative whose predicate holds — see [[Cep.Step.alts]].
+  * Negation flags cannot apply to an alternation.
   *
   * `+` is a relaxed loop (Pattern-API `oneOrMore`, accumulates across
   * gaps); `++` is the consecutive loop (`oneOrMore.consecutive`) —
@@ -41,7 +47,7 @@ package graft.streaming
 object CepDsl {
 
   private val StepRe =
-    """((?:!>?|>)?)([A-Za-z_][A-Za-z0-9_]*)((?:\?|\+\+?|\{\d+(?:,\d*)?\})?)""".r
+    """((?:!>?|>)?)([A-Za-z_][A-Za-z0-9_]*(?:\|[A-Za-z_][A-Za-z0-9_]*)*)((?:\?|\+\+?|\{\d+(?:,\d*)?\})?)""".r
   private val DurRe = """(\d+)(us|ms|s|m|h|d)?""".r
 
   /** Parse a duration literal to microseconds. */
@@ -96,8 +102,19 @@ object CepDsl {
           case StepRe(f, n, q) => (f, n, q)
           case _ => throw new IllegalArgumentException(s"bad step: '$tok'")
         }
-        val pred = preds.getOrElse(name,
-          throw new IllegalArgumentException(s"no predicate defined for '$name'"))
+        def predOf(n: String) = preds.getOrElse(n,
+          throw new IllegalArgumentException(s"no predicate defined for '$n'"))
+        if (name.contains("|")) {
+          val alts = name.split("\\|").toVector.map(n => n -> predOf(n))
+          require(!flags.startsWith("!"),
+            s"alternation '$name' cannot be negated")
+          if (idx == 0) {
+            require(flags.isEmpty, s"first step '$tok' cannot be strict or negated")
+            applyQuant(Cep.Pattern.beginAny(alts: _*), quant)
+          } else if (flags == ">") applyQuant(acc.nextAny(alts: _*), quant)
+          else applyQuant(acc.followedByAny(alts: _*), quant)
+        } else {
+        val pred = predOf(name)
         if (idx == 0) {
           require(flags.isEmpty, s"first step '$tok' cannot be strict or negated")
           applyQuant(Cep.Pattern.begin(name)(pred), quant)
@@ -110,6 +127,7 @@ object CepDsl {
               if (neg == "!") acc.notFollowedBy(name)(pred)
               else acc.notNext(name)(pred)
           }
+        }
         }
     }
     if (withinUs == Long.MaxValue) pat else pat.within(withinUs)

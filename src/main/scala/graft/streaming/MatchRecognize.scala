@@ -36,9 +36,15 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   *    SQL's own default is SKIP PAST LAST ROW — write it explicitly
   *    for that behavior.
   *  - PATTERN: whitespace-separated variables with quantifiers
-  *    `? ?? + +? {n} {m,n} {n,} (each {…} optionally followed by ?)`.
-  *    `*`, alternation `|`, PERMUTE, grouping and `{- -}` exclusions
-  *    are rejected (not in the NFA surface).
+  *    `? ?? + +? {n} {m,n} {n,} (each {…} optionally followed by ?)`;
+  *    alternation `(B|C)` / bare `B|C` of PLAIN variables, with an
+  *    optional quantifier on the parenthesized form (`(B|C)+`) —
+  *    events bind under the first alternative whose DEFINE holds
+  *    (leftmost preference; reference group patterns,
+  *    `cep/pattern/GroupPattern.java`); un-quantified `( … )`
+  *    concatenation groups are flattened. `*`, PERMUTE, quantified
+  *    multi-variable groups, nested groups, quantified alternatives
+  *    (`B|C+`) and `{- -}` exclusions are rejected loudly.
   *  - WITHIN INTERVAL 'n' SECOND|MINUTE|HOUR|DAY.
   *  - DEFINE: per-variable boolean expressions — comparisons
   *    (= <> != < <= > >=) between field references and literals,
@@ -84,7 +90,7 @@ object MatchRecognize {
     """\s+MEASURES\s+(.+?)""" +
     """\s+(?:ONE\s+ROW\s+PER\s+MATCH\s+)?""" +
     """(?:AFTER\s+MATCH\s+SKIP\s+(PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW|TO\s+FIRST\s+\w+|TO\s+LAST\s+\w+)\s+)?""" +
-    """PATTERN\s*\(([^)]*)\)""" +
+    """PATTERN\s*\(((?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\)""" +
     """(?:\s+WITHIN\s+INTERVAL\s+'(\d+)'\s+(\w+))?""" +
     """\s+DEFINE\s+(.+?)\s*$""").r
 
@@ -165,25 +171,114 @@ object MatchRecognize {
 
   // ---- PATTERN translation ------------------------------------------
 
+  /** One parsed PATTERN element: a variable (possibly an alternation
+    * `B|C`, names.size > 1) with its quantifier text. */
+  private case class PatElem(names: Vector[String], quant: String) {
+    def dslName: String = names.mkString("|")
+  }
+
+  /** Tokenize the PATTERN source into elements, resolving groups:
+    *  - `( V1 | V2 … )` (plain vars only) + optional group quantifier
+    *    → one alternation element (reference group patterns,
+    *    `cep/pattern/GroupPattern.java`); bare `B|C` is the same but
+    *    cannot take a quantifier (SQL binds `B|C+` as `B|(C+)` —
+    *    quantified ALTERNATIVES need a sub-NFA; rejected loudly).
+    *  - `( seq )` with no quantifier → spliced into the sequence.
+    *  - `( seq )` of 2+ vars WITH a quantifier, and nested groups,
+    *    are rejected loudly (true sub-NFA semantics).
+    */
+  private def tokenizePattern(src: String): List[PatElem] = {
+    val s = src.trim
+    require(s.nonEmpty, "empty PATTERN")
+    if (s.contains("*")) fail("'*' (zero-or-more) is not supported — use '?' or '+'")
+    if (s.contains("{-")) fail("{- -} exclusions are not supported")
+    val QuantRe = """\G\s*([+?]\??|\{\d+(?:,\d*)?\}\??)""".r
+    val VarRe = """\G\s*([A-Za-z_]\w*)""".r
+    val out = List.newBuilder[PatElem]
+    var i = 0
+    def quantAt(from: Int): (String, Int) =
+      QuantRe.findPrefixMatchOf(s.subSequence(from, s.length)) match {
+        case Some(m) => (m.group(1), from + m.end)
+        case None => ("", from)
+      }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '(') {
+        val close = s.indexOf(')', i + 1)
+        if (close < 0) fail(s"unbalanced '(' in PATTERN: '$src'")
+        val inner = s.substring(i + 1, close)
+        if (inner.contains("(")) fail("nested pattern groups are not supported")
+        val (quant, after) = quantAt(close + 1)
+        if (inner.contains("|")) {
+          val names = inner.split("\\|").toVector.map(_.trim)
+          names.foreach { n =>
+            if (!n.matches("""[A-Za-z_]\w*""")) fail(
+              s"alternation alternatives must be plain variables, got '$n' " +
+                "(a quantified alternative needs a sub-NFA)")
+          }
+          out += PatElem(names, quant)
+        } else {
+          val seq = inner.trim.split("\\s+").toList.filter(_.nonEmpty)
+          if (seq.isEmpty) fail("empty pattern group")
+          if (quant.nonEmpty && seq.size > 1) fail(
+            s"a quantifier on a multi-variable group '($inner)$quant' needs " +
+              "a sub-NFA and is not supported")
+          if (quant.nonEmpty) out += parseBare(seq.head + quant)
+          else seq.foreach(t => out += parseBare(t))
+        }
+        i = after
+      } else {
+        val m = VarRe.findPrefixMatchOf(s.subSequence(i, s.length))
+          .getOrElse(fail(s"bad pattern syntax at '${s.substring(i)}'"))
+        var names = Vector(m.group(1))
+        var j = i + m.end
+        var quant = ""
+        // bare alternation: VAR ('|' VAR)* — no quantifiers anywhere
+        var more = true
+        while (more) {
+          val k = { var x = j; while (x < s.length && s.charAt(x).isWhitespace) x += 1; x }
+          if (k < s.length && s.charAt(k) == '|') {
+            val m2 = VarRe.findPrefixMatchOf(s.subSequence(k + 1, s.length))
+              .getOrElse(fail(s"expected variable after '|' in '${s.substring(i)}'"))
+            names :+= m2.group(1)
+            j = k + 1 + m2.end
+          } else more = false
+        }
+        val (q, after) = quantAt(j)
+        quant = q
+        if (names.size > 1 && quant.nonEmpty) fail(
+          s"quantifier '$quant' directly after alternation '${names.mkString("|")}' " +
+            "is ambiguous (SQL binds it to the last alternative, which needs a " +
+            "sub-NFA) — write (" + names.mkString("|") + s")$quant for a " +
+            "group quantifier")
+        if (names.size > 1) out += PatElem(names, "")
+        else out += PatElem(names, quant)
+        i = after
+      }
+    }
+    val elems = out.result()
+    require(elems.nonEmpty, "empty PATTERN")
+    if (elems.exists(_.names.exists(_.toUpperCase == "PERMUTE")))
+      fail("PERMUTE is not supported")
+    elems
+  }
+
+  private def parseBare(tok: String): PatElem = tok match {
+    case PatTokRe(n, qOrNull) if tok == n + Option(qOrNull).getOrElse("") =>
+      PatElem(Vector(n), Option(qOrNull).getOrElse(""))
+    case _ => fail(s"bad pattern token: '$tok'")
+  }
+
   /** SQL pattern tokens → (DSL string, greedy vars, loop vars).
     * SQL loop quantifiers are greedy unless suffixed `?`. */
   private def translatePattern(src: String, contiguity: Contiguity)
       : (String, Set[String], Set[String]) = {
-    val toks = src.trim.split("\\s+").toList
-    require(toks.nonEmpty && toks.head.nonEmpty, "empty PATTERN")
-    toks.foreach { t =>
-      if (t.contains("|")) fail("pattern alternation '|' is not supported")
-      if (t.contains("*")) fail("'*' (zero-or-more) is not supported — use '?' or '+'")
-      if (t.toUpperCase.startsWith("PERMUTE")) fail("PERMUTE is not supported")
-      if (t.startsWith("{-")) fail("{- -} exclusions are not supported")
-    }
+    val elems = tokenizePattern(src)
     var greedy = Set.empty[String]
     var loops = Set.empty[String]
-    val dslToks = toks.zipWithIndex.map { case (tok, idx) =>
-      val (name, quant) = tok match {
-        case PatTokRe(n, qOrNull) => (n, Option(qOrNull).getOrElse(""))
-        case _ => fail(s"bad pattern token: '$tok'")
-      }
+    val dslToks = elems.zipWithIndex.map { case (el, idx) =>
+      val (name, quant) = (el.dslName, el.quant)
       val dslQuant = quant match {
         case ""            => ""
         case "?" | "??"    => "?"

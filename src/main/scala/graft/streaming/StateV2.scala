@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** The reference's rich keyed-process surface
   * (`flink-streaming-java/.../api/functions/KeyedProcessFunction.java`
@@ -53,6 +53,91 @@ object StateV2 {
     events
       .groupByKey(e => (e.user_id, e.event_type))
       .transformWithState(new KeepLastProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Flink KeyedProcessFunction with one named ListState — the
+    * ListStateDescriptor analog (`flink-core/.../api/common/state/
+    * ListStateDescriptor.java`): the bounded ROWS-OVER window buffer
+    * (reference RowTimeRowsBoundedPrecedingFunction keeps exactly
+    * this rolling tail in ListState). Re-expresses
+    * [[StatefulOps.boundedRowsOver]] (oracle-bound as q134) on the
+    * v2 surface: per-key tail of the last `n` (tsUs, id, value)
+    * rows, one [[StatefulOps.OverRow]] per input row. */
+  class BoundedOverProcessor(n: Int)
+      extends StatefulProcessor[Long, Event, StatefulOps.OverRow] {
+    @transient private var tail: ListState[(Long, Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      tail = getHandle.getListState[(Long, Long, Double)](
+        "tail", Encoders.product[(Long, Long, Double)], TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[StatefulOps.OverRow] = {
+      var window = tail.get().toList // oldest..newest, ≤ n entries
+      val out = rows.toList
+        .sortBy(e => (Event.micros(e.ts), e.event_id))
+        .map { e =>
+          window = (window :+ ((Event.micros(e.ts), e.event_id, e.value)))
+            .takeRight(n)
+          StatefulOps.OverRow(user, e.event_id, window.map(_._3).sum, window.size)
+        }
+      tail.put(window.toArray)
+      out.iterator
+    }
+  }
+
+  /** ROWS `n-1` PRECEDING running aggregate on the v2 ListState
+    * surface (append-mode, result-identical to
+    * [[StatefulOps.boundedRowsOver]]). RocksDB provider required
+    * (see [[withRocksDb]]). */
+  def boundedRowsOverV2(events: Dataset[Event], n: Int): Dataset[StatefulOps.OverRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new BoundedOverProcessor(n),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Per-(user, event_type) running count row. */
+  case class TypeCount(user_id: Long, event_type: String, cnt: Long)
+
+  /** Flink KeyedProcessFunction with one named MapState — the
+    * MapStateDescriptor analog (`flink-core/.../api/common/state/
+    * MapStateDescriptor.java`, the reference's per-key map used by
+    * GroupAggFunction distinct counters): event_type → running count
+    * per user, emitting the updated (type, count) on every change —
+    * an update-mode changelog whose final state is the GROUP BY
+    * truth. */
+  class TypeCountProcessor
+      extends StatefulProcessor[Long, Event, TypeCount] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[TypeCount] = {
+      val deltas = rows.toList.groupBy(_.event_type)
+        .view.mapValues(_.size.toLong).toMap
+      deltas.toList.sortBy(_._1).map { case (t, d) =>
+        val next = (if (counts.containsKey(t)) counts.getValue(t) else 0L) + d
+        counts.updateValue(t, next)
+        TypeCount(user, t, next)
+      }.iterator
+    }
+  }
+
+  /** Per-(user, type) counts on the v2 MapState surface (update-mode
+    * changelog). RocksDB provider required (see [[withRocksDb]]). */
+  def typeCountsV2(events: Dataset[Event]): Dataset[TypeCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor,
         TimeMode.None(), OutputMode.Update())
   }
 

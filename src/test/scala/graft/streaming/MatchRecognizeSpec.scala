@@ -68,7 +68,9 @@ class MatchRecognizeSpec extends SparkSpec {
         "A AS A.event_type = 'view', B AS B.event_type = 'purchase'"))
     }
     assert(bad("A* B").getMessage.contains("zero-or-more"))
-    assert(bad("A|B C").getMessage.contains("alternation"))
+    // alternation itself is supported now (CepAlternationSpec); the
+    // remaining rejections are quantified alternatives + PERMUTE
+    assert(bad("A|B+ C").getMessage.contains("ambiguous"))
     assert(bad("PERMUTE(A,B)").getMessage.contains("PERMUTE"))
     val noVar = intercept[IllegalArgumentException] {
       MatchRecognize.parse(base.format("", "A B", "",
