@@ -250,6 +250,40 @@ object StreamParityQueries3 {
           .orderBy(col("user_id"), col("event_type"))
           .localCheckpoint() // materialize before the provider resets
       }
+    }),
+
+    // QUERYABLE STATE point-lookup HISTORY oracle-bound — hardens
+    // q171's final-state check (VERDICT r5 stretch): the complete-mode
+    // serving layer is snapshotted at EVERY micro-batch boundary (the
+    // moments a QueryableStateClient lookup would observe), so the
+    // oracle faces the full lookup history, not just the last state.
+    // Each quarter replay batch q must serve exactly the cumulative
+    // per-user aggregate over quarters 1..q — a stale table, a
+    // dropped update, or a batch observing half an epoch each breaks
+    // the (q, user) hash. Reference: `flink-queryable-state/.../
+    // QueryableStateClient.java` + `KeyedStream.java:1005`.
+    "q182_queryable_history" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-qhist")
+      val real = Tables.events(s, d).as[Event]
+      val (lo, hi) = spanOf(real)
+      val (inDir, schema) = Replay.fileEpochs(real, quarterChunks(lo, hi), base.toString)
+      val counts = Replay.stream(s, inDir, schema).toDF()
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(round(value*100) as bigint)")).as("cents_v"))
+      val snapDir = s"$base/snap"
+      val q = counts.writeStream.option("checkpointLocation", s"$base/ck")
+        .outputMode("complete")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          // the point-lookup surface at this boundary = the full table
+          b.withColumn("q", lit(id + 1)).write.mode("append").parquet(snapDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(snapDir)
+        .select(col("q"), col("user_id"), col("n"), col("cents_v"))
+        .orderBy(col("q"), col("user_id"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -351,5 +385,21 @@ object StreamParityQueries3 {
       """
         |SELECT user_id, event_type, count(*) AS cnt
         |FROM ev GROUP BY user_id, event_type
-        |ORDER BY user_id, event_type""".stripMargin))
+        |ORDER BY user_id, event_type""".stripMargin),
+
+    // every batch boundary serves the cumulative prefix over quarters
+    // 1..q (quarter cuts = the replay's ms-truncated chunk bounds)
+    "q182_queryable_history" -> (evCte +
+      """,
+        |b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM ev),
+        |c AS (SELECT ((lo + (hi - lo) * 1 // 4) // 1000) * 1000 AS c1,
+        |             ((lo + (hi - lo) * 2 // 4) // 1000) * 1000 AS c2,
+        |             ((lo + (hi - lo) * 3 // 4) // 1000) * 1000 AS c3 FROM b),
+        |e AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
+        |  CASE WHEN epoch_us(ts) < c1 THEN 1 WHEN epoch_us(ts) < c2 THEN 2
+        |       WHEN epoch_us(ts) < c3 THEN 3 ELSE 4 END AS qr FROM ev, c)
+        |SELECT g.q::BIGINT AS q, e.user_id, count(*)::BIGINT AS n,
+        |  sum(e.cents)::BIGINT AS cents_v
+        |FROM e JOIN (VALUES (1),(2),(3),(4)) AS g(q) ON e.qr <= g.q
+        |GROUP BY g.q, e.user_id ORDER BY q, user_id""".stripMargin))
 }
