@@ -265,6 +265,32 @@ object PipelineQueries {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // Multimodal plumbing oracle-bound, part 1 — the catalog-facing
+    // media-stats projection over the synthetic media table (binary
+    // payload + typed metadata struct derived deterministically from
+    // documents): UTF-8 byte length of the blob, pixel geometry and
+    // frame count all recomputed by the oracle from the same doc
+    // fields. Binds the schema + metadata derivation a 100 TB
+    // multimodal parquet layout would carry (decode itself stays the
+    // labeled env stub; see Multimodal.StubCodec).
+    "q183_media_stats" -> ((s, d) => Multimodal.mediaStats(s, d)),
+
+    // Multimodal plumbing oracle-bound, part 2 — decode + frame-
+    // sample through the partition-parallel mapPartitions path
+    // (stride 2): the oracle recomputes the exact frame explosion
+    // (frame_idx = 0,2,.. below n_frames) and the decoded buffer
+    // geometry (w*h floats per frame). A wrong batch shape, a
+    // dropped/extra frame, or a mis-sized decode buffer each break
+    // the hash; pixel VALUES are the labeled stub's and stay
+    // spec-level (MultimodalSpec).
+    "q184_media_frames" -> ((s, d) => {
+      Multimodal.decodeFrames(Multimodal.syntheticMedia(s, d), stride = 2)
+        .toDF()
+        .select(col("media_id"), col("frame_idx"),
+          size(col("pixels")).as("n_px"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // Vocabulary building: corpus-wide token frequency + document
     // frequency, top 100 by tf (ties → lexicographic). One shuffle on
     // token with map-side partial agg; the global rank runs over the
@@ -423,6 +449,24 @@ object PipelineQueries {
          |SELECT a.source AS src_a, b.source AS src_b,
          |  count(*)::BIGINT AS n_shared
          |FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same deterministic metadata derivation over documents; blob
+    // length = UTF-8 byte length of the text
+    "q183_media_stats" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  octet_length(encode(text))::INT AS n_bytes,
+        |  ((n_chars % 64 + 16) * (n_chars % 48 + 16))::INT AS n_px,
+        |  (n_chars % 10 + 1)::INT AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // exact frame explosion: stride-2 indices below n_frames, each
+    // with a w*h decoded buffer
+    "q184_media_frames" ->
+      """SELECT doc_id AS media_id, unnest(range(0, n_chars % 10 + 1, 2))::INT AS frame_idx,
+        |  ((n_chars % 64 + 16) * (n_chars % 48 + 16))::INT AS n_px
+        |FROM documents ORDER BY media_id, frame_idx""".stripMargin
   )
 }
