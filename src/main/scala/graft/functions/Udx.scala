@@ -49,6 +49,43 @@ object Udx {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** TableAggregateFunction equivalent (N in → M rows out per group)
+    * — the reference's canonical Top2 UDTAF
+    * (`flink-table/flink-table-common/.../functions/
+    * TableAggregateFunction.java:31`, whose doc example IS Top2 with
+    * an emitValue collecting multiple rows): keep the two largest
+    * (value, id) pairs, emit one row per kept pair with its rank.
+    * Spark-first: the multi-row emission is the array-valued finish +
+    * explode — the accumulator merges map-side like any Aggregator.
+    * Ordering is lexicographic on (value, id) so ties are
+    * deterministic. */
+  class Top2 extends Aggregator[(Double, Long), ((Double, Long), (Double, Long)),
+                                Seq[(Double, Long, Int)]] {
+    private val none: (Double, Long) = (Double.NegativeInfinity, Long.MinValue)
+    private def gt(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 > b._2)
+    def zero: ((Double, Long), (Double, Long)) = (none, none)
+    def reduce(acc: ((Double, Long), (Double, Long)), x: (Double, Long))
+        : ((Double, Long), (Double, Long)) =
+      if (gt(x, acc._1)) (x, acc._1)
+      else if (gt(x, acc._2)) (acc._1, x)
+      else acc
+    def merge(a: ((Double, Long), (Double, Long)),
+              b: ((Double, Long), (Double, Long)))
+        : ((Double, Long), (Double, Long)) =
+      Seq(a._1, a._2, b._1, b._2).sortWith(gt).take(2) match {
+        case Seq(x, y) => (x, y)
+      }
+    def finish(acc: ((Double, Long), (Double, Long))): Seq[(Double, Long, Int)] =
+      Seq(acc._1, acc._2).filter(_ != none).zipWithIndex
+        .map { case ((v, id), i) => (v, id, i + 1) }
+    def bufferEncoder: Encoder[((Double, Long), (Double, Long))] =
+      Encoders.tuple(Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong),
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    def outputEncoder: Encoder[Seq[(Double, Long, Int)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** TableFunction equivalent (1→N): split a string into numbered
     * tokens; use with Dataset.flatMap or as an exploded UDF. */
   def tokenize(text: String): Seq[(Int, String)] =
@@ -60,6 +97,7 @@ object Udx {
     GraftFunctions.register(spark)
     spark.udf.register("weighted_avg", udaf(new WeightedAvg))
     spark.udf.register("geo_mean", udaf(new GeoMean))
+    spark.udf.register("top2", udaf(new Top2))
     spark.udf.register("tokenize",
       (s: String) => tokenize(s)) // SELECT explode(tokenize(text))
   }

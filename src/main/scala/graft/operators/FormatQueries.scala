@@ -60,6 +60,60 @@ object FormatQueries {
           sum(expr("cast(round(value*100) as bigint)")).as("cents_v"),
           min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
         .orderBy(col("event_type"))
+    }),
+
+    // JDBC connector round-trip (reference `flink-connectors/
+    // flink-connector-jdbc/.../JdbcTableSource.java` +
+    // JdbcOutputFormat write path): the cents projection is WRITTEN
+    // to an embedded Derby table through the JDBC sink, read back
+    // through the JDBC source (predicate pushdown applies at real
+    // scale via partitionColumn bounds), and aggregated — a value
+    // corrupted in SQL type mapping (BIGINT/VARCHAR), batching, or
+    // read partitioning breaks the oracle row. The 2PC/MERGE write
+    // paths are separately bound by q140 + TxnSinkSpec.
+    "q186_jdbc_roundtrip" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-jdbcrt")
+      val url = s"jdbc:derby:$base/db;create=true"
+      val ev = centsProj(s, d)
+      ev.write.format("jdbc")
+        .option("url", url)
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .option("dbtable", "EV")
+        .option("createTableColumnTypes", "event_type VARCHAR(32)")
+        .option("batchsize", "10000")
+        .mode("overwrite").save()
+      aggAfter(s.read.format("jdbc")
+        .option("url", url)
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .option("dbtable", "EV")
+        // partitioned read: 4 range-split tasks, the cluster read path
+        .option("partitionColumn", "event_id")
+        .option("numPartitions", "4")
+        .option("lowerBound", "0")
+        .option("upperBound", "1000000000")
+        .load())
+    }),
+
+    // Catalog-managed PARTITIONED table (reference Hive catalog +
+    // partitioned FileSystem connector, `flink-connectors/
+    // flink-connector-hive/.../HiveCatalog.java`): documents written
+    // as a source-partitioned table via saveAsTable, re-read through
+    // the session catalog with a partition predicate — at 100 TB the
+    // same plan prunes to one partition directory (PartitionFilters
+    // in the scan; asserted in FormatsSpec). The oracle recomputes
+    // the filtered aggregate from the raw parquet.
+    "q187_partitioned_table" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-cattbl")
+      Tables.documents(s, d)
+        .write.partitionBy("source").mode("overwrite")
+        .option("path", s"$base/tbl")
+        .saveAsTable("graft_docs_part")
+      s.table("graft_docs_part")
+        .filter(col("source") === "src1")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -80,6 +134,16 @@ object FormatQueries {
       s"""SELECT event_type, count(*)::BIGINT AS n, $centsSum AS cents_v,
          |  min(make_timestamp(epoch_ns(ts)//1000)) AS min_ts,
          |  max(make_timestamp(epoch_ns(ts)//1000)) AS max_ts
-         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q186_jdbc_roundtrip" ->
+      s"""SELECT event_type, count(*)::BIGINT AS n, $centsSum AS cents_v,
+         |  count(DISTINCT user_id)::BIGINT AS users,
+         |  min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q187_partitioned_table" ->
+      """SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE source = 'src1'
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

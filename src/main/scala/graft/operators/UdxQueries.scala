@@ -59,6 +59,26 @@ object UdxQueries {
         FROM (SELECT doc_id, explode(tokenize(text)) AS tok
               FROM documents WHERE doc_id < 50 AND length(trim(text)) > 0)
         ORDER BY doc_id, idx""")
+    }),
+
+    // TableAggregateFunction (N in → M rows out per group), SQL-
+    // invoked: the reference's canonical Top2 UDTAF emits the two
+    // largest values per key as SEPARATE ROWS with ranks
+    // (TableAggregateFunction.java:31 doc example). Spark-first:
+    // array-valued udaf finish + explode is the multi-row emission.
+    // Cents mapping keeps values exact; (value, id) lexicographic
+    // ordering makes ties deterministic on both engines.
+    "q185_udtaf_top2" -> ((s, d) => {
+      Udx.register(s)
+      Tables.events(s, d).createOrReplaceTempView("events_us")
+      s.sql("""
+        SELECT user_id, cast(t._1 as bigint) AS cents, t._2 AS event_id,
+               t._3 AS rnk
+        FROM (SELECT user_id, explode(pairs) AS t
+              FROM (SELECT user_id,
+                      top2(round(value * 100), event_id) AS pairs
+                    FROM events_us GROUP BY user_id))
+        ORDER BY user_id, rnk""")
     })
   )
 
@@ -77,6 +97,13 @@ object UdxQueries {
         |    unnest(list_transform(string_split(rtrim(text, ' '), ' '),
         |      (t, i) -> struct_pack(idx := i - 1, tok := t))) AS s
         |  FROM documents WHERE doc_id < 50 AND length(trim(text)) > 0)
-        |ORDER BY doc_id, s.idx""".stripMargin
+        |ORDER BY doc_id, s.idx""".stripMargin,
+    "q185_udtaf_top2" ->
+      """SELECT user_id, cents, event_id, rnk::INT AS rnk FROM (
+        |  SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY round(value*100) DESC, event_id DESC) AS rnk
+        |  FROM events)
+        |WHERE rnk <= 2 ORDER BY user_id, rnk""".stripMargin
   )
 }

@@ -50,4 +50,23 @@ class FormatsSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice"),
       s"no orc pushdown:\n$plan")
   }
+
+  test("partitioned catalog table prunes to the predicate's partition") {
+    // the q187 scale contract: a source=… predicate over the
+    // partitioned table must become a PartitionFilters entry (one
+    // directory scanned), not a post-scan filter over all partitions
+    val base = java.nio.file.Files.createTempDirectory("graft-cattbl-spec")
+    Tables.documents(spark, sf)
+      .write.partitionBy("source").mode("overwrite")
+      .option("path", s"$base/tbl")
+      .saveAsTable("graft_docs_part_spec")
+    val q = spark.table("graft_docs_part_spec")
+      .filter(col("source") === "src1")
+      .groupBy(col("lang")).count()
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters: [isnotnull(source"),
+      s"no partition pruning:\n$plan")
+    assert(q.count() > 0)
+  }
 }
