@@ -102,6 +102,33 @@ object FormatQueries {
     // same plan prunes to one partition directory (PartitionFilters
     // in the scan; asserted in FormatsSpec). The oracle recomputes
     // the filtered aggregate from the raw parquet.
+    // STREAMING text-format file sink oracle-bound (reference
+    // StreamingFileSink with a row-encoded CSV bucket writer,
+    // `flink-streaming-java/.../functions/sink/filesystem/
+    // StreamingFileSink.java:120`): the cents projection streams
+    // through the quarter replay into a checkpointed CSV file sink
+    // (exactly-once manifest commit), is read back as plain CSV, and
+    // aggregated — a dropped/duplicated micro-batch, a partial file
+    // made visible, or a quoting/type corruption breaks the row.
+    "q188_stream_csv_sink" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.{Event, Replay}
+      val base = java.nio.file.Files.createTempDirectory("graft-csvsink")
+      val real = Tables.events(s, d).as[Event]
+      val (lo, hi) = StreamParityQueries.spanOf(real)
+      val (inDir, schema) = Replay.fileEpochs(real,
+        StreamParityQueries.quarterChunks(lo, hi), base.toString)
+      val proj = Replay.stream(s, inDir, schema).toDF()
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("cast(round(value*100) as bigint)").as("cents"))
+      val (out, ck) = (s"$base/out", s"$base/ck")
+      val q = proj.writeStream.format("csv")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      aggAfter(s.read.schema(proj.schema).csv(out))
+    }),
+
     "q187_partitioned_table" -> ((s, d) => {
       val base = java.nio.file.Files.createTempDirectory("graft-cattbl")
       Tables.documents(s, d)
@@ -144,6 +171,11 @@ object FormatQueries {
       """SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents WHERE source = 'src1'
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q188_stream_csv_sink" ->
+      s"""SELECT event_type, count(*)::BIGINT AS n, $centsSum AS cents_v,
+         |  count(DISTINCT user_id)::BIGINT AS users,
+         |  min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
