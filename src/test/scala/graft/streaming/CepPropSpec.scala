@@ -92,4 +92,47 @@ class CepPropSpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
     assert(res.passed, s"property failed: ${res.status}")
   }
+
+  test("alternation NFA equals brute-force first-any with leftmost preference") {
+    // A followed by (B|C); alternative predicates OVERLAP ("B" = typ in
+    // {B, X}, "C" = typ in {C, X}) so X events exercise the leftmost
+    // rule: they must always bind under "B".
+    val genCase = for {
+      n <- Gen.chooseNum(0, 25)
+      evs <- Gen.listOfN(n,
+        Gen.zip(Gen.chooseNum(0L, 60L), Gen.oneOf("A", "B", "C", "X")))
+      w <- Gen.oneOf(3L, 10L, 30L)
+    } yield (evs, w)
+
+    val prop = Prop.forAll(genCase) { case (raw, w) =>
+      val evs = raw.zipWithIndex
+        .map { case ((ts, ty), i) => Ev(i.toLong, ts, ty) }
+        .sortBy(e => (e.ts, e.id))
+      val pat = Cep.Pattern.begin[Ev]("a")((e, _) => e.typ == "A")
+        .followedByAny(
+          "b" -> ((e, _) => e.typ == "B" || e.typ == "X"),
+          "c" -> ((e, _) => e.typ == "C" || e.typ == "X"))
+        .within(w)
+      val (done, _, _) =
+        Cep.advance(pat, Nil, evs.map(e => (e.ts, e)).iterator)
+      val got = done.map { m =>
+        val (name, v) = m.collectFirst {
+          case (k, vs) if k != "a" => (k, vs.head.id) }.get
+        (m("a").head.id, name, v)
+      }.toSet
+
+      // brute force: each A takes the FIRST later-in-order event
+      // matching either alternative within the window; the bound name
+      // is "b" unless ONLY the c-predicate matches (leftmost rule).
+      val expected = (for {
+        (a, ai) <- evs.zipWithIndex if a.typ == "A"
+        x <- evs.drop(ai + 1).find(e =>
+          Set("B", "C", "X")(e.typ) && e.ts - a.ts <= w)
+      } yield (a.id, if (x.typ == "C") "c" else "b", x.id)).toSet
+      got == expected
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
 }
