@@ -252,6 +252,36 @@ object StreamParityQueries3 {
       }
     }),
 
+    // MATCH_RECOGNIZE zero-or-more (`*`) oracle-bound — the last
+    // quantifier of the reference's MATCH_RECOGNIZE surface
+    // (PatternTranslator composes SQL `*` as oneOrMore().optional();
+    // `cep/pattern/Quantifier.java`). PATTERN (A B* C): each view
+    // start runs a GREEDY click loop (SQL default greediness) closed
+    // by the first purchase within the hour; MEASURES counts the
+    // loop's occurrences, so a loop that over- or under-collects, a
+    // zero-occurrence drift that fails, or a non-greedy stop each
+    // break the hash. The oracle recomputes the first purchase per
+    // view and counts the clicks strictly between them in
+    // (ts, event_id) order — exactly the greedy binding set
+    // (property-proved equal to the NFA in CepStarSpec).
+    "q189_match_star" -> ((s, d) => {
+      import s.implicits._
+      val sql = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES first(A.event_id) AS view_id, count(B) AS n_clicks,
+                   first(C.event_id) AS buy_id
+          PATTERN (A B* C) WITHIN INTERVAL '1' HOUR
+          DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',
+                 C AS C.event_type = 'purchase'
+        )"""
+      val types = Set("view", "click", "purchase")
+      MatchRecognize.run(
+          Tables.events(s, d).as[Event].filter(e => types(e.event_type)), sql)
+        .orderBy(col("user_id"), col("view_id"))
+    }),
+
     // QUERYABLE STATE point-lookup HISTORY oracle-bound — hardens
     // q171's final-state check (VERDICT r5 stretch): the complete-mode
     // serving layer is snapshotted at EVERY micro-batch boundary (the
@@ -386,6 +416,29 @@ object StreamParityQueries3 {
         |SELECT user_id, event_type, count(*) AS cnt
         |FROM ev GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin),
+
+    // first purchase after each view within the hour; the greedy B*
+    // binding set = clicks strictly between them in (ts,event_id) order
+    "q189_match_star" -> (evCte +
+      """,
+        |v AS (SELECT * FROM ev WHERE event_type = 'view'),
+        |p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+        |k AS (SELECT * FROM ev WHERE event_type = 'click'),
+        |fp AS (
+        |  SELECT v.user_id, v.event_id AS view_id, v.ts AS vts,
+        |    p.ts AS pts, p.event_id AS buy_id,
+        |    row_number() OVER (PARTITION BY v.user_id, v.event_id
+        |      ORDER BY p.ts, p.event_id) AS rn
+        |  FROM v JOIN p ON p.user_id = v.user_id
+        |   AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
+        |   AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000)
+        |SELECT f.user_id, f.view_id,
+        |  (SELECT count(*) FROM k WHERE k.user_id = f.user_id
+        |     AND (k.ts > f.vts OR (k.ts = f.vts AND k.event_id > f.view_id))
+        |     AND (k.ts < f.pts OR (k.ts = f.pts AND k.event_id < f.buy_id)))
+        |    ::BIGINT AS n_clicks,
+        |  f.buy_id
+        |FROM fp f WHERE rn = 1 ORDER BY user_id, view_id""".stripMargin),
 
     // every batch boundary serves the cumulative prefix over quarters
     // 1..q (quarter cuts = the replay's ms-truncated chunk bounds)

@@ -158,6 +158,14 @@ object Cep {
       copy(steps = steps.init :+ steps.last.copy(optional = true))
     def oneOrMore: Pattern[T] =
       copy(steps = steps.init :+ steps.last.copy(oneOrMore = true))
+    /** Zero-or-more (Pattern.java:352 `oneOrMore()` + :333 `optional()`
+      * — the reference composes SQL `*` exactly this way,
+      * `CepOperator`'s translation of the Kleene star): an optional
+      * loop. Zero occurrences ride the optional drift path (the step
+      * may stay unbound), 1+ occurrences behave as `oneOrMore`;
+      * `greedy`/`consecutive`/`until` compose as with `oneOrMore`. */
+    def zeroOrMore: Pattern[T] =
+      copy(steps = steps.init :+ steps.last.copy(optional = true, oneOrMore = true))
     /** Strict contiguity INSIDE a looping last step
       * (Pattern.java:498 `consecutive()`): the loop stops accumulating
       * at the first non-matching event — the partial survives and
@@ -496,7 +504,15 @@ object Cep {
             i += 1 // skippable: looping step already satisfied
             skippedOpt = true
           } else if (st.optional) {
-            rebindable = true // an optional step may bind later
+            // A strict optional step whose adjacency window IS this
+            // event (positioned here, not drifting) and whose pred
+            // failed can never bind again — commit past it so a
+            // retained partial cannot bind it after a gap (strict
+            // contiguity; the skip-to-successor cases were armed as
+            // branches at the previous bind). Relaxed optionals may
+            // bind later as usual.
+            if (st.strict && !skippedOpt) committed = i + 1
+            else rebindable = true // an optional step may bind later
             i += 1
             skippedOpt = true
           } else {

@@ -16,7 +16,7 @@ package graft.streaming
   *             | ">"   — strict contiguity (next)
   *             | "!"   — relaxed negation (notFollowedBy)
   *             | "!>"  — strict negation (notNext)
-  *   quant    := "?" | "+" | "++" | "{n}" | "{m,n}" | "{n,}"
+  *   quant    := "?" | "+" | "++" | "*" | "**" | "{n}" | "{m,n}" | "{n,}"
   *   duration := <int>("us"|"ms"|"s"|"m"|"h"|"d")?   (default us)
   * }}}
   *
@@ -28,7 +28,9 @@ package graft.streaming
   * `+` is a relaxed loop (Pattern-API `oneOrMore`, accumulates across
   * gaps); `++` is the consecutive loop (`oneOrMore.consecutive`) —
   * the faithful transcription of SQL MATCH_RECOGNIZE's `A+`, whose
-  * quantifier adjacency is strict.
+  * quantifier adjacency is strict. `*` / `**` are the zero-or-more
+  * forms of the same pair (`zeroOrMore`, the reference's
+  * `oneOrMore().optional()` composition).
   *
   * Each NAME is bound to its predicate from the `preds` map — the DSL
   * analog of MATCH_RECOGNIZE's DEFINE clause. SQL's `PATTERN (A B)`
@@ -47,7 +49,7 @@ package graft.streaming
 object CepDsl {
 
   private val StepRe =
-    """((?:!>?|>)?)([A-Za-z_][A-Za-z0-9_]*(?:\|[A-Za-z_][A-Za-z0-9_]*)*)((?:\?|\+\+?|\{\d+(?:,\d*)?\})?)""".r
+    """((?:!>?|>)?)([A-Za-z_][A-Za-z0-9_]*(?:\|[A-Za-z_][A-Za-z0-9_]*)*)((?:\?|\+\+?|\*\*?|\{\d+(?:,\d*)?\})?)""".r
   private val DurRe = """(\d+)(us|ms|s|m|h|d)?""".r
 
   /** Parse a duration literal to microseconds. */
@@ -87,6 +89,8 @@ object CepDsl {
       case "?" => p.optional
       case "+" => p.oneOrMore
       case "++" => p.oneOrMore.consecutive
+      case "*" => p.zeroOrMore
+      case "**" => p.zeroOrMore.consecutive
       case q if q.startsWith("{") =>
         val inner = q.substring(1, q.length - 1)
         if (inner.endsWith(",")) p.timesOrMore(inner.init.toInt)

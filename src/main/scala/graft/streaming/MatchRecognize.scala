@@ -36,15 +36,20 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   *    SQL's own default is SKIP PAST LAST ROW — write it explicitly
   *    for that behavior.
   *  - PATTERN: whitespace-separated variables with quantifiers
-  *    `? ?? + +? {n} {m,n} {n,} (each {…} optionally followed by ?)`;
-  *    alternation `(B|C)` / bare `B|C` of PLAIN variables, with an
-  *    optional quantifier on the parenthesized form (`(B|C)+`) —
-  *    events bind under the first alternative whose DEFINE holds
-  *    (leftmost preference; reference group patterns,
+  *    `? ?? * *? + +? {n} {m,n} {n,} (each {…} optionally followed by
+  *    ?)`; alternation `(B|C)` / bare `B|C` of PLAIN variables, with
+  *    an optional quantifier on the parenthesized form (`(B|C)+`,
+  *    `(B|C)*`) — events bind under the first alternative whose
+  *    DEFINE holds (leftmost preference; reference group patterns,
   *    `cep/pattern/GroupPattern.java`); un-quantified `( … )`
-  *    concatenation groups are flattened. `*`, PERMUTE, quantified
-  *    multi-variable groups, nested groups, quantified alternatives
-  *    (`B|C+`) and `{- -}` exclusions are rejected loudly.
+  *    concatenation groups are flattened. `*` is the reference's
+  *    `oneOrMore().optional()` composition; like every loop here, a
+  *    PATTERN-final `*`/`+` completes at the earliest point rather
+  *    than accumulating, so put loops before a closing variable
+  *    (`A B* C`). PERMUTE, quantified multi-variable groups, nested
+  *    groups, quantified alternatives (`B|C+`) and `{- -}` exclusions
+  *    are rejected loudly — as the reference rejects them (Flink
+  *    MATCH_RECOGNIZE supports neither PERMUTE nor exclusions).
   *  - WITHIN INTERVAL 'n' SECOND|MINUTE|HOUR|DAY.
   *  - DEFINE: per-variable boolean expressions — comparisons
   *    (= <> != < <= > >=) between field references and literals,
@@ -94,7 +99,7 @@ object MatchRecognize {
     """(?:\s+WITHIN\s+INTERVAL\s+'(\d+)'\s+(\w+))?""" +
     """\s+DEFINE\s+(.+?)\s*$""").r
 
-  private val PatTokRe = """([A-Za-z_]\w*)([+?]\??|\{\d+(?:,\d*)?\}\??)?""".r
+  private val PatTokRe = """([A-Za-z_]\w*)([*+?]\??|\{\d+(?:,\d*)?\}\??)?""".r
 
   def parse(sql: String, contiguity: Contiguity = Relaxed): Parsed = {
     // strip the optional MATCH_RECOGNIZE ( … ) wrapper
@@ -190,9 +195,10 @@ object MatchRecognize {
   private def tokenizePattern(src: String): List[PatElem] = {
     val s = src.trim
     require(s.nonEmpty, "empty PATTERN")
-    if (s.contains("*")) fail("'*' (zero-or-more) is not supported — use '?' or '+'")
-    if (s.contains("{-")) fail("{- -} exclusions are not supported")
-    val QuantRe = """\G\s*([+?]\??|\{\d+(?:,\d*)?\}\??)""".r
+    if (s.contains("{-")) fail("{- -} exclusions are not supported " +
+      "(the reference rejects them too: Flink MATCH_RECOGNIZE supports " +
+      "only ONE ROW PER MATCH, where SQL:2016 gives exclusions no effect)")
+    val QuantRe = """\G\s*([*+?]\??|\{\d+(?:,\d*)?\}\??)""".r
     val VarRe = """\G\s*([A-Za-z_]\w*)""".r
     val out = List.newBuilder[PatElem]
     var i = 0
@@ -284,6 +290,8 @@ object MatchRecognize {
         case "?" | "??"    => "?"
         case "+"           => greedy += name; loops += name; "+"
         case "+?"          => loops += name; "+"
+        case "*"           => greedy += name; loops += name; "*"
+        case "*?"          => loops += name; "*"
         case q if q.startsWith("{") =>
           val reluctant = q.endsWith("}?") || !q.contains(",")
           if (!reluctant) greedy += name

@@ -67,11 +67,13 @@ class MatchRecognizeSpec extends SparkSpec {
       MatchRecognize.parse(base.format("", patSrc, "",
         "A AS A.event_type = 'view', B AS B.event_type = 'purchase'"))
     }
-    assert(bad("A* B").getMessage.contains("zero-or-more"))
-    // alternation itself is supported now (CepAlternationSpec); the
-    // remaining rejections are quantified alternatives + PERMUTE
+    // alternation (CepAlternationSpec) and `*` (CepStarSpec) are
+    // supported now; the remaining rejections are quantified
+    // alternatives + PERMUTE + exclusions — the same surface the
+    // reference rejects (Flink MATCH_RECOGNIZE supports neither).
     assert(bad("A|B+ C").getMessage.contains("ambiguous"))
     assert(bad("PERMUTE(A,B)").getMessage.contains("PERMUTE"))
+    assert(bad("A {- B -} C").getMessage.contains("exclusions"))
     val noVar = intercept[IllegalArgumentException] {
       MatchRecognize.parse(base.format("", "A B", "",
         "A AS A.event_type = 'view', C AS C.event_type = 'x'"))
