@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import graft.Tables
-import graft.streaming.{BroadcastState, Event, MatchRecognize, Replay, StateBootstrap, StateV2, WindowOps}
+import graft.streaming.{BroadcastState, Event, MatchRecognize, Replay, StateBootstrap, StateV2, StatefulOps, WindowOps}
 import StreamParityQueries.{evCte, latestPerKey, quarterChunks, runAppend, runUpdate, spanOf, tsOf}
 
 /** Round-5 parity pack, part 3: the state BOOTSTRAP (write) path —
@@ -282,6 +282,30 @@ object StreamParityQueries3 {
         .orderBy(col("user_id"), col("view_id"))
     }),
 
+    // TTL'd keyed state oracle-bound — the carried-forward "keyed
+    // state primitives + TTL" spec-only row. Event-time TTL dedup:
+    // per (user, type) the first event is kept, then the key re-opens
+    // whenever 48 h of EVENT time pass the last kept row — the
+    // deterministic analog of the reference's
+    // DeduplicateKeepFirstRowFunction + StateTtlConfig (state expiry
+    // re-admitting the key), replayable because the clock is the
+    // stream's own. The chain is inherently sequential (each kept row
+    // defines the next window), so the oracle walks it with a
+    // recursive CTE; a dropped state update, a batch-boundary leak,
+    // or an off-by-one at exactly TTL each break the hash.
+    "q190_ttl_dedup_stream" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-ttl")
+      val real = Tables.events(s, d).as[Event]
+      val (lo, hi) = spanOf(real)
+      val (inDir, schema) = Replay.fileEpochs(real, quarterChunks(lo, hi), base.toString)
+      val ded = StatefulOps.dedupFirstEventTtl(
+        Replay.stream(s, inDir, schema), ttlUs = 172_800_000_000L) // 48 h
+      runAppend(ded.toDF(), base.toString, s)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+        .orderBy(col("user_id"), col("event_type"), col("event_id"))
+    }),
+
     // QUERYABLE STATE point-lookup HISTORY oracle-bound — hardens
     // q171's final-state check (VERDICT r5 stretch): the complete-mode
     // serving layer is snapshotted at EVERY micro-batch boundary (the
@@ -439,6 +463,31 @@ object StreamParityQueries3 {
         |    ::BIGINT AS n_clicks,
         |  f.buy_id
         |FROM fp f WHERE rn = 1 ORDER BY user_id, view_id""".stripMargin),
+
+    // the TTL chain walked explicitly: seed = first row per key, step
+    // = earliest row more than TTL past the last kept one (argmin via
+    // NOT EXISTS — aggregates are not allowed in a recursive term)
+    "q190_ttl_dedup_stream" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts,
+        |         user_id, event_type FROM events),
+        |kept AS (
+        |  SELECT user_id, event_type, ts, event_id FROM (
+        |    SELECT user_id, event_type, ts, event_id,
+        |      row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts, event_id) AS rn FROM ev) WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_type, e.ts, e.event_id
+        |  FROM kept k JOIN ev e
+        |    ON e.user_id = k.user_id AND e.event_type = k.event_type
+        |   AND epoch_us(e.ts) - epoch_us(k.ts) > 172800000000
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM ev e2
+        |    WHERE e2.user_id = e.user_id AND e2.event_type = e.event_type
+        |      AND epoch_us(e2.ts) - epoch_us(k.ts) > 172800000000
+        |      AND (e2.ts < e.ts OR (e2.ts = e.ts AND e2.event_id < e.event_id))))
+        |SELECT user_id, event_type, event_id FROM kept
+        |ORDER BY user_id, event_type, event_id""".stripMargin,
 
     // every batch boundary serves the cumulative prefix over quarters
     // 1..q (quarter cuts = the replay's ms-truncated chunk bounds)

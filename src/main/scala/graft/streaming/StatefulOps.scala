@@ -203,6 +203,40 @@ object StatefulOps {
       }
   }
 
+  /** Event-time TTL dedup: keep an event iff no KEPT event for the
+    * same (user_id, event_type) lies within `ttlUs` of it in event
+    * time — the first row opens the key, then the key re-opens each
+    * time the TTL elapses past the last KEPT row. The event-time
+    * analog of the reference's TTL'd first-row dedup
+    * (`deduplicate/DeduplicateKeepFirstRowFunction.java` +
+    * `StateTtlConfig.java:60`), with the wall-clock TTL replaced by
+    * the stream's own time so replays are deterministic (wall-clock
+    * form: [[dedupFirstWithTtl]]). State per key = ONE timestamp (the
+    * last kept row's), updated monotonically — bounded regardless of
+    * key heat; batches must arrive in event-time order (the replay
+    * harness guarantees it), rows inside a batch are sorted here. */
+  def dedupFirstEventTtl(events: Dataset[Event], ttlUs: Long): Dataset[Event] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Long, Event](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[Long]) =>
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = List.newBuilder[Event]
+          rows.toList.sortBy(e => (Event.micros(e.ts), e.event_id)).foreach { e =>
+            val t = Event.micros(e.ts)
+            if (last == Long.MinValue || t - last > ttlUs) {
+              out += e
+              last = t
+            }
+          }
+          state.update(last)
+          out.result().iterator
+      }
+  }
+
   // ---- streaming bounded OVER --------------------------------------
 
   case class OverRow(user_id: Long, event_id: Long, sum_prev: Double, cnt_prev: Int)

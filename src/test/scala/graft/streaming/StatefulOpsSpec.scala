@@ -49,6 +49,27 @@ class StatefulOpsSpec extends SparkSpec {
     assert(got == List(1L, 3L))
   }
 
+  test("dedupFirstEventTtl re-opens a key when event-time TTL elapses") {
+    val spark2 = spark; import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StatefulOps.dedupFirstEventTtl(ms.toDS(), ttlUs = 10_000_000L) // 10 s
+      .writeStream.format("memory").queryName("ttl1").outputMode("append").start()
+    // batch 1 (unsorted inside the batch): t=5 kept first, t=10 within
+    // TTL of 5 (10-5 <= 10) dropped, t=16 exceeds (16-5 > 10) kept
+    ms.addData(ev(2, 10, 1, "click", 0), ev(1, 5, 1, "click", 0),
+               ev(3, 16, 1, "click", 0))
+    q.processAllAvailable()
+    // batch 2: t=26 is EXACTLY TTL past 16 → dropped (strictly-greater
+    // re-open); t=27 kept; other key unaffected
+    ms.addData(ev(4, 26, 1, "click", 0), ev(5, 27, 1, "click", 0),
+               ev(6, 26, 2, "view", 0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ttl1").as[Event].collect().map(_.event_id).toSet
+    assert(got == Set(1L, 3L, 5L, 6L))
+  }
+
   test("topNPerKey keeps the N best by value with re-emission on change") {
     val spark2 = spark; import spark2.implicits._
     implicit val ctx = spark.sqlContext
