@@ -19,7 +19,7 @@ object SparkEntry {
     TpcdsShapes.queries ++ GraphQueries.queries ++
     StreamParityQueries.queries ++ StreamParityQueries2.queries ++
     StreamParityQueries3.queries ++
-    UdxQueries.queries ++ FormatQueries.queries
+    UdxQueries.queries ++ FormatQueries.queries ++ Partitioning.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +31,5 @@ object SparkEntry {
     TpcdsShapes.oracle ++ GraphQueries.oracle ++
     StreamParityQueries.oracle ++ StreamParityQueries2.oracle ++
     StreamParityQueries3.oracle ++
-    UdxQueries.oracle ++ FormatQueries.oracle
+    UdxQueries.oracle ++ FormatQueries.oracle ++ Partitioning.oracle
 }

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.Partitioner
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The explicit physical-partitioning surface — the reference's
+  * DataStream/DataSet repartitioning operators (`DataStream.java`:
+  * `partitionCustom:412`, `rebalance:368`, `keyBy` hash partitioning;
+  * `DataSet.partitionCustom/partitionByHash/partitionByRange/
+  * rebalance`), re-expressed Spark-first and made OBSERVABLE so each
+  * routing contract can be oracle-checked, not just invoked:
+  *
+  *  - partitionCustom → an explicit RDD [[Partitioner]] (the one
+  *    genuine per-partition imperative case; DataFrame repartition
+  *    cannot carry a user partition function) + a per-partition
+  *    rollup via mapPartitionsWithIndex, so the oracle sees exactly
+  *    which rows landed where.
+  *  - rebalance → `repartition(n)` (round-robin). Assignment rotation
+  *    is arbitrary, the CONTRACT is balance: from a single upstream
+  *    partition the partition sizes are floor/ceil of n/parts —
+  *    exposed as the sorted size vector.
+  *  - partitionByHash → `repartition(n, col)`. Spark's Murmur3 bucket
+  *    ids are not SQL-reproducible; the CONTRACT is co-location:
+  *    every key's rows land in exactly ONE partition.
+  *  - partitionByRange → `repartitionByRange`. Boundaries come from
+  *    (deterministic-seed) sampling, not SQL-reproducible; the
+  *    CONTRACT is range-disjointness across partitions.
+  *
+  * Scale: every op here is one shuffle of the input — no driver-side
+  * data paths (the range check collects one (min,max) row per
+  * partition, ≤ numParts rows).
+  */
+object Partitioning {
+
+  /** Route rows with an explicit partitioner (`user_id mod parts` —
+    * SQL-reproducible on purpose) and roll up each partition in place:
+    * (pid, cnt, cents). Empty partitions emit a zero row. */
+  def customPartitionRollup(df: DataFrame, parts: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("user_id").cast("long"),
+        expr("cast(round(value*100) as bigint)").as("cents"))
+      .as[(Long, Long)].rdd
+      .partitionBy(new Partitioner {
+        def numPartitions: Int = parts
+        def getPartition(key: Any): Int =
+          (((key.asInstanceOf[Long] % parts) + parts) % parts).toInt
+      })
+      .mapPartitionsWithIndex { (pid, it) =>
+        var c = 0L; var s = 0L
+        it.foreach { kv => c += 1; s += kv._2 }
+        Iterator((pid, c, s))
+      }
+      .toDF("pid", "cnt", "cents")
+  }
+
+  /** Round-robin redistribution from one upstream partition; returns
+    * the sorted partition-size vector (rank, sz) — the balance
+    * contract (sizes differ by at most one). */
+  def rebalanceSizes(df: DataFrame, parts: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // RDD-level on purpose: Catalyst's CollapseRepartition elides a
+    // DataFrame coalesce(1) under repartition(n), and with several
+    // upstream partitions each picks its own round-robin offset — the
+    // floor/ceil contract then only holds in aggregate, not per size.
+    val sizes = df.select(col("user_id")).rdd
+      .coalesce(1).repartition(parts)
+      .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)))
+      .toDF("pid", "count")
+    import org.apache.spark.sql.expressions.Window
+    sizes
+      .select(row_number().over(
+          Window.orderBy(col("count").desc, col("pid"))).as("rank"),
+        col("count").as("sz"))
+  }
+
+  /** Hash-partition by key; returns per key the number of DISTINCT
+    * partitions its rows landed in — the co-location contract (always
+    * 1). */
+  def hashColocation(df: DataFrame, parts: Int): DataFrame =
+    df.repartition(parts, col("user_id"))
+      .select(col("user_id"), spark_partition_id().as("pid"))
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("pid")).as("n_parts"))
+
+  /** Range-partition by key; returns one row
+    * (disjoint, parts_nonempty ≤ requested, total) — the
+    * range-disjointness contract: sorting partitions by their min key,
+    * each partition's max ≤ the next partition's min boundary-wise
+    * (repartitionByRange puts equal keys in one partition, so strict
+    * `<` holds between distinct mins). */
+  def rangeDisjointness(df: DataFrame, parts: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perPart = df.repartitionByRange(parts, col("user_id"))
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(min(col("user_id")).as("lo"), max(col("user_id")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect() // ≤ `parts` rows — bounded
+      .sortBy(_.getAs[Long]("lo"))
+    val disjoint = perPart.sliding(2).forall {
+      case Array(a, b) => a.getAs[Long]("hi") < b.getAs[Long]("lo")
+      case _           => true
+    }
+    Seq((disjoint, perPart.length <= parts,
+      perPart.map(_.getAs[Long]("n")).sum))
+      .toDF("disjoint", "parts_bounded", "total")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // partitionCustom oracle-bound: the mod-routing is SQL-visible, so
+    // the oracle recomputes every partition's rollup exactly — a row
+    // routed to the wrong partition breaks its residue class's hash.
+    "q191_partition_custom" -> ((s, d) =>
+      customPartitionRollup(Tables.events(s, d), parts = 8)
+        .orderBy(col("pid"))),
+
+    // rebalance oracle-bound: sizes are floor/ceil of N/8 — a skewed
+    // or lossy redistribution breaks the sorted size vector.
+    "q192_rebalance" -> ((s, d) =>
+      rebalanceSizes(Tables.events(s, d), parts = 8)
+        .orderBy(col("rank"))),
+
+    // hash-partition co-location oracle-bound: every user's rows in
+    // exactly one partition.
+    "q193_hash_colocate" -> ((s, d) =>
+      hashColocation(Tables.events(s, d), parts = 8)
+        .orderBy(col("user_id"))),
+
+    // range-partition disjointness oracle-bound (boundaries are
+    // sampled, the contract is disjoint + lossless).
+    "q194_range_disjoint" -> ((s, d) =>
+      rangeDisjointness(Tables.events(s, d), parts = 8)))
+
+  val oracle: Map[String, String] = Map(
+    "q191_partition_custom" ->
+      """SELECT g.pid::INT AS pid, count(e.user_id) AS cnt,
+        |  coalesce(sum(CAST(round(e.value*100) AS BIGINT)), 0)::BIGINT AS cents
+        |FROM range(8) g(pid) LEFT JOIN events e ON e.user_id % 8 = g.pid
+        |GROUP BY g.pid ORDER BY pid""".stripMargin,
+
+    "q192_rebalance" ->
+      """WITH t AS (SELECT count(*) AS n FROM events)
+        |SELECT (g.r + 1)::INT AS rank,
+        |  (CASE WHEN g.r < n % 8 THEN n // 8 + 1 ELSE n // 8 END)::BIGINT AS sz
+        |FROM range(8) g(r), t ORDER BY rank""".stripMargin,
+
+    "q193_hash_colocate" ->
+      """SELECT user_id, 1::BIGINT AS n_parts FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q194_range_disjoint" ->
+      """SELECT true AS disjoint, true AS parts_bounded,
+        |  count(*) AS total FROM events""".stripMargin)
+}
