@@ -19,7 +19,8 @@ object SparkEntry {
     TpcdsShapes.queries ++ GraphQueries.queries ++
     StreamParityQueries.queries ++ StreamParityQueries2.queries ++
     StreamParityQueries3.queries ++
-    UdxQueries.queries ++ FormatQueries.queries ++ Partitioning.queries
+    UdxQueries.queries ++ FormatQueries.queries ++ Partitioning.queries ++
+    SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
     TpcdsShapes.oracle ++ GraphQueries.oracle ++
     StreamParityQueries.oracle ++ StreamParityQueries2.oracle ++
     StreamParityQueries3.oracle ++
-    UdxQueries.oracle ++ FormatQueries.oracle ++ Partitioning.oracle
+    UdxQueries.oracle ++ FormatQueries.oracle ++ Partitioning.oracle ++
+    SourceQueries.oracle
 }
