@@ -133,6 +133,45 @@ object VectorQueries {
         .orderBy(col("pid"), col("rk"))
     }),
 
+    // INT8 symmetric quantization + quantized ANN: each vector gets a
+    // per-vector scale (max |x|) and an int8 code round(x·127/s); the
+    // search ranks by the cosine OF THE CODES — integer dot products
+    // and integer norms, so both engines see bit-identical doubles at
+    // the final division (the usual float-sum drift cannot occur).
+    // This is the memory-bound scale path of ANN serving (codes are
+    // 4× smaller than f32; at 100 TB the corpus scan is the cost):
+    // rank with cheap int dots, rerank survivors in full precision
+    // (the rerank primitive is q70's exact path). A mis-rounded code,
+    // a dropped clamp, or a scale applied twice each break the hash.
+    "q197_quantized_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val emb = asD(col("embedding"))
+      val scale = greatest(array_max(transform(emb, x => abs(x))), lit(1e-30))
+      val qvCol = transform(emb, x => round(x * lit(127) / scale).cast("long"))
+      val nrmCol = aggregate(transform(col("qv"), x => x * x),
+        lit(0L), (acc, x) => acc + x)
+      val q = e.select(col("vec_id"), qvCol.as("qv"))
+        .withColumn("nrm", nrmCol)
+      val probes = q.filter(col("vec_id") <= 20)
+        .select(col("vec_id").as("pid"), col("qv").as("qp"), col("nrm").as("np"))
+      val corpus = q
+        .select(col("vec_id").as("cid"), col("qv").as("qc"), col("nrm").as("nc"))
+      val idot = aggregate(zip_with(col("qp"), col("qc"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+      val qcos = col("idot").cast("double") /
+        greatest(sqrt((col("np") * col("nc")).cast("double")), lit(1e-30))
+      val w = Window.partitionBy(col("pid")).orderBy(col("qcos").desc, col("cid"))
+      corpus.crossJoin(broadcast(probes))
+        .filter(col("cid") =!= col("pid"))
+        .withColumn("idot", idot)
+        .withColumn("qcos", qcos)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("pid"), col("rk"), col("cid"),
+          round(col("qcos"), 6).as("qcos6"))
+        .orderBy(col("pid"), col("rk"))
+    }),
+
     // ANN via bucket join: candidates share the probe's bucket;
     // exact cosine re-rank within bucket, top-3.
     "q72_lsh_ann" -> ((s, d) => {
@@ -232,6 +271,33 @@ object VectorQueries {
          |  FROM sims)
          |SELECT pid, rk, cid, round(sim, 6) AS sim6
          |FROM ranked WHERE rk <= 3 ORDER BY pid, rk""".stripMargin,
+    // the quantization recomputed in SQL: per-vector max-abs scale,
+    // int8 code, integer dots/norms — exact integers both engines,
+    // then one IEEE division + sqrt
+    "q197_quantized_ann" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127 /
+         |      greatest(list_max(list_transform(embedding,
+         |        y -> abs(CAST(y AS DOUBLE)))), 1e-30)) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, qv,
+         |    CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nrm
+         |  FROM q),
+         |pairs AS (
+         |  SELECT p.vec_id AS pid, c.vec_id AS cid,
+         |    CAST(list_dot_product(p.qv, c.qv) AS DOUBLE) /
+         |      greatest(sqrt(CAST(p.nrm * c.nrm AS DOUBLE)), 1e-30) AS qcos
+         |  FROM n p JOIN n c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id <= 20),
+         |ranked AS (
+         |  SELECT pid, cid, qcos,
+         |    row_number() OVER (PARTITION BY pid ORDER BY qcos DESC, cid) AS rk
+         |  FROM pairs)
+         |SELECT pid, rk, cid, round(qcos, 6) AS qcos6
+         |FROM ranked WHERE rk <= 5 ORDER BY pid, rk""".stripMargin,
+
     // nprobe=K ≡ brute force: the oracle is exactly q70's.
     "q146_ivf_exact" ->
       s"""WITH pairs AS (

@@ -93,10 +93,17 @@ object CepDsl {
       case "**" => p.zeroOrMore.consecutive
       case q if q.startsWith("{") =>
         val inner = q.substring(1, q.length - 1)
-        if (inner.endsWith(",")) p.timesOrMore(inner.init.toInt)
+        // zero-minimum ranges ride the optional drift path exactly
+        // like `*`: {0,} ≡ zeroOrMore, {0,n} ≡ times(1,n).optional
+        // (cnt=0 skips via optional, 1..n accumulate as the range).
+        if (inner.endsWith(",")) inner.init.toInt match {
+          case 0 => p.zeroOrMore
+          case n => p.timesOrMore(n)
+        }
         else inner.split(",") match {
-          case Array(n)    => p.times(n.toInt)
-          case Array(m, n) => p.times(m.toInt, n.toInt)
+          case Array(n)         => p.times(n.toInt)
+          case Array("0", n)    => p.times(1, n.toInt).optional
+          case Array(m, n)      => p.times(m.toInt, n.toInt)
         }
     }
 

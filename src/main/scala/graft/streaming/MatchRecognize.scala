@@ -37,7 +37,9 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   *    for that behavior.
   *  - PATTERN: whitespace-separated variables with quantifiers
   *    `? ?? * *? + +? {n} {m,n} {n,} (each {…} optionally followed by
-  *    ?)`; alternation `(B|C)` / bare `B|C` of PLAIN variables, with
+  *    ?)` — zero minimums allowed (`{0,n}`, `{0,}` ≡ `*`, riding the
+  *    same optional drift path); alternation `(B|C)` / bare `B|C` of
+  *    PLAIN variables, with
   *    an optional quantifier on the parenthesized form (`(B|C)+`,
   *    `(B|C)*`) — events bind under the first alternative whose
   *    DEFINE holds (leftmost preference; reference group patterns,
@@ -151,7 +153,7 @@ object MatchRecognize {
           val canVary = st.oneOrMore || st.timesMax > st.times
           val g = if (greedyVars(st.name) && canVary) st.copy(greedy = true) else st
           if (contiguity == Strict && loopVars(g.name) &&
-              (g.oneOrMore || g.times > 1))
+              (g.oneOrMore || g.times > 1 || g.timesMax > g.times))
             g.copy(loopConsecutive = true)
           else g
         }

@@ -152,6 +152,38 @@ class CepStarSpec extends AnyFunSuite {
     assert(ms.isEmpty)
   }
 
+  test("{0,n} binds up to n and completes with zero; {0,} equals *") {
+    val preds = Map[String, (Ev, Map[String, Vector[Ev]]) => Boolean](
+      "A" -> typed("A"), "B" -> typed("B"), "C" -> typed("C"))
+    val pat = CepDsl.compile[Ev]("A B{0,2} C", preds)
+      .copy(steps = CepDsl.compile[Ev]("A B{0,2} C", preds).steps.map(s =>
+        if (s.name == "B") s.copy(greedy = true) else s))
+    // three Bs available: the greedy range stops at 2, C closes
+    val ms = run(pat, List(ev(1, 1, "A"), ev(2, 2, "B"), ev(3, 3, "B"),
+      ev(4, 4, "B"), ev(5, 5, "C")))
+    assert(ms == List(Map("A" -> Vector(1L), "B" -> Vector(2L, 3L),
+      "C" -> Vector(5L))))
+    // zero Bs: the optional drift path completes A-C directly
+    val ms2 = run(pat, List(ev(1, 1, "A"), ev(2, 2, "C")))
+    assert(ms2 == List(Map("A" -> Vector(1L), "C" -> Vector(2L))))
+    // {0,} normalizes to the zero-or-more step
+    val star = CepDsl.compile[Ev]("A B{0,} C", preds).steps(1)
+    assert(star.optional && star.oneOrMore)
+  }
+
+  test("MATCH_RECOGNIZE: B{0,2} parses as an optional range loop") {
+    val st = MatchRecognize.parse("""
+      MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts
+        MEASURES count(A) AS n
+        PATTERN (A B{0,2} C)
+        DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',
+               C AS C.event_type = 'purchase'
+      )""").pattern.steps(1)
+    assert(st.optional && st.times == 1 && st.timesMax == 2 && st.greedy)
+  }
+
   test("DSL: '*' and '**' compile to the optional-loop step") {
     val preds = Map[String, (Ev, Map[String, Vector[Ev]]) => Boolean](
       "A" -> typed("A"), "B" -> typed("B"), "C" -> typed("C"))
