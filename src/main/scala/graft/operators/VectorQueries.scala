@@ -145,12 +145,16 @@ object VectorQueries {
     // a dropped clamp, or a scale applied twice each break the hash.
     "q197_quantized_ann" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val emb = asD(col("embedding"))
-      val scale = greatest(array_max(transform(emb, x => abs(x))), lit(1e-30))
-      val qvCol = transform(emb, x => round(x * lit(127) / scale).cast("long"))
+      // scale as its own column: embedded in the quantize lambda it
+      // would re-evaluate the array_max per ELEMENT (O(d²)/vector)
       val nrmCol = aggregate(transform(col("qv"), x => x * x),
         lit(0L), (acc, x) => acc + x)
-      val q = e.select(col("vec_id"), qvCol.as("qv"))
+      val q = e.select(col("vec_id"), asD(col("embedding")).as("de"))
+        .withColumn("scale",
+          greatest(array_max(transform(col("de"), x => abs(x))), lit(1e-30)))
+        .select(col("vec_id"),
+          transform(col("de"),
+            x => round(x * lit(127) / col("scale")).cast("long")).as("qv"))
         .withColumn("nrm", nrmCol)
       val probes = q.filter(col("vec_id") <= 20)
         .select(col("vec_id").as("pid"), col("qv").as("qp"), col("nrm").as("np"))
