@@ -100,6 +100,92 @@ class CepStarSpec extends AnyFunSuite {
     assert(res.passed, s"property failed: ${res.status}")
   }
 
+  test("relaxed reluctant A B*? C equals brute force (every stop point)") {
+    val genCase = for {
+      n <- Gen.chooseNum(0, 18)
+      evs <- Gen.listOfN(n,
+        Gen.zip(Gen.chooseNum(0L, 40L), Gen.oneOf("A", "B", "C", "X")))
+      w <- Gen.oneOf(5L, 15L, 40L)
+    } yield (evs, w)
+
+    val prop = Prop.forAll(genCase) { case (raw, w) =>
+      val evs = mkEvs(raw)
+      val pat = Cep.Pattern.begin[Ev]("a")(typed("A"))
+        .followedBy("b")(typed("B")).zeroOrMore
+        .followedBy("c")(typed("C"))
+        .within(w)
+      val got = run(pat, evs)
+        .map(m => (m("a").head, m.getOrElse("b", Vector.empty), m("c").head))
+        .toSet
+
+      // brute force. Per A: if the first C arrives before any B, the
+      // loop-resident partial completes with zero Bs and is CONSUMED —
+      // that zero match is the only one (completion consumes, the
+      // documented trailing-optional behavior). Otherwise the partial
+      // accumulates every B within w (Cs cannot complete it once
+      // cnt>0 — reluctant), and each k-th B's stopped branch binds the
+      // first C after that B.
+      val expected = (for {
+        (a, ai) <- evs.zipWithIndex if a.typ == "A"
+        m <- {
+          val bi1 = evs.indexWhere(e => e.typ == "B" && e.ts - a.ts <= w, ai + 1)
+          val ci1 = evs.indexWhere(e => e.typ == "C" && e.ts - a.ts <= w, ai + 1)
+          if (ci1 >= 0 && (bi1 < 0 || ci1 < bi1))
+            List((a.id, Vector.empty[Long], evs(ci1).id))
+          else {
+            val bs = evs.drop(ai + 1).filter(e => e.typ == "B" && e.ts - a.ts <= w)
+            bs.indices.flatMap { k =>
+              val bi = evs.indexWhere(_.id == bs(k).id)
+              val ci = evs.indexWhere(e => e.typ == "C" && e.ts - a.ts <= w, bi + 1)
+              if (ci >= 0)
+                List((a.id, bs.take(k + 1).map(_.id).toVector, evs(ci).id))
+              else Nil
+            }
+          }
+        }
+      } yield m).toSet
+      got == expected
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
+  test("relaxed greedy A B{0,2} C equals brute force (capped star)") {
+    val genCase = for {
+      n <- Gen.chooseNum(0, 20)
+      evs <- Gen.listOfN(n,
+        Gen.zip(Gen.chooseNum(0L, 40L), Gen.oneOf("A", "B", "C", "X")))
+      w <- Gen.oneOf(5L, 15L, 40L)
+    } yield (evs, w)
+
+    val prop = Prop.forAll(genCase) { case (raw, w) =>
+      val evs = mkEvs(raw)
+      val pat = Cep.Pattern.begin[Ev]("a")(typed("A"))
+        .followedBy("b")(typed("B")).times(1, 2).optional.greedy
+        .followedBy("c")(typed("C"))
+        .within(w)
+      val got = run(pat, evs)
+        .map(m => (m("a").head, m.getOrElse("b", Vector.empty), m("c").head))
+        .toSet
+
+      // greedy completes at the FIRST C after the A whatever the count
+      // is (0, 1 or 2 via drift/satisfied/positioned) — the binding
+      // set is the Bs between them capped at 2.
+      val expected = (for {
+        (a, ai) <- evs.zipWithIndex if a.typ == "A"
+        ci = evs.indexWhere(e => e.typ == "C" && e.ts - a.ts <= w, ai + 1)
+        if ci >= 0
+      } yield (a.id,
+        evs.slice(ai + 1, ci).filter(_.typ == "B").take(2).map(_.id).toVector,
+        evs(ci).id)).toSet
+      got == expected
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
   private def ev(id: Long, ts: Long, typ: String) = Ev(id, ts, typ)
 
   test("reluctant A B*? C emits every stop point including zero") {
