@@ -37,7 +37,10 @@ object JoinQueries {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        // per-row e4 integers then an exact bigint sum: a double sum
+        // drifts in the cents digit at sf0.1 magnitudes (~1.7e8)
+        .agg(expr("sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) as bigint))")
+               .as("revenue_e4"),
              count(lit(1)).as("n_lines"))
         .orderBy(col("n_name"))
     }),
@@ -183,7 +186,7 @@ object JoinQueries {
   val oracle: Map[String, String] = Map(
     "q10_join_star" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
         |  count(*) AS n_lines
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
