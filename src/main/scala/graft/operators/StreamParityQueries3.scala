@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import graft.Tables
-import graft.streaming.{BroadcastState, Event, MatchRecognize, Replay, StateBootstrap, StateV2, StatefulOps, WindowOps}
+import graft.streaming.{BroadcastState, Cep, CepDsl, Event, MatchRecognize, Replay, StateBootstrap, StateV2, StatefulOps, WindowOps}
 import StreamParityQueries.{evCte, latestPerKey, quarterChunks, runAppend, runUpdate, spanOf, tsOf}
 
 /** Round-5 parity pack, part 3: the state BOOTSTRAP (write) path —
@@ -282,6 +282,56 @@ object StreamParityQueries3 {
         .orderBy(col("user_id"), col("view_id"))
     }),
 
+    // The STREAMING path of the star machinery: q189's parsed clause
+    // (parser → NFA with a greedy optional loop) executed by
+    // Cep.matchStream over a file replay whose chunk bounds include a
+    // real match's closing-purchase timestamp, so at least one
+    // mid-loop partial provably crosses a micro-batch boundary
+    // through the state store (the q118 straddle trick). Same oracle
+    // as q189 — the streaming run must land on the batch rows
+    // exactly; a loop count lost at the boundary, a re-bound B, or a
+    // dropped partial each break the hash.
+    "q198_match_star_stream" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      val sql = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES first(A.event_id) AS view_id, count(B) AS n_clicks,
+                   first(C.event_id) AS buy_id
+          PATTERN (A B* C) WITHIN INTERVAL '1' HOUR
+          DEFINE A AS A.event_type = 'view', B AS B.event_type = 'click',
+                 C AS C.event_type = 'purchase'
+        )"""
+      val parsed = MatchRecognize.parse(sql)
+      val base = java.nio.file.Files.createTempDirectory("graft-starstream")
+      val (out, ck) = (s"$base/out", s"$base/ck")
+      val types = Set("view", "click", "purchase")
+      val ev = Tables.events(s, d).as[Event].filter(e => types(e.event_type))
+      val straddleTs = Cep.matchBatchSorted(ev, parsed.pattern, parsed.skip)
+        .map { case (_, m) => m("C").head.ts }
+        .orderBy(col("value")).take(1).toSeq // bounded: one row
+      val (lo, hi) = spanOf(ev)
+      val bounds = ((1 to 3).map(k => tsOf(lo + (hi - lo) * k / 4)) ++ straddleTs)
+        .distinct.sortBy(Event.micros)
+      val chunks =
+        (col("ts") < bounds.head) +:
+        bounds.sliding(2).map { case Seq(a, b) => col("ts") >= a && col("ts") < b }
+          .toSeq :+
+        (col("ts") >= bounds.last)
+      val (inDir, schema) = Replay.fileEpochs(ev, chunks, base.toString)
+      val matches = Cep.matchStream(Replay.stream(s, inDir, schema),
+        parsed.pattern, parsed.skip)
+      val measures = CepDsl.compileMeasures[Event](parsed.measuresSrc, Event.fieldTable)
+      val q = Cep.selectMeasures(matches, parsed.partitionBy, measures)
+        .writeStream.option("checkpointLocation", ck)
+        .outputMode("append").format("parquet").option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("user_id"), col("view_id"))
+    }),
+
     // TTL'd keyed state oracle-bound — the carried-forward "keyed
     // state primitives + TTL" spec-only row. Event-time TTL dedup:
     // per (user, type) the first event is kept, then the key re-opens
@@ -444,6 +494,29 @@ object StreamParityQueries3 {
     // first purchase after each view within the hour; the greedy B*
     // binding set = clicks strictly between them in (ts,event_id) order
     "q189_match_star" -> (evCte +
+      """,
+        |v AS (SELECT * FROM ev WHERE event_type = 'view'),
+        |p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+        |k AS (SELECT * FROM ev WHERE event_type = 'click'),
+        |fp AS (
+        |  SELECT v.user_id, v.event_id AS view_id, v.ts AS vts,
+        |    p.ts AS pts, p.event_id AS buy_id,
+        |    row_number() OVER (PARTITION BY v.user_id, v.event_id
+        |      ORDER BY p.ts, p.event_id) AS rn
+        |  FROM v JOIN p ON p.user_id = v.user_id
+        |   AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
+        |   AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000)
+        |SELECT f.user_id, f.view_id,
+        |  (SELECT count(*) FROM k WHERE k.user_id = f.user_id
+        |     AND (k.ts > f.vts OR (k.ts = f.vts AND k.event_id > f.view_id))
+        |     AND (k.ts < f.pts OR (k.ts = f.pts AND k.event_id < f.buy_id)))
+        |    ::BIGINT AS n_clicks,
+        |  f.buy_id
+        |FROM fp f WHERE rn = 1 ORDER BY user_id, view_id""".stripMargin),
+
+    // identical SQL to q189: the streaming replay must land on the
+    // batch star rows exactly
+    "q198_match_star_stream" -> (evCte +
       """,
         |v AS (SELECT * FROM ev WHERE event_type = 'view'),
         |p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
