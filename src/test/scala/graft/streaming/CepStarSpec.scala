@@ -270,6 +270,21 @@ class CepStarSpec extends AnyFunSuite {
     assert(st.optional && st.times == 1 && st.timesMax == 2 && st.greedy)
   }
 
+  test("(B|C)* greedy: alternation loop accumulates across names, zero ok") {
+    val pat = Cep.Pattern.begin[Ev]("a")(typed("A"))
+      .followedByAny("b" -> typed("B"), "c" -> typed("C"))
+      .zeroOrMore.greedy
+      .followedBy("d")(typed("D"))
+    // mixed loop: B, C, (gap), B all accumulate before D closes
+    val ms = run(pat, List(ev(1, 1, "A"), ev(2, 2, "B"), ev(3, 3, "C"),
+      ev(4, 4, "X"), ev(5, 5, "B"), ev(6, 6, "D")))
+    assert(ms == List(Map("a" -> Vector(1L), "b" -> Vector(2L, 5L),
+      "c" -> Vector(3L), "d" -> Vector(6L))))
+    // zero occurrences: optional drift straight to D
+    val ms2 = run(pat, List(ev(1, 1, "A"), ev(2, 2, "D")))
+    assert(ms2 == List(Map("a" -> Vector(1L), "d" -> Vector(2L))))
+  }
+
   test("DSL: '*' and '**' compile to the optional-loop step") {
     val preds = Map[String, (Ev, Map[String, Vector[Ev]]) => Boolean](
       "A" -> typed("A"), "B" -> typed("B"), "C" -> typed("C"))
