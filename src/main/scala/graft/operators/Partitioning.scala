@@ -110,6 +110,34 @@ object Partitioning {
       .toDF("disjoint", "parts_bounded", "total")
   }
 
+  /** sortPartition (`DataSet.sortPartition`): shuffle by key hash,
+    * then a PARTITION-LOCAL sort — no global ordering, no range
+    * exchange. The contract made observable: every partition scans
+    * sorted with zero (prev > cur) violations, and no row is lost.
+    * (Plan shape — SortExec without a range Exchange — is asserted in
+    * SortedGroupsSpec; this binds the runtime behavior to the
+    * oracle.) */
+  def sortPartitionContract(df: DataFrame, parts: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df
+      .select(col("user_id").cast("long"), col("event_id").cast("long"))
+      .repartition(parts, col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("event_id"))
+    sorted.as[(Long, Long)].mapPartitions { it =>
+      var n = 0L; var bad = 0L
+      var prev: (Long, Long) = null
+      it.foreach { r =>
+        if (prev != null && (prev._1 > r._1 ||
+            (prev._1 == r._1 && prev._2 > r._2))) bad += 1
+        prev = r; n += 1
+      }
+      Iterator((bad, n))
+    }.toDF("bad", "n")
+      .agg((sum(col("bad")) === 0L).as("all_sorted"),
+        sum(col("n")).as("total"))
+  }
+
   val queries: Map[String, Q] = Map(
     // partitionCustom oracle-bound: the mod-routing is SQL-visible, so
     // the oracle recomputes every partition's rollup exactly — a row
@@ -133,7 +161,12 @@ object Partitioning {
     // range-partition disjointness oracle-bound (boundaries are
     // sampled, the contract is disjoint + lossless).
     "q194_range_disjoint" -> ((s, d) =>
-      rangeDisjointness(Tables.events(s, d), parts = 8)))
+      rangeDisjointness(Tables.events(s, d), parts = 8)),
+
+    // sortPartition oracle-bound: partition-local sortedness with
+    // zero violations, lossless.
+    "q199_sort_partition" -> ((s, d) =>
+      sortPartitionContract(Tables.events(s, d), parts = 8)))
 
   val oracle: Map[String, String] = Map(
     "q191_partition_custom" ->
@@ -154,5 +187,8 @@ object Partitioning {
 
     "q194_range_disjoint" ->
       """SELECT true AS disjoint, true AS parts_bounded,
-        |  count(*) AS total FROM events""".stripMargin)
+        |  count(*) AS total FROM events""".stripMargin,
+
+    "q199_sort_partition" ->
+      "SELECT true AS all_sorted, count(*) AS total FROM events")
 }
