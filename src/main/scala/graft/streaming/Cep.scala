@@ -510,7 +510,12 @@ object Cep {
             // retained partial cannot bind it after a gap (strict
             // contiguity; the skip-to-successor cases were armed as
             // branches at the previous bind). Relaxed optionals may
-            // bind later as usual.
+            // bind later as usual. Known approximation: a chain of
+            // 2+ CONSECUTIVE strict optionals can still retain
+            // partials one level deeper whose windows are equally
+            // dead (true SQL row-contiguity needs regex backtracking
+            // there); single strict optionals — the practical SQL
+            // shapes — are exact, see CepStarSpec.
             if (st.strict && !skippedOpt) committed = i + 1
             else rebindable = true // an optional step may bind later
             i += 1
