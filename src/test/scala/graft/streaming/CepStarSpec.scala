@@ -270,6 +270,52 @@ class CepStarSpec extends AnyFunSuite {
     assert(st.optional && st.times == 1 && st.timesMax == 2 && st.greedy)
   }
 
+  test("SkipPastLastEvent with a greedy star equals brute force") {
+    val genCase = for {
+      n <- Gen.chooseNum(0, 22)
+      evs <- Gen.listOfN(n,
+        Gen.zip(Gen.chooseNum(0L, 40L), Gen.oneOf("A", "B", "C", "X")))
+      w <- Gen.oneOf(5L, 15L, 40L)
+    } yield (evs, w)
+
+    val prop = Prop.forAll(genCase) { case (raw, w) =>
+      val evs = mkEvs(raw)
+      val pat = Cep.Pattern.begin[Ev]("a")(typed("A"))
+        .followedBy("b")(typed("B")).zeroOrMore.greedy
+        .followedBy("c")(typed("C"))
+        .within(w)
+      val sorted = evs.map(e => (e.ts, e))
+      val got = Cep.advance(pat, Nil, sorted.iterator,
+          skip = Cep.SkipPastLastEvent)._1
+        .map(m => (m("a").head.id, m.getOrElse("b", Vector.empty).map(_.id),
+          m("c").head.id)).toSet
+
+      // brute force: at each C (in order), the OLDEST surviving A
+      // start in window completes (greedy Bs strictly between), and
+      // the completion prunes every start created before this event —
+      // only A events POSITIONED after the completing C may start
+      // matches afterwards.
+      var lastComplete = -1
+      val out = scala.collection.mutable.Set.empty[(Long, Vector[Long], Long)]
+      evs.zipWithIndex.foreach { case (e, ei) =>
+        if (e.typ == "C") {
+          val cand = evs.zipWithIndex.slice(lastComplete + 1, ei)
+            .filter { case (a, _) => a.typ == "A" && e.ts - a.ts <= w }
+          cand.headOption.foreach { case (a, ai) =>
+            out += ((a.id,
+              evs.slice(ai + 1, ei).filter(_.typ == "B").map(_.id).toVector,
+              e.id))
+            lastComplete = ei
+          }
+        }
+      }
+      got == out.toSet
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
   test("(B|C)* greedy: alternation loop accumulates across names, zero ok") {
     val pat = Cep.Pattern.begin[Ev]("a")(typed("A"))
       .followedByAny("b" -> typed("B"), "c" -> typed("C"))
