@@ -356,6 +356,30 @@ object StreamParityQueries3 {
         .orderBy(col("user_id"), col("event_type"), col("event_id"))
     }),
 
+    // ReducingState on the v2 surface oracle-bound — the last named
+    // state kind of the reference's descriptor family
+    // (ReducingStateDescriptor.java:30; rolling KeyedStream.maxBy is
+    // built on it): per-user running (value, event_id)-max through
+    // the quarter replay, update-mode changelog whose final champion
+    // per user must equal the SQL arg-max — a reduction applied to
+    // the wrong operand order, a lost champion at a batch boundary,
+    // or an emit on non-change each break the hash.
+    "q200_statev2_reducing" -> ((s, d) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-statev2r")
+      val real = Tables.events(s, d).as[Event]
+      val (lo, hi) = spanOf(real)
+      val (inDir, schema) = Replay.fileEpochs(real, quarterChunks(lo, hi), base.toString)
+      StateV2.withRocksDb(s) {
+        val mx = StateV2.runningMaxV2(Replay.stream(s, inDir, schema))
+        latestPerKey(runUpdate(mx.toDF(), base.toString, s), col("user_id"))
+          .select(col("user_id"), col("event_id"),
+            round(col("value"), 2).as("value"))
+          .orderBy(col("user_id"))
+          .localCheckpoint() // materialize before the provider resets
+      }
+    }),
+
     // QUERYABLE STATE point-lookup HISTORY oracle-bound — hardens
     // q171's final-state check (VERDICT r5 stretch): the complete-mode
     // serving layer is snapshotted at EVERY micro-batch boundary (the
@@ -561,6 +585,14 @@ object StreamParityQueries3 {
         |      AND (e2.ts < e.ts OR (e2.ts = e.ts AND e2.event_id < e.event_id))))
         |SELECT user_id, event_type, event_id FROM kept
         |ORDER BY user_id, event_type, event_id""".stripMargin,
+
+    // the final reduced state per user = the SQL arg-max row
+    "q200_statev2_reducing" -> (evCte +
+      """
+        |SELECT user_id, event_id, round(value, 2) AS value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY value DESC, event_id DESC) AS rn FROM ev)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin),
 
     // every batch boundary serves the cumulative prefix over quarters
     // 1..q (quarter cuts = the replay's ms-truncated chunk bounds)

@@ -141,6 +141,56 @@ object StateV2 {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** The running champion per user: the (value, event_id)-max
+    * purchase seen so far. */
+  case class MaxRow(user_id: Long, event_id: Long, value: Double)
+
+  /** Flink KeyedProcessFunction with one named ValueState updated
+    * EXCLUSIVELY through a reduce function — the
+    * ReducingStateDescriptor analog (`flink-core/.../api/common/
+    * state/ReducingStateDescriptor.java:30`: `state.add(in)` applies
+    * `reduce(state, in)`; the rolling `KeyedStream.maxBy` is built on
+    * exactly this state kind). Here reduce = max by (value,
+    * event_id) over purchases, emitting the new champion whenever the
+    * reduction changes — an update-mode changelog whose final state
+    * per user is the SQL arg-max. (The AggregatingState sibling —
+    * accumulator type ≠ input ≠ output — is exercised by
+    * [[StateBootstrap.runningAggBootstrapped]]'s KeyAgg accumulator,
+    * oracle-bound as q173.) */
+  class ReducingMaxProcessor
+      extends StatefulProcessor[Long, Event, MaxRow] {
+    @transient private var best: ValueState[(Double, Long)] = _
+
+    private def reduce(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+      if (b._1 > a._1 || (b._1 == a._1 && b._2 > a._2)) b else a
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      best = getHandle.getValueState[(Double, Long)](
+        "best", Encoders.product[(Double, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[MaxRow] = {
+      val prev = Option(best.get())
+      val in = rows.map(e => (e.value, e.event_id))
+      val next = (prev.iterator ++ in).reduce(reduce)
+      best.update(next)
+      if (prev.contains(next)) Iterator.empty
+      else Iterator.single(MaxRow(user, next._2, next._1))
+    }
+  }
+
+  /** Rolling per-user maxBy on the v2 reducing-state surface
+    * (update-mode changelog). RocksDB provider required (see
+    * [[withRocksDb]]). */
+  def runningMaxV2(events: Dataset[Event]): Dataset[MaxRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new ReducingMaxProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Run `body` with the RocksDB state store provider installed
     * (transformWithState's requirement), restoring the previous
     * provider afterwards — other queries in the session keep their
