@@ -35,4 +35,28 @@ class StateV2Spec extends SparkSpec {
     assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       .exists(_.contains("RocksDB")))
   }
+
+  test("reducing state emits only when the reduction changes champions") {
+    val spark2 = spark; import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    StateV2.withRocksDb(spark) {
+      val ms = MemoryStream[Event]
+      val q = StateV2.runningMaxV2(ms.toDS())
+        .writeStream.format("memory").queryName("sv2r")
+        .outputMode("update").start()
+      ms.addData(ev(1, 10, 1, "a", 5.0), ev(2, 20, 1, "a", 9.0))
+      q.processAllAvailable()
+      ms.addData(ev(3, 30, 1, "a", 7.0)) // below champion: silent
+      q.processAllAvailable()
+      // equal value, higher id wins the (value, id) tiebreak
+      ms.addData(ev(4, 40, 1, "a", 9.0))
+      q.processAllAvailable()
+      ms.addData(ev(5, 50, 2, "a", 1.0)) // other key unaffected
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("sv2r").as[StateV2.MaxRow].collect()
+        .map(r => (r.user_id, r.event_id)).toList
+      assert(got == List((1L, 2L), (1L, 4L), (2L, 5L)))
+    }
+  }
 }
