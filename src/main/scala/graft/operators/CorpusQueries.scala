@@ -1,0 +1,253 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-curation operators for LLM training-data pipelines — round-7
+  * additions on top of TextQueries/PipelineQueries: term weighting,
+  * support mining, leakage-safe splits, language rebalancing, chunk
+  * (line-level) dedup with reassembly, and source-weighted mixing.
+  *
+  * Scale design (100 TB): every operator is a shuffle on a derived key
+  * (term / ngram / hash bucket) with map-side partial aggregation, or a
+  * pure per-row projection. Nothing collects data to the driver (the
+  * only driver scalar is a corpus COUNT, metadata-sized). All scoring
+  * is integer arithmetic (ppm / permille / scaled idf) so the DuckDB
+  * oracle matches bit-for-bit — the same discipline as TextQueries.
+  *
+  * Determinism: hashes are md5-derived; ranking tiebreaks are total
+  * orders (score desc, term asc) / (md5, doc_id).
+  */
+object CorpusQueries {
+
+  /** 32-bit integer hash of a string column: first 8 hex chars of md5. */
+  private def md5i(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private def md5iSql(e: String): String =
+    s"('0x'||substr(md5($e),1,8))::BIGINT"
+
+  private def toks(c: Column) = split(c, " ")
+
+  /** Overlapping 2-word shingles of the space-tokenized text. */
+  private def bigrams(t: Column): Column = {
+    val w = toks(t)
+    transform(sequence(lit(1), greatest(size(w) - 1, lit(1))),
+      i => concat_ws(" ", slice(w, i, lit(2))))
+  }
+
+  private val bigramsSql =
+    """list_transform(range(1, greatest(len(string_split(text,' ')), 2)),
+      |      i -> array_to_string(string_split(text,' ')[i:i+1], ' '))""".stripMargin
+
+  private val langQuota = 60 // q204: per-language cap
+  private val chunkW = 10 // q205: words per dedup chunk
+
+  val queries: Map[String, Q] = Map(
+    // TF-IDF top term per document, integer-exact: idf is the scaled
+    // integer (1e6·N) // df, score = tf · idf. The df table is
+    // vocabulary-sized (map-side combine collapses each doc's terms
+    // before the term shuffle); at corpus scale it broadcasts back
+    // into the tf join. Winner per doc via row_number with a total
+    // tiebreak (score desc, term asc).
+    "q201_tfidf_topterm" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count() // driver scalar: corpus cardinality only
+      val tok = docs.select(col("doc_id"),
+        explode(toks(col("text"))).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dft = tok.distinct().groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(dft, "term")
+        .withColumn("idf", (lit(1000000L * n) / col("df")).cast("long"))
+        .withColumn("score", col("tf") * col("idf"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("idf"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus-level support mining (heavy-hitter n-grams): bigrams
+    // occurring in ≥1% of documents. Relative support keeps the
+    // result meaningful at every SF; the output is bounded by the
+    // bigram vocabulary regardless of corpus size, and the groupBy
+    // partial-aggregates map-side, so the shuffle carries one row per
+    // distinct bigram per partition — the exact-counting regime. (At
+    // 100 TB with an unbounded vocabulary, swap the exact count for a
+    // count-min/space-saving sketch; with a bounded token vocabulary
+    // the exact path is the right one.)
+    "q202_ngram_support" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      docs.select(col("doc_id"), explode(bigrams(col("text"))).as("ngram"))
+        .groupBy(col("ngram"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_total"))
+        .filter(col("n_docs") * 100 >= n)
+        .orderBy(col("n_total").desc, col("ngram"))
+    }),
+
+    // Leakage-safe train/val/test split: the bucket hashes the CONTENT
+    // (md5 of text), not the id, so byte-identical duplicates can
+    // never straddle train and test — the standard decontamination-
+    // aware split. Pure per-row projection, no shuffle.
+    "q203_split_assign" -> ((s, d) => {
+      val bucket = pmod(md5i(col("text")), lit(100))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), bucket.as("bucket"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language rebalancing: deterministic per-language downsampling to
+    // a fixed quota, ranked by content hash (uniform, reproducible)
+    // with doc_id as total tiebreak. One shuffle on lang; at corpus
+    // scale the rank is a per-partition top-K under AQE (the window
+    // is a running top-quota per language).
+    "q204_lang_rebalance" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("text")), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= langQuota)
+        .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
+    // Cross-document chunk dedup (line-level dedup, RefinedWeb-style,
+    // adapted to newline-free text): split each doc into consecutive
+    // 10-word chunks, keep only the globally FIRST occurrence of each
+    // chunk (by doc_id, then chunk index), and reassemble the cleaned
+    // text in chunk order. One shuffle on the chunk text (first-
+    // occurrence rank), one on doc_id (reassembly); both carry the
+    // chunks once. The rebuilt string aggregates via sorted struct
+    // collect — deterministic.
+    "q205_chunk_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val w0 = toks(col("text"))
+      val nChunks = (((size(w0) - 1) / chunkW).cast("int") + 1)
+      val chunks = docs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(w0, i * chunkW + 1, lit(chunkW))))))
+        .toDF("doc_id", "idx", "chunk")
+      val w = Window.partitionBy(col("chunk"))
+        .orderBy(col("doc_id"), col("idx"))
+      val kept = chunks.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val rebuilt = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("idx"), col("chunk")))),
+            s0 => s0.getField("chunk"))).as("cleaned"))
+      docs.select(col("doc_id"), nChunks.cast("long").as("n_chunks"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("cleaned"), lit("")).as("cleaned"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Source-weighted corpus mixing: each source gets a deterministic
+    // sampling rate (permille, derived from the source name's hash so
+    // the operator needs no side table), rows are kept by an
+    // INDEPENDENT content-hash bucket, and the audit reports rows and
+    // tokens in/out per source. This is the mixture-weights step of a
+    // training-data pipeline; per-row projection + one bounded
+    // groupBy(source).
+    "q206_source_mix" -> ((s, d) => {
+      val rate = (pmod(md5i(col("source")), lit(800)) + 100).as("rate_permille")
+      val keep = pmod(md5i(col("text")), lit(1000)) < col("rate_permille")
+      Tables.documents(s, d)
+        .withColumn("rate_permille", rate)
+        .withColumn("ntok", size(toks(col("text"))).cast("long"))
+        .withColumn("kept", keep)
+        .groupBy(col("source"), col("rate_permille"))
+        .agg(count(lit(1)).as("n_in"),
+          count(when(col("kept"), 1)).as("n_kept"),
+          sum(col("ntok")).as("tok_in"),
+          sum(when(col("kept"), col("ntok")).otherwise(0L)).as("tok_kept"))
+        .orderBy(col("source"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q201_tfidf_topterm" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+        |            FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df
+        |        FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, term, tf, df, (1000000 * n.n) // df AS idf,
+        |       tf * ((1000000 * n.n) // df) AS score
+        |FROM tf JOIN dft USING (term), n
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY score DESC, term) = 1
+        |ORDER BY doc_id""".stripMargin,
+    "q202_ngram_support" ->
+      s"""WITH g AS (SELECT doc_id, unnest($bigramsSql) AS ngram FROM documents),
+         |n AS (SELECT count(*) AS n FROM documents)
+         |SELECT ngram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_total
+         |FROM g, n GROUP BY ngram, n.n
+         |HAVING count(DISTINCT doc_id) * 100 >= n.n
+         |ORDER BY n_total DESC, ngram""".stripMargin,
+    "q203_split_assign" ->
+      s"""SELECT doc_id, source, ${md5iSql("text")} % 100 AS bucket,
+         |  CASE WHEN ${md5iSql("text")} % 100 < 80 THEN 'train'
+         |       WHEN ${md5iSql("text")} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q204_lang_rebalance" ->
+      s"""SELECT doc_id, lang,
+         |  row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id)
+         |    AS rk
+         |FROM documents
+         |QUALIFY rk <= $langQuota
+         |ORDER BY lang, rk""".stripMargin,
+    "q205_chunk_dedup" ->
+      s"""WITH ix AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(0, (len(string_split(text,' ')) + ${chunkW - 1})
+         |                    // $chunkW)) AS idx
+         |  FROM documents),
+         |ch AS (
+         |  SELECT doc_id, idx,
+         |    array_to_string(string_split(text,' ')
+         |      [idx*$chunkW+1:idx*$chunkW+$chunkW], ' ') AS chunk
+         |  FROM ix),
+         |kept AS (
+         |  SELECT doc_id, idx, chunk FROM ch
+         |  QUALIFY row_number() OVER (PARTITION BY chunk
+         |                             ORDER BY doc_id, idx) = 1),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |         string_agg(chunk, ' ' ORDER BY idx) AS cleaned
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  (len(string_split(d.text,' ')) + ${chunkW - 1}) // $chunkW
+         |    AS n_chunks,
+         |  coalesce(a.n_kept, 0) AS n_kept,
+         |  coalesce(a.cleaned, '') AS cleaned
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "q206_source_mix" ->
+      s"""SELECT source, ${md5iSql("source")} % 800 + 100 AS rate_permille,
+         |  count(*) AS n_in,
+         |  count(CASE WHEN ${md5iSql("text")} % 1000
+         |                  < ${md5iSql("source")} % 800 + 100 THEN 1 END)
+         |    AS n_kept,
+         |  sum(len(string_split(text,' ')))::BIGINT AS tok_in,
+         |  sum(CASE WHEN ${md5iSql("text")} % 1000
+         |                < ${md5iSql("source")} % 800 + 100
+         |           THEN len(string_split(text,' ')) ELSE 0 END)::BIGINT
+         |    AS tok_kept
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  )
+}
