@@ -20,7 +20,8 @@ object SparkEntry {
     StreamParityQueries.queries ++ StreamParityQueries2.queries ++
     StreamParityQueries3.queries ++
     UdxQueries.queries ++ FormatQueries.queries ++ Partitioning.queries ++
-    SourceQueries.queries ++ CorpusQueries.queries
+    SourceQueries.queries ++ CorpusQueries.queries ++
+    StreamParityQueries4.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
     StreamParityQueries.oracle ++ StreamParityQueries2.oracle ++
     StreamParityQueries3.oracle ++
     UdxQueries.oracle ++ FormatQueries.oracle ++ Partitioning.oracle ++
-    SourceQueries.oracle ++ CorpusQueries.oracle
+    SourceQueries.oracle ++ CorpusQueries.oracle ++
+    StreamParityQueries4.oracle
 }
