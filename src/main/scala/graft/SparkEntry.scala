@@ -21,7 +21,7 @@ object SparkEntry {
     StreamParityQueries3.queries ++
     UdxQueries.queries ++ FormatQueries.queries ++ Partitioning.queries ++
     SourceQueries.queries ++ CorpusQueries.queries ++
-    StreamParityQueries4.queries
+    StreamParityQueries4.queries ++ SqlFrontendQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +35,5 @@ object SparkEntry {
     StreamParityQueries3.oracle ++
     UdxQueries.oracle ++ FormatQueries.oracle ++ Partitioning.oracle ++
     SourceQueries.oracle ++ CorpusQueries.oracle ++
-    StreamParityQueries4.oracle
+    StreamParityQueries4.oracle ++ SqlFrontendQueries.oracle
 }

@@ -41,6 +41,27 @@ object GraftFunctions {
     org.apache.spark.sql.GraftSqlBridge.column(
       HashCode(org.apache.spark.sql.GraftSqlBridge.expression(s)))
 
+  /** Distributed Bloom-filter build: folds a LongType key column
+    * (use xxhash64 of the value) into one serialized sketch — the
+    * aggregate Spark's own InjectRuntimeFilter plants
+    * (`BloomFilterAggregate`), so the build is map-side partial +
+    * merge, never a driver-side item loop. */
+  def bloom_filter_agg(key: Column, estItems: Long): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        org.apache.spark.sql.GraftSqlBridge.expression(key), estItems)
+        .toAggregateExpression())
+
+  /** Codegen'd membership probe against a built sketch (no-FN,
+    * bounded-FP): `BloomFilterMightContain(literal sketch, key)`.
+    * Key hashing must match the build side (xxhash64). */
+  def bloom_might_contain(sketch: Array[Byte], key: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          sketch, org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.GraftSqlBridge.expression(key)))
+
   /** Numeric TRUNCATE(x, d) toward zero (Flink TRUNCATE). */
   def truncate(x: Column, d: Int): Column = {
     val p = math.pow(10, d)

@@ -222,6 +222,39 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Two-phase Bloom decontamination — the 100 TB shape of q96. The
+    // benchmark shingle set folds DISTRIBUTED into one Bloom sketch
+    // (functions.bloom_filter_agg = Spark's BloomFilterAggregate over
+    // xxhash64 keys, the same machinery InjectRuntimeFilter plants);
+    // the sketch rides to every corpus partition as a literal, and
+    // the corpus side collapses from ALL shingles to Bloom survivors
+    // (true hits + bounded fp) BEFORE the distinct/join shuffles.
+    // End-to-end the result is EXACT — Bloom admits no false
+    // negatives and the verify join removes false positives — so the
+    // oracle is the plain exact-overlap SQL, and any build/probe
+    // hashing mismatch (a false-negative source) breaks the row:
+    // the sketch path is load-bearing, not decorative.
+    "q210_bloom_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("source") === "src1")
+        .select(explode(TextQueries.shingles4(col("text"))).as("sh"))
+        .distinct()
+      val sketch = bench
+        .agg(graft.functions.GraftFunctions
+          .bloom_filter_agg(xxhash64(col("sh")), 200000L).as("bf"))
+        .head.getAs[Array[Byte]]("bf") // one sketch: metadata-sized
+      val corpusAll = docs.filter(col("source") =!= "src1")
+        .select(col("doc_id"),
+          explode(TextQueries.shingles4(col("text"))).as("sh"))
+      val corpus = (if (sketch == null) corpusAll // empty benchmark
+        else corpusAll.filter(graft.functions.GraftFunctions
+          .bloom_might_contain(sketch, xxhash64(col("sh"))))).distinct()
+      corpus.join(broadcast(bench), Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Duplicated-span coverage (the Lee et al. "Deduplicating
     // Training Data" diagnostic): per document, the fraction of its
     // distinct 4-token shingles that occur in at least one OTHER
@@ -426,6 +459,21 @@ object PipelineQueries {
          |  SELECT DISTINCT doc_id, sh FROM (
          |    SELECT doc_id, unnest(${TextQueries.shinglesSql}) AS sh
          |    FROM documents WHERE source <> 'src0'))
+         |SELECT doc_id, count(*)::BIGINT AS n_shared
+         |FROM corpus JOIN bench USING (sh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Exact-overlap truth for the two-phase Bloom path: the sketch
+    // prefilter must be invisible in the result.
+    "q210_bloom_decontaminate" ->
+      s"""WITH bench AS (
+         |  SELECT DISTINCT sh FROM (
+         |    SELECT unnest(${TextQueries.shinglesSql}) AS sh
+         |    FROM documents WHERE source = 'src1')),
+         |corpus AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(${TextQueries.shinglesSql}) AS sh
+         |    FROM documents WHERE source <> 'src1'))
          |SELECT doc_id, count(*)::BIGINT AS n_shared
          |FROM corpus JOIN bench USING (sh)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,

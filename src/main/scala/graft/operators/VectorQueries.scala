@@ -176,6 +176,58 @@ object VectorQueries {
         .orderBy(col("pid"), col("rk"))
     }),
 
+    // SemDeDup (semantic dedup over embedding clusters — Abbas et al.
+    // 2023): coarse-cluster the corpus, then drop every vector whose
+    // cosine to an EARLIER (lower vec_id) member of its OWN cluster
+    // reaches the dup threshold (0.4, = q73's near-dup bar). Pairwise
+    // work is confined to clusters — never all-pairs. Runs in int8
+    // code space (q197's symmetric quantization), so dots and norms
+    // are order-independent exact integers on both engines. The
+    // coarse quantizer is the deterministic seed assignment (first K
+    // vectors by id, argmax code-cosine, tie → lowest seed); the
+    // scale path swaps in IvfAnn.fit centroids, which changes only
+    // WHICH pairs are compared (recall), not the drop rule. 100 TB
+    // shape: one K×dim broadcast, one shuffle on cluster id, AQE
+    // splits a hot cluster; K grows with the corpus so cluster sizes
+    // (and the quadratic intra-cluster term) stay bounded.
+    "q209_semdedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val nrmOf = (v: Column) => aggregate(transform(v, x => x * x),
+        lit(0L), (acc, x) => acc + x)
+      val q = e.select(col("vec_id"), asD(col("embedding")).as("de"))
+        .withColumn("scale",
+          greatest(array_max(transform(col("de"), x => abs(x))), lit(1e-30)))
+        .select(col("vec_id"),
+          transform(col("de"),
+            x => round(x * lit(127) / col("scale")).cast("long")).as("qv"))
+        .withColumn("nrm", nrmOf(col("qv")))
+      val seeds = q.orderBy(col("vec_id")).limit(32)
+        .select(col("vec_id").as("sid"), col("qv").as("sqv"),
+          col("nrm").as("snrm"))
+      val idot = (x: Column, y: Column) => aggregate(
+        zip_with(x, y, (a, b) => a * b), lit(0L), (acc, v) => acc + v)
+      val qcos = (dot: Column, n1: Column, n2: Column) =>
+        dot.cast("double") /
+          greatest(sqrt((n1 * n2).cast("double")), lit(1e-30))
+      val cl = q.crossJoin(broadcast(seeds))
+        .withColumn("sc", qcos(idot(col("qv"), col("sqv")), col("nrm"), col("snrm")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("sid"), struct(col("sc"), -col("sid"))).as("cluster"))
+      val m = q.join(cl, "vec_id")
+      val a = m.select(col("vec_id").as("ida"), col("qv").as("qa"),
+        col("nrm").as("na"), col("cluster"))
+      val b = m.select(col("vec_id").as("idb"), col("qv").as("qb"),
+        col("nrm").as("nb"), col("cluster"))
+      val dups = a.join(b, Seq("cluster"))
+        .filter(col("ida") < col("idb"))
+        .filter(qcos(idot(col("qa"), col("qb")), col("na"), col("nb")) >= 0.4)
+        .select(col("idb").as("vec_id")).distinct()
+      m.join(dups.withColumn("dup", lit(1)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          when(col("dup").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ANN via bucket join: candidates share the probe's bucket;
     // exact cosine re-rank within bucket, top-3.
     "q72_lsh_ann" -> ((s, d) => {
@@ -301,6 +353,49 @@ object VectorQueries {
          |  FROM pairs)
          |SELECT pid, rk, cid, round(qcos, 6) AS qcos6
          |FROM ranked WHERE rk <= 5 ORDER BY pid, rk""".stripMargin,
+
+    // q197's quantization CTEs, then: assign to the nearest of the
+    // first-32 seed vectors (argmax code cosine, tie lowest sid),
+    // mark dup any vector with an earlier same-cluster member at
+    // cosine >= 0.4.
+    "q209_semdedup" ->
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127 /
+         |      greatest(list_max(list_transform(embedding,
+         |        y -> abs(CAST(y AS DOUBLE)))), 1e-30)) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, qv,
+         |    CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nrm
+         |  FROM q),
+         |seeds AS (
+         |  SELECT vec_id AS sid, qv AS sqv, nrm AS snrm
+         |  FROM n ORDER BY vec_id LIMIT 32),
+         |asg AS (
+         |  SELECT n.vec_id, seeds.sid,
+         |    CAST(list_dot_product(n.qv, seeds.sqv) AS DOUBLE) /
+         |      greatest(sqrt(CAST(n.nrm * seeds.snrm AS DOUBLE)), 1e-30) AS sc
+         |  FROM n, seeds),
+         |cl AS (
+         |  SELECT vec_id, sid AS cluster FROM (
+         |    SELECT vec_id, sid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY sc DESC, sid) AS rn
+         |    FROM asg) WHERE rn = 1),
+         |m AS (
+         |  SELECT cl.vec_id, cl.cluster, n.qv, n.nrm
+         |  FROM cl JOIN n USING (vec_id)),
+         |dups AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM m a JOIN m b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE CAST(list_dot_product(a.qv, b.qv) AS DOUBLE) /
+         |      greatest(sqrt(CAST(a.nrm * b.nrm AS DOUBLE)), 1e-30) >= 0.4)
+         |SELECT m.vec_id, m.cluster,
+         |  CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+         |FROM m LEFT JOIN dups d ON m.vec_id = d.vec_id
+         |ORDER BY m.vec_id""".stripMargin,
 
     // nprobe=K ≡ brute force: the oracle is exactly q70's.
     "q146_ivf_exact" ->

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The Flink-SQL group-window dialect rewriter (q208's front-end):
+  * each assigner's SQL text must land on exactly the rows of the
+  * native DataFrame `groupBy(window(…))` form, and anything outside
+  * the dialect must fail loudly at rewrite time. */
+class GroupWindowSqlSpec extends SparkSpec {
+
+  private lazy val ev = {
+    val df = Tables.events(spark, sf)
+    df.createOrReplaceTempView("events")
+    df
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("TUMBLE lands on the native window() aggregation") {
+    ev // register the view before spark.sql analyzes
+    val viaSql = GroupWindowSql.run(spark,
+      """SELECT event_type, TUMBLE_START(ts, INTERVAL '1' HOUR) AS ws,
+        |       TUMBLE_END(ts, INTERVAL '1' HOUR) AS we, COUNT(*) AS n
+        |FROM events GROUP BY event_type, TUMBLE(ts, INTERVAL '1' HOUR)""".stripMargin)
+    val native = ev.groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("window.start").as("ws"),
+        col("window.end").as("we"), col("n"))
+    assert(rows(viaSql) == rows(native))
+  }
+
+  test("HOP maps (slide, size) onto window(size, slide)") {
+    ev
+    val viaSql = GroupWindowSql.run(spark,
+      """SELECT HOP_START(ts, INTERVAL '15' MINUTE, INTERVAL '1' HOUR) AS ws,
+        |       COUNT(*) AS n
+        |FROM events GROUP BY HOP(ts, INTERVAL '15' MINUTE, INTERVAL '1' HOUR)""".stripMargin)
+    val native = ev.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    assert(rows(viaSql) == rows(native))
+    // 4 hop windows per event: total count across windows = 4 × rows
+    assert(viaSql.agg(sum("n")).head.getLong(0) == 4 * ev.count())
+  }
+
+  test("SESSION lands on the native session_window() aggregation") {
+    ev
+    val viaSql = GroupWindowSql.run(spark,
+      """SELECT user_id, SESSION_START(ts, INTERVAL '30' MINUTE) AS ws,
+        |       SESSION_END(ts, INTERVAL '30' MINUTE) AS we, COUNT(*) AS n
+        |FROM events GROUP BY user_id, SESSION(ts, INTERVAL '30' MINUTE)""".stripMargin)
+    val native = ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("ws"),
+        col("session_window.end").as("we"), col("n"))
+    assert(rows(viaSql) == rows(native))
+  }
+
+  test("ROWTIME auxiliary is the window's inclusive max (end - 1ms)") {
+    ev
+    val df = GroupWindowSql.run(spark,
+      """SELECT TUMBLE_END(ts, INTERVAL '1' DAY) AS we,
+        |       TUMBLE_ROWTIME(ts, INTERVAL '1' DAY) AS rt
+        |FROM events GROUP BY TUMBLE(ts, INTERVAL '1' DAY)""".stripMargin)
+    assert(df.filter(expr("rt <> we - INTERVAL 1 MILLISECOND")).isEmpty)
+  }
+
+  test("dialect shim: CAST AS VARCHAR") {
+    assert(GroupWindowSql.rewrite("SELECT CAST(user_id AS VARCHAR) FROM events")
+      .contains("AS STRING"))
+  }
+
+  test("loud rejections: PROCTIME, year windows, unconsumed assigners") {
+    ev // force view registration
+    intercept[IllegalArgumentException] {
+      GroupWindowSql.rewrite(
+        "SELECT TUMBLE_PROCTIME(ts, INTERVAL '1' HOUR) FROM events GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)")
+    }
+    intercept[IllegalArgumentException] {
+      GroupWindowSql.rewrite(
+        "SELECT 1 FROM events GROUP BY TUMBLE(ts, INTERVAL '1' YEAR)")
+    }
+    intercept[IllegalArgumentException] {
+      // malformed interval → assigner not consumed → leftover check
+      GroupWindowSql.rewrite("SELECT 1 FROM events GROUP BY TUMBLE(ts, 3600)")
+    }
+  }
+}
