@@ -154,6 +154,46 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Benchmark span EXCISION — decontamination that REMOVES the
+    // contaminated spans instead of flagging whole documents (q96/
+    // q210 flag; this cleans): corpus docs split into q205's 10-word
+    // chunks, a chunk is excised when ANY of its 4-word shingles
+    // occurs in the benchmark source's shingle set, survivors
+    // reassemble in chunk order. The benchmark shingle set is
+    // dimension-sized and BROADCASTS; the corpus carries each chunk
+    // once through one semi-join and one doc_id reassembly shuffle —
+    // the same two-shuffle budget as q205 at any scale.
+    "q212_span_excise" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("source") === "src2")
+        .select(explode(TextQueries.shingles4(col("text"))).as("sh"))
+        .distinct()
+      val corpus = docs.filter(col("source") =!= "src2")
+      val w0 = toks(col("text"))
+      val nChunks = (((size(w0) - 1) / chunkW).cast("int") + 1)
+      val chunks = corpus.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(w0, i * chunkW + 1, lit(chunkW))))))
+        .toDF("doc_id", "idx", "chunk")
+      val contaminated = chunks
+        .select(col("doc_id"), col("idx"),
+          explode(TextQueries.shingles4(col("chunk"))).as("sh"))
+        .join(broadcast(bench), Seq("sh"))
+        .select(col("doc_id"), col("idx")).distinct()
+      val kept = chunks.join(contaminated, Seq("doc_id", "idx"), "left_anti")
+      val rebuilt = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("idx"), col("chunk")))),
+            s0 => s0.getField("chunk"))).as("cleaned"))
+      corpus.select(col("doc_id"), nChunks.cast("long").as("n_chunks"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("cleaned"), lit("")).as("cleaned"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Source-weighted corpus mixing: each source gets a deterministic
     // sampling rate (permille, derived from the source name's hash so
     // the operator needs no side table), rows are kept by an
@@ -237,6 +277,47 @@ object CorpusQueries {
          |  coalesce(a.cleaned, '') AS cleaned
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    "q212_span_excise" ->
+      s"""WITH bench AS (
+         |  SELECT DISTINCT sh FROM (
+         |    SELECT unnest(${TextQueries.shinglesSql}) AS sh
+         |    FROM documents WHERE source = 'src2')),
+         |corpus AS (SELECT * FROM documents WHERE source <> 'src2'),
+         |ix AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(0, (len(string_split(text,' ')) + ${chunkW - 1})
+         |                    // $chunkW)) AS idx
+         |  FROM corpus),
+         |ch AS (
+         |  SELECT doc_id, idx,
+         |    array_to_string(string_split(text,' ')
+         |      [idx*$chunkW+1:idx*$chunkW+$chunkW], ' ') AS chunk
+         |  FROM ix),
+         |contaminated AS (
+         |  SELECT DISTINCT doc_id, idx FROM (
+         |    SELECT doc_id, idx,
+         |      unnest(list_transform(range(1,
+         |          greatest(len(string_split(chunk,' ')) - 2, 2)),
+         |        i -> array_to_string(string_split(chunk,' ')[i:i+3], ' ')))
+         |        AS sh
+         |    FROM ch) cs
+         |  JOIN bench USING (sh)),
+         |kept AS (
+         |  SELECT ch.doc_id, ch.idx, ch.chunk
+         |  FROM ch ANTI JOIN contaminated c
+         |    ON ch.doc_id = c.doc_id AND ch.idx = c.idx),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |         string_agg(chunk, ' ' ORDER BY idx) AS cleaned
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  (len(string_split(d.text,' ')) + ${chunkW - 1}) // $chunkW
+         |    AS n_chunks,
+         |  coalesce(a.n_kept, 0) AS n_kept,
+         |  coalesce(a.cleaned, '') AS cleaned
+         |FROM corpus d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q206_source_mix" ->
       s"""SELECT source, ${md5iSql("source")} % 800 + 100 AS rate_permille,
          |  count(*) AS n_in,

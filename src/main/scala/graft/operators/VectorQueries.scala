@@ -228,6 +228,70 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Product quantization (PQ) ANN — the memory-bound serving path
+    // one step past int8 (q197): M=8 subspaces × 8 dims, K=16
+    // codewords per subspace (the subvectors of the first 16 vectors
+    // by id — deterministic, like q209's seed quantizer; a trained
+    // codebook drops in without changing the operator). Each corpus
+    // vector compresses to 8 codes (4 bits each — 4 bytes/vector);
+    // search is the classic ADC scan re-expressed RELATIONALLY: the
+    // probe's 8×16 dot-product lookup table is a tiny broadcast, the
+    // corpus codes join it on (subspace, code), and the per-pair
+    // score is a SUM of table entries. LUT dots and codeword norms
+    // are scaled integers (×1e6, rounded), so the grouped sums are
+    // order-independent exact and the oracle matches bit-for-bit;
+    // ranking score = idot / sqrt(recon_norm) (probe norm is
+    // constant per probe — cosine up to a per-probe factor, ranking-
+    // equivalent to ADC cosine). 100 TB shape: the corpus is scanned
+    // once at 4 bytes/vector + one bounded (pid,cid) aggregation; no
+    // full-precision vector ever shuffles.
+    "q211_pq_ann" -> ((s, d) => {
+      val M = 8; val dsub = 8; val K = 16
+      val e = Tables.embeddings(s, d)
+      val seeds: Array[Array[Double]] = e.orderBy(col("vec_id")).limit(K)
+        .select(asD(col("embedding")).as("de")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      val cb = Array.tabulate(M, K)((m, k) => seeds(k).slice(m * dsub, (m + 1) * dsub))
+      // scaled int codeword norm²: same left-fold + round the oracle does
+      val cbNorm = Array.tabulate(M, K)((m, k) =>
+        math.round(cb(m)(k).foldLeft(0.0)((a, x) => a + x * x) * 1e6))
+      def subCol(v: Column, m: Int) = slice(v, m * dsub + 1, dsub)
+      def cwLit(m: Int, k: Int) = array(cb(m)(k).toIndexedSeq.map(lit(_)): _*)
+      def l2(sub: Column, m: Int, k: Int): Column =
+        aggregate(zip_with(sub, cwLit(m, k), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+      def codeFor(v: Column, m: Int): Column =
+        array_min(array((0 until K).map(k =>
+          struct(l2(subCol(v, m), m, k).as("d"), lit(k).as("k"))): _*))
+          .getField("k")
+      val enc = e.select(col("vec_id").as("cid"), asD(col("embedding")).as("ce"))
+        .select(col("cid"), explode(array((0 until M).map(m =>
+          struct(lit(m).as("m"), codeFor(col("ce"), m).as("code"))): _*)).as("mc"))
+        .select(col("cid"), col("mc.m").as("m"), col("mc.code").as("code"))
+      val lutRows = for (m <- 0 until M; k <- 0 until K) yield
+        struct(lit(m).as("m"), lit(k).as("k"),
+          round(dot(subCol(col("pe"), m), cwLit(m, k)) * 1e6).cast("long").as("pdot"),
+          lit(cbNorm(m)(k)).as("cn"))
+      val lut = e.filter(col("vec_id") <= 20)
+        .select(col("vec_id").as("pid"), asD(col("embedding")).as("pe"))
+        .select(col("pid"), explode(array(lutRows: _*)).as("x"))
+        .select(col("pid"), col("x.m").as("m"), col("x.k").as("k"),
+          col("x.pdot").as("pdot"), col("x.cn").as("cn"))
+      val score = col("idot").cast("double") /
+        greatest(sqrt(col("rn").cast("double")), lit(1e-30))
+      val w = Window.partitionBy(col("pid")).orderBy(col("score").desc, col("cid"))
+      enc.join(broadcast(lut),
+          enc("m") === lut("m") && enc("code") === lut("k"))
+        .filter(col("cid") =!= col("pid"))
+        .groupBy(col("pid"), col("cid"))
+        .agg(sum(col("pdot")).as("idot"), sum(col("cn")).as("rn"))
+        .withColumn("score", score)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("pid"), col("rk"), col("cid"), round(col("score"), 6).as("score6"))
+        .orderBy(col("pid"), col("rk"))
+    }),
+
     // ANN via bucket join: candidates share the probe's bucket;
     // exact cosine re-rank within bucket, top-3.
     "q72_lsh_ann" -> ((s, d) => {
@@ -396,6 +460,63 @@ object VectorQueries {
          |  CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
          |FROM m LEFT JOIN dups d ON m.vec_id = d.vec_id
          |ORDER BY m.vec_id""".stripMargin,
+
+    // PQ from first principles in SQL: codebook = subvectors of the
+    // first 16 vectors; encode = argmin L2² per subspace (tie lowest
+    // code); score = Σ scaled-int LUT dots / sqrt(Σ scaled-int
+    // codeword norms). Same left-fold arithmetic as the Spark side.
+    "q211_pq_ann" ->
+      s"""WITH de AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+         |  FROM embeddings),
+         |ms AS (SELECT unnest(range(0, 8)) AS m),
+         |seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, dv AS sv
+         |  FROM de ORDER BY vec_id LIMIT 16),
+         |cb AS (
+         |  SELECT seeds.k, ms.m,
+         |    list_transform(range(1, 9), i -> sv[ms.m*8 + i]) AS cw
+         |  FROM seeds, ms),
+         |cbn AS (
+         |  SELECT k, m, cw,
+         |    CAST(round(list_reduce(list_transform(range(1, 9),
+         |      i -> cw[i]*cw[i]), (x,y) -> x+y) * 1e6) AS BIGINT) AS cn
+         |  FROM cb),
+         |subs AS (
+         |  SELECT vec_id, ms.m,
+         |    list_transform(range(1, 9), i -> dv[ms.m*8 + i]) AS sub
+         |  FROM de, ms),
+         |enc AS (
+         |  SELECT vec_id AS cid, m, k AS code FROM (
+         |    SELECT s.vec_id, s.m, c.k,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |        list_reduce(list_transform(range(1, 9),
+         |          i -> (s.sub[i]-c.cw[i])*(s.sub[i]-c.cw[i])),
+         |          (x,y) -> x+y), c.k) AS rn
+         |    FROM subs s JOIN cbn c ON s.m = c.m) WHERE rn = 1),
+         |lut AS (
+         |  SELECT s.vec_id AS pid, s.m, c.k,
+         |    CAST(round(list_reduce(list_transform(range(1, 9),
+         |      i -> s.sub[i]*c.cw[i]), (x,y) -> x+y) * 1e6) AS BIGINT)
+         |      AS pdot,
+         |    c.cn
+         |  FROM subs s JOIN cbn c ON s.m = c.m WHERE s.vec_id <= 20),
+         |sc AS (
+         |  SELECT l.pid, e.cid, sum(l.pdot) AS idot, sum(l.cn) AS rn
+         |  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.k
+         |  WHERE e.cid <> l.pid
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT pid, cid,
+         |    CAST(idot AS DOUBLE) /
+         |      greatest(sqrt(CAST(rn AS DOUBLE)), 1e-30) AS score,
+         |    row_number() OVER (PARTITION BY pid
+         |                       ORDER BY CAST(idot AS DOUBLE) /
+         |      greatest(sqrt(CAST(rn AS DOUBLE)), 1e-30) DESC, cid) AS rk
+         |  FROM sc)
+         |SELECT pid, rk, cid, round(score, 6) AS score6
+         |FROM ranked WHERE rk <= 5 ORDER BY pid, rk""".stripMargin,
 
     // nprobe=K ≡ brute force: the oracle is exactly q70's.
     "q146_ivf_exact" ->
