@@ -52,6 +52,38 @@ object VectorQueries {
   private def cosine(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.cosine_similarity(a, b)
 
+  /** q197's int8 symmetric quantization as a reusable projection:
+    * (id, qv: array<long>, nrm: long). Per-vector max-abs scale,
+    * codes round(x·127/s); integer codes/norms make every downstream
+    * sum order-independent exact (the oracle-parity discipline of the
+    * whole quantized family: q197/q209/q211/q213). */
+  private[operators] def quantI8(df: org.apache.spark.sql.DataFrame,
+                                 id: String): org.apache.spark.sql.DataFrame =
+    df.select(col(id), asD(col("embedding")).as("de"))
+      .withColumn("scale",
+        greatest(array_max(transform(col("de"), x => abs(x))), lit(1e-30)))
+      .select(col(id),
+        transform(col("de"),
+          x => round(x * lit(127) / col("scale")).cast("long")).as("qv"))
+      .withColumn("nrm", aggregate(transform(col("qv"), x => x * x),
+        lit(0L), (acc, x) => acc + x))
+
+  /** Literal-argmax cluster assignment against collected int8 seeds:
+    * argmax code-cosine, tie → lowest seed id (same total order as
+    * q209's max_by). Pure projection — usable on a STREAM side where
+    * an aggregate would need a watermark. */
+  private[operators] def clusterOfI8(qv: Column, nrm: Column,
+      seeds: Array[(Long, Array[Long], Long)]): Column =
+    -array_max(array(seeds.toIndexedSeq.map { case (sid, sqv, snrm) =>
+      val dotI = aggregate(
+        zip_with(qv, array(sqv.toIndexedSeq.map(lit(_)): _*), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)
+      struct(
+        (dotI.cast("double") /
+          greatest(sqrt((nrm * lit(snrm)).cast("double")), lit(1e-30))).as("sc"),
+        lit(-sid).as("negSid"))
+    }: _*)).getField("negSid")
+
   val queries: Map[String, Q] = Map(
     // Brute-force cosine top-5 for 20 probe vectors (baseline).
     "q70_knn_brute" -> ((s, d) => {
@@ -192,15 +224,7 @@ object VectorQueries {
     // (and the quadratic intra-cluster term) stay bounded.
     "q209_semdedup" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val nrmOf = (v: Column) => aggregate(transform(v, x => x * x),
-        lit(0L), (acc, x) => acc + x)
-      val q = e.select(col("vec_id"), asD(col("embedding")).as("de"))
-        .withColumn("scale",
-          greatest(array_max(transform(col("de"), x => abs(x))), lit(1e-30)))
-        .select(col("vec_id"),
-          transform(col("de"),
-            x => round(x * lit(127) / col("scale")).cast("long")).as("qv"))
-        .withColumn("nrm", nrmOf(col("qv")))
+      val q = quantI8(e, "vec_id")
       val seeds = q.orderBy(col("vec_id")).limit(32)
         .select(col("vec_id").as("sid"), col("qv").as("sqv"),
           col("nrm").as("snrm"))

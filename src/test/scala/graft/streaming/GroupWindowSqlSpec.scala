@@ -67,6 +67,37 @@ class GroupWindowSqlSpec extends SparkSpec {
     assert(df.filter(expr("rt <> we - INTERVAL 1 MILLISECOND")).isEmpty)
   }
 
+  test("the rewritten SQL text runs as a watermarked STREAMING query") {
+    val spark2 = spark; import spark2.implicits._
+    implicit val ctx = spark.sqlContext
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def e(id: Long, tSec: Long, typ: String) =
+      Event(id, new Timestamp(tSec * 1000), 1L, typ, 0.0, "{}")
+    val ms = MemoryStream[Event]
+    ms.toDF().withWatermark("ts", "10 seconds")
+      .createOrReplaceTempView("events_stream")
+    val agg = GroupWindowSql.run(spark,
+      """SELECT event_type, TUMBLE_START(ts, INTERVAL '1' MINUTE) AS ws,
+        |       COUNT(*) AS n
+        |FROM events_stream
+        |GROUP BY event_type, TUMBLE(ts, INTERVAL '1' MINUTE)""".stripMargin)
+    assert(agg.isStreaming, "the front-end must preserve streaming-ness")
+    val q = agg.select(col("event_type"), col("ws").cast("long").as("ws"), col("n"))
+      .writeStream.format("memory").queryName("gwsql").outputMode("append").start()
+    try {
+      ms.addData(e(1, 10, "a"), e(2, 20, "a"), e(3, 30, "b"))
+      q.processAllAvailable()
+      ms.addData(e(4, 130, "a")) // watermark 120 closes minute 0
+      q.processAllAvailable()
+      ms.addData(e(5, 400, "a")) // closes minute 2
+      q.processAllAvailable()
+      val got = spark.table("gwsql").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set(("a", 0L, 2L), ("b", 0L, 1L), ("a", 120L, 1L)))
+    } finally q.stop()
+  }
+
   test("dialect shim: CAST AS VARCHAR") {
     assert(GroupWindowSql.rewrite("SELECT CAST(user_id AS VARCHAR) FROM events")
       .contains("AS STRING"))
