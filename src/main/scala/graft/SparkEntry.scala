@@ -21,7 +21,8 @@ object SparkEntry {
     StreamParityQueries3.queries ++
     UdxQueries.queries ++ FormatQueries.queries ++ Partitioning.queries ++
     SourceQueries.queries ++ CorpusQueries.queries ++
-    StreamParityQueries4.queries ++ SqlFrontendQueries.queries
+    StreamParityQueries4.queries ++ SqlFrontendQueries.queries ++
+    CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
     StreamParityQueries3.oracle ++
     UdxQueries.oracle ++ FormatQueries.oracle ++ Partitioning.oracle ++
     SourceQueries.oracle ++ CorpusQueries.oracle ++
-    StreamParityQueries4.oracle ++ SqlFrontendQueries.oracle
+    StreamParityQueries4.oracle ++ SqlFrontendQueries.oracle ++
+    CurationQueries.oracle
 }

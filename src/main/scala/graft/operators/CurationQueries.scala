@@ -1,0 +1,305 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-curation tier 3 — model-free quality scoring and corpus-
+  * statistics filters for LLM training-data pipelines: unigram-LM
+  * surprisal scoring (CCNet-style LM filtering, with the LM reduced
+  * to the corpus's own unigram table), DSIR-style hashed-feature
+  * importance weighting, C4-style cross-document boilerplate removal,
+  * first-seer novelty scoring, and the streaming leg of the surprisal
+  * scorer (score-at-ingestion against a frozen corpus LM snapshot).
+  *
+  * Exactness discipline: every score is INTEGER arithmetic so the
+  * DuckDB oracle matches bit-for-bit. Logarithms are quantized to
+  * floor(log2(k)) computed as `length(bin(k)) - 1` — both engines
+  * produce the identical binary string for the identical BIGINT, so
+  * the quantized information content of a token is exactly
+  * reproducible (and at 100 TB a 1-bit-resolution surprisal is well
+  * inside the noise of any real LM filter).
+  *
+  * Scale design: each operator is explode → shuffle on a derived key
+  * (term / feature bucket / chunk / shingle) with map-side partial
+  * aggregation, followed by a bounded side table (vocabulary /
+  * 1024-bucket feature space / boilerplate set) joined back —
+  * broadcast-able at any corpus size for q215 (fixed 1024 rows),
+  * vocabulary-sized for the LM joins. The only driver scalars are
+  * metadata-sized aggregates (a corpus token total), same discipline
+  * as q201's corpus count.
+  */
+object CurationQueries {
+
+  /** 32-bit integer hash of a string column: first 8 hex chars of md5
+    * (same family as CorpusQueries/TextQueries — one md5 per value). */
+  private def md5i(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private def md5iSql(e: String): String =
+    s"('0x'||substr(md5($e),1,8))::BIGINT"
+
+  private def toks(c: Column) = split(c, " ")
+
+  /** floor(log2(k)) for a positive integer column, integer-exact in
+    * both engines: the bit width of k minus one. bin(0) = "0" in both,
+    * so k = 0 maps to 0 (used by the smoothed streaming scorer when a
+    * token outnumbers the corpus). */
+  private def blog2(k: Column): Column =
+    (length(bin(k)) - 1).cast("long")
+
+  private def blog2Sql(e: String): String = s"(length(bin($e)) - 1)"
+
+  /** Overlapping 2-word shingles (same construction as CorpusQueries:
+    * a 1-token text yields its single word). */
+  private def bigrams(t: Column): Column = {
+    val w = toks(t)
+    transform(sequence(lit(1), greatest(size(w) - 1, lit(1))),
+      i => concat_ws(" ", slice(w, i, lit(2))))
+  }
+
+  private val bigramsSql =
+    """list_transform(range(1, greatest(len(string_split(text,' ')), 2)),
+      |      i -> array_to_string(string_split(text,' ')[i:i+1], ' '))""".stripMargin
+
+  private val nBuckets = 1024 // q215: hashed feature space
+  private val chunkW = 10 // q216: words per boilerplate chunk (q205's width)
+  private val boilerDf = 2 // q216: chunk df threshold for removal
+
+  /** doc_id/idx/chunk rows: consecutive chunkW-word chunks (q205's
+    * chunking, shared shape). */
+  private def chunked(docs: DataFrame): DataFrame = {
+    val w0 = toks(col("text"))
+    val nChunks = (((size(w0) - 1) / chunkW).cast("int") + 1)
+    docs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(w0, i * chunkW + 1, lit(chunkW))))))
+      .toDF("doc_id", "idx", "chunk")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Unigram-LM surprisal score (CCNet-style quality filter with the
+    // LM collapsed to the corpus unigram distribution): each token
+    // instance contributes floor(log2(N_tokens // c(token))) bits;
+    // the doc score is the sum, plus a milli-bits-per-token rate for
+    // thresholding. Two shuffles (term count, doc_id sum) — the
+    // vocabulary table re-joins the token stream on term with
+    // map-side-combined counts; the 1-row total crossJoins broadcast.
+    "q214_surprisal_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"),
+        explode(toks(col("text"))).as("term"))
+      val cnt = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val tot = cnt.agg(sum(col("c")).as("n_tot"))
+      tok.join(cnt, "term").crossJoin(broadcast(tot))
+        .withColumn("surp", blog2(expr("n_tot div c")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("surp")).as("surprisal"))
+        .withColumn("bits_per_tok_milli", expr("(1000 * surprisal) div n_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR-style importance weight (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling" — public paper):
+    // hashed bigram features into a FIXED 1024-bucket space, target
+    // distribution = the English slice, raw = whole corpus; a doc's
+    // weight is the sum over its feature instances of the quantized
+    // log-ratio floor(log2(ct+1)) − floor(log2(cr+1)). The feature
+    // table is 1024 rows at ANY corpus size — it broadcasts, so the
+    // scoring pass is one explode + one broadcast join + one doc_id
+    // shuffle.
+    "q215_dsir_weight" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val feat = docs.select(col("doc_id"), col("lang"),
+        explode(bigrams(col("text"))).as("bg"))
+        .withColumn("f", pmod(md5i(col("bg")), lit(nBuckets)))
+      val ct = feat.filter(col("lang") === "en").groupBy(col("f"))
+        .agg(count(lit(1)).as("ct"))
+      val cr = feat.groupBy(col("f")).agg(count(lit(1)).as("cr"))
+      val qw = cr.join(ct, Seq("f"), "left")
+        .select(col("f"),
+          (blog2(coalesce(col("ct"), lit(0L)) + 1) -
+            blog2(col("cr") + 1)).as("qw"))
+      feat.join(broadcast(qw), "f")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_feat"), sum(col("qw")).as("weight"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // C4-style cross-document boilerplate removal: any chunkW-word
+    // chunk occurring in ≥ boilerDf DISTINCT documents is removed from
+    // EVERY document (q205 keeps the first occurrence; boilerplate
+    // keeps none — headers, licenses, navigation text). The
+    // boilerplate set is aggregation-bounded (one row per distinct
+    // repeated chunk); the anti join shuffles the chunks once on
+    // chunk text, reassembly once on doc_id — q205's exact budget.
+    "q216_boilerplate_strip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val chunks = chunked(docs)
+      val boiler = chunks.groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= boilerDf).select(col("chunk"))
+      val kept = chunks.join(boiler, Seq("chunk"), "left_anti")
+      val rebuilt = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("idx"), col("chunk")))),
+            s0 => s0.getField("chunk"))).as("cleaned"))
+      val w0 = toks(col("text"))
+      docs.select(col("doc_id"),
+        (((size(w0) - 1) / chunkW).cast("int") + 1).cast("long").as("n_chunks"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("cleaned"), lit("")).as("cleaned"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // First-seer novelty score: a doc's distinct 4-word shingles that
+    // NO earlier doc (by doc_id) contains, as count + permille of its
+    // shingle set — the marginal-contribution ranking used to order
+    // near-duplicate-heavy crawls before thresholded dedup. One
+    // shuffle on shingle (min-doc aggregation, map-side combined),
+    // one on doc_id.
+    "q217_novelty_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = docs.select(col("doc_id"),
+        explode(TextQueries.shingles4(col("text"))).as("sh")).distinct()
+      val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+      sh.join(first, "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"),
+          count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+        .withColumn("novelty_permille", expr("(1000 * n_novel) div n_sh"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAMING surprisal scoring — q214 at ingestion time against a
+    // FROZEN corpus LM snapshot (the q154/q155 snapshot+stream shape):
+    // the lower-doc_id half is the corpus whose unigram table is the
+    // static side, the upper half streams in three micro-batches, and
+    // each batch scores with add-one smoothing (an unseen token's
+    // count is 0 → c+1) so out-of-vocabulary streamed tokens are
+    // well-defined. Per-batch work is stateless (explode → broadcast
+    // vocabulary join → per-doc sum inside foreachBatch — docs arrive
+    // whole, so no cross-batch state); the corpus total is the one
+    // driver scalar (metadata-sized).
+    "q218_stream_surprisal" -> ((s, d) => {
+      import graft.streaming.Replay
+      val base = java.nio.file.Files.createTempDirectory("graft-surpstream")
+      val docs = Tables.documents(s, d)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val half = maxId / 2
+      val (c1, c2) = (half + (maxId - half) / 3, half + 2 * ((maxId - half) / 3))
+      val cnt = docs.filter(col("doc_id") < half)
+        .select(explode(toks(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("c"))
+        .cache()
+      val nTot = cnt.agg(sum(col("c"))).head().getLong(0)
+      val chunks = Seq(
+        col("doc_id") >= half && col("doc_id") < c1,
+        col("doc_id") >= c1 && col("doc_id") < c2,
+        col("doc_id") >= c2)
+      val (inDir, schema) =
+        Replay.fileEpochs(docs.filter(col("doc_id") >= half), chunks, base.toString)
+      val out = s"$base/out"
+      val q = Replay.streamDf(s, inDir, schema).writeStream
+        .option("checkpointLocation", s"$base/ck")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+            .join(broadcast(cnt), Seq("term"), "left")
+            .withColumn("surp",
+              blog2(expr(s"$nTot div (coalesce(c, 0L) + 1L)")))
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_tok"), sum(col("surp")).as("surprisal"))
+            .write.mode("append").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      cnt.unpersist()
+      s.read.parquet(out).orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q214_surprisal_score" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+        |            FROM documents),
+        |cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(c)::BIGINT AS n_tot FROM cnt)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  sum(length(bin(n_tot // c)) - 1)::BIGINT AS surprisal,
+        |  (1000 * sum(length(bin(n_tot // c)) - 1)::BIGINT) // count(*)
+        |    AS bits_per_tok_milli
+        |FROM tok JOIN cnt USING (term), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q215_dsir_weight" ->
+      s"""WITH feat AS (
+         |  SELECT doc_id, lang, ${md5iSql("bg")} % $nBuckets AS f
+         |  FROM (SELECT doc_id, lang, unnest($bigramsSql) AS bg
+         |        FROM documents)),
+         |ct AS (SELECT f, count(*) AS ct FROM feat WHERE lang = 'en'
+         |       GROUP BY 1),
+         |cr AS (SELECT f, count(*) AS cr FROM feat GROUP BY 1),
+         |qw AS (SELECT cr.f,
+         |         (${blog2Sql("coalesce(ct.ct, 0) + 1")} -
+         |          ${blog2Sql("cr.cr + 1")})::BIGINT AS qw
+         |       FROM cr LEFT JOIN ct USING (f))
+         |SELECT doc_id, lang, count(*) AS n_feat, sum(qw)::BIGINT AS weight
+         |FROM feat JOIN qw USING (f)
+         |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+    "q216_boilerplate_strip" ->
+      s"""WITH ix AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(0, (len(string_split(text,' ')) + ${chunkW - 1})
+         |                    // $chunkW)) AS idx
+         |  FROM documents),
+         |ch AS (
+         |  SELECT doc_id, idx,
+         |    array_to_string(string_split(text,' ')
+         |      [idx*$chunkW+1:idx*$chunkW+$chunkW], ' ') AS chunk
+         |  FROM ix),
+         |boiler AS (
+         |  SELECT chunk FROM ch GROUP BY chunk
+         |  HAVING count(DISTINCT doc_id) >= $boilerDf),
+         |kept AS (
+         |  SELECT ch.doc_id, ch.idx, ch.chunk
+         |  FROM ch ANTI JOIN boiler b ON ch.chunk = b.chunk),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |         string_agg(chunk, ' ' ORDER BY idx) AS cleaned
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  (len(string_split(d.text,' ')) + ${chunkW - 1}) // $chunkW
+         |    AS n_chunks,
+         |  coalesce(a.n_kept, 0) AS n_kept,
+         |  coalesce(a.cleaned, '') AS cleaned
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "q217_novelty_score" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(${TextQueries.shinglesSql}) AS sh
+         |    FROM documents)),
+         |f AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_sh,
+         |  count(CASE WHEN first_doc = doc_id THEN 1 END) AS n_novel,
+         |  (1000 * count(CASE WHEN first_doc = doc_id THEN 1 END)) // count(*)
+         |    AS novelty_permille
+         |FROM sh JOIN f USING (sh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q218_stream_surprisal" ->
+      """WITH hf AS (SELECT max(doc_id) // 2 AS half FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+        |        FROM documents, hf WHERE doc_id >= hf.half),
+        |cnt AS (SELECT term, count(*) AS c FROM (
+        |          SELECT unnest(string_split(text,' ')) AS term
+        |          FROM documents, hf WHERE doc_id < hf.half) GROUP BY 1),
+        |tot AS (SELECT sum(c)::BIGINT AS n_tot FROM cnt)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  sum(length(bin(n_tot // (coalesce(c, 0) + 1))) - 1)::BIGINT
+        |    AS surprisal
+        |FROM tok LEFT JOIN cnt USING (term), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}

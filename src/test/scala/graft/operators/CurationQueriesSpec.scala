@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Semantic checks for the tier-3 curation operators (q214–q218) —
+  * the oracle gate proves Spark≡DuckDB; these prove the operators
+  * mean what they claim on constructed inputs. */
+class CurationQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("blog2 quantization equals floor(log2(k)) across the range") {
+    val ks = (1L to 4096L) ++ Seq(1L << 40, (1L << 40) + 7, Long.MaxValue)
+    val got = ks.toDF("k")
+      .select((length(bin(col("k"))) - 1).cast("long")).as[Long].collect()
+    val want = ks.map(k => 63 - java.lang.Long.numberOfLeadingZeros(k))
+    assert(got.toSeq == want)
+  }
+
+  test("surprisal ranks a rare-token doc above a common-token doc") {
+    // 9 docs of the common token, 1 doc of a rare one: the rare doc's
+    // per-token information content must be strictly higher.
+    val docs = ((0 to 8).map(i => (i.toLong, "the the the the")) :+
+      (9L, "zyzzyva zyzzyva zyzzyva zyzzyva")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("t")
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val cnt = tok.groupBy("term").agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum("c").as("n_tot"))
+    val scored = tok.join(cnt, "term").crossJoin(broadcast(tot))
+      .withColumn("surp", (length(bin(expr("n_tot div c"))) - 1).cast("long"))
+      .groupBy("doc_id").agg(sum("surp").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scored(9L) > scored(0L))
+    // common token: c=36, n=40 -> 40/36=1 -> 0 bits; rare: 40/4=10 -> 3 bits
+    assert(scored(0L) == 0L && scored(9L) == 12L)
+  }
+
+  test("boilerplate strip removes EVERY occurrence of a repeated chunk") {
+    // Two docs share their first 10-word chunk; each has a unique tail
+    // chunk. q205-style keep-first would keep one copy of the shared
+    // chunk — boilerplate strip must keep zero.
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$shared alpha beta"),
+      (1L, s"$shared gamma delta")).toDF("doc_id", "text")
+    val q = CurationQueries.queries("q216_boilerplate_strip")
+    val dir = java.nio.file.Files.createTempDirectory("graft-boiler")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = q(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out(0L) == (1L, "alpha beta"))
+    assert(out(1L) == (1L, "gamma delta"))
+  }
+
+  test("novelty: an exact duplicate doc has zero novel shingles") {
+    val text = (1 to 12).map(i => s"t$i").mkString(" ")
+    val fresh = (1 to 12).map(i => s"u$i").mkString(" ")
+    val docs = Seq((0L, text), (1L, text), (2L, fresh)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-novel")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CurationQueries.queries("q217_novelty_score")(spark, dir.toString)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L)._2 == 1000L) // first seer: all shingles novel
+    assert(out(1L) == (0L, 0L)) // exact dup: nothing novel
+    assert(out(2L)._2 == 1000L) // disjoint vocabulary: all novel
+  }
+
+  test("dsir weight: target-slice docs outweigh off-target on live data") {
+    // On the real table, English docs' bigrams dominate the target
+    // counts, so the mean weight of 'en' docs must exceed the mean of
+    // non-'en' docs (the operator's entire purpose).
+    val out = CurationQueries.queries("q215_dsir_weight")(spark, sf)
+      .groupBy((col("lang") === "en").as("is_en"))
+      .agg((sum(col("weight")) / sum(col("n_feat"))).as("rate"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(out(true) > out(false))
+  }
+}
