@@ -193,4 +193,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(analyzed.contains("decimal(38,0)"),
       s"ppm numerator not widened to decimal:\n$analyzed")
   }
+
+  test("q214 corpus total joins as a 1-row broadcast, never a cartesian") {
+    val plan = formatted("q214_surprisal_score")
+    // the crossJoin(broadcast(tot)) must plan as BroadcastNestedLoopJoin
+    // over the single-row aggregate — a CartesianProduct here would
+    // shuffle the whole token stream against itself at scale
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"total not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    // vocabulary count must partial-aggregate map-side before its shuffle
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"missing partial aggregation:\n$plan")
+  }
+
+  test("q215 feature-weight table joins broadcast (fixed 1024 rows)") {
+    val plan = formatted("q215_dsir_weight")
+    // the qw side is bounded by the bucket count at ANY corpus size —
+    // the explicit broadcast() must survive planning
+    assert(plan.contains("BroadcastHashJoin"), s"qw join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q217 novelty reads doc_id+text only (scan pruned)") {
+    val plan = formatted("q217_novelty_score")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"unused columns read:\n$readSchema")
+  }
 }
