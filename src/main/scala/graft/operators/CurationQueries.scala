@@ -218,6 +218,79 @@ object CurationQueries {
       q.awaitTermination()
       cnt.unpersist()
       s.read.parquet(out).orderBy(col("doc_id"))
+    }),
+
+    // Per-language quality-quantile gate: integer type-token ratio
+    // (distinct tokens permille — repetition-heavy docs score low) →
+    // ntile(4) within each language over a TOTAL order (ttr desc,
+    // doc_id), keep = top quartile. The quantile boundary adapts per
+    // language, the standard per-slice gating form (a fixed global
+    // threshold would gut low-resource languages). One shuffle on
+    // lang; ntile is a running assignment, no second pass.
+    "q219_quality_quantile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w0 = toks(col("text"))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(w0).cast("long").as("n_tok"),
+          expr("(1000 * cast(size(array_distinct(split(text, ' '))) as bigint)) div size(split(text, ' '))").as("ttr"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("ttr").desc, col("doc_id"))
+      docs.withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("kept", col("quartile") === 1)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token-budget corpus selection — keep the highest-quality docs
+    // until a global token budget (10% of corpus tokens) is filled.
+    // NOT a global-order running sum (a single-partition window dies
+    // at scale): the ttr score space is BOUNDED (0..1000), so the
+    // cumulative threshold comes from a ≤1001-row score HISTOGRAM —
+    // tiers strictly above the cutoff keep everything, and only the
+    // boundary tier runs a per-tier doc_id-ordered running sum
+    // (partitioned window, parallel across tiers). Two bounded
+    // shuffles + one broadcast of the histogram.
+    "q220_token_budget_select" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w0 = toks(col("text"))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(w0).cast("long").as("n_tok"),
+          expr("(1000 * cast(size(array_distinct(split(text, ' '))) as bigint)) div size(split(text, ' '))").as("ttr"))
+      val hist = docs.groupBy(col("ttr")).agg(sum(col("n_tok")).as("t"))
+      val cum = hist.withColumn("cum_before",
+        coalesce(sum(col("t")).over(Window.orderBy(col("ttr").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val budget = docs.agg((sum(col("n_tok")) / 10).cast("long").as("budget"))
+      val win = Window.partitionBy(col("ttr")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.join(broadcast(cum.select(col("ttr"), col("cum_before"))), "ttr")
+        .crossJoin(broadcast(budget))
+        .withColumn("tier_cum", sum(col("n_tok")).over(win))
+        .filter(col("cum_before") + col("tier_cum") <= col("budget"))
+        .select(col("doc_id"), col("ttr"), col("n_tok"),
+          (col("cum_before") + col("tier_cum")).as("cum_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Balanced training-shard assignment: docs ranked by size (n_tok
+    // desc, doc_id) round-robin into 8 shards — the LPT-flavored
+    // static balancer — with the audit (docs, token total, heaviest
+    // doc) per shard proving balance. The global rank is the one
+    // scale caveat (documented: at petabyte scale rank via
+    // range-partitioned sort + partition-offset prefix sums, same
+    // result); the audit output is 8 rows.
+    "q221_balanced_shards" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w0 = toks(col("text"))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(w0).cast("long").as("n_tok"))
+      val rk = row_number().over(Window.orderBy(col("n_tok").desc, col("doc_id")))
+      docs.withColumn("shard", pmod(rk - 1, lit(8)).cast("long"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"),
+          max(col("n_tok")).as("tok_max"))
+        .orderBy(col("shard"))
     })
   )
 
@@ -300,6 +373,50 @@ object CurationQueries {
         |  sum(length(bin(n_tot // (coalesce(c, 0) + 1))) - 1)::BIGINT
         |    AS surprisal
         |FROM tok LEFT JOIN cnt USING (term), tot
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q219_quality_quantile" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split(text,' '))::BIGINT AS n_tok,
+        |    (1000 * len(list_distinct(string_split(text,' ')))::BIGINT)
+        |      // len(string_split(text,' ')) AS ttr
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tok, ttr,
+        |  ntile(4) OVER (PARTITION BY lang ORDER BY ttr DESC, doc_id)::BIGINT
+        |    AS quartile,
+        |  ntile(4) OVER (PARTITION BY lang ORDER BY ttr DESC, doc_id) = 1
+        |    AS kept
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q220_token_budget_select" ->
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    len(string_split(text,' '))::BIGINT AS n_tok,
+        |    (1000 * len(list_distinct(string_split(text,' ')))::BIGINT)
+        |      // len(string_split(text,' ')) AS ttr
+        |  FROM documents),
+        |hist AS (SELECT ttr, sum(n_tok)::BIGINT AS t FROM sc GROUP BY 1),
+        |cum AS (SELECT ttr, coalesce(sum(t) OVER (ORDER BY ttr DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |          AS cum_before FROM hist),
+        |b AS (SELECT sum(n_tok)::BIGINT // 10 AS budget FROM sc),
+        |t AS (SELECT sc.doc_id, sc.ttr, sc.n_tok, cum.cum_before,
+        |        sum(sc.n_tok) OVER (PARTITION BY sc.ttr ORDER BY sc.doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |          AS tier_cum
+        |      FROM sc JOIN cum USING (ttr))
+        |SELECT doc_id, ttr, n_tok, (cum_before + tier_cum)::BIGINT AS cum_tok
+        |FROM t, b WHERE cum_before + tier_cum <= b.budget
+        |ORDER BY doc_id""".stripMargin,
+    "q221_balanced_shards" ->
+      """WITH sc AS (
+        |  SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tok
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tok,
+        |        (row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1) % 8
+        |          AS shard
+        |      FROM sc)
+        |SELECT shard::BIGINT AS shard, count(*) AS n_docs,
+        |  sum(n_tok)::BIGINT AS tok_total, max(n_tok) AS tok_max
+        |FROM r GROUP BY shard ORDER BY shard""".stripMargin
   )
 }

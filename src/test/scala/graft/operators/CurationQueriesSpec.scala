@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 
 /** Semantic checks for the tier-3 curation operators (q214–q218) —
   * the oracle gate proves Spark≡DuckDB; these prove the operators
@@ -63,6 +63,38 @@ class CurationQueriesSpec extends SparkSpec {
     assert(out(0L)._2 == 1000L) // first seer: all shingles novel
     assert(out(1L) == (0L, 0L)) // exact dup: nothing novel
     assert(out(2L)._2 == 1000L) // disjoint vocabulary: all novel
+  }
+
+  test("budget select equals the brute-force greedy on live data") {
+    val out = CurationQueries.queries("q220_token_budget_select")(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    // brute force: sort by (ttr desc, doc_id), take while cum <= 10%
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"),
+        expr("(1000 * cast(size(array_distinct(split(text, ' '))) as bigint)) div size(split(text, ' '))").as("ttr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val budget = docs.map(_._2).sum / 10
+    var cum = 0L
+    val want = docs.sortBy(t => (-t._3, t._1)).takeWhile { t =>
+      cum += t._2; cum <= budget
+    }.map(_._1).toSet
+    assert(out == want)
+    assert(want.nonEmpty)
+  }
+
+  test("shard assignment is the exact round-robin over the size rank") {
+    val out = CurationQueries.queries("q221_balanced_shards")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = docs.sortBy(t => (-t._2, t._1)).zipWithIndex
+      .groupBy(_._2 % 8)
+      .map { case (sh, xs) => sh.toLong -> (xs.size.toLong, xs.map(_._1._2).sum) }
+    assert(out == want)
+    // the balancer's purpose: shards within 20% of each other
+    val tots = out.values.map(_._2)
+    assert(tots.max < tots.min * 12 / 10)
   }
 
   test("dsir weight: target-slice docs outweigh off-target on live data") {
