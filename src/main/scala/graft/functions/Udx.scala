@@ -100,5 +100,10 @@ object Udx {
     spark.udf.register("top2", udaf(new Top2))
     spark.udf.register("tokenize",
       (s: String) => tokenize(s)) // SELECT explode(tokenize(text))
+    // single-column TableFunction with possibly-EMPTY expansions — the
+    // outer-correlate case (LEFT JOIN LATERAL TABLE ... ON TRUE)
+    spark.udf.register("long_tokens", (s: String, n: Int) =>
+      if (s == null) Seq.empty[String]
+      else s.split(" ").toSeq.filter(_.length > n))
   }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.streaming.GroupWindowSql
+import graft.streaming.{FlinkSqlJoins, GroupWindowSql}
 
 /** SQL-text front-end catalog — queries a reference user would paste
   * VERBATIM in the Flink SQL dialect, executed through the dialect
@@ -55,6 +55,60 @@ object SqlFrontendQueries {
     "q208_flinksql_groupwindow" -> ((s, d) => {
       Tables.events(s, d).createOrReplaceTempView("events")
       GroupWindowSql.run(s, flinkSql)
+    }),
+
+    // Temporal table join in the LITERAL Flink-SQL `FOR SYSTEM_TIME
+    // AS OF` syntax, compiled onto the AsOfJoin Catalyst node: each
+    // purchase joins the version of the per-user view stream current
+    // at its timestamp (latest view with ts <= purchase ts, highest
+    // event_id among ties; purchases with no prior view null-pad).
+    // Same semantics q54/q59 bind via the DataFrame/exec surfaces —
+    // here the USER-FACING TEXT is the thing under test.
+    "q222_flinksql_temporal" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ev = Tables.events(s, d)
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .createOrReplaceTempView("purchases")
+      ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .createOrReplaceTempView("view_versions")
+      FlinkSqlJoins.runTemporal(s,
+        """SELECT o.user_id, o.event_id AS purchase_id,
+          |       r.event_id AS last_view_id,
+          |       unix_micros(o.ts) - unix_micros(r.ts) AS lag_us
+          |FROM purchases o
+          |JOIN view_versions FOR SYSTEM_TIME AS OF o.ts AS r
+          |ON o.user_id = r.user_id
+          |ORDER BY o.user_id, purchase_id""".stripMargin)
+    }),
+
+    // UDTF correlate in the literal `LATERAL TABLE(f(...)) AS t(cols)`
+    // syntax (multi-column TableFunction → inline over the
+    // array<struct> the UDTF returns) — q149's operator through the
+    // reference's SQL text instead of the explode() idiom.
+    "q223_flinksql_lateral" -> ((s, d) => {
+      graft.functions.Udx.register(s)
+      withTables(s, d, "documents")
+      FlinkSqlJoins.run(s,
+        """SELECT doc_id, t.idx AS idx, t.tok AS tok
+          |FROM documents, LATERAL TABLE(tokenize(text)) AS t(idx, tok)
+          |WHERE doc_id < 50 AND length(trim(text)) > 0
+          |ORDER BY doc_id, idx""".stripMargin)
+    }),
+
+    // LEFT correlate: `LEFT JOIN LATERAL TABLE(...) ON TRUE` → OUTER
+    // generate — a doc whose UDTF expansion is EMPTY must still emit
+    // one null-padded row (the reference's left-correlate contract,
+    // CommonCorrelate with outer join type).
+    "q224_flinksql_lateral_outer" -> ((s, d) => {
+      graft.functions.Udx.register(s)
+      withTables(s, d, "documents")
+      FlinkSqlJoins.run(s,
+        """SELECT doc_id, t.tok AS tok
+          |FROM documents LEFT JOIN LATERAL TABLE(long_tokens(text, 6)) AS t(tok) ON TRUE
+          |WHERE doc_id < 50
+          |ORDER BY doc_id, tok""".stripMargin)
     })
   )
 
@@ -104,6 +158,33 @@ object SqlFrontendQueries {
         |            AS prev_ts
         |        FROM ev))
         |GROUP BY 1, 2, sess_id
-        |) ORDER BY kind, grp, ws""".stripMargin)
+        |) ORDER BY kind, grp, ws""".stripMargin),
+    "q222_flinksql_temporal" -> (evCte +
+      """
+        |SELECT user_id, purchase_id, last_view_id, lag_us FROM (
+        |  SELECT p.user_id, p.event_id AS purchase_id,
+        |         v.event_id AS last_view_id,
+        |         epoch_us(p.ts) - epoch_us(v.ts) AS lag_us,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |           ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |  FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM ev WHERE event_type = 'view') v
+        |    ON v.user_id = p.user_id AND v.ts <= p.ts)
+        |WHERE rn = 1
+        |ORDER BY user_id, purchase_id""".stripMargin),
+    "q223_flinksql_lateral" ->
+      """SELECT doc_id, s.idx AS idx, s.tok AS tok FROM (
+        |  SELECT doc_id,
+        |    unnest(list_transform(string_split(rtrim(text, ' '), ' '),
+        |      (t, i) -> struct_pack(idx := i - 1, tok := t))) AS s
+        |  FROM documents WHERE doc_id < 50 AND length(trim(text)) > 0)
+        |ORDER BY doc_id, s.idx""".stripMargin,
+    "q224_flinksql_lateral_outer" ->
+      """SELECT d.doc_id, t.tok AS tok
+        |FROM documents d LEFT JOIN LATERAL (
+        |  SELECT unnest(list_filter(string_split(d.text, ' '),
+        |                            x -> len(x) > 6)) AS tok) t ON TRUE
+        |WHERE d.doc_id < 50
+        |ORDER BY doc_id, tok""".stripMargin
   )
 }
