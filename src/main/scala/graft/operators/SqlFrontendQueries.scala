@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.Tables
-import graft.streaming.{FlinkSqlJoins, GroupWindowSql}
+import graft.streaming.{FlinkDdl, FlinkSqlJoins, GroupWindowSql}
+import org.apache.spark.sql.Row
 
 /** SQL-text front-end catalog — queries a reference user would paste
   * VERBATIM in the Flink SQL dialect, executed through the dialect
@@ -97,6 +98,142 @@ object SqlFrontendQueries {
           |ORDER BY doc_id, idx""".stripMargin)
     }),
 
+    // Pure-SQL DDL pipeline — the reference's TableEnvironment
+    // .executeSql script surface with NO DataFrame code: a csv-backed
+    // source table (with a computed column), a parquet sink, INSERT
+    // INTO, and a trailing SELECT, all as literal Flink DDL text
+    // (mixed 1.10 dotted and flat property keys on purpose — both
+    // were current across reference versions).
+    "q225_flinksql_ddl_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val base = java.nio.file.Files.createTempDirectory("graft-ddl")
+      Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"),
+        org.apache.spark.sql.functions.expr("cast(round(value*100) as bigint)").as("cents"))
+        .write.mode("overwrite").option("header", "false").csv(s"$base/src")
+      new FlinkDdl.Env(s).executeScript(
+        s"""CREATE TABLE ev_src (
+           |  event_id BIGINT, user_id BIGINT, event_type STRING,
+           |  cents BIGINT,
+           |  cents_x10 AS cents * 10
+           |) WITH (
+           |  'connector.type' = 'filesystem',
+           |  'connector.path' = '$base/src',
+           |  'format.type' = 'csv'
+           |);
+           |CREATE TABLE agg_snk (
+           |  event_type STRING, n BIGINT, cents_v BIGINT, x10_v BIGINT,
+           |  users BIGINT
+           |) WITH (
+           |  'connector' = 'filesystem', 'path' = '$base/snk',
+           |  'format' = 'parquet'
+           |);
+           |INSERT INTO agg_snk
+           |SELECT event_type, COUNT(*), SUM(cents), SUM(cents_x10),
+           |       COUNT(DISTINCT user_id)
+           |FROM ev_src GROUP BY event_type;
+           |SELECT event_type, n, cents_v, x10_v, users FROM agg_snk
+           |ORDER BY event_type""".stripMargin)
+    }),
+
+    // DDL write-path contract: PARTITIONED BY parquet sink, INSERT
+    // OVERWRITE then INSERT INTO composing (even/odd user halves),
+    // CREATE VIEW over the sink — the partition pruning a real
+    // warehouse sink needs, driven purely from DDL text.
+    "q226_flinksql_ddl_partitioned" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val base = java.nio.file.Files.createTempDirectory("graft-ddl2")
+      Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"),
+        org.apache.spark.sql.functions.expr("cast(round(value*100) as bigint)").as("cents"))
+        .write.mode("overwrite").option("header", "false").csv(s"$base/src")
+      new FlinkDdl.Env(s).executeScript(
+        s"""CREATE TABLE ev_src (
+           |  event_id BIGINT, user_id BIGINT, event_type STRING, cents BIGINT
+           |) WITH (
+           |  'connector.type' = 'filesystem',
+           |  'connector.path' = '$base/src',
+           |  'format.type' = 'csv'
+           |);
+           |CREATE TABLE part_snk (
+           |  user_id BIGINT, cents BIGINT, event_type STRING
+           |) PARTITIONED BY (event_type) WITH (
+           |  'connector' = 'filesystem', 'path' = '$base/psnk',
+           |  'format' = 'parquet'
+           |);
+           |INSERT OVERWRITE part_snk
+           |SELECT user_id, cents, event_type FROM ev_src WHERE user_id % 2 = 0;
+           |INSERT INTO part_snk
+           |SELECT user_id, cents, event_type FROM ev_src WHERE user_id % 2 = 1;
+           |CREATE VIEW per_type AS
+           |SELECT event_type, COUNT(*) AS n, SUM(cents) AS cents_v
+           |FROM part_snk GROUP BY event_type;
+           |SELECT event_type, n, cents_v FROM per_type ORDER BY event_type""".stripMargin)
+    }),
+
+    // The DDL WATERMARK clause driving a real STREAMING query: the
+    // declared `WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE` (over a
+    // COMPUTED rowtime column decoding csv micros) becomes
+    // withWatermark on the stream read; day-window aggregates close
+    // exactly as the watermark passes during the four-quarter csv
+    // replay (+ two far-future flush files so every window emits).
+    "q227_flinksql_ddl_stream" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val base = java.nio.file.Files.createTempDirectory("graft-ddl3")
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), expr("cast(round(value*100) as bigint)").as("cents"),
+        unix_micros(col("ts")).as("ts_us"))
+      val Row(lo: Long, hi: Long) =
+        ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+      val cut = (q: Long) => lo + (hi - lo) * q / 4
+      val in = s"$base/src"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val chunks = Seq(
+        col("ts_us") < cut(1),
+        col("ts_us") >= cut(1) && col("ts_us") < cut(2),
+        col("ts_us") >= cut(2) && col("ts_us") < cut(3),
+        col("ts_us") >= cut(3))
+      val flush = Seq(hi + 86400L * 1000000L, hi + 2 * 86400L * 1000000L)
+        .zipWithIndex.map { case (us, i) =>
+          (-(1L + i), 0L, "__flush", 0L, us)
+        }
+      val flushDf = s.createDataFrame(flush).toDF(ev.columns.toIndexedSeq: _*)
+      (chunks.map(ev.filter) ++ flush.indices.map(i => flushDf.filter(col("ts_us") ===
+        flush(i)._5))).zipWithIndex.foreach { case (df, i) =>
+        df.coalesce(1).write.mode("overwrite").option("header", "false")
+          .csv(s"$base/stage_$i")
+        val listing = java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/stage_$i"))
+        val part = try listing.filter(_.getFileName.toString.endsWith(".csv"))
+          .findFirst() finally listing.close()
+        if (part.isPresent) {
+          val dst = java.nio.file.Paths.get(in, f"chunk_$i%02d.csv")
+          java.nio.file.Files.move(part.get(), dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1_000_000_000_000L + i * 60_000L))
+        }
+      }
+      val env = new FlinkDdl.Env(s)
+      env.executeSql(
+        s"""CREATE TABLE ev_stream (
+           |  event_id BIGINT, user_id BIGINT, event_type STRING,
+           |  cents BIGINT, ts_us BIGINT,
+           |  ts AS timestamp_micros(ts_us),
+           |  WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE
+           |) WITH (
+           |  'connector.type' = 'filesystem',
+           |  'connector.path' = '$in',
+           |  'format.type' = 'csv'
+           |)""".stripMargin)
+      val agg = env.readStream("ev_stream", Map("maxFilesPerTrigger" -> "1"))
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_v"))
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n"), col("cents_v"))
+      StreamParityQueries.runAppend(agg, base.toString, s)
+        .filter(col("event_type") =!= "__flush")
+        .orderBy(col("ws"), col("event_type"))
+    }),
+
     // LEFT correlate: `LEFT JOIN LATERAL TABLE(...) ON TRUE` → OUTER
     // generate — a doc whose UDTF expansion is EMPTY must still emit
     // one null-padded row (the reference's left-correlate contract,
@@ -172,6 +309,24 @@ object SqlFrontendQueries {
         |    ON v.user_id = p.user_id AND v.ts <= p.ts)
         |WHERE rn = 1
         |ORDER BY user_id, purchase_id""".stripMargin),
+    "q225_flinksql_ddl_pipeline" -> (evCte +
+      """
+        |SELECT event_type, count(*) AS n,
+        |  sum(cents)::BIGINT AS cents_v,
+        |  sum(cents * 10)::BIGINT AS x10_v,
+        |  count(DISTINCT user_id) AS users
+        |FROM (SELECT *, CAST(round(value*100) AS BIGINT) AS cents FROM ev)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    "q226_flinksql_ddl_partitioned" -> (evCte +
+      """
+        |SELECT event_type, count(*) AS n,
+        |  sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents_v
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin),
+    "q227_flinksql_ddl_stream" -> (evCte +
+      """
+        |SELECT date_trunc('day', ts) AS ws, event_type, count(*) AS n,
+        |  sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents_v
+        |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "q223_flinksql_lateral" ->
       """SELECT doc_id, s.idx AS idx, s.tok AS tok FROM (
         |  SELECT doc_id,

@@ -1,0 +1,232 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+
+/** Flink-SQL DDL front-end — the `TableEnvironment.executeSql` script
+  * surface: a reference user's PURE-SQL pipeline (`CREATE TABLE … WITH
+  * (connector properties)`, `CREATE VIEW`, `INSERT INTO t SELECT …`,
+  * trailing `SELECT`) runs verbatim with no DataFrame code at all.
+  *
+  * Reference: the DDL grammar in `flink-table/flink-sql-parser/…/
+  * FlinkSqlParserImplTest.java:207` (CREATE TABLE with computed
+  * columns, WATERMARK, PARTITIONED BY, WITH property maps) executed
+  * through `TableEnvironment.sqlUpdate/executeSql`; the filesystem
+  * connector property keys from the descriptor tests
+  * (`flink-table-planner/…/descriptors/FileSystemTest.scala`:
+  * `connector.type`=`filesystem`, `connector.path`, `format.type`).
+  * Both the 1.10 dotted keys and the later flat keys
+  * (`connector`/`path`/`format`) are accepted.
+  *
+  * Mapping (all onto the native Spark readers/writers — the rewrite
+  * costs nothing at scale; Catalyst sees ordinary relations):
+  *  - CREATE TABLE + filesystem connector → `spark.read.format(fmt)
+  *    .schema(declared)` registered as a temp view; a sink whose path
+  *    does not exist yet registers lazily on first INSERT.
+  *  - computed columns (`g AS expr`) → projection over the scan.
+  *  - `WATERMARK FOR ts AS ts - INTERVAL 'n' U` → recorded; applied
+  *    as `withWatermark` when the table is read as a STREAM
+  *    ([[FlinkDdl.Env.readStream]]); metadata on the batch path (same
+  *    division as the reference: watermarks only gate event-time
+  *    operators).
+  *  - PARTITIONED BY → `write.partitionBy` on the INSERT path.
+  *  - INSERT INTO → positional column alignment + cast to the
+  *    declared types, then a format write (INSERT OVERWRITE supported).
+  *
+  * Loud rejections: non-filesystem connectors (kafka/elasticsearch…
+  * are environment-dependent), PROCTIME() computed columns
+  * (processing time is nondeterministic by definition), unsupported
+  * types, and any statement the parser did not consume.
+  */
+object FlinkDdl {
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"FlinkDdl: $msg")
+
+  final case class TableDef(name: String, schema: StructType,
+      computed: Seq[(String, String)], watermark: Option[(String, String)],
+      partitionedBy: Seq[String], path: String, format: String) {
+    def readerColumns: Seq[String] =
+      schema.fieldNames.toSeq ++ computed.map(_._1)
+  }
+
+  /** Parse a Flink SQL type name to a Spark type. */
+  def sqlType(t: String): DataType = {
+    val up = t.trim.toUpperCase
+    val Dec = """DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+    up match {
+      case "BIGINT" => LongType
+      case "INT" | "INTEGER" => IntegerType
+      case "SMALLINT" => ShortType
+      case "TINYINT" => ByteType
+      case "DOUBLE" => DoubleType
+      case "FLOAT" | "REAL" => FloatType
+      case "BOOLEAN" => BooleanType
+      case "DATE" => DateType
+      case s if s.startsWith("TIMESTAMP") => TimestampType
+      case s if s.startsWith("VARCHAR") || s.startsWith("CHAR") || s == "STRING" =>
+        StringType
+      case Dec(p, sc) => DecimalType(p.toInt, sc.toInt)
+      case other => fail(s"unsupported column type $other")
+    }
+  }
+
+  // cols is NON-greedy: a greedy capture would swallow the optional
+  // PARTITIONED BY clause into the column list
+  private val CreateTableRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(\w+)\s*\((.*?)\)\s*(?:PARTITIONED\s+BY\s*\(([\w\s,]+)\)\s*)?WITH\s*\((.*)\)\s*$""".r
+  private val CreateViewRe =
+    """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?VIEW\s+(\w+)\s+AS\s+(SELECT\b.*)$""".r
+  private val InsertRe =
+    """(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(SELECT\b.*|VALUES\b.*)$""".r
+  private val SelectRe = """(?is)^\s*\(?\s*SELECT\b.*$""".r
+  private val DropRe = """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+  private val WatermarkRe =
+    """(?is)^\s*WATERMARK\s+FOR\s+(\w+)\s+AS\s+\w+\s*-\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*$""".r
+  private val ComputedRe = """(?is)^\s*(\w+)\s+AS\s+(.+)$""".r
+  private val ColumnRe = """(?is)^\s*(\w+)\s+([A-Za-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*(?:COMMENT\s+'[^']*')?\s*$""".r
+  private val PropRe = """'([^']+)'\s*=\s*'([^']*)'""".r
+
+  /** Split a script on statement-terminating semicolons (quote-aware). */
+  def splitStatements(script: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    script.foreach {
+      case '\'' => inQuote = !inQuote; cur.append('\'')
+      case ';' if !inQuote => out += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    val cur = new StringBuilder
+    s.foreach {
+      case '(' => depth += 1; cur.append('(')
+      case ')' => depth -= 1; cur.append(')')
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** A catalog of DDL-declared tables bound to one session. */
+  final class Env(spark: SparkSession) {
+    private val tables = mutable.Map.empty[String, TableDef]
+
+    def table(name: String): TableDef =
+      tables.getOrElse(name, fail(s"unknown DDL table $name"))
+
+    /** Execute one statement; SELECTs return their frame. */
+    def executeSql(stmt: String): Option[DataFrame] = stmt match {
+      case CreateTableRe(name, cols, parts, props) =>
+        createTable(name, cols, Option(parts), props); None
+      case CreateViewRe(name, select) =>
+        spark.sql(select).createOrReplaceTempView(name); None
+      case InsertRe(mode, name, select) =>
+        insert(name, select, mode.equalsIgnoreCase("OVERWRITE")); None
+      case s if SelectRe.matches(s) => Some(spark.sql(s))
+      case DropRe(name) =>
+        tables.remove(name); spark.catalog.dropTempView(name); None
+      case other => fail(s"unsupported statement: ${other.take(80)}")
+    }
+
+    /** Execute a whole script; returns the LAST select's frame. */
+    def executeScript(script: String): DataFrame =
+      splitStatements(script).flatMap(executeSql) match {
+        case rs if rs.nonEmpty => rs.last
+        case _ => fail("script contained no SELECT statement")
+      }
+
+    private def createTable(name: String, colsSrc: String,
+        parts: Option[String], propsSrc: String): Unit = {
+      val props = PropRe.findAllMatchIn(propsSrc)
+        .map(m => m.group(1) -> m.group(2)).toMap
+      def prop(keys: String*): Option[String] = keys.flatMap(props.get).headOption
+      val connector = prop("connector.type", "connector")
+        .getOrElse(fail(s"table $name: no connector property"))
+      if (connector != "filesystem")
+        fail(s"table $name: connector '$connector' is not available in this " +
+          "environment (filesystem only; kafka/es need external services)")
+      val path = prop("connector.path", "path")
+        .getOrElse(fail(s"table $name: no path property"))
+      val format = prop("format.type", "format").getOrElse("csv")
+      if (!Set("csv", "json", "parquet", "orc")(format))
+        fail(s"table $name: unsupported format '$format'")
+
+      var fields = Vector.empty[StructField]
+      var computed = Vector.empty[(String, String)]
+      var watermark = Option.empty[(String, String)]
+      splitTopLevel(colsSrc).foreach {
+        case WatermarkRe(c, n, unit) =>
+          watermark = Some((c, s"$n ${unit.toLowerCase}${if (n == "1") "" else "s"}"))
+        case c if c.toUpperCase.startsWith("PRIMARY KEY") => () // metadata
+        case ColumnRe(n, t) => fields :+= StructField(n, sqlType(t))
+        case ComputedRe(n, e) =>
+          if (e.toUpperCase.contains("PROCTIME"))
+            fail(s"computed column $n: PROCTIME() is nondeterministic " +
+              "processing time — not supported on the oracle surface")
+          computed :+= (n -> e)
+        case other => fail(s"unparseable column clause: $other")
+      }
+      val defn = TableDef(name, StructType(fields), computed, watermark,
+        parts.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+        path, format)
+      tables(name) = defn
+      if (new java.io.File(path).exists()) register(defn)
+    }
+
+    /** (Re-)register the table's batch view over its files. */
+    private def register(t: TableDef): Unit = {
+      val base = spark.read.format(t.format).schema(t.schema)
+        .option("header", "false").load(t.path)
+      val projected =
+        if (t.computed.isEmpty) base
+        else base.selectExpr(
+          t.schema.fieldNames.toSeq ++ t.computed.map { case (n, e) => s"($e) AS $n" }: _*)
+      projected.createOrReplaceTempView(t.name)
+    }
+
+    /** Streaming read of a DDL table: declared schema + recorded
+      * WATERMARK applied (`withWatermark`), the reference's rowtime
+      * attribute division. */
+    def readStream(name: String, options: Map[String, String] = Map.empty)
+        : DataFrame = {
+      val t = table(name)
+      val base = spark.readStream.format(t.format).schema(t.schema)
+        .option("header", "false").options(options).load(t.path)
+      val projected =
+        if (t.computed.isEmpty) base
+        else base.selectExpr(
+          t.schema.fieldNames.toSeq ++ t.computed.map { case (n, e) => s"($e) AS $n" }: _*)
+      t.watermark.fold(projected) { case (c, delay) =>
+        projected.withWatermark(c, delay)
+      }
+    }
+
+    private def insert(name: String, select: String, overwrite: Boolean): Unit = {
+      val t = table(name)
+      val src = spark.sql(select)
+      if (src.columns.length != t.schema.length)
+        fail(s"INSERT INTO $name: ${src.columns.length} columns for " +
+          s"${t.schema.length}-column table")
+      // positional alignment + cast to declared types (Flink inserts
+      // by position, not by name)
+      val aligned = src.toDF(t.schema.fieldNames.toIndexedSeq: _*)
+        .selectExpr(t.schema.fields.map(f =>
+          s"CAST(${f.name} AS ${f.dataType.sql}) AS ${f.name}").toIndexedSeq: _*)
+      val writer = aligned.write.format(t.format)
+        .mode(if (overwrite) "overwrite" else "append")
+        .option("header", "false")
+      (if (t.partitionedBy.nonEmpty) writer.partitionBy(t.partitionedBy: _*)
+       else writer).save(t.path)
+      register(t)
+    }
+  }
+}
