@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.streaming.{FlinkDdl, FlinkSqlJoins, GroupWindowSql}
+import graft.streaming.{FlinkDdl, FlinkSql, FlinkSqlJoins, GroupWindowSql}
 import org.apache.spark.sql.Row
 
 /** SQL-text front-end catalog — queries a reference user would paste
@@ -234,6 +234,48 @@ object SqlFrontendQueries {
         .orderBy(col("ws"), col("event_type"))
     }),
 
+    // THE unified executeSql: one script through FlinkSql.Env
+    // composing the DDL surface WITH the group-window dialect — the
+    // INSERT's SELECT uses TUMBLE/TUMBLE_START/TUMBLE_END verbatim
+    // and lands in a parquet sink declared by DDL; the trailing
+    // SELECT reads it back. A reference user's day-rollup ETL script,
+    // pasted whole.
+    "q228_flinksql_unified" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val base = java.nio.file.Files.createTempDirectory("graft-uni")
+      Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"),
+        expr("cast(round(value*100) as bigint)").as("cents"),
+        unix_micros(col("ts")).as("ts_us"))
+        .write.mode("overwrite").option("header", "false").csv(s"$base/src")
+      new FlinkSql.Env(s).executeScript(
+        s"""CREATE TABLE ev_src (
+           |  event_id BIGINT, user_id BIGINT, event_type STRING,
+           |  cents BIGINT, ts_us BIGINT,
+           |  ts AS timestamp_micros(ts_us)
+           |) WITH (
+           |  'connector.type' = 'filesystem',
+           |  'connector.path' = '$base/src',
+           |  'format.type' = 'csv'
+           |);
+           |CREATE TABLE day_snk (
+           |  event_type STRING, ws TIMESTAMP(3), we TIMESTAMP(3),
+           |  n BIGINT, cents_v BIGINT
+           |) WITH (
+           |  'connector' = 'filesystem', 'path' = '$base/snk',
+           |  'format' = 'parquet'
+           |);
+           |INSERT INTO day_snk
+           |SELECT event_type,
+           |       TUMBLE_START(ts, INTERVAL '1' DAY),
+           |       TUMBLE_END(ts, INTERVAL '1' DAY),
+           |       COUNT(*), SUM(cents)
+           |FROM ev_src
+           |GROUP BY event_type, TUMBLE(ts, INTERVAL '1' DAY);
+           |SELECT event_type, ws, we, n, cents_v FROM day_snk
+           |ORDER BY event_type, ws""".stripMargin)
+    }),
+
     // LEFT correlate: `LEFT JOIN LATERAL TABLE(...) ON TRUE` → OUTER
     // generate — a doc whose UDTF expansion is EMPTY must still emit
     // one null-padded row (the reference's left-correlate contract,
@@ -327,6 +369,13 @@ object SqlFrontendQueries {
         |SELECT date_trunc('day', ts) AS ws, event_type, count(*) AS n,
         |  sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents_v
         |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "q228_flinksql_unified" -> (evCte +
+      """
+        |SELECT event_type, date_trunc('day', ts) AS ws,
+        |  date_trunc('day', ts) + INTERVAL 1 DAY AS we,
+        |  count(*) AS n,
+        |  sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents_v
+        |FROM ev GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin),
     "q223_flinksql_lateral" ->
       """SELECT doc_id, s.idx AS idx, s.tok AS tok FROM (
         |  SELECT doc_id,

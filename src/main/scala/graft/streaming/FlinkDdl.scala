@@ -116,8 +116,13 @@ object FlinkDdl {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
-  /** A catalog of DDL-declared tables bound to one session. */
-  final class Env(spark: SparkSession) {
+  /** A catalog of DDL-declared tables bound to one session.
+    * `selectRewriter` runs over every SELECT body (bare, INSERT, and
+    * CREATE VIEW) before execution — the hook [[FlinkSql]] uses to
+    * compose the dialect rewriters (group windows, LATERAL TABLE)
+    * with the DDL surface. */
+  final class Env(spark: SparkSession,
+      selectRewriter: String => String = identity) {
     private val tables = mutable.Map.empty[String, TableDef]
 
     def table(name: String): TableDef =
@@ -128,10 +133,10 @@ object FlinkDdl {
       case CreateTableRe(name, cols, parts, props) =>
         createTable(name, cols, Option(parts), props); None
       case CreateViewRe(name, select) =>
-        spark.sql(select).createOrReplaceTempView(name); None
+        spark.sql(selectRewriter(select)).createOrReplaceTempView(name); None
       case InsertRe(mode, name, select) =>
         insert(name, select, mode.equalsIgnoreCase("OVERWRITE")); None
-      case s if SelectRe.matches(s) => Some(spark.sql(s))
+      case s if SelectRe.matches(s) => Some(spark.sql(selectRewriter(s)))
       case DropRe(name) =>
         tables.remove(name); spark.catalog.dropTempView(name); None
       case other => fail(s"unsupported statement: ${other.take(80)}")
@@ -212,7 +217,7 @@ object FlinkDdl {
 
     private def insert(name: String, select: String, overwrite: Boolean): Unit = {
       val t = table(name)
-      val src = spark.sql(select)
+      val src = spark.sql(selectRewriter(select))
       if (src.columns.length != t.schema.length)
         fail(s"INSERT INTO $name: ${src.columns.length} columns for " +
           s"${t.schema.length}-column table")

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** THE unified Flink-SQL entry point — one `executeSql` for every
+  * statement a reference user's `TableEnvironment.executeSql` accepts
+  * in this engine's surface, routing each to its front-end:
+  *
+  *  - DDL / DML (`CREATE TABLE/VIEW`, `INSERT`, `DROP`, SELECT) →
+  *    [[FlinkDdl.Env]], with every SELECT body piped through the
+  *    composable TEXT rewriters first: group windows
+  *    ([[GroupWindowSql.rewrite]]: TUMBLE/HOP/SESSION + auxiliaries)
+  *    and UDTF correlates ([[FlinkSqlJoins.rewriteLateral]]) — both
+  *    are identity on text that uses neither dialect, so plain SQL
+  *    flows through untouched;
+  *  - `… FOR SYSTEM_TIME AS OF …` → [[FlinkSqlJoins.runTemporal]]
+  *    (the AsOfJoin plan node);
+  *  - `SELECT * FROM t MATCH_RECOGNIZE (…)` → [[MatchRecognize.run]]
+  *    over the table read as the Event surface.
+  *
+  * Reference analog: `TableEnvironmentImpl.executeSql` dispatching on
+  * the parsed operation kind (`flink-table/flink-table-api-java/…/
+  * internal/TableEnvironmentImpl.java`).
+  */
+object FlinkSql {
+
+  private val dialects: String => String =
+    (GroupWindowSql.rewrite _) compose (FlinkSqlJoins.rewriteLateral _)
+
+  private val MatchStmtRe =
+    """(?is)^\s*SELECT\s+\*\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\((.*)\)\s*$""".r
+  private val TemporalHintRe = """(?i)\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b""".r
+
+  final class Env(spark: SparkSession) {
+    private val ddl = new FlinkDdl.Env(spark, dialects)
+
+    /** Route one statement; SELECT-like statements return a frame. */
+    def executeSql(stmt: String): Option[DataFrame] = stmt match {
+      case MatchStmtRe(tableName, clause) =>
+        import spark.implicits._
+        Some(MatchRecognize.run(spark.table(tableName).as[Event], clause))
+      case s if TemporalHintRe.findFirstIn(s).isDefined =>
+        Some(FlinkSqlJoins.runTemporal(spark, s))
+      case s => ddl.executeSql(s)
+    }
+
+    /** Execute a whole script; returns the LAST statement's frame. */
+    def executeScript(script: String): DataFrame =
+      FlinkDdl.splitStatements(script).flatMap(executeSql) match {
+        case rs if rs.nonEmpty => rs.last
+        case _ => throw new IllegalArgumentException(
+          "FlinkSql: script contained no result-producing statement")
+      }
+
+    /** Streaming read of a DDL-declared table (watermark applied). */
+    def readStream(name: String, options: Map[String, String] = Map.empty)
+        : DataFrame = ddl.readStream(name, options)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+
+/** Unified-executeSql routing: each statement kind must land on the
+  * same result its dedicated front-end produces (q228 binds the
+  * DDL+group-window composition against the oracle). */
+class FlinkSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def env = new FlinkSql.Env(spark)
+
+  test("MATCH_RECOGNIZE statements route to the CEP front-end") {
+    Tables.events(spark, sf).createOrReplaceTempView("events_mr")
+    val clause =
+      """PARTITION BY user_id ORDER BY ts
+        |MEASURES FIRST(A.event_id) AS a_id, LAST(B.event_id) AS b_id
+        |AFTER MATCH SKIP PAST LAST ROW
+        |PATTERN (A B)
+        |DEFINE A AS A.event_type = 'view', B AS B.event_type = 'purchase'
+        |""".stripMargin
+    val unified = env.executeSql(
+      s"SELECT * FROM events_mr MATCH_RECOGNIZE ($clause)").get
+    val direct = MatchRecognize.run(
+      Tables.events(spark, sf).as[Event], clause)
+    assert(unified.collect().toSet == direct.collect().toSet)
+    assert(unified.count() > 0)
+  }
+
+  test("FOR SYSTEM_TIME statements route to the temporal front-end") {
+    Seq((1L, 10L, 100L)).toDF("user_id", "event_id", "us")
+      .selectExpr("user_id", "event_id", "timestamp_micros(us) AS ts")
+      .createOrReplaceTempView("uni_l")
+    Seq((1L, 1L, 50L)).toDF("user_id", "event_id", "us")
+      .selectExpr("user_id", "event_id", "timestamp_micros(us) AS ts")
+      .createOrReplaceTempView("uni_r")
+    val got = env.executeSql(
+      """SELECT o.event_id AS oid, r.event_id AS vid
+        |FROM uni_l o JOIN uni_r FOR SYSTEM_TIME AS OF o.ts AS r
+        |ON o.user_id = r.user_id""".stripMargin).get.collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 1L)))
+  }
+
+  test("plain SQL and LATERAL TABLE text flow through the rewriters") {
+    graft.functions.Udx.register(spark)
+    Seq((1L, "a bb")).toDF("doc_id", "text").createOrReplaceTempView("uni_d")
+    val got = env.executeSql(
+      """SELECT doc_id, t.tok AS tok
+        |FROM uni_d, LATERAL TABLE(long_tokens(text, 1)) AS t(tok)""".stripMargin)
+      .get.collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "bb")))
+    // plain SQL untouched
+    assert(env.executeSql("SELECT 1 AS one").get.head().getInt(0) == 1)
+  }
+}
