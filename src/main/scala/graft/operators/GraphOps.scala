@@ -335,4 +335,39 @@ object GraphOps {
       .agg(count(lit(1)).as("cnt"))
     (sumVerts, sumEdges)
   }
+
+  /** [[clusteringCoefficient]] in the ORACLE-exact integer form: the
+    * closed-wedge fraction as ppm (2e6·tri // deg·(deg−1)) — the
+    * double `coefficient` column is repr-fragile across engines, the
+    * integer quotient is not. */
+  def localClusteringCoefficient(edges: DataFrame): DataFrame =
+    clusteringCoefficient(edges)
+      .select(col("id"), col("degree").as("deg"),
+        col("n_triangles").as("tri"))
+      .withColumn("lcc_ppm", when(col("deg") >= 2,
+        expr("(2000000 * tri) div (deg * (deg - 1))")).otherwise(lit(0L)))
+
+  /** Adamic-Adar similarity, log2-quantized (Gelly `library/similarity/
+    * AdamicAdar.java`): pairs sharing a neighbor z score
+    * Σ 1/log(deg(z)) — here the per-neighbor weight is the INTEGER
+    * 1e6 // floor(log2(deg(z))) so both engines agree exactly (same
+    * blog2 discipline as the curation scores; a common neighbor
+    * always has deg ≥ 2, so the quantized log is ≥ 1). Same
+    * posting-list pair generation as Jaccard — candidates only where
+    * a common neighbor exists, never all-pairs. */
+  def adamicAdar(edges: DataFrame): DataFrame = {
+    val bidir = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+    val nbrs = bidir.groupBy(col("src"))
+      .agg(sort_array(collect_set(col("dst"))).as("ns"))
+      .filter(size(col("ns")) >= 2)
+      .withColumn("w", expr("1000000 div (length(bin(size(ns))) - 1)"))
+    val pairsArr = flatten(transform(col("ns"), (x, i) =>
+      transform(slice(col("ns"), i + 2, size(col("ns"))),
+        y => struct(x.as("u"), y.as("v")))))
+    nbrs.select(col("w"), explode(pairsArr).as("p"))
+      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+      .agg(count(lit(1)).as("co"), sum(col("w")).as("aa_e6"))
+  }
 }

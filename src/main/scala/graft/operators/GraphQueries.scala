@@ -53,6 +53,22 @@ object GraphQueries {
       GraphOps.triangleCounts(coPurchaseEdges(s, d))
         .orderBy(col("id"))),
 
+    // Gelly LocalClusteringCoefficient (library/clustering/undirected/
+    // LocalClusteringCoefficient.java): closed-wedge fraction per
+    // vertex as exact integer ppm (2e6·tri // deg·(deg−1)).
+    "q229_graph_lcc" -> ((s, d) =>
+      GraphOps.localClusteringCoefficient(coPurchaseEdges(s, d))
+        .orderBy(col("id"))),
+
+    // Gelly AdamicAdar (library/similarity/AdamicAdar.java), log2-
+    // quantized to integers; pairs with ≥3 common neighbors (the
+    // link-prediction shortlist — bounds the output like q122's
+    // jaccard ≥ 0.25 cut).
+    "q230_graph_adamic_adar" -> ((s, d) =>
+      GraphOps.adamicAdar(coPurchaseEdges(s, d))
+        .filter(col("co") >= 3)
+        .orderBy(col("u"), col("v"))),
+
     // Gelly JaccardIndex (library/similarity/JaccardIndex.java):
     // neighborhood similarity from per-vertex posting lists —
     // candidate pairs only where a common neighbor exists, never
@@ -228,6 +244,39 @@ object GraphQueries {
         |  UNION ALL SELECT b FROM tri
         |  UNION ALL SELECT c FROM tri)
         |GROUP BY id ORDER BY id""".stripMargin),
+    "q229_graph_lcc" -> (edCte +
+      """,
+        |tri AS (
+        |  SELECT w.a, w.b, w.c FROM
+        |    (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |     FROM ed e1 JOIN ed e2 ON e1.src = e2.src AND e1.dst < e2.dst) w
+        |  JOIN ed e3 ON w.b = e3.src AND w.c = e3.dst),
+        |tc AS (
+        |  SELECT id, count(*) AS tri FROM (
+        |    SELECT a AS id FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY id),
+        |bidir AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+        |deg AS (SELECT src AS id, count(*) AS deg FROM bidir GROUP BY 1)
+        |SELECT id, deg, coalesce(tc.tri, 0) AS tri,
+        |  CASE WHEN deg >= 2
+        |       THEN (2000000 * coalesce(tc.tri, 0)) // (deg * (deg - 1))
+        |       ELSE 0 END AS lcc_ppm
+        |FROM deg LEFT JOIN tc USING (id) ORDER BY id""".stripMargin),
+    "q230_graph_adamic_adar" -> (edCte +
+      """,
+        |bidir AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+        |degz AS (SELECT src AS z, count(*) AS dz FROM bidir GROUP BY 1),
+        |co AS (
+        |  SELECT n1.dst AS u, n2.dst AS v, n1.src AS z
+        |  FROM bidir n1 JOIN bidir n2
+        |    ON n1.src = n2.src AND n1.dst < n2.dst)
+        |SELECT u, v, count(*) AS co,
+        |  sum(1000000 // (length(bin(dz)) - 1))::BIGINT AS aa_e6
+        |FROM co JOIN degz USING (z) WHERE dz >= 2
+        |GROUP BY u, v HAVING count(*) >= 3
+        |ORDER BY u, v""".stripMargin),
     "q122_graph_jaccard" -> (edCte +
       """,
         |bidir AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),

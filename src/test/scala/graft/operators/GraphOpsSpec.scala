@@ -105,6 +105,29 @@ class GraphOpsSpec extends SparkSpec {
     assert(cc(4L) == ((1L, 0.0)))
   }
 
+  test("adamicAdar scores the shared-hub pair by the hub's quantized log degree") {
+    // star center 1 with leaves 2,3,4 + edge 2-3: pair (2,3) shares
+    // hub 1 (deg 3 → blog2 = 1 → w = 1e6) AND each other... common
+    // neighbors of (2,3) = {1}; (2,4) and (3,4) also share {1}.
+    val aa = GraphOps.adamicAdar(df((1, 2), (1, 3), (1, 4), (2, 3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // hub 1 has deg 3 → floor(log2 3)=1 → weight 1_000_000
+    assert(aa((2L, 3L)) == ((1L, 1000000L)))
+    assert(aa((2L, 4L)) == ((1L, 1000000L)))
+    assert(aa((3L, 4L)) == ((1L, 1000000L)))
+    // pair (1,2): common neighbor 3 (deg 2 → blog2 1 → 1e6);
+    // 4 is NOT common (deg 1, only neighbor of 1)
+    assert(aa((1L, 2L)) == ((1L, 1000000L)))
+  }
+
+  test("localClusteringCoefficient is exact ppm of the double form") {
+    val ppm = GraphOps.localClusteringCoefficient(df((1, 2), (2, 3), (3, 1), (3, 4)))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(ppm(1L) == 1000000L && ppm(2L) == 1000000L)
+    assert(ppm(3L) == 333333L) // 2e6*1 // (3*2)
+    assert(ppm(4L) == 0L)
+  }
+
   test("summarize condenses by vertex value (reference Javadoc example)") {
     // Summarization.java:53 — vertices A:{0,1}, B:{2,3};
     // edges (0,1)(1,0)(1,2)(2,1)(2,3)(3,2), all value "x"
