@@ -273,6 +273,39 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Maximal duplicated spans (the excision unit of exact substring
+    // dedup, Lee et al. 2022 "Deduplicating Training Data Makes
+    // Language Models Better" — anchor-based form): every 4-token
+    // shingle occurring ≥2× in the corpus marks its start position;
+    // consecutive marked positions merge into maximal runs (the
+    // pos − row_number island trick), and runs spanning ≥ 8 tokens
+    // emit (doc, start, end, span length). Two bounded shuffles
+    // (shingle occurrence count, per-doc islands) — the full
+    // suffix-array pass of the paper reduces to this anchor join at
+    // fixed k, which is the scalable production form.
+    "q231_dup_spans_maximal" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val pos = docs.select(col("doc_id"),
+        posexplode(TextQueries.shingles4(col("text"))))
+        .toDF("doc_id", "pos0", "sh")
+        .withColumn("pos", col("pos0") + 1).drop("pos0")
+      val occ = pos.groupBy(col("sh")).agg(count(lit(1)).as("occ"))
+      val dup = pos.join(occ, "sh").filter(col("occ") >= 2)
+        .select(col("doc_id"), col("pos"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      dup.withColumn("island", col("pos") - row_number().over(w))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("pos")).as("start_tok"), max(col("pos")).as("last_sh"))
+        .withColumn("end_tok", col("last_sh") + 3)
+        .withColumn("span_tokens", col("end_tok") - col("start_tok") + 1)
+        .filter(col("span_tokens") >= 8)
+        .select(col("doc_id"), col("start_tok").cast("long").as("start_tok"),
+          col("end_tok").cast("long").as("end_tok"),
+          col("span_tokens").cast("long").as("span_tokens"))
+        .orderBy(col("doc_id"), col("start_tok"))
+    }),
+
     // Balanced training-shard assignment: docs ranked by size (n_tok
     // desc, doc_id) round-robin into 8 shards — the LPT-flavored
     // static balancer — with the audit (docs, token total, heaviest
@@ -407,6 +440,28 @@ object CurationQueries {
         |SELECT doc_id, ttr, n_tok, (cum_before + tier_cum)::BIGINT AS cum_tok
         |FROM t, b WHERE cum_before + tier_cum <= b.budget
         |ORDER BY doc_id""".stripMargin,
+    "q231_dup_spans_maximal" ->
+      s"""WITH pos AS (
+         |  SELECT doc_id, s.pos AS pos, s.sh AS sh FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(
+         |        range(1, greatest(len(string_split(text,' ')) - 2, 2)),
+         |        i -> struct_pack(pos := i,
+         |          sh := array_to_string(string_split(text,' ')[i:i+3], ' '))))
+         |        AS s
+         |    FROM documents)),
+         |occ AS (SELECT sh, count(*) AS occ FROM pos GROUP BY 1),
+         |dup AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |      AS island
+         |  FROM pos JOIN occ USING (sh) WHERE occ >= 2)
+         |SELECT doc_id, min(pos)::BIGINT AS start_tok,
+         |  (max(pos) + 3)::BIGINT AS end_tok,
+         |  (max(pos) + 3 - min(pos) + 1)::BIGINT AS span_tokens
+         |FROM dup GROUP BY doc_id, island
+         |HAVING max(pos) + 3 - min(pos) + 1 >= 8
+         |ORDER BY doc_id, start_tok""".stripMargin,
     "q221_balanced_shards" ->
       """WITH sc AS (
         |  SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tok

@@ -347,6 +347,32 @@ object GraphOps {
       .withColumn("lcc_ppm", when(col("deg") >= 2,
         expr("(2000000 * tri) div (deg * (deg - 1))")).otherwise(lit(0L)))
 
+  /** Whole-graph metrics (Gelly `library/metric/undirected/
+    * VertexMetrics.java` + `EdgeMetrics.java` + the global clustering
+    * coefficient): ONE summary row — vertex/edge/triangle counts,
+    * degree extremes, average degree (milli), and the global
+    * clustering coefficient 3·tri/wedges (ppm) — every figure an
+    * exact integer. Cost: the triangle pass + one degree rollup; the
+    * output is a single metadata-sized row at any graph size. */
+  def graphMetrics(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = canon.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val tri = triangleCounts(edges)
+      .agg((sum(col("n_triangles")) / 3).cast("long").as("n_triangles"))
+    deg.agg(count(lit(1)).as("n_vertices"),
+        (sum(col("deg")) / 2).cast("long").as("n_edges"),
+        max(col("deg")).as("max_degree"), min(col("deg")).as("min_degree"),
+        sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+      .crossJoin(broadcast(tri))
+      .withColumn("avg_degree_milli", expr("(2000 * n_edges) div n_vertices"))
+      .withColumn("gcc_ppm",
+        expr("(3000000 * n_triangles) div greatest(n_wedges, 1)"))
+  }
+
   /** Adamic-Adar similarity, log2-quantized (Gelly `library/similarity/
     * AdamicAdar.java`): pairs sharing a neighbor z score
     * Σ 1/log(deg(z)) — here the per-neighbor weight is the INTEGER

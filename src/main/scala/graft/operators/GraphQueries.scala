@@ -60,6 +60,11 @@ object GraphQueries {
       GraphOps.localClusteringCoefficient(coPurchaseEdges(s, d))
         .orderBy(col("id"))),
 
+    // Gelly VertexMetrics/EdgeMetrics + global clustering coefficient
+    // (library/metric/undirected/): one exact-integer summary row.
+    "q232_graph_metrics" -> ((s, d) =>
+      GraphOps.graphMetrics(coPurchaseEdges(s, d))),
+
     // Gelly AdamicAdar (library/similarity/AdamicAdar.java), log2-
     // quantized to integers; pairs with ≥3 common neighbors (the
     // link-prediction shortlist — bounds the output like q122's
@@ -264,6 +269,26 @@ object GraphQueries {
         |       THEN (2000000 * coalesce(tc.tri, 0)) // (deg * (deg - 1))
         |       ELSE 0 END AS lcc_ppm
         |FROM deg LEFT JOIN tc USING (id) ORDER BY id""".stripMargin),
+    "q232_graph_metrics" -> (edCte +
+      """,
+        |bidir AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+        |deg AS (SELECT src AS id, count(*) AS deg FROM bidir GROUP BY 1),
+        |tri AS (
+        |  SELECT count(*)::BIGINT AS n_triangles FROM
+        |    (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |     FROM ed e1 JOIN ed e2 ON e1.src = e2.src AND e1.dst < e2.dst) w
+        |  JOIN ed e3 ON w.b = e3.src AND w.c = e3.dst),
+        |dm AS (
+        |  SELECT count(*) AS n_vertices,
+        |    (sum(deg) // 2)::BIGINT AS n_edges,
+        |    max(deg)::BIGINT AS max_degree, min(deg)::BIGINT AS min_degree,
+        |    sum(deg * (deg - 1) // 2)::BIGINT AS n_wedges
+        |  FROM deg)
+        |SELECT n_vertices, n_edges, max_degree, min_degree, n_wedges,
+        |  n_triangles,
+        |  (2000 * n_edges) // n_vertices AS avg_degree_milli,
+        |  (3000000 * n_triangles) // greatest(n_wedges, 1) AS gcc_ppm
+        |FROM dm, tri""".stripMargin),
     "q230_graph_adamic_adar" -> (edCte +
       """,
         |bidir AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),

@@ -97,6 +97,24 @@ class CurationQueriesSpec extends SparkSpec {
     assert(tots.max < tots.min * 12 / 10)
   }
 
+  test("maximal dup spans merge consecutive anchors with exact bounds") {
+    // doc 0 and doc 1 share tokens 3..11 (9 tokens) of doc 0; doc 2 is
+    // fully unique → no spans. The shared run begins at doc-0 token 3.
+    val shared = (1 to 9).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"a1 a2 $shared z1 z2"),
+      (1L, s"b1 $shared c1 c2 c3"),
+      (2L, (1 to 15).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-spans")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CurationQueries.queries("q231_dup_spans_maximal")(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 0: shared tokens occupy positions 3..11 → shingle starts 3..8,
+    // span = [3, 8+3] = [3,11], 9 tokens; doc 1: positions 2..10 →
+    // starts 2..7, span [2,10], 9 tokens
+    assert(out.toSet == Set((0L, 3L, 11L, 9L), (1L, 2L, 10L, 9L)))
+  }
+
   test("dsir weight: target-slice docs outweigh off-target on live data") {
     // On the real table, English docs' bigrams dominate the target
     // counts, so the mean weight of 'en' docs must exceed the mean of

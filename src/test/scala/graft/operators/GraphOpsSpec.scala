@@ -128,6 +128,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(ppm(4L) == 0L)
   }
 
+  test("graphMetrics summarizes the pendant-triangle graph exactly") {
+    // triangle {1,2,3} + pendant 3-4: V=4 E=4, deg = 2,2,3,1;
+    // wedges = 1+1+3+0 = 5; triangles = 1; gcc = 3/5
+    val m = GraphOps.graphMetrics(df((1, 2), (2, 3), (3, 1), (3, 4)))
+      .collect().head
+    assert(m.getAs[Long]("n_vertices") == 4L)
+    assert(m.getAs[Long]("n_edges") == 4L)
+    assert(m.getAs[Long]("max_degree") == 3L)
+    assert(m.getAs[Long]("min_degree") == 1L)
+    assert(m.getAs[Long]("n_wedges") == 5L)
+    assert(m.getAs[Long]("n_triangles") == 1L)
+    assert(m.getAs[Long]("avg_degree_milli") == 2000L)
+    assert(m.getAs[Long]("gcc_ppm") == 600000L)
+  }
+
   test("summarize condenses by vertex value (reference Javadoc example)") {
     // Summarization.java:53 — vertices A:{0,1}, B:{2,3};
     // edges (0,1)(1,0)(1,2)(2,1)(2,3)(3,2), all value "x"
