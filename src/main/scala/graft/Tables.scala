@@ -61,7 +61,12 @@ object Tables {
       case other => throw new IllegalStateException(
         s"events.ts: unsupported physical type $other")
     }
+    // value normalizes to DOUBLE: if a future regeneration ships
+    // float32, Spark would otherwise do FLOAT arithmetic where the
+    // DuckDB oracle promotes to double — same drift class as the ts
+    // encoding flip that wrecked round 5. No-op on today's data.
     df.withColumn("ts", ts)
+      .withColumn("value", col("value").cast("double"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

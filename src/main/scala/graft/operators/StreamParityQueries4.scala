@@ -37,6 +37,39 @@ object StreamParityQueries4 {
         .orderBy(col("doc_id"))
     }),
 
+    // LATE-FIRING window updates — the reference's allowedLateness
+    // re-fire semantics (a late element UPDATES an already-fired
+    // window): day-window aggregates run in UPDATE mode over an
+    // OUT-OF-ORDER quarter replay (Q2 arrives before Q1), with no
+    // watermark so nothing is dropped (allowedLateness = ∞). The
+    // FULL emission history faces the oracle — every (window, type)
+    // must re-emit exactly in the batches where its chunk contributed
+    // rows, with the cumulative-to-that-batch count and sum. Wrong if
+    // update mode over- or under-emits, state resets between batches,
+    // or the late quarter fails to re-fire its windows.
+    "q233_window_update_history" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-updhist")
+      val ev = Tables.events(s, d).select(col("event_type"),
+        expr("cast(round(value*100) as bigint)").as("cents"), col("ts"),
+        unix_micros(col("ts")).as("tu"))
+      val org.apache.spark.sql.Row(lo: Long, hi: Long) =
+        ev.agg(min(col("tu")), max(col("tu"))).head()
+      val cut = (q: Long) => lo + (hi - lo) * q / 4
+      val chunks = Seq( // quarter 2 arrives FIRST; quarter 1 is late
+        col("tu") >= cut(1) && col("tu") < cut(2),
+        col("tu") < cut(1),
+        col("tu") >= cut(2) && col("tu") < cut(3),
+        col("tu") >= cut(3))
+      val (inDir, schema) = Replay.fileEpochs(ev.drop("tu"), chunks, base.toString)
+      val agg = Replay.streamDf(s, inDir, schema)
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_v"))
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n"), col("cents_v"))
+      StreamParityQueries.runUpdate(agg, base.toString, s)
+        .orderBy(col("ws"), col("event_type"), col("batch_id"))
+    }),
+
     // STREAMING SemDeDup — q209's semantic near-dup flagging against
     // a STATIC embedded corpus (the nightly-snapshot + intra-day-
     // stream shape of q154/q155, but in vector space): the lower-id
@@ -85,6 +118,36 @@ object StreamParityQueries4 {
   )
 
   val oracle: Map[String, String] = Map(
+    // Epoch assignment mirrors the replay's chunk conditions (Q2 is
+    // batch 0, Q1 batch 1, Q3 batch 2, Q4 batch 3 — integer cut
+    // arithmetic identical to the Scala side); an emission exists for
+    // every (day window, type, batch) whose chunk contributed rows,
+    // carrying the cumulative-to-that-batch aggregate.
+    "q233_window_update_history" ->
+      """WITH ev AS (SELECT event_type, value,
+        |              make_timestamp(epoch_ns(ts)//1000) AS ts,
+        |              epoch_us(make_timestamp(epoch_ns(ts)//1000)) AS tu
+        |            FROM events),
+        |c AS (SELECT min(tu) AS lo, max(tu) AS hi FROM ev),
+        |cut AS (SELECT lo + ((hi - lo) * 1) // 4 AS c1,
+        |               lo + ((hi - lo) * 2) // 4 AS c2,
+        |               lo + ((hi - lo) * 3) // 4 AS c3 FROM c),
+        |e AS (SELECT date_trunc('day', ts) AS ws, event_type,
+        |        CAST(round(value*100) AS BIGINT) AS cents,
+        |        CASE WHEN tu >= c1 AND tu < c2 THEN 0
+        |             WHEN tu < c1 THEN 1
+        |             WHEN tu >= c2 AND tu < c3 THEN 2
+        |             ELSE 3 END AS ep
+        |      FROM ev, cut),
+        |agg AS (SELECT ws, event_type, ep, count(*) AS n_e,
+        |               sum(cents) AS c_e
+        |        FROM e GROUP BY 1, 2, 3)
+        |SELECT ws, event_type, ep AS batch_id,
+        |  sum(n_e) OVER (PARTITION BY ws, event_type ORDER BY ep)::BIGINT
+        |    AS n,
+        |  sum(c_e) OVER (PARTITION BY ws, event_type ORDER BY ep)::BIGINT
+        |    AS cents_v
+        |FROM agg ORDER BY ws, event_type, batch_id""".stripMargin,
     "q207_stream_quota" ->
       """SELECT doc_id, lang FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) <= 40

@@ -28,6 +28,8 @@ class TablesSchemaSpec extends SparkSpec {
     val ev = Tables.events(spark, sf)
     assert(ev.schema("ts").dataType === TimestampType,
       s"events.ts must normalize to TimestampType, got ${ev.schema("ts").dataType}")
+    assert(ev.schema("value").dataType === DoubleType,
+      "events.value must normalize to DoubleType (float32 drift guard)")
     assert(ev.count() > 0)
     // and is usable in event-time arithmetic (the exact expression that
     // threw DATATYPE_MISMATCH when the loader was schema-rigid)
