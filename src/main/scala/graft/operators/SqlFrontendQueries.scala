@@ -276,6 +276,63 @@ object SqlFrontendQueries {
            |ORDER BY event_type, ws""".stripMargin)
     }),
 
+    // WHOLE-APPLICATION migration: one Flink-SQL script through the
+    // unified entry composing FOUR surfaces — DDL (csv source with a
+    // computed rowtime), a plain-SQL filtered view, a group-window
+    // INSERT into a parquet sink, a MATCH_RECOGNIZE view (q141's
+    // clause verbatim, routed because CREATE VIEW bodies the Spark
+    // parser can't read go through the dispatcher), and a final
+    // SELECT joining the sink with the CEP matches. The end-to-end
+    // result faces ONE oracle, so a value corrupted at any stage
+    // (csv parse, window rewrite, NFA, join) breaks the row.
+    "q234_flinksql_app" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val base = java.nio.file.Files.createTempDirectory("graft-app")
+      graft.functions.Udx.register(s)
+      Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"), col("props"),
+        expr("cast(round(value*100) as bigint)").as("cents"),
+        unix_micros(col("ts")).as("ts_us"))
+        .write.mode("overwrite").option("header", "false").csv(s"$base/src")
+      new FlinkSql.Env(s).executeScript(
+        s"""CREATE TABLE ev_app (
+           |  event_id BIGINT, user_id BIGINT, event_type STRING,
+           |  value DOUBLE, props STRING, cents BIGINT, ts_us BIGINT,
+           |  ts AS timestamp_micros(ts_us)
+           |) WITH (
+           |  'connector.type' = 'filesystem',
+           |  'connector.path' = '$base/src',
+           |  'format.type' = 'csv'
+           |);
+           |CREATE TABLE user_day (
+           |  user_id BIGINT, ws TIMESTAMP(3), n BIGINT, cents_v BIGINT
+           |) WITH (
+           |  'connector' = 'filesystem', 'path' = '$base/snk',
+           |  'format' = 'parquet'
+           |);
+           |INSERT INTO user_day
+           |SELECT user_id, TUMBLE_START(ts, INTERVAL '1' DAY),
+           |       COUNT(*), SUM(cents)
+           |FROM ev_app GROUP BY user_id, TUMBLE(ts, INTERVAL '1' DAY);
+           |CREATE VIEW ev_vp AS
+           |SELECT * FROM ev_app WHERE event_type IN ('view', 'purchase');
+           |CREATE VIEW conv AS SELECT * FROM ev_vp MATCH_RECOGNIZE (
+           |  PARTITION BY user_id
+           |  ORDER BY ts
+           |  MEASURES first(A.event_id) AS first_view,
+           |           last(A.event_id) AS last_view,
+           |           count(A) AS n_views, first(B.event_id) AS purchase_id
+           |  PATTERN (A+? B) WITHIN INTERVAL '1' HOUR
+           |  DEFINE A AS A.event_type = 'view', B AS B.event_type = 'purchase'
+           |);
+           |SELECT d.user_id, SUM(d.n) AS n_events, SUM(d.cents_v) AS cents_total,
+           |       MAX(c.conversions) AS conversions
+           |FROM user_day d JOIN (
+           |  SELECT user_id, COUNT(*) AS conversions FROM conv GROUP BY user_id
+           |) c ON d.user_id = c.user_id
+           |GROUP BY d.user_id ORDER BY d.user_id""".stripMargin)
+    }),
+
     // LEFT correlate: `LEFT JOIN LATERAL TABLE(...) ON TRUE` → OUTER
     // generate — a doc whose UDTF expansion is EMPTY must still emit
     // one null-padded row (the reference's left-correlate contract,
@@ -376,6 +433,38 @@ object SqlFrontendQueries {
         |  count(*) AS n,
         |  sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents_v
         |FROM ev GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin),
+    // evCte + q141's match algebra as a conversions-per-user CTE +
+    // whole-corpus per-user totals (summing the day rollup = totals)
+    "q234_flinksql_app" -> (evCte +
+      """,
+        |views AS (SELECT * FROM ev WHERE event_type = 'view'),
+        |purch AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+        |pairs AS (
+        |  SELECT s.user_id, s.event_id AS first_view, j.event_id AS last_view,
+        |    s.ts AS s_ts, j.ts AS j_ts, j.event_id AS j_id
+        |  FROM views s JOIN views j ON s.user_id = j.user_id
+        |   AND (j.ts > s.ts OR (j.ts = s.ts AND j.event_id >= s.event_id))
+        |   AND epoch_us(j.ts) - epoch_us(s.ts) <= 3600000000),
+        |mr AS (
+        |  SELECT user_id, first_view, last_view, purchase_id FROM (
+        |    SELECT pr.user_id, pr.first_view, pr.last_view,
+        |      p.event_id AS purchase_id,
+        |      row_number() OVER (
+        |        PARTITION BY pr.user_id, pr.first_view, pr.last_view
+        |        ORDER BY p.ts, p.event_id) AS rn
+        |    FROM pairs pr JOIN purch p ON p.user_id = pr.user_id
+        |     AND (p.ts > pr.j_ts OR (p.ts = pr.j_ts AND p.event_id > pr.j_id))
+        |     AND epoch_us(p.ts) - epoch_us(pr.s_ts) <= 3600000000)
+        |  WHERE rn = 1),
+        |conv AS (SELECT user_id, count(*) AS conversions FROM mr GROUP BY 1),
+        |totals AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents_total
+        |  FROM ev GROUP BY user_id)
+        |SELECT t.user_id, t.n_events, t.cents_total,
+        |       c.conversions::BIGINT AS conversions
+        |FROM totals t JOIN conv c USING (user_id)
+        |ORDER BY t.user_id""".stripMargin),
     "q223_flinksql_lateral" ->
       """SELECT doc_id, s.idx AS idx, s.tok AS tok FROM (
         |  SELECT doc_id,

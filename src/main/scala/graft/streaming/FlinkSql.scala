@@ -30,6 +30,11 @@ object FlinkSql {
   private val MatchStmtRe =
     """(?is)^\s*SELECT\s+\*\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\((.*)\)\s*$""".r
   private val TemporalHintRe = """(?i)\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b""".r
+  // CREATE VIEW whose body needs the ROUTER (MATCH_RECOGNIZE /
+  // temporal) — evaluated here and registered, instead of handing
+  // plain spark.sql an unparseable body
+  private val RoutedViewRe =
+    """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?VIEW\s+(\w+)\s+AS\s+(SELECT\b.*)$""".r
 
   final class Env(spark: SparkSession) {
     private val ddl = new FlinkDdl.Env(spark, dialects)
@@ -39,8 +44,13 @@ object FlinkSql {
       case MatchStmtRe(tableName, clause) =>
         import spark.implicits._
         Some(MatchRecognize.run(spark.table(tableName).as[Event], clause))
-      case s if TemporalHintRe.findFirstIn(s).isDefined =>
+      case s if TemporalHintRe.findFirstIn(s).isDefined &&
+          !s.trim.toUpperCase.startsWith("CREATE") =>
         Some(FlinkSqlJoins.runTemporal(spark, s))
+      case RoutedViewRe(name, body)
+          if MatchStmtRe.matches(body) ||
+            TemporalHintRe.findFirstIn(body).isDefined =>
+        executeSql(body).foreach(_.createOrReplaceTempView(name)); None
       case s => ddl.executeSql(s)
     }
 

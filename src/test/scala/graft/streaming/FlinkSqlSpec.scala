@@ -41,6 +41,24 @@ class FlinkSqlSpec extends SparkSpec {
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 1L)))
   }
 
+  test("CREATE VIEW with a routed body registers the routed result") {
+    Tables.events(spark, sf).createOrReplaceTempView("events_rv")
+    val e = env
+    e.executeSql(
+      """CREATE VIEW rv AS SELECT * FROM events_rv MATCH_RECOGNIZE (
+        |PARTITION BY user_id ORDER BY ts
+        |MEASURES FIRST(A.event_id) AS a_id
+        |AFTER MATCH SKIP PAST LAST ROW
+        |PATTERN (A)
+        |DEFINE A AS A.event_type = 'purchase')""".stripMargin)
+    val viaView = e.executeSql("SELECT COUNT(*) AS c FROM rv").get
+      .head().getLong(0)
+    val direct = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .count()
+    assert(viaView == direct && viaView > 0)
+  }
+
   test("plain SQL and LATERAL TABLE text flow through the rewriters") {
     graft.functions.Udx.register(spark)
     Seq((1L, "a bb")).toDF("doc_id", "text").createOrReplaceTempView("uni_d")
