@@ -273,6 +273,54 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-source distribution drift — the data-mixing QA monitor:
+    // each source's token distribution scored against the whole
+    // corpus by a QUANTIZED log-likelihood ratio,
+    // Σ_t c_s(t)·(floor(log2(c_s(t)·N)) − floor(log2(c(t)·n_s)))
+    // (positive ⇒ the source over-represents its tokens vs the
+    // corpus). Integer-exact end to end; one term shuffle with
+    // map-side combine, the per-source rollup is |sources|-bounded.
+    "q235_source_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("source"), explode(toks(col("text"))).as("term"))
+      val cs = tok.groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("c_s"))
+      val ct = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val ns = tok.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val nTot = tok.agg(count(lit(1)).as("n_tot"))
+      cs.join(ct, "term").join(ns, "source").crossJoin(broadcast(nTot))
+        .withColumn("contrib",
+          col("c_s") * (blog2(col("c_s") * col("n_tot")) -
+            blog2(col("c") * col("n_s"))))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_tok"), sum(col("contrib")).as("drift_q"))
+        .orderBy(col("source"))
+    }),
+
+    // Train/test SPLIT-LEAKAGE audit: q203's content-hash split makes
+    // byte-identical duplicates split-safe, but NEAR-duplicates can
+    // still straddle — this measures exactly that: every test-split
+    // doc sharing ≥1 distinct 4-shingle with ANY train-split doc,
+    // with the shared-shingle count. The standard pre-training
+    // leakage check before an eval split ships. One shingle-keyed
+    // join; the train side carries each distinct shingle once.
+    "q236_split_leakage" -> ((s, d) => {
+      val bucket = pmod(md5i(col("text")), lit(100))
+      val docs = Tables.documents(s, d)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test"))
+      val sh = docs.select(col("split"), col("doc_id"),
+        explode(TextQueries.shingles4(col("text"))).as("sh")).distinct()
+      val train = sh.filter(col("split") === "train")
+        .select(col("sh")).distinct()
+      sh.filter(col("split") === "test")
+        .join(train, "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Maximal duplicated spans (the excision unit of exact substring
     // dedup, Lee et al. 2022 "Deduplicating Training Data Makes
     // Language Models Better" — anchor-based form): every 4-token
@@ -440,6 +488,33 @@ object CurationQueries {
         |SELECT doc_id, ttr, n_tok, (cum_before + tier_cum)::BIGINT AS cum_tok
         |FROM t, b WHERE cum_before + tier_cum <= b.budget
         |ORDER BY doc_id""".stripMargin,
+    "q235_source_drift" ->
+      s"""WITH tok AS (SELECT source, unnest(string_split(text,' ')) AS term
+         |            FROM documents),
+         |cs AS (SELECT source, term, count(*) AS c_s FROM tok GROUP BY 1, 2),
+         |ct AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+         |ns AS (SELECT source, count(*) AS n_s FROM tok GROUP BY 1),
+         |nt AS (SELECT count(*) AS n_tot FROM tok)
+         |SELECT source, max(n_s)::BIGINT AS n_tok,
+         |  sum(c_s * (${blog2Sql("c_s * n_tot")} -
+         |             ${blog2Sql("c * n_s")}))::BIGINT AS drift_q
+         |FROM cs JOIN ct USING (term) JOIN ns USING (source), nt
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "q236_split_leakage" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN ${md5iSql("text")} % 100 < 80 THEN 'train'
+         |         WHEN ${md5iSql("text")} % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT split, doc_id, sh FROM (
+         |    SELECT split, doc_id, unnest(${TextQueries.shinglesSql}) AS sh
+         |    FROM d)),
+         |train AS (SELECT DISTINCT sh FROM sh WHERE split = 'train')
+         |SELECT doc_id, count(*) AS n_shared
+         |FROM sh JOIN train USING (sh) WHERE split = 'test'
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q231_dup_spans_maximal" ->
       s"""WITH pos AS (
          |  SELECT doc_id, s.pos AS pos, s.sh AS sh FROM (

@@ -115,6 +115,46 @@ class CurationQueriesSpec extends SparkSpec {
     assert(out.toSet == Set((0L, 3L, 11L, 9L), (1L, 2L, 10L, 9L)))
   }
 
+  test("source drift is zero for a single-source corpus, positive when vocabularies split") {
+    val dir1 = java.nio.file.Files.createTempDirectory("graft-drift1")
+    Seq((0L, "a b c", "en", "s0", 5L), (1L, "a b", "en", "s0", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir1/documents.parquet")
+    val one = CurationQueries.queries("q235_source_drift")(spark, dir1.toString)
+      .collect()
+    assert(one.length == 1 && one(0).getLong(2) == 0L)
+
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-drift2")
+    Seq((0L, "a a a a", "en", "s0", 7L), (1L, "b b b b", "en", "s1", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val two = CurationQueries.queries("q235_source_drift")(spark, dir2.toString)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // each source over-represents its own token 2:1 vs the corpus:
+    // c_s·N = 4·8 = 32, c·n_s = 4·4 = 16 → 1 bit per token → 4 per source
+    assert(two("s0") == 4L && two("s1") == 4L)
+  }
+
+  test("split leakage equals the brute-force shingle check on live data") {
+    val got = CurationQueries.queries("q236_split_leakage")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text",
+        "cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint) % 100 AS b")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length <= 4) Set(w.take(4).mkString(" "))
+      else (0 to w.length - 4).map(i => w.slice(i, i + 4).mkString(" ")).toSet
+    }
+    val trainSh = docs.filter(_._3 < 80).flatMap(d => shingles(d._2)).toSet
+    val want = docs.filter(_._3 >= 90)
+      .map(d => d._1 -> shingles(d._2).count(trainSh))
+      .filter(_._2 > 0).toMap
+    assert(got == want.map { case (k, v) => k -> v.toLong })
+    assert(got.nonEmpty)
+  }
+
   test("dsir weight: target-slice docs outweigh off-target on live data") {
     // On the real table, English docs' bigrams dominate the target
     // counts, so the mean weight of 'en' docs must exceed the mean of
