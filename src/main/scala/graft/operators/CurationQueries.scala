@@ -321,6 +321,50 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING leakage gate — q236 at ingestion time: the train
+    // split's distinct-shingle set is the frozen static side, the
+    // test split streams in three micro-batches, and each batch's
+    // docs are checked for shared shingles via a stream-static join
+    // (explode → join → per-doc count inside foreachBatch; docs
+    // arrive whole, so no cross-batch state). The streaming result
+    // must equal q236's one-shot audit exactly — same oracle SQL.
+    "q237_stream_leakage" -> ((s, d) => {
+      import graft.streaming.Replay
+      val base = java.nio.file.Files.createTempDirectory("graft-leakstream")
+      val bucket = pmod(md5i(col("text")), lit(100))
+      val docs = Tables.documents(s, d)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test"))
+      val train = docs.filter(col("split") === "train")
+        .select(explode(TextQueries.shingles4(col("text"))).as("sh"))
+        .distinct().cache()
+      train.count()
+      val test = docs.filter(col("split") === "test")
+        .select(col("doc_id"), col("text"))
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val (c1, c2) = (maxId / 3, 2 * maxId / 3)
+      val chunks = Seq(col("doc_id") < c1,
+        col("doc_id") >= c1 && col("doc_id") < c2, col("doc_id") >= c2)
+      val (inDir, schema) = Replay.fileEpochs(test, chunks, base.toString)
+      val out = s"$base/out"
+      val q = Replay.streamDf(s, inDir, schema).writeStream
+        .option("checkpointLocation", s"$base/ck")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select(col("doc_id"),
+              explode(TextQueries.shingles4(col("text"))).as("sh"))
+            .distinct()
+            .join(train, "sh")
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_shared"))
+            .write.mode("append").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      train.unpersist()
+      s.read.parquet(out).orderBy(col("doc_id"))
+    }),
+
     // Maximal duplicated spans (the excision unit of exact substring
     // dedup, Lee et al. 2022 "Deduplicating Training Data Makes
     // Language Models Better" — anchor-based form): every 4-token
@@ -501,6 +545,23 @@ object CurationQueries {
          |FROM cs JOIN ct USING (term) JOIN ns USING (source), nt
          |GROUP BY source ORDER BY source""".stripMargin,
     "q236_split_leakage" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN ${md5iSql("text")} % 100 < 80 THEN 'train'
+         |         WHEN ${md5iSql("text")} % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT split, doc_id, sh FROM (
+         |    SELECT split, doc_id, unnest(${TextQueries.shinglesSql}) AS sh
+         |    FROM d)),
+         |train AS (SELECT DISTINCT sh FROM sh WHERE split = 'train')
+         |SELECT doc_id, count(*) AS n_shared
+         |FROM sh JOIN train USING (sh) WHERE split = 'test'
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // identical SQL to q236: the streaming gate must land on the very
+    // same audit rows the one-shot batch computes
+    "q237_stream_leakage" ->
       s"""WITH d AS (
          |  SELECT doc_id, text,
          |    CASE WHEN ${md5iSql("text")} % 100 < 80 THEN 'train'
