@@ -21,18 +21,36 @@ object AggQueries {
 
   val queries: Map[String, Q] = Map(
     // TPC-H Q1 shape: scan → filter → project → partial agg → final agg → sort.
+    // EXACT-integer TPC-H Q1 (same discipline as q10's revenue_e4):
+    // quantities/prices are 2-decimal, discount/tax 2-decimal, so the
+    // per-row terms are exact at e2/e4/e6 scaling and every aggregate
+    // is an integer SUM — order-independent, so Spark's partial-agg
+    // tree and DuckDB's sequential fold agree at ANY data size. The
+    // original double-sum form diverged in the last cent of
+    // sum_charge at ≈sf1 (6M rows). Averages are integer e6
+    // quotients. Long headroom: |charge_e6| per row < 2^37, so the
+    // sum overflows past ~7e6 TB of lineitem — decimal(38) territory,
+    // noted, not today's problem.
     "q01_agg_basic" -> ((s, d) => {
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          expr("cast(round(l_quantity * 100) as bigint)").as("qty_e2"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("px_e2"),
+          expr("cast(round(l_discount * 100) as bigint)").as("d_e2"),
+          expr("cast(round(l_tax * 100) as bigint)").as("t_e2"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg(col("l_quantity")), 6).as("avg_qty"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          sum(col("qty_e2")).as("sum_qty_e2"),
+          sum(col("px_e2")).as("sum_base_price_e2"),
+          sum(col("px_e2") * (lit(100L) - col("d_e2"))).as("sum_disc_price_e4"),
+          sum(col("px_e2") * (lit(100L) - col("d_e2")) *
+            (lit(100L) + col("t_e2"))).as("sum_charge_e6"),
+          sum(col("d_e2")).as("sum_d_e2"),
           count(lit(1)).as("count_order"))
+        .withColumn("avg_qty_e6", expr("(sum_qty_e2 * 10000) div count_order"))
+        .withColumn("avg_disc_e6", expr("(sum_d_e2 * 10000) div count_order"))
+        .drop("sum_d_e2")
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
@@ -149,13 +167,21 @@ object AggQueries {
   val oracle: Map[String, String] = Map(
     "q01_agg_basic" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity),2) AS sum_qty,
-        |  round(sum(l_extendedprice),2) AS sum_base_price,
-        |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        |  round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
-        |  round(avg(l_quantity),6) AS avg_qty,
-        |  round(avg(l_discount),6) AS avg_disc,
-        |  count(*) AS count_order
+        |  sum(CAST(round(l_quantity*100) AS BIGINT))::BIGINT AS sum_qty_e2,
+        |  sum(CAST(round(l_extendedprice*100) AS BIGINT))::BIGINT
+        |    AS sum_base_price_e2,
+        |  sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount*100) AS BIGINT)))::BIGINT
+        |    AS sum_disc_price_e4,
+        |  sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount*100) AS BIGINT))
+        |      * (100 + CAST(round(l_tax*100) AS BIGINT)))::BIGINT
+        |    AS sum_charge_e6,
+        |  count(*) AS count_order,
+        |  (sum(CAST(round(l_quantity*100) AS BIGINT)) * 10000)::BIGINT
+        |    // count(*) AS avg_qty_e6,
+        |  (sum(CAST(round(l_discount*100) AS BIGINT)) * 10000)::BIGINT
+        |    // count(*) AS avg_disc_e6
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,

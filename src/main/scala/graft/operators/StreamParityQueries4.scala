@@ -37,6 +37,49 @@ object StreamParityQueries4 {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING windowed COUNT(DISTINCT) — the reference's
+    // distinct-agg SPLIT on a stream (q02 binds the batch split):
+    // watermarked dropDuplicates over (window, type, user) feeding a
+    // windowed count — TWO chained stateful operators with watermark
+    // propagation, the split-distinct topology. Day windows close via
+    // q129's double-flush sentinels; dedup state evicts because the
+    // window struct on the watermarked column is among the keys.
+    "q238_distinct_window_stream" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.{Event, Replay}
+      val base = java.nio.file.Files.createTempDirectory("graft-distinctwin")
+      val real = Tables.events(s, d).as[Event]
+      val (loUs, hiUs) = {
+        val r = real.agg(min(col("ts")), max(col("ts"))).head()
+        (Event.micros(r.getTimestamp(0)), Event.micros(r.getTimestamp(1)))
+      }
+      def tsOf(us: Long) = new java.sql.Timestamp(us / 1000)
+      val cut = (q: Long) => lit(tsOf(loUs + (hiUs - loUs) * q / 4))
+      def flush(id: Long, offDays: Long) = Event(id,
+        tsOf(hiUs + offDays * 86400L * 1000000L), -1L, "flush", 0.0, "{}")
+      val ev = real.union(Seq(flush(-1L, 2), flush(-2L, 4)).toDS())
+      val fcol = col("event_type") === "flush"
+      val chunks = Seq(
+        col("ts") < cut(1) && !fcol,
+        col("ts") >= cut(1) && col("ts") < cut(2) && !fcol,
+        col("ts") >= cut(2) && col("ts") < cut(3) && !fcol,
+        col("ts") >= cut(3) && !fcol,
+        col("event_id") === -1L && fcol,
+        col("event_id") === -2L && fcol)
+      val (inDir, schema) = Replay.fileEpochs(ev, chunks, base.toString)
+      val ded = Replay.stream(s, inDir, schema)
+        .withWatermark("ts", "1 minute")
+        .select(window(col("ts"), "1 day").as("w"), col("event_type"),
+          col("user_id"))
+        .dropDuplicates("w", "event_type", "user_id")
+      val agg = ded.groupBy(col("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n_users"))
+      runAppend(agg, base.toString, s)
+        .filter(col("event_type") =!= "flush")
+        .orderBy(col("ws"), col("event_type"))
+    }),
+
     // LATE-FIRING window updates — the reference's allowedLateness
     // re-fire semantics (a late element UPDATES an already-fired
     // window): day-window aggregates run in UPDATE mode over an
@@ -118,6 +161,12 @@ object StreamParityQueries4 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q238_distinct_window_stream" ->
+      """WITH ev AS (SELECT make_timestamp(epoch_ns(ts)//1000) AS ts,
+        |              user_id, event_type FROM events)
+        |SELECT date_trunc('day', ts) AS ws, event_type,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Epoch assignment mirrors the replay's chunk conditions (Q2 is
     // batch 0, Q1 batch 1, Q3 batch 2, Q4 batch 3 — integer cut
     // arithmetic identical to the Scala side); an emission exists for
