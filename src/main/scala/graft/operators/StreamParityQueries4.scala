@@ -37,6 +37,48 @@ object StreamParityQueries4 {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING SLIDING windows — the third assigner's streaming leg
+    // (tumbling = q129, sessions = q130): 1-day windows sliding every
+    // 6 h per event type over the quarter replay, append mode closing
+    // each of the 4 covering windows as the watermark passes; q129's
+    // double-flush sentinels emit the tail. Oracle = the slide-
+    // aligned window algebra of q208's HOP branch.
+    "q239_hop_window_stream" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.{Event, Replay}
+      val base = java.nio.file.Files.createTempDirectory("graft-hopstream")
+      val real = Tables.events(s, d).as[Event]
+      val (loUs, hiUs) = {
+        val r = real.agg(min(col("ts")), max(col("ts"))).head()
+        (Event.micros(r.getTimestamp(0)), Event.micros(r.getTimestamp(1)))
+      }
+      def tsOf(us: Long) = new java.sql.Timestamp(us / 1000)
+      val cut = (q: Long) => lit(tsOf(loUs + (hiUs - loUs) * q / 4))
+      def flush(id: Long, offDays: Long) = Event(id,
+        tsOf(hiUs + offDays * 86400L * 1000000L), -1L, "flush", 0.0, "{}")
+      val ev = real.union(Seq(flush(-1L, 2), flush(-2L, 4)).toDS())
+      val fcol = col("event_type") === "flush"
+      val chunks = Seq(
+        col("ts") < cut(1) && !fcol,
+        col("ts") >= cut(1) && col("ts") < cut(2) && !fcol,
+        col("ts") >= cut(2) && col("ts") < cut(3) && !fcol,
+        col("ts") >= cut(3) && !fcol,
+        col("event_id") === -1L && fcol,
+        col("event_id") === -2L && fcol)
+      val (inDir, schema) = Replay.fileEpochs(ev, chunks, base.toString)
+      val agg = Replay.stream(s, inDir, schema)
+        .withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "1 day", "6 hours").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(round(value*100) as bigint)")).as("cents_v"))
+        .select(col("w.start").as("ws"), col("w.end").as("we"),
+          col("event_type"), col("n"), col("cents_v"))
+      runAppend(agg, base.toString, s)
+        .filter(col("event_type") =!= "flush")
+        .orderBy(col("event_type"), col("ws"))
+    }),
+
     // STREAMING windowed COUNT(DISTINCT) — the reference's
     // distinct-agg SPLIT on a stream (q02 binds the batch split):
     // watermarked dropDuplicates over (window, type, user) feeding a
@@ -161,6 +203,20 @@ object StreamParityQueries4 {
   )
 
   val oracle: Map[String, String] = Map(
+    // slide-aligned covering windows (q208's HOP algebra): each event
+    // belongs to the 4 windows starting at slide-floor(ts) − k·6h
+    "q239_hop_window_stream" ->
+      """WITH ev AS (SELECT make_timestamp(epoch_ns(ts)//1000) AS ts,
+        |              event_type, value FROM events),
+        |w AS (
+        |  SELECT event_type, value,
+        |    make_timestamp((epoch_us(ts) // 21600000000) * 21600000000
+        |                   - k.g * 21600000000) AS ws
+        |  FROM ev, generate_series(0, 3) k(g))
+        |SELECT ws, ws + INTERVAL 1 DAY AS we, event_type,
+        |  count(*) AS n,
+        |  sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents_v
+        |FROM w GROUP BY 1, 2, 3 ORDER BY event_type, ws""".stripMargin,
     "q238_distinct_window_stream" ->
       """WITH ev AS (SELECT make_timestamp(epoch_ns(ts)//1000) AS ts,
         |              user_id, event_type FROM events)
