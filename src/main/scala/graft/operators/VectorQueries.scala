@@ -337,6 +337,28 @@ object VectorQueries {
         .filter(col("rk") <= 3)
         .select(col("pid"), col("rk"), col("cid"), round(col("sim"), 6).as("sim6"))
         .orderBy(col("pid"), col("rk"))
+    }),
+
+    // ANN RECALL AUDIT — the standard quality metric for the
+    // approximate path: recall@3 of the LSH ANN (q72) against the
+    // brute-force ground truth (q70's exact top-3), per probe, as an
+    // integer permille. Both sides are deterministic (fixed planes,
+    // total tiebreaks) so the recall itself is an exact, oracle-
+    // checkable number — the audit a production ANN deployment runs
+    // after every index build. (The lambdas resolve the catalog at
+    // call time, after object init.)
+    "q240_ann_recall" -> ((s, d) => {
+      val truth = VectorQueries.queries("q70_knn_brute")(s, d)
+        .filter(col("rk") <= 3).select(col("pid"), col("cid"))
+      val ann = VectorQueries.queries("q72_lsh_ann")(s, d)
+        .select(col("pid"), col("cid"))
+      val hits = ann.join(truth, Seq("pid", "cid"), "left_semi")
+        .groupBy(col("pid")).agg(count(lit(1)).as("n_hits"))
+      truth.select(col("pid")).distinct()
+        .join(hits, Seq("pid"), "left")
+        .select(col("pid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall_permille", expr("(1000 * n_hits) div 3"))
+        .orderBy(col("pid"))
     })
   )
 
@@ -415,6 +437,37 @@ object VectorQueries {
          |  FROM sims)
          |SELECT pid, rk, cid, round(sim, 6) AS sim6
          |FROM ranked WHERE rk <= 3 ORDER BY pid, rk""".stripMargin,
+    "q240_ann_recall" ->
+      s"""WITH wb AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+         |  FROM embeddings),
+         |tp AS (
+         |  SELECT p.vec_id AS pid, c.vec_id AS cid,
+         |    p.embedding AS pe, c.embedding AS ce
+         |  FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id <= 20),
+         |truth AS (
+         |  SELECT pid, cid FROM (
+         |    SELECT pid, cid, row_number() OVER (PARTITION BY pid
+         |      ORDER BY $cosineSql DESC, cid) AS rk FROM tp)
+         |  WHERE rk <= 3),
+         |ap AS (
+         |  SELECT p.vec_id AS pid, c.vec_id AS cid,
+         |    p.embedding AS pe, c.embedding AS ce
+         |  FROM wb p JOIN wb c ON p.bucket = c.bucket AND c.vec_id <> p.vec_id
+         |  WHERE p.vec_id <= 20),
+         |ann AS (
+         |  SELECT pid, cid FROM (
+         |    SELECT pid, cid, row_number() OVER (PARTITION BY pid
+         |      ORDER BY $cosineSql DESC, cid) AS rk FROM ap)
+         |  WHERE rk <= 3),
+         |hits AS (
+         |  SELECT pid, count(*) AS n_hits
+         |  FROM ann SEMI JOIN truth USING (pid, cid) GROUP BY pid)
+         |SELECT p.pid, coalesce(h.n_hits, 0) AS n_hits,
+         |  (1000 * coalesce(h.n_hits, 0)) // 3 AS recall_permille
+         |FROM (SELECT DISTINCT pid FROM truth) p
+         |LEFT JOIN hits h USING (pid) ORDER BY p.pid""".stripMargin,
     // the quantization recomputed in SQL: per-vector max-abs scale,
     // int8 code, integer dots/norms — exact integers both engines,
     // then one IEEE division + sqrt
