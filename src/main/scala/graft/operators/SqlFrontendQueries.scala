@@ -58,6 +58,56 @@ object SqlFrontendQueries {
       GroupWindowSql.run(s, flinkSql)
     }),
 
+    // The group-window SQL TEXT on a real STREAM, oracle-bound: the
+    // literal Flink `GROUP BY SESSION(ts, INTERVAL '30' MINUTE)`
+    // statement runs against a watermarked streaming view of the
+    // four-quarter replay — sessions merge across micro-batch
+    // boundaries, close as the watermark passes last-event + gap, and
+    // the far-future flush rows (their own sessions, filtered at sink
+    // read) emit the tail. Upgrades the GroupWindowSqlSpec streaming
+    // claim to a driver-checked row.
+    "q241_flinksql_session_stream" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      import graft.streaming.{Event, Replay}
+      val base = java.nio.file.Files.createTempDirectory("graft-sesssql")
+      val real = Tables.events(s, d).as[Event]
+      val (loUs, hiUs) = {
+        val r = real.agg(org.apache.spark.sql.functions.min(col("ts")),
+          org.apache.spark.sql.functions.max(col("ts"))).head()
+        (Event.micros(r.getTimestamp(0)), Event.micros(r.getTimestamp(1)))
+      }
+      def tsOf(us: Long) = new java.sql.Timestamp(us / 1000)
+      val cut = (q: Long) => org.apache.spark.sql.functions.lit(
+        tsOf(loUs + (hiUs - loUs) * q / 4))
+      def flush(id: Long, offDays: Long) = Event(id,
+        tsOf(hiUs + offDays * 86400L * 1000000L), -1L, "flush", 0.0, "{}")
+      val ev = real.union(Seq(flush(-1L, 2), flush(-2L, 4)).toDS())
+      val fcol = col("event_type") === "flush"
+      val chunks = Seq(
+        col("ts") < cut(1) && !fcol,
+        col("ts") >= cut(1) && col("ts") < cut(2) && !fcol,
+        col("ts") >= cut(2) && col("ts") < cut(3) && !fcol,
+        col("ts") >= cut(3) && !fcol,
+        col("event_id") === -1L && fcol,
+        col("event_id") === -2L && fcol)
+      val (inDir, schema) = Replay.fileEpochs(ev, chunks, base.toString)
+      Replay.stream(s, inDir, schema)
+        .withWatermark("ts", "1 minute")
+        .createOrReplaceTempView("events_stream_q241")
+      val agg = GroupWindowSql.run(s,
+        """SELECT CAST(user_id AS VARCHAR) AS grp,
+          |       SESSION_START(ts, INTERVAL '30' MINUTE) AS ws,
+          |       SESSION_END(ts, INTERVAL '30' MINUTE) AS we,
+          |       COUNT(*) AS n,
+          |       SUM(CAST(ROUND(value*100) AS BIGINT)) AS cents
+          |FROM events_stream_q241
+          |GROUP BY user_id, SESSION(ts, INTERVAL '30' MINUTE)""".stripMargin)
+      StreamParityQueries.runAppend(agg, base.toString, s)
+        .filter(col("grp") =!= "-1")
+        .orderBy(col("grp"), col("ws"))
+    }),
+
     // Temporal table join in the LITERAL Flink-SQL `FOR SYSTEM_TIME
     // AS OF` syntax, compiled onto the AsOfJoin Catalyst node: each
     // purchase joins the version of the per-user view stream current
@@ -433,6 +483,26 @@ object SqlFrontendQueries {
         |  count(*) AS n,
         |  sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents_v
         |FROM ev GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin),
+    // q208's S-branch island algebra, sessions per user
+    "q241_flinksql_session_stream" -> (evCte +
+      """
+        |SELECT CAST(user_id AS VARCHAR) AS grp,
+        |       min(ts) AS ws, max(ts) + INTERVAL 30 MINUTE AS we,
+        |       count(*) AS n,
+        |       sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents
+        |FROM (
+        |  SELECT user_id, ts, value,
+        |    sum(CASE WHEN prev_ts IS NULL
+        |              OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM (SELECT user_id, ts, event_id, value,
+        |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |            AS prev_ts
+        |        FROM ev))
+        |GROUP BY user_id, sess_id
+        |ORDER BY grp, ws""".stripMargin),
     // evCte + q141's match algebra as a conversions-per-user CTE +
     // whole-corpus per-user totals (summing the day rollup = totals)
     "q234_flinksql_app" -> (evCte +
