@@ -82,6 +82,8 @@ object FlinkDdl {
     """(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(SELECT\b.*|VALUES\b.*)$""".r
   private val SelectRe = """(?is)^\s*\(?\s*SELECT\b.*$""".r
   private val DropRe = """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+  private val ShowRe = """(?is)^\s*SHOW\s+TABLES\s*$""".r
+  private val DescRe = """(?is)^\s*DESC(?:RIBE)?\s+(\w+)\s*$""".r
   private val WatermarkRe =
     """(?is)^\s*WATERMARK\s+FOR\s+(\w+)\s+AS\s+\w+\s*-\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*$""".r
   private val ComputedRe = """(?is)^\s*(\w+)\s+AS\s+(.+)$""".r
@@ -139,6 +141,18 @@ object FlinkDdl {
       case s if SelectRe.matches(s) => Some(spark.sql(selectRewriter(s)))
       case DropRe(name) =>
         tables.remove(name); spark.catalog.dropTempView(name); None
+      case ShowRe() =>
+        import spark.implicits._
+        Some(tables.keys.toSeq.sorted.toDF("table_name"))
+      case DescRe(name) =>
+        import spark.implicits._
+        val t = table(name)
+        val rows =
+          t.schema.fields.map(f => (f.name, f.dataType.sql, "physical")) ++
+            t.computed.map { case (n, e) => (n, s"AS $e", "computed") } ++
+            t.watermark.map { case (c, dl) =>
+              (c, s"WATERMARK $dl delay", "watermark") }
+        Some(rows.toSeq.toDF("col_name", "data_type", "kind"))
       case other => fail(s"unsupported statement: ${other.take(80)}")
     }
 

@@ -86,6 +86,27 @@ class FlinkDdlSpec extends SparkSpec {
       s"watermark missing from plan:\n${stream.queryExecution.logical}")
   }
 
+  test("SHOW TABLES and DESCRIBE expose the DDL catalog") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ddlshow")
+    val env = new FlinkDdl.Env(spark)
+    env.executeSql(
+      s"""CREATE TABLE shown (a BIGINT, ts_us BIGINT,
+         |  ts AS timestamp_micros(ts_us),
+         |  WATERMARK FOR ts AS ts - INTERVAL '5' MINUTE)
+         |WITH ('connector' = 'filesystem', 'path' = '$base/x',
+         |      'format' = 'parquet')""".stripMargin)
+    val names = env.executeSql("SHOW TABLES").get
+      .collect().map(_.getString(0)).toSeq
+    assert(names == Seq("shown"))
+    val desc = env.executeSql("DESCRIBE shown").get
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(desc == Map("a" -> "physical", "ts_us" -> "physical",
+      "ts" -> "watermark")) // ts appears as computed AND watermark; map keeps last
+    val kinds = env.executeSql("DESC shown").get
+      .collect().map(_.getString(2)).toSeq
+    assert(kinds.count(_ == "computed") == 1 && kinds.count(_ == "watermark") == 1)
+  }
+
   test("unknown statements are rejected, DROP TABLE forgets the table") {
     val env = new FlinkDdl.Env(spark)
     val e = intercept[IllegalArgumentException](
