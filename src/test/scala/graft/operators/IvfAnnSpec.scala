@@ -58,4 +58,24 @@ class IvfAnnSpec extends SparkSpec {
       assert(lists.size <= 2, s"probe $pid drew candidates from ${lists.size} lists")
     }
   }
+
+  test("approximate setting (nprobe 2 of 8) keeps recall@5 above the floor") {
+    // the q240 audit covers the LSH path with an exact oracle; the
+    // IVF path's k-means model is not SQL-expressible, so its recall
+    // is pinned HERE: mean recall@5 at nprobe=2/8 must hold a floor —
+    // a broken assignment or probe routing craters it to ~nprobe/k
+    val m = IvfAnn.fit(emb, "embedding", k = 8, lloydIters = 2)
+    val probes = emb.filter(col("vec_id") <= 20)
+    val approx = IvfAnn.search(emb, probes, "embedding", m, k = 5, nprobe = 2)
+      .select(col("pid"), col("cid")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = IvfAnn.search(emb, probes, "embedding", m, k = 5, nprobe = 8)
+      .select(col("pid"), col("cid")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (pid, truth) =>
+      approx.getOrElse(pid, Set.empty).count(truth).toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, f"mean recall@5 $mean%.2f below floor")
+  }
 }
