@@ -129,6 +129,27 @@ object FormatQueries {
       aggAfter(s.read.schema(proj.schema).csv(out))
     }),
 
+    // Avro container-file round trip through the graft-avro DataSource
+    // V2 connector (reference `flink-formats/flink-avro/.../
+    // AvroInputFormat.java` + `AvroOutputFormat.java`; built directly
+    // on avro-core since only the spark-avro datasource jar is absent
+    // from the env). Binary format: full-fidelity round trip including
+    // the µs timestamp (timestamp-micros logical type) and the raw
+    // double — same aggregate as the ORC row, so a corruption in the
+    // schema mapping, the snappy-coded container framing, or the
+    // two-phase task-file commit breaks the oracle row.
+    "q242_avro_roundtrip" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-avrort")
+      val ev = Tables.events(s, d)
+      ev.write.format("graft-avro").mode("overwrite").save(s"$base/avro")
+      s.read.format("graft-avro").load(s"$base/avro")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(round(value*100) as bigint)")).as("cents_v"),
+          min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+        .orderBy(col("event_type"))
+    }),
+
     "q187_partitioned_table" -> ((s, d) => {
       val base = java.nio.file.Files.createTempDirectory("graft-cattbl")
       Tables.documents(s, d)
@@ -158,6 +179,11 @@ object FormatQueries {
          |  min(event_id) AS min_id, max(event_id) AS max_id
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q169_orc_roundtrip" ->
+      s"""SELECT event_type, count(*)::BIGINT AS n, $centsSum AS cents_v,
+         |  min(make_timestamp(epoch_ns(ts)//1000)) AS min_ts,
+         |  max(make_timestamp(epoch_ns(ts)//1000)) AS max_ts
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q242_avro_roundtrip" ->
       s"""SELECT event_type, count(*)::BIGINT AS n, $centsSum AS cents_v,
          |  min(make_timestamp(epoch_ns(ts)//1000)) AS min_ts,
          |  max(make_timestamp(epoch_ns(ts)//1000)) AS max_ts

@@ -1,0 +1,100 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.sql.{Date, Timestamp}
+
+/** The graft-avro DataSource V2 connector (SURVEY §2.7 avro row):
+  * schema mapping, full-fidelity round trips, nulls, column pruning,
+  * overwrite truncation, and per-file read parallelism. */
+class AvroSpec extends SparkSpec {
+
+  private def tmp(name: String) =
+    java.nio.file.Files.createTempDirectory(s"graft-$name").toString + "/out"
+
+  test("avro round-trips events exactly (timestamps µs, doubles, strings)") {
+    val ev = Tables.events(spark, sf)
+    val p = tmp("avro-ev")
+    ev.write.format("graft-avro").mode("overwrite").save(p)
+    val back = spark.read.format("graft-avro").load(p)
+    assert(back.schema == ev.schema)
+    assert(back.orderBy(col("event_id")).collect().toSeq ==
+           ev.orderBy(col("event_id")).collect().toSeq)
+  }
+
+  test("avro round-trips the full type lattice incl. nulls") {
+    val schema = StructType(Seq(
+      StructField("i", IntegerType), StructField("l", LongType),
+      StructField("f", FloatType), StructField("d", DoubleType),
+      StructField("b", BooleanType), StructField("s", StringType),
+      StructField("bin", BinaryType), StructField("dt", DateType),
+      StructField("ts", TimestampType),
+      StructField("dec", DecimalType(12, 2)),
+      StructField("arr", ArrayType(LongType))))
+    val rows = Seq(
+      Row(1, 10L, 1.5f, 2.5, true, "alpha", Array[Byte](1, 2, 3),
+        Date.valueOf("2024-03-01"), Timestamp.valueOf("2024-03-01 12:34:56.123456"),
+        new java.math.BigDecimal("12345.67"), Seq(1L, 2L, 3L)),
+      Row(2, null, null, null, false, null, null, null, null, null, null),
+      Row(3, -7L, -0.25f, 1e9, null, "", Array.empty[Byte],
+        Date.valueOf("1970-01-01"), Timestamp.valueOf("1970-01-01 00:00:00.000001"),
+        new java.math.BigDecimal("-0.01"), Seq()))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val p = tmp("avro-lattice")
+    df.write.format("graft-avro").mode("append").save(p)
+    val back = spark.read.format("graft-avro").load(p)
+    assert(back.schema == schema)
+    def norm(r: Row) = r.toSeq.map {
+      case b: Array[Byte] => b.toSeq
+      case v => v
+    }
+    assert(back.orderBy(col("i")).collect().toSeq.map(norm) ==
+           df.orderBy(col("i")).collect().toSeq.map(norm))
+  }
+
+  test("column pruning reaches the avro scan") {
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
+    val p = tmp("avro-prune")
+    ev.write.format("graft-avro").mode("overwrite").save(p)
+    val pruned = spark.read.format("graft-avro").load(p).select("user_id")
+    val leaf = pruned.queryExecution.executedPlan.collectLeaves().head
+    assert(leaf.schema.fieldNames.toSeq == Seq("user_id"),
+      s"scan should read only user_id, got ${leaf.schema.fieldNames.mkString(",")}")
+    assert(pruned.distinct().count() ==
+           ev.select("user_id").distinct().count())
+  }
+
+  test("overwrite truncates prior files; append accumulates") {
+    import spark.implicits._
+    val p = tmp("avro-modes")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.format("graft-avro").mode("overwrite").save(p)
+    Seq((3L, "c")).toDF("k", "v")
+      .write.format("graft-avro").mode("append").save(p)
+    assert(spark.read.format("graft-avro").load(p).count() == 3)
+    Seq((9L, "z")).toDF("k", "v")
+      .write.format("graft-avro").mode("overwrite").save(p)
+    assert(spark.read.format("graft-avro").load(p).as[(Long, String)]
+      .collect().toSeq == Seq((9L, "z")))
+  }
+
+  test("write emits one file per task; read plans one partition per file") {
+    import spark.implicits._
+    val p = tmp("avro-par")
+    spark.range(0, 1000).repartition(4).map(i => (i, s"row$i"))
+      .toDF("k", "v").write.format("graft-avro").mode("overwrite").save(p)
+    val back = spark.read.format("graft-avro").load(p)
+    assert(back.rdd.getNumPartitions == 4)
+    assert(back.count() == 1000)
+    // no temp dirs or partial files left behind (hidden .crc sidecars
+    // are Hadoop LocalFileSystem checksums, not ours)
+    val dir = new java.io.File(p)
+    val visible = dir.listFiles().filterNot(_.getName.startsWith("."))
+    assert(visible.forall(f => f.getName.endsWith(".avro")) && visible.length == 4,
+      dir.listFiles().map(_.getName).mkString(","))
+  }
+}
