@@ -227,6 +227,109 @@ object SqlFrontendQueries {
     // withWatermark on the stream read; day-window aggregates close
     // exactly as the watermark passes during the four-quarter csv
     // replay (+ two far-future flush files so every window emits).
+    // DDL avro leg: a `'format.type' = 'avro'` sink table routes
+    // through the graft-avro DataSource V2 connector (reference
+    // AvroRowFormatFactory tables port verbatim) — INSERT OVERWRITE
+    // then INSERT INTO compose through the connector's
+    // truncate-vs-append write paths, and the trailing SELECT
+    // re-aggregates FROM the avro container files, so the avro leg is
+    // load-bearing end to end.
+    "q243_flinksql_ddl_avro" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      val base = java.nio.file.Files.createTempDirectory("graft-ddl-avro")
+      Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"),
+        expr("cast(round(value*100) as bigint)").as("cents"))
+        .write.mode("overwrite").option("header", "false").csv(s"$base/src")
+      new FlinkDdl.Env(s).executeScript(
+        s"""CREATE TABLE ev_src (
+           |  event_id BIGINT, user_id BIGINT, event_type STRING,
+           |  cents BIGINT
+           |) WITH (
+           |  'connector.type' = 'filesystem',
+           |  'connector.path' = '$base/src',
+           |  'format.type' = 'csv'
+           |);
+           |CREATE TABLE ev_avro (
+           |  event_id BIGINT, user_id BIGINT, event_type STRING,
+           |  cents BIGINT
+           |) WITH (
+           |  'connector' = 'filesystem', 'path' = '$base/avro',
+           |  'format' = 'avro'
+           |);
+           |INSERT OVERWRITE ev_avro
+           |SELECT event_id, user_id, event_type, cents FROM ev_src
+           |WHERE user_id % 2 = 0;
+           |INSERT INTO ev_avro
+           |SELECT event_id, user_id, event_type, cents FROM ev_src
+           |WHERE user_id % 2 = 1;
+           |SELECT event_type, COUNT(*) AS n, SUM(cents) AS cents_v,
+           |       COUNT(DISTINCT user_id) AS users,
+           |       MIN(event_id) AS min_id, MAX(event_id) AS max_id
+           |FROM ev_avro GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
+    // STREAMING avro leg (q243's table surface on the stream path):
+    // the quarter replay lands as avro CONTAINER files with increasing
+    // names, the DDL table declares the computed rowtime + WATERMARK,
+    // and env.readStream routes through the graft-avro micro-batch
+    // stream (file-offset admission control, one file per trigger) —
+    // day windows close across micro-batches exactly as q227's csv
+    // leg, so a dup/lost/misordered file or a broken avro decode
+    // shifts a window aggregate and breaks the row.
+    "q244_flinksql_ddl_avro_stream" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val base = java.nio.file.Files.createTempDirectory("graft-ddl-avs")
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), expr("cast(round(value*100) as bigint)").as("cents"),
+        unix_micros(col("ts")).as("ts_us"))
+      val Row(lo: Long, hi: Long) =
+        ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+      val cut = (q: Long) => lo + (hi - lo) * q / 4
+      val in = s"$base/src"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val chunks = Seq(
+        col("ts_us") < cut(1),
+        col("ts_us") >= cut(1) && col("ts_us") < cut(2),
+        col("ts_us") >= cut(2) && col("ts_us") < cut(3),
+        col("ts_us") >= cut(3))
+      val flush = Seq(hi + 86400L * 1000000L, hi + 2 * 86400L * 1000000L)
+        .zipWithIndex.map { case (us, i) =>
+          (-(1L + i), 0L, "__flush", 0L, us)
+        }
+      val flushDf = s.createDataFrame(flush).toDF(ev.columns.toIndexedSeq: _*)
+      (chunks.map(ev.filter) ++ flush.indices.map(i =>
+        flushDf.filter(col("ts_us") === flush(i)._5)))
+        .zipWithIndex.foreach { case (df, i) =>
+          df.coalesce(1).write.format("graft-avro").mode("overwrite")
+            .save(s"$base/stage_$i")
+          val part = new java.io.File(s"$base/stage_$i").listFiles()
+            .filter(_.getName.endsWith(".avro")).head
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(in, f"chunk_$i%02d.avro"))
+        }
+      val env = new FlinkDdl.Env(s)
+      env.executeSql(
+        s"""CREATE TABLE ev_avro_stream (
+           |  event_id BIGINT, user_id BIGINT, event_type STRING,
+           |  cents BIGINT, ts_us BIGINT,
+           |  ts AS timestamp_micros(ts_us),
+           |  WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE
+           |) WITH (
+           |  'connector.type' = 'filesystem',
+           |  'connector.path' = '$in',
+           |  'format.type' = 'avro'
+           |)""".stripMargin)
+      val agg = env.readStream("ev_avro_stream", Map("maxFilesPerTrigger" -> "1"))
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_v"))
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n"), col("cents_v"))
+      StreamParityQueries.runAppend(agg, base.toString, s)
+        .filter(col("event_type") =!= "__flush")
+        .orderBy(col("ws"), col("event_type"))
+    }),
+
     "q227_flinksql_ddl_stream" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val base = java.nio.file.Files.createTempDirectory("graft-ddl3")
@@ -471,6 +574,18 @@ object SqlFrontendQueries {
         |SELECT event_type, count(*) AS n,
         |  sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents_v
         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin),
+    "q243_flinksql_ddl_avro" -> (evCte +
+      """
+        |SELECT event_type, count(*) AS n,
+        |  sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents_v,
+        |  count(DISTINCT user_id) AS users,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin),
+    "q244_flinksql_ddl_avro_stream" -> (evCte +
+      """
+        |SELECT date_trunc('day', ts) AS ws, event_type, count(*) AS n,
+        |  sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents_v
+        |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "q227_flinksql_ddl_stream" -> (evCte +
       """
         |SELECT date_trunc('day', ts) AS ws, event_type, count(*) AS n,

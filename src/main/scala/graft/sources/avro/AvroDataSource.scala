@@ -82,10 +82,11 @@ class AvroTable(dir: String, schema: StructType) extends Table
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroScanBuilder(dir, schema)
+    new AvroScanBuilder(dir, schema,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AvroWriteBuilder(dir, info.schema())
@@ -93,16 +94,20 @@ class AvroTable(dir: String, schema: StructType) extends Table
 
 // ---- read path ----
 
-class AvroScanBuilder(dir: String, full: StructType)
+class AvroScanBuilder(dir: String, full: StructType, maxFilesPerTrigger: Option[Int])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new AvroScan(dir, required)
+  override def build(): Scan = new AvroScan(dir, required, maxFilesPerTrigger)
 }
 
-class AvroScan(dir: String, required: StructType) extends Scan with Batch {
+class AvroScan(dir: String, required: StructType,
+    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new AvroMicroBatchStream(dir, required, maxFilesPerTrigger)
   override def description(): String =
     s"graft-avro $dir ReadSchema: ${required.fieldNames.mkString(",")}"
 

@@ -82,6 +82,38 @@ class AvroSpec extends SparkSpec {
       .collect().toSeq == Seq((9L, "z")))
   }
 
+  test("micro-batch stream read consumes files in name order, one per trigger") {
+    import spark.implicits._
+    val dir = tmp("avro-stream")
+    // three container files with increasing names, written up front
+    (0 until 3).foreach { i =>
+      val stage = tmp(s"avro-stage$i")
+      Seq((i.toLong, s"file$i")).toDF("k", "v")
+        .coalesce(1).write.format("graft-avro").mode("overwrite").save(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".avro")).head
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(dir, f"chunk_$i%02d.avro"))
+    }
+    val ck = tmp("avro-ck")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val q = spark.readStream.format("graft-avro")
+      .schema("k LONG, v STRING")
+      .option("maxFilesPerTrigger", "1")
+      .load(dir)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        seen.synchronized { seen += ((id, df.select("k").as[Long].collect().toSeq)) }
+        ()
+      }.start()
+    q.awaitTermination()
+    // one file per micro-batch, in lexicographic order, no dup/loss
+    assert(seen.sortBy(_._1).map(_._2).toSeq == Seq(Seq(0L), Seq(1L), Seq(2L)))
+  }
+
   test("write emits one file per task; read plans one partition per file") {
     import spark.implicits._
     val p = tmp("avro-par")

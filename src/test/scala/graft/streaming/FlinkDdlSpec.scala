@@ -122,4 +122,24 @@ class FlinkDdlSpec extends SparkSpec {
       env.executeSql("INSERT INTO gone SELECT 1"))
     assert(e2.getMessage.contains("unknown DDL table"))
   }
+
+  test("avro DDL tables write+read through graft-avro; partition leg rejects") {
+    val env = new FlinkDdl.Env(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft-ddlspec5")
+    env.executeSql(
+      s"""CREATE TABLE av (a BIGINT, s STRING)
+         |WITH ('connector' = 'filesystem', 'path' = '$base/av',
+         |      'format' = 'avro')""".stripMargin)
+    env.executeSql("INSERT INTO av SELECT 7, 'x'")
+    assert(env.executeSql("SELECT a, s FROM av").get
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((7L, "x")))
+    // container files really are avro, via the raw connector
+    assert(spark.read.format("graft-avro").load(s"$base/av")
+      .count() == 1)
+    val e2 = intercept[IllegalArgumentException](env.executeSql(
+      s"""CREATE TABLE avp (a BIGINT, p STRING) PARTITIONED BY (p)
+         |WITH ('connector' = 'filesystem', 'path' = '$base/avp',
+         |      'format' = 'avro')""".stripMargin))
+    assert(e2.getMessage.contains("does not support"))
+  }
 }
