@@ -245,6 +245,56 @@ object TpcdsShapes {
         .select(coalesce(col("mon_2000"), col("mon_2001")).as("mon"),
           col("cum_2000"), col("cum_2001"))
         .orderBy(col("mon"))
+    }),
+
+    // TPC-DS q88 shape: the "time-bucket dashboard" — N independent
+    // filtered counts of one fact table presented as a SINGLE row.
+    // The literal DS plan is 8 scalar subqueries cross-joined (the
+    // oracle keeps that form); the Spark side is the rewrite a
+    // Spark-first engineer ships: ONE conditional-aggregation pass,
+    // so the fact table is scanned once instead of 8 times — at
+    // 100 TB that is the difference between one scan and eight.
+    // Values are provably identical (disjoint, exhaustive-by-filter
+    // buckets counted with FILTER/CASE semantics).
+    "q245_ds_bucket_report" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val cs = (0 until 8).map { i =>
+        val (lo, hi) = (i * 6 + 1, i * 6 + 6)
+        count(when(col("l_quantity") >= lo && col("l_quantity") <= hi,
+          1)).as(s"c${i + 1}")
+      }
+      li.agg(cs.head, cs.tail: _*)
+    }),
+
+    // TPC-DS q47/q57 shape: deviation-from-window-average trend
+    // filter. Monthly cents per order priority; one window partition
+    // (priority, year) carries the yearly sum/count, the ordered
+    // frame carries lag/lead — rows keep only months deviating >5%
+    // from the yearly average, reported with both neighbors. The
+    // >5% test is integer cross-multiplied (|cents·cnt − sum|·20 >
+    // sum·cnt) so both engines compare exact BIGINTs, not a double
+    // ratio. Plan shape: ONE shuffle on the partition key serves all
+    // three window functions (same spec), then a filter — the
+    // monthly pre-aggregate is tiny, so the windows never see the
+    // fact table.
+    "q246_ds_trend_deviation" -> ((s, d) => {
+      val monthly = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mon"))
+        .agg(expr(s"sum($oCents)").as("cents"))
+      val byYear = Window.partitionBy(col("prio"), col("yr"))
+      val seq = byYear.orderBy(col("mon"))
+      monthly.select(col("prio"), col("yr"), col("mon"), col("cents"),
+          sum(col("cents")).over(byYear).as("ysum"),
+          count(lit(1)).over(byYear).as("ycnt"),
+          lag(col("cents"), 1).over(seq).as("prev_cents"),
+          lead(col("cents"), 1).over(seq).as("next_cents"))
+        .filter(abs(col("cents") * col("ycnt") - col("ysum")) * 20 >
+          col("ysum") * col("ycnt"))
+        .select(col("prio"), col("yr"), col("mon"), col("cents"),
+          col("prev_cents"), col("next_cents"))
+        .orderBy(col("prio"), col("yr"), col("mon"))
     })
   )
 
@@ -385,6 +435,32 @@ object TpcdsShapes {
         |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_2001 FROM m1)
         |SELECT coalesce(mon_2000, mon_2001) AS mon, cum_2000, cum_2001
         |FROM c0 FULL OUTER JOIN c1 ON mon_2000 = mon_2001
-        |ORDER BY mon""".stripMargin
+        |ORDER BY mon""".stripMargin,
+    // the literal DS q88 form: 8 scalar subqueries cross-joined —
+    // same values as the Spark side's single-pass rewrite
+    "q245_ds_bucket_report" ->
+      (1 to 8).map { i =>
+        val (lo, hi) = ((i - 1) * 6 + 1, (i - 1) * 6 + 6)
+        s"(SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN $lo AND $hi) AS c$i"
+      }.mkString("SELECT ", ",\n  ", ""),
+    "q246_ds_trend_deviation" ->
+      """WITH monthly AS (
+        |  SELECT o_orderpriority AS prio, year(o_orderdate)::INT AS yr,
+        |    month(o_orderdate)::INT AS mon,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT prio, yr, mon, cents,
+        |    CAST(sum(cents) OVER yw AS BIGINT) AS ysum,
+        |    CAST(count(*) OVER yw AS BIGINT) AS ycnt,
+        |    lag(cents) OVER sw AS prev_cents,
+        |    lead(cents) OVER sw AS next_cents
+        |  FROM monthly
+        |  WINDOW yw AS (PARTITION BY prio, yr),
+        |         sw AS (PARTITION BY prio, yr ORDER BY mon))
+        |SELECT prio, yr, mon, cents, prev_cents, next_cents
+        |FROM w
+        |WHERE abs(cents * ycnt - ysum) * 20 > ysum * ycnt
+        |ORDER BY prio, yr, mon""".stripMargin
   )
 }
