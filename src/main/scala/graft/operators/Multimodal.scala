@@ -77,6 +77,70 @@ object Multimodal {
     }
   }
 
+  /** Real netpbm PGM (P5, binary grayscale) encode/parse — a genuine
+    * image format with a pure-JVM codec, so the decode step of the
+    * multimodal path is REAL for this format (StubCodec remains the
+    * labeled stand-in for formats that need native libraries). The
+    * parser handles the full header grammar: magic, `#` comments
+    * anywhere between tokens, arbitrary whitespace, maxval ≤ 255. */
+  object Pgm {
+    def encode(pixels: Array[Int], w: Int, h: Int): Array[Byte] = {
+      require(pixels.length == w * h, s"${pixels.length} px for ${w}x$h")
+      val header = s"P5\n# graft synthetic media\n$w $h\n255\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = new Array[Byte](header.length + pixels.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var i = 0
+      while (i < pixels.length) {
+        out(header.length + i) = pixels(i).toByte
+        i += 1
+      }
+      out
+    }
+
+    /** Parse → (width, height, raw pixel ints 0..maxval). */
+    def decodeRaw(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      var pos = 0
+      def skipToToken(): Unit = {
+        var in = true
+        while (in && pos < bytes.length) {
+          val c = bytes(pos).toChar
+          if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+          else if (c.isWhitespace) pos += 1
+          else in = false
+        }
+      }
+      def token(): String = {
+        skipToToken()
+        val start = pos
+        while (pos < bytes.length && !bytes(pos).toChar.isWhitespace) pos += 1
+        new String(bytes, start, pos - start,
+          java.nio.charset.StandardCharsets.US_ASCII)
+      }
+      val magic = token()
+      require(magic == "P5", s"not a binary PGM (magic '$magic')")
+      val (w, h, maxval) = (token().toInt, token().toInt, token().toInt)
+      require(maxval > 0 && maxval <= 255, s"unsupported maxval $maxval")
+      pos += 1 // exactly ONE whitespace byte separates header and payload
+      require(bytes.length - pos == w * h,
+        s"payload ${bytes.length - pos} bytes for ${w}x$h")
+      val px = new Array[Int](w * h)
+      var i = 0
+      while (i < px.length) { px(i) = bytes(pos + i) & 0xff; i += 1 }
+      (w, h, px)
+    }
+  }
+
+  /** REAL codec for PGM blobs: parses the container, normalizes to
+    * [0,1] floats. Dimensions come from the parsed header, not the
+    * metadata — a corrupt blob fails loudly instead of shearing. */
+  object PgmCodec extends MediaCodec {
+    override def decode(bytes: Array[Byte], meta: MediaMeta): Array[Float] = {
+      val (_, _, px) = Pgm.decodeRaw(bytes)
+      px.map(_ / 255.0f)
+    }
+  }
+
   /** Decode + frame-sample: one row per sampled frame, partition-
     * parallel, no shuffle. `stride` picks every k-th frame. */
   def decodeFrames(media: Dataset[MediaRow], stride: Int,

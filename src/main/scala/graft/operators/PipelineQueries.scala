@@ -324,6 +324,42 @@ object PipelineQueries {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    // REAL image decode (netpbm P5/PGM — a genuine format, pure-JVM
+    // codec in `Multimodal.Pgm`): deterministic pixel patterns are
+    // ENCODED into real PGM containers (header + comment + binary
+    // payload), then DECODED back partition-parallel, and the parsed
+    // dimensions + integer pixel aggregates face the oracle's
+    // closed-form recomputation (lateral range over w·h). A header
+    // parse bug, payload offset error, or signed-byte slip changes
+    // px_sum and breaks the row — the decode step is load-bearing,
+    // not stubbed. Every 10th doc keeps the oracle's pixel fan-out
+    // bounded; no shuffle anywhere (encode/decode are map work).
+    "q247_media_pgm_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), (col("n_chars") % 64 + 16).cast("int").as("w"),
+          (col("n_chars") % 48 + 16).cast("int").as("h"))
+        .as[(Long, Int, Int)]
+        .map { case (id, w, h) =>
+          val px = Array.tabulate(w * h)(i => ((id * 31 + i) % 256).toInt)
+          (id, Multimodal.Pgm.encode(px, w, h))
+        }
+      media.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, px) = Multimodal.Pgm.decodeRaw(bytes)
+          var sum = 0L; var mn = 255L; var mx = 0L
+          px.foreach { p =>
+            sum += p
+            if (p < mn) mn = p.toLong
+            if (p > mx) mx = p.toLong
+          }
+          (id, w, h, px.length.toLong, sum, mn, mx)
+        }
+      }.toDF("media_id", "w", "h", "n_px", "px_sum", "px_min", "px_max")
+        .orderBy(col("media_id"))
+    }),
+
     // Vocabulary building: corpus-wide token frequency + document
     // frequency, top 100 by tf (ties → lexicographic). One shuffle on
     // token with map-side partial agg; the global rank runs over the
@@ -515,6 +551,16 @@ object PipelineQueries {
     "q184_media_frames" ->
       """SELECT doc_id AS media_id, unnest(range(0, n_chars % 10 + 1, 2))::INT AS frame_idx,
         |  ((n_chars % 64 + 16) * (n_chars % 48 + 16))::INT AS n_px
-        |FROM documents ORDER BY media_id, frame_idx""".stripMargin
+        |FROM documents ORDER BY media_id, frame_idx""".stripMargin,
+    "q247_media_pgm_decode" ->
+      """WITH m AS (SELECT doc_id, (n_chars % 64 + 16)::INT AS w,
+        |             (n_chars % 48 + 16)::INT AS h
+        |           FROM documents WHERE doc_id % 10 = 0),
+        |px AS (SELECT m.doc_id, m.w, m.h, ((m.doc_id*31 + t.i) % 256) AS p
+        |       FROM m, LATERAL (SELECT unnest(range(0, m.w*m.h)) AS i) t)
+        |SELECT doc_id AS media_id, w, h, count(*)::BIGINT AS n_px,
+        |  sum(p)::BIGINT AS px_sum, min(p)::BIGINT AS px_min,
+        |  max(p)::BIGINT AS px_max
+        |FROM px GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
   )
 }

@@ -70,4 +70,38 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.sortBy(_.media_id).map(_.feature.toSeq).toSeq ==
            again.sortBy(_.media_id).map(_.feature.toSeq).toSeq)
   }
+
+  test("PGM encode/decode round-trips pixel-identically") {
+    val (w, h) = (13, 7)
+    val px = Array.tabulate(w * h)(i => (i * 37 + 5) % 256)
+    val blob = Multimodal.Pgm.encode(px, w, h)
+    // container starts with the P5 magic — it IS a real PGM file
+    assert(new String(blob.take(2), "US-ASCII") == "P5")
+    val (dw, dh, back) = Multimodal.Pgm.decodeRaw(blob)
+    assert((dw, dh) == (w, h) && back.toSeq == px.toSeq)
+  }
+
+  test("PGM parser handles comments/whitespace grammar; rejects corrupt blobs") {
+    val bytes = ("P5 # inline comment\n# full-line comment\n 3\n# mid\n2 255\n"
+      .getBytes("US-ASCII")) ++ Array[Byte](0, 64, -128, -1, 1, 2)
+    val (w, h, px) = Multimodal.Pgm.decodeRaw(bytes)
+    assert((w, h) == (3, 2))
+    assert(px.toSeq == Seq(0, 64, 128, 255, 1, 2)) // unsigned payload
+    intercept[IllegalArgumentException](
+      Multimodal.Pgm.decodeRaw("P6 1 1 255 x".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException]( // truncated payload
+      Multimodal.Pgm.decodeRaw("P5\n2 2\n255\nab".getBytes("US-ASCII")))
+  }
+
+  test("PgmCodec plugs into the decode pipeline with real parsing") {
+    val spark2 = spark; import spark2.implicits._
+    val px = Array.tabulate(16 * 16)(i => i % 256)
+    val blob = Multimodal.Pgm.encode(px, 16, 16)
+    val meta = Multimodal.MediaMeta("image", 16, 16, 0, 1)
+    val m = Seq(Multimodal.MediaRow(1L, blob, meta)).toDS()
+    val frames = Multimodal.decodeFrames(m, stride = 1,
+      codec = Multimodal.PgmCodec).collect()
+    assert(frames.length == 1)
+    assert(frames.head.pixels.toSeq == px.map(_ / 255.0f).toSeq)
+  }
 }
