@@ -26,9 +26,15 @@ import org.apache.spark.sql.functions._
   *    instead of exploding by construction. Plain replication would
   *    make every doc a 10-way near-dup cluster and measure the data
   *    artifact, not the operator.
-  *  - embeddings: skipped — any deterministic perturbation either
-  *    preserves cosine (scaling) or changes the neighbor structure
-  *    arbitrarily; vector ops are soaked by the sf sweep instead.
+  *  - embeddings: `vec_id += rep·V`; each replica's vectors go
+  *    through a deterministic ORTHOGONAL transform (cyclic
+  *    coordinate shift by `rep` + xxhash64-keyed per-coordinate sign
+  *    flips). Orthogonality preserves every norm and every
+  *    within-replica pairwise cosine — so near-dup/neighbor density
+  *    grows naturally (10 structure-identical shards) — while
+  *    cross-replica cosines take fresh, realistic values. The oracle
+  *    recomputes from the same parquet, so the ANN/SemDeDup queries
+  *    face the full gate at 10× vector count.
   *
   * Usage: tools/run.sh graft.SoakData [srcDir [outDir [reps]]]
   */
@@ -67,6 +73,20 @@ object SoakData {
       .withColumn("event_id", col("event_id") + col("rep") * maxEv)
       .withColumn("user_id", col("user_id") + col("rep") * maxUser)
       .drop("rep"), "events")
+
+    val emb = read("embeddings")
+    val maxVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val d = size(col("embedding"))
+    val rotated = transform(sequence(lit(0), d - 1), i =>
+      (element_at(col("embedding"),
+          (pmod(i + col("rep"), d) + 1).cast("int")) *
+        when(pmod(xxhash64(col("rep"), i), lit(2)) === 0, 1.0f).otherwise(-1.0f))
+        .cast("float"))
+    write(emb.select(col("*"), repCol)
+      .withColumn("vec_id", col("vec_id") + col("rep") * maxVec)
+      .withColumn("embedding",
+        when(col("rep") === 0, col("embedding")).otherwise(rotated))
+      .drop("rep"), "embeddings")
 
     val docs = read("documents")
     val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
