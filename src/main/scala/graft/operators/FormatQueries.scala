@@ -150,6 +150,31 @@ object FormatQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Avro SCHEMA EVOLUTION oracle-bound: one directory holds two
+    // file generations — "old" containers without the src column,
+    // "new" containers with it — read together under the widened
+    // schema (the reference's Avro default-value read path: absent
+    // nullable fields decode as null). The aggregate splits rows by
+    // src IS NULL, so a generation misrouted, a null not synthesized,
+    // or a field matched by position instead of name breaks the row.
+    "q248_avro_evolution" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-avroev")
+      val ev = centsProj(s, d)
+      ev.filter(col("event_id") % 2 === 0)
+        .write.format("graft-avro").mode("append").save(s"$base/avro")
+      ev.filter(col("event_id") % 2 === 1).withColumn("src", lit("new"))
+        .write.format("graft-avro").mode("append").save(s"$base/avro")
+      s.read.format("graft-avro")
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
+          "cents BIGINT, src STRING")
+        .load(s"$base/avro")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_v"),
+          count(when(col("src").isNull, 1)).as("n_old"),
+          count(when(col("src") === "new", 1)).as("n_new"))
+        .orderBy(col("event_type"))
+    }),
+
     "q187_partitioned_table" -> ((s, d) => {
       val base = java.nio.file.Files.createTempDirectory("graft-cattbl")
       Tables.documents(s, d)
@@ -187,6 +212,11 @@ object FormatQueries {
       s"""SELECT event_type, count(*)::BIGINT AS n, $centsSum AS cents_v,
          |  min(make_timestamp(epoch_ns(ts)//1000)) AS min_ts,
          |  max(make_timestamp(epoch_ns(ts)//1000)) AS max_ts
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q248_avro_evolution" ->
+      s"""SELECT event_type, count(*)::BIGINT AS n, $centsSum AS cents_v,
+         |  count(CASE WHEN event_id % 2 = 0 THEN 1 END)::BIGINT AS n_old,
+         |  count(CASE WHEN event_id % 2 = 1 THEN 1 END)::BIGINT AS n_new
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q186_jdbc_roundtrip" ->
       s"""SELECT event_type, count(*)::BIGINT AS n, $centsSum AS cents_v,

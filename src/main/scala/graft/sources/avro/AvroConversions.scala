@@ -114,17 +114,27 @@ object AvroConversions {
 
   // ---- values: Avro GenericRecord -> InternalRow (required columns only) ----
 
-  /** Per-field decoder closures resolved once per file, not per row. */
+  /** Per-field decoder closures resolved once per file, not per row.
+    *
+    * Schema evolution (the reference's Avro default-value read path,
+    * `AvroRowDeserializationSchema`): a requested column absent from
+    * an older file's schema reads as null when the Spark field is
+    * nullable — so a widened table schema reads old and new container
+    * files side by side; a non-nullable absent column fails loudly. */
   def recordDecoder(fileSchema: Schema, required: StructType): GenericRecord => InternalRow = {
     val decoders = required.fields.map { f =>
       val avroField = fileSchema.getField(f.name)
-      require(avroField != null,
-        s"graft-avro: column ${f.name} not present in file schema $fileSchema")
-      val pos = avroField.pos()
-      val dec = valueDecoder(nonNullBranch(avroField.schema()), f.dataType)
-      (rec: GenericRecord) => {
-        val v = rec.get(pos)
-        if (v == null) null else dec(v)
+      if (avroField == null) {
+        require(f.nullable,
+          s"graft-avro: non-nullable column ${f.name} absent from file schema $fileSchema")
+        (_: GenericRecord) => null
+      } else {
+        val pos = avroField.pos()
+        val dec = valueDecoder(nonNullBranch(avroField.schema()), f.dataType)
+        (rec: GenericRecord) => {
+          val v = rec.get(pos)
+          if (v == null) null else dec(v)
+        }
       }
     }
     rec => InternalRow.fromSeq(decoders.map(_(rec)).toIndexedSeq)

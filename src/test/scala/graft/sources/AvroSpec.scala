@@ -82,6 +82,28 @@ class AvroSpec extends SparkSpec {
       .collect().toSeq == Seq((9L, "z")))
   }
 
+  test("schema evolution: widened read schema nulls columns absent from old files") {
+    import spark.implicits._
+    val p = tmp("avro-evolve")
+    // "old" file: two columns
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.format("graft-avro").mode("overwrite").save(p)
+    // widened reader schema: new nullable column reads as null
+    val widened = spark.read.format("graft-avro")
+      .schema("k LONG, v STRING, added DOUBLE").load(p)
+    assert(widened.orderBy("k").collect().map(r => (r.getLong(0), r.isNullAt(2)))
+      .toSeq == Seq((1L, true), (2L, true)))
+    // mixed directory: a "new" file with the added column alongside
+    Seq((3L, "c", 1.5)).toDF("k", "v", "added")
+      .write.format("graft-avro").mode("append").save(p)
+    val mixed = spark.read.format("graft-avro")
+      .schema("k LONG, v STRING, added DOUBLE").load(p)
+      .orderBy("k").collect()
+    assert(mixed.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(mixed.map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+      .toSeq == Seq(None, None, Some(1.5)))
+  }
+
   test("micro-batch stream read consumes files in name order, one per trigger") {
     import spark.implicits._
     val dir = tmp("avro-stream")
