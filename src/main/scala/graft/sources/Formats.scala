@@ -36,4 +36,13 @@ object Formats {
 
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** Avro via the in-house graft-avro DataSource V2 connector
+    * (`graft.sources.avro.AvroDataSource` — reference
+    * `flink-formats/flink-avro`). */
+  def writeAvro(df: DataFrame, path: String): Unit =
+    df.write.format("graft-avro").mode("overwrite").save(path)
+
+  def readAvro(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("graft-avro").load(path)
 }

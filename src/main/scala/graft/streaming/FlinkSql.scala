@@ -35,12 +35,27 @@ object FlinkSql {
   // plain spark.sql an unparseable body
   private val RoutedViewRe =
     """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?VIEW\s+(\w+)\s+AS\s+(SELECT\b.*)$""".r
+  private val ExplainRe =
+    """(?is)^\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.+)$""".r
 
   final class Env(spark: SparkSession) {
     private val ddl = new FlinkDdl.Env(spark, dialects)
 
     /** Route one statement; SELECT-like statements return a frame. */
     def executeSql(stmt: String): Option[DataFrame] = stmt match {
+      // the reference's explain surface (1.10 `TableEnvironment
+      // .explain(Table)`, the `EXPLAIN PLAN FOR` statement form):
+      // route the inner statement through THIS dispatcher — so
+      // MATCH_RECOGNIZE / temporal / dialect-rewritten bodies explain
+      // too — and return the parsed→analyzed→optimized→physical plan
+      // text as one row (Flink prints AST / optimized / physical).
+      case ExplainRe(inner) =>
+        import spark.implicits._
+        val df = executeSql(inner).getOrElse(throw new IllegalArgumentException(
+          "EXPLAIN requires a result-producing statement"))
+        Some(Seq(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("extended")))
+          .toDF("plan"))
       case MatchStmtRe(tableName, clause) =>
         import spark.implicits._
         Some(MatchRecognize.run(spark.table(tableName).as[Event], clause))

@@ -93,6 +93,21 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.Pgm.decodeRaw("P5\n2 2\n255\nab".getBytes("US-ASCII")))
   }
 
+  test("PGM round-trip holds for randomized dimensions and pixels") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genCase = for {
+      w <- Gen.chooseNum(1, 40)
+      h <- Gen.chooseNum(1, 30)
+      px <- Gen.listOfN(w * h, Gen.chooseNum(0, 255))
+    } yield (w, h, px.toArray)
+    val prop = Prop.forAll(genCase) { case (w, h, px) =>
+      val (dw, dh, back) = Multimodal.Pgm.decodeRaw(Multimodal.Pgm.encode(px, w, h))
+      dw == w && dh == h && back.toSeq == px.toSeq
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("PgmCodec plugs into the decode pipeline with real parsing") {
     val spark2 = spark; import spark2.implicits._
     val px = Array.tabulate(16 * 16)(i => i % 256)

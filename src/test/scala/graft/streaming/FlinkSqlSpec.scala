@@ -70,4 +70,26 @@ class FlinkSqlSpec extends SparkSpec {
     // plain SQL untouched
     assert(env.executeSql("SELECT 1 AS one").get.head().getInt(0) == 1)
   }
+
+  test("EXPLAIN returns the four-section plan text, incl. routed bodies") {
+    Tables.events(spark, sf).createOrReplaceTempView("events_ex")
+    val plan = env.executeSql(
+      "EXPLAIN PLAN FOR SELECT event_type, count(*) AS n FROM events_ex GROUP BY 1")
+      .get.head().getString(0)
+    Seq("== Parsed Logical Plan ==", "== Analyzed Logical Plan ==",
+      "== Optimized Logical Plan ==", "== Physical Plan ==", "HashAggregate")
+      .foreach(s => assert(plan.contains(s), s"missing $s"))
+    // a MATCH_RECOGNIZE body routes through the dispatcher and explains
+    val mrPlan = env.executeSql(
+      """EXPLAIN SELECT * FROM events_ex MATCH_RECOGNIZE (
+        |PARTITION BY user_id ORDER BY ts
+        |MEASURES FIRST(A.event_id) AS a_id
+        |AFTER MATCH SKIP PAST LAST ROW
+        |PATTERN (A) DEFINE A AS A.event_type = 'view')""".stripMargin)
+      .get.head().getString(0)
+    assert(mrPlan.contains("== Physical Plan =="))
+    val e = intercept[IllegalArgumentException](
+      env.executeSql("EXPLAIN DROP TABLE nope"))
+    assert(e.getMessage.contains("result-producing"))
+  }
 }
