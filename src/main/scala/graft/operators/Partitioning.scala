@@ -166,7 +166,36 @@ object Partitioning {
     // sortPartition oracle-bound: partition-local sortedness with
     // zero violations, lossless.
     "q199_sort_partition" -> ((s, d) =>
-      sortPartitionContract(Tables.events(s, d), parts = 8)))
+      sortPartitionContract(Tables.events(s, d), parts = 8)),
+
+    // DataSetUtils.zipWithIndex oracle-bound (reference flink-java
+    // `DataSetUtils.java:89`, the two-pass count-then-offset design =
+    // Spark RDD.zipWithIndex): after a global sort on event_id the
+    // contiguous 0-based index must equal ROW_NUMBER()-1 — an
+    // off-by-one in any partition's offset shifts every later index.
+    // Every 997th key keeps the row small; the indexes checked span
+    // the whole range, so every partition boundary is covered.
+    "q249_zip_with_index" -> ((s, d) => {
+      DatasetUtils.zipWithIndex(
+          Tables.events(s, d).select(col("event_id")).orderBy(col("event_id")))
+        .filter(col("event_id") % 997 === 0)
+        .select(col("idx"), col("event_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ChecksumHashCode oracle-bound (reference `DataSetUtils
+    // .checksumHashCode:347` + Utils.ChecksumHashCode): one
+    // order-independent (count, sum-of-Java-hashCodes) row over a
+    // composite string of every event — the oracle re-implements
+    // Java String.hashCode in SQL as a 32-bit-wrapped fold, so the
+    // native HashCode expression's codegen faces a value check over
+    // the full table, not just the spec's examples.
+    "q250_checksum" -> ((s, d) => {
+      DatasetUtils.checksumHashCode(
+        Tables.events(s, d)
+          .select(concat_ws("|", col("event_id"), col("event_type"),
+            col("user_id")).as("s")), "s")
+    }))
 
   val oracle: Map[String, String] = Map(
     "q191_partition_custom" ->
@@ -190,5 +219,27 @@ object Partitioning {
         |  count(*) AS total FROM events""".stripMargin,
 
     "q199_sort_partition" ->
-      "SELECT true AS all_sorted, count(*) AS total FROM events")
+      "SELECT true AS all_sorted, count(*) AS total FROM events",
+
+    "q249_zip_with_index" ->
+      """SELECT (row_number() OVER (ORDER BY event_id) - 1)::BIGINT AS idx,
+        |  event_id
+        |FROM events QUALIFY event_id % 997 = 0 ORDER BY event_id""".stripMargin,
+
+    // Java String.hashCode re-implemented as a 32-bit-wrapped fold:
+    // h = (h*31 + utf16_unit) mod 2^32, sign-converted at the end
+    // (strings here are ASCII, so unicode(char) = UTF-16 unit).
+    "q250_checksum" ->
+      """WITH h AS (
+        |  SELECT list_reduce(
+        |    list_prepend(0::BIGINT, list_transform(
+        |      str_split_regex(event_id::VARCHAR || '|' || event_type ||
+        |        '|' || user_id::VARCHAR, ''),
+        |      c -> unicode(c)::BIGINT)),
+        |    (a, b) -> (a*31 + b) % 4294967296) AS raw
+        |  FROM events)
+        |SELECT count(*)::BIGINT AS n,
+        |  sum(CASE WHEN raw >= 2147483648 THEN raw - 4294967296
+        |           ELSE raw END)::BIGINT AS checksum
+        |FROM h""".stripMargin)
 }
