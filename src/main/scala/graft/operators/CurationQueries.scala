@@ -280,6 +280,37 @@ object CurationQueries {
     // (positive ⇒ the source over-represents its tokens vs the
     // corpus). Integer-exact end to end; one term shuffle with
     // map-side combine, the per-source rollup is |sources|-bounded.
+    // PII detection + redaction — the scrub pass every corpus runs
+    // before training. The documents corpus is synthetic word salad,
+    // so deterministic PII (an IP, an email, a phone) is INJECTED per
+    // doc first — built identically on both engines — then detected
+    // (match counts per class) and REDACTED (class tokens), with the
+    // redacted text's md5 facing the oracle, so a regex-dialect
+    // mismatch, a missed occurrence, or an over-eager replacement
+    // breaks the row. Patterns stay in the RE2∩Java-regex common
+    // subset (no \b, no shorthand classes). Pure projection — no
+    // shuffle; at 100 TB this runs at scan speed.
+    "q251_pii_redact" -> ((s, d) => {
+      val ipRe = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+      val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+      val phoneRe = "555-[0-9]+"
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" ip 10."), pmod(col("doc_id"), lit(256)),
+            lit(".0.1 mail u"), col("doc_id"), lit("@example.com tel 555-"),
+            col("doc_id")).as("t"))
+        .select(col("doc_id"),
+          // Column-form regexp_count: the pattern bypasses SQL-literal
+          // parsing (where '\.' would lose its backslash)
+          regexp_count(col("t"), lit(emailRe)).as("n_email"),
+          regexp_count(col("t"), lit(phoneRe)).as("n_phone"),
+          regexp_count(col("t"), lit(ipRe)).as("n_ip"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+            ipRe, "<IP>"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>"))
+            .as("red_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q235_source_drift" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val tok = docs.select(col("source"), explode(toks(col("text"))).as("term"))
@@ -532,6 +563,21 @@ object CurationQueries {
         |SELECT doc_id, ttr, n_tok, (cum_before + tier_cum)::BIGINT AS cum_tok
         |FROM t, b WHERE cum_before + tier_cum <= b.budget
         |ORDER BY doc_id""".stripMargin,
+    "q251_pii_redact" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' ip 10.' || (doc_id % 256) || '.0.1 mail u' || doc_id ||
+        |    '@example.com tel 555-' || doc_id AS t
+        |FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\.[a-z]+', 0))::INT AS n_email,
+        |  len(regexp_extract_all(t, '555-[0-9]+', 0))::INT AS n_phone,
+        |  len(regexp_extract_all(t, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', 0))::INT AS n_ip,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g'),
+        |    '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '555-[0-9]+', '<PHONE>', 'g')) AS red_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
+
     "q235_source_drift" ->
       s"""WITH tok AS (SELECT source, unnest(string_split(text,' ')) AS term
          |            FROM documents),

@@ -109,6 +109,20 @@ object WindowQueries {
         .limit(100)
     }),
 
+    // Table.offset(n).fetch(m) — the reference Table API's paging
+    // pair (`flink-table-api-java/.../Table.java` offset/fetch,
+    // planned as SortLimit with an offset). Total order on the
+    // tie-broken sort key makes the page deterministic; Spark plans
+    // offset+limit as one GlobalLimit over the sort, so only
+    // offset+fetch rows ever leave the shuffle.
+    "q252_offset_fetch" -> ((s, d) => {
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .offset(25)
+        .limit(10)
+    }),
+
     // Batch dedup keep-first per key (StreamExecDeduplicate batch analog).
     "q37_dedup_keepfirst" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"), col("o_orderstatus"))
@@ -174,6 +188,9 @@ object WindowQueries {
     "q36_sort_limit" ->
       """SELECT o_orderkey, round(o_totalprice,2) AS price FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q252_offset_fetch" ->
+      """SELECT o_orderkey, round(o_totalprice,2) AS price FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 25""".stripMargin,
     "q37_dedup_keepfirst" ->
       """SELECT o_custkey, o_orderstatus, o_orderkey FROM (
         |  SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderstatus
