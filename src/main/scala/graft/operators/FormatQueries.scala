@@ -175,6 +175,34 @@ object FormatQueries {
         .orderBy(col("event_type"))
     }),
 
+    // STREAMING avro file sink (reference StreamingFileSink
+    // .forBulkFormat with the Avro bulk writer, `flink-formats/
+    // flink-avro/.../AvroWriters.java`): the cents projection streams
+    // through the quarter replay into the graft-avro STREAMING_WRITE
+    // sink — per-epoch temp files renamed to deterministic
+    // part-e<epoch>-p<partition> names at commit (idempotent
+    // re-commit, no partial epoch ever visible) — then the container
+    // files are read back through the connector and aggregated. A
+    // dropped/duplicated epoch, a partial file made visible, or an
+    // encode corruption breaks the row.
+    "q253_stream_avro_sink" -> ((s, d) => {
+      import graft.streaming.{Event, Replay}
+      val base = java.nio.file.Files.createTempDirectory("graft-avsink")
+      val real = Tables.events(s, d).as(org.apache.spark.sql.Encoders.product[Event])
+      val (lo, hi) = StreamParityQueries.spanOf(real)
+      val (inDir, schema) = Replay.fileEpochs(real,
+        StreamParityQueries.quarterChunks(lo, hi), base.toString)
+      val proj = Replay.stream(s, inDir, schema).toDF()
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("cast(round(value*100) as bigint)").as("cents"))
+      val (out, ck) = (s"$base/out", s"$base/ck")
+      val q = proj.writeStream.format("graft-avro")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      aggAfter(s.read.format("graft-avro").load(out))
+    }),
+
     "q187_partitioned_table" -> ((s, d) => {
       val base = java.nio.file.Files.createTempDirectory("graft-cattbl")
       Tables.documents(s, d)
@@ -229,6 +257,11 @@ object FormatQueries {
         |FROM documents WHERE source = 'src1'
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q188_stream_csv_sink" ->
+      s"""SELECT event_type, count(*)::BIGINT AS n, $centsSum AS cents_v,
+         |  count(DISTINCT user_id)::BIGINT AS users,
+         |  min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q253_stream_avro_sink" ->
       s"""SELECT event_type, count(*)::BIGINT AS n, $centsSum AS cents_v,
          |  count(DISTINCT user_id)::BIGINT AS users,
          |  min(event_id) AS min_id, max(event_id) AS max_id

@@ -136,6 +136,36 @@ class AvroSpec extends SparkSpec {
     assert(seen.sortBy(_._1).map(_._2).toSeq == Seq(Seq(0L), Seq(1L), Seq(2L)))
   }
 
+  test("streaming sink commits per-epoch files; read-back is exactly the input") {
+    import spark.implicits._
+    val src = tmp("avro-ssrc")
+    (0 until 3).foreach { i =>
+      val stage = tmp(s"avro-sstage$i")
+      Seq((i.toLong * 10, s"v$i"), (i.toLong * 10 + 1, s"w$i")).toDF("k", "v")
+        .coalesce(1).write.format("graft-avro").mode("overwrite").save(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".avro")).head
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(src, f"chunk_$i%02d.avro"))
+    }
+    val (out, ck) = (tmp("avro-sout"), tmp("avro-sck"))
+    val q = spark.readStream.format("graft-avro").schema("k LONG, v STRING")
+      .option("maxFilesPerTrigger", "1").load(src)
+      .writeStream.format("graft-avro")
+      .option("path", out).option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val files = new java.io.File(out).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted
+    assert(files.forall(_.matches("part-e\\d{5}-p\\d{5}\\.avro")), files.mkString(","))
+    assert(files.length == 3) // one epoch per source file, one partition each
+    val back = spark.read.format("graft-avro").load(out)
+      .as[(Long, String)].collect().toSet
+    assert(back == (0 until 3).flatMap(i =>
+      Seq((i.toLong * 10, s"v$i"), (i.toLong * 10 + 1, s"w$i"))).toSet)
+  }
+
   test("write emits one file per task; read plans one partition per file") {
     import spark.implicits._
     val p = tmp("avro-par")
