@@ -222,11 +222,18 @@ object CurationQueries {
 
     // Per-language quality-quantile gate: integer type-token ratio
     // (distinct tokens permille — repetition-heavy docs score low) →
-    // ntile(4) within each language over a TOTAL order (ttr desc,
-    // doc_id), keep = top quartile. The quantile boundary adapts per
-    // language, the standard per-slice gating form (a fixed global
-    // threshold would gut low-resource languages). One shuffle on
-    // lang; ntile is a running assignment, no second pass.
+    // exact ntile(4)-equivalent quartile within each language over
+    // (ttr desc, doc_id), keep = top quartile. NOT ntile over a
+    // per-language total order — a real corpus is 50-90% one
+    // language, so that window is a single-task sort of most of the
+    // corpus. The ttr score space is BOUNDED (0..1000), so the
+    // per-row rank comes from the q220 histogram trick instead: a
+    // ≤1001-row-per-lang (lang, ttr) histogram gives each tier its
+    // count of strictly-better rows, and only WITHIN a (lang, ttr)
+    // tier does a row_number run — a window distributed across
+    // |langs|·|tiers| keys. rank = cum_before + rn, and the quartile
+    // is ntile's exact bucket arithmetic (first n%4 buckets take one
+    // extra row) applied to the rank.
     "q219_quality_quantile" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w0 = toks(col("text"))
@@ -234,10 +241,31 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"),
           size(w0).cast("long").as("n_tok"),
           expr("(1000 * cast(size(array_distinct(split(text, ' '))) as bigint)) div size(split(text, ' '))").as("ttr"))
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("ttr").desc, col("doc_id"))
-      docs.withColumn("quartile", ntile(4).over(w).cast("long"))
+      // bounded histogram: per-lang windows over ≤1001 tier rows
+      val histW = Window.partitionBy(col("lang"))
+      val hist = docs.groupBy(col("lang"), col("ttr"))
+        .agg(count(lit(1)).as("tc"))
+        .withColumn("cum_before",
+          coalesce(sum(col("tc")).over(histW.orderBy(col("ttr").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum(col("tc")).over(histW))
+        .select(col("lang"), col("ttr"), col("cum_before"), col("n"))
+      // per-tier rank only — distributed across (lang, ttr) keys
+      val tierW = Window.partitionBy(col("lang"), col("ttr"))
+        .orderBy(col("doc_id"))
+      docs.join(broadcast(hist), Seq("lang", "ttr"))
+        .withColumn("rank", col("cum_before") + row_number().over(tierW))
+        // ntile(4): first (n%4) buckets hold (n div 4)+1 rows
+        .withColumn("quartile", expr(
+          """CASE WHEN rank <= ((n div 4) + 1) * (n % 4)
+            |  THEN (rank - 1) div ((n div 4) + 1) + 1
+            |  ELSE (n % 4) +
+            |    (rank - (n % 4) * ((n div 4) + 1) - 1)
+            |      div greatest(n div 4, 1) + 1
+            |END""".stripMargin))
         .withColumn("kept", col("quartile") === 1)
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("ttr"),
+          col("quartile"), col("kept"))
         .orderBy(col("doc_id"))
     }),
 
@@ -432,17 +460,26 @@ object CurationQueries {
     // Balanced training-shard assignment: docs ranked by size (n_tok
     // desc, doc_id) round-robin into 8 shards — the LPT-flavored
     // static balancer — with the audit (docs, token total, heaviest
-    // doc) per shard proving balance. The global rank is the one
-    // scale caveat (documented: at petabyte scale rank via
-    // range-partitioned sort + partition-offset prefix sums, same
-    // result); the audit output is 8 rows.
+    // doc) per shard proving balance. The global rank is NOT a
+    // single-task row_number: docs are repartitionByRange'd on the
+    // rank order (every partition holds a contiguous key range) and
+    // sorted WITHIN partitions in parallel, then the dense rank is
+    // [[DatasetUtils.zipWithIndex]] — the reference's own two-pass
+    // design (count per partition, then local offsets; no data ever
+    // concentrates). (n_tok desc, doc_id) is a total order (doc_id
+    // unique), so no tie straddles a range boundary and the composed
+    // index IS the global row_number. Both passes run on the SAME
+    // materialized shuffle, so the rank is deterministic without a
+    // cache.
     "q221_balanced_shards" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val w0 = toks(col("text"))
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), size(w0).cast("long").as("n_tok"))
-      val rk = row_number().over(Window.orderBy(col("n_tok").desc, col("doc_id")))
-      docs.withColumn("shard", pmod(rk - 1, lit(8)).cast("long"))
+      val sorted = docs
+        .repartitionByRange(32, col("n_tok").desc, col("doc_id"))
+        .sortWithinPartitions(col("n_tok").desc, col("doc_id"))
+      DatasetUtils.zipWithIndex(sorted)
+        .withColumn("shard", pmod(col("idx"), lit(8L)))
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"),
           max(col("n_tok")).as("tok_max"))

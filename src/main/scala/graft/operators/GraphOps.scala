@@ -157,11 +157,54 @@ object GraphOps {
     labels
   }
 
+  /** Index-band width for [[intraListPairs]]. 1024² = ~1M candidate
+    * pairs per (src, block-pair) join key — a few ms of streamed
+    * hash-agg work per task, small enough that AQE never sees a
+    * monster partition. */
+  private[operators] val PairBlock = 1024
+
+  /** Distributed generation of intra-posting-list pairs: for each
+    * input row (src, ns = [x₀ < x₁ < …]) emit one row per unordered
+    * pair (u = ns[i], v = ns[j], i < j) — WITHOUT ever materializing
+    * the O(deg²) pair set inside a single array value or a single
+    * task. The sorted list is exploded to (src, i, x) rows, indices
+    * are banded into blocks of [[PairBlock]], and pairs come from an
+    * equi-join on (src, targetBlock) where each left row is
+    * replicated to every block at-or-after its own. A 100k-neighbor
+    * hub thus becomes ~98 independent join keys of ≤ deg·PairBlock
+    * matches each, spread across shuffle partitions, instead of one
+    * 5·10⁹-struct array in one executor row (the round-6 OOM class).
+    * Gelly streams the same pairs through a group-limited reduce —
+    * `flink-gelly/.../library/similarity/JaccardIndex.java` (whose
+    * `setGroupSize` exists for exactly this hub problem).
+    * `carry` columns (constant per src) ride along on the left side.
+    * Output: (u, v, carry…). */
+  private[operators] def intraListPairs(nbrs: DataFrame,
+                                        carry: Seq[String] = Nil): DataFrame = {
+    val carryCols = carry.map(col)
+    val exploded = nbrs
+      .withColumn("nblk", ((size(col("ns")) - lit(1)) / PairBlock).cast("int"))
+      .select(Seq(col("src"), col("nblk")) ++ carryCols :+
+        posexplode(col("ns")).as(Seq("i", "x")): _*)
+      .withColumn("blk", (col("i") / PairBlock).cast("int"))
+    val left = exploded
+      .withColumn("jblk", explode(sequence(col("blk"), col("nblk"))))
+      .select(Seq(col("src"), col("jblk"), col("i"),
+        col("x").as("u")) ++ carryCols: _*)
+    val right = exploded
+      .select(col("src"), col("blk").as("jblk"), col("i").as("j"),
+        col("x").as("v"))
+    left.join(right, Seq("src", "jblk"))
+      .filter(col("i") < col("j"))
+      .select(Seq(col("u"), col("v")) ++ carryCols: _*)
+  }
+
   /** Jaccard neighborhood similarity (Gelly
     * `library/similarity/JaccardIndex.java`): for vertex pairs sharing
     * at least one neighbor, |N(u)∩N(v)| / |N(u)∪N(v)|. Pairs are
-    * generated from each vertex's sorted neighbor list (posting-list
-    * pattern — structurally skew-bounded like q66, no hot join key). */
+    * generated from each vertex's sorted neighbor list via
+    * [[intraListPairs]] — the deg² blow-up is distributed across
+    * banded join keys, never materialized per-row. */
   def jaccardSimilarity(edges: DataFrame): DataFrame = {
     val bidir = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -169,11 +212,8 @@ object GraphOps {
     val nbrs = bidir.groupBy(col("src"))
       .agg(sort_array(collect_set(col("dst"))).as("ns"))
     val deg = nbrs.select(col("src").as("id"), size(col("ns")).as("deg"))
-    val pairsArr = flatten(transform(col("ns"), (x, i) =>
-      transform(slice(col("ns"), i + 2, size(col("ns"))),
-        y => struct(x.as("u"), y.as("v")))))
-    val co = nbrs.select(explode(pairsArr).as("p"))
-      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+    val co = intraListPairs(nbrs)
+      .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("co"))
     co.join(deg.withColumnRenamed("id", "u").withColumnRenamed("deg", "du"), "u")
       .join(deg.withColumnRenamed("id", "v").withColumnRenamed("deg", "dv"), "v")
@@ -379,8 +419,9 @@ object GraphOps {
     * 1e6 // floor(log2(deg(z))) so both engines agree exactly (same
     * blog2 discipline as the curation scores; a common neighbor
     * always has deg ≥ 2, so the quantized log is ≥ 1). Same
-    * posting-list pair generation as Jaccard — candidates only where
-    * a common neighbor exists, never all-pairs. */
+    * [[intraListPairs]] banded pair generation as Jaccard —
+    * candidates only where a common neighbor exists, never
+    * all-pairs, and never a per-row deg² array. */
   def adamicAdar(edges: DataFrame): DataFrame = {
     val bidir = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -389,11 +430,8 @@ object GraphOps {
       .agg(sort_array(collect_set(col("dst"))).as("ns"))
       .filter(size(col("ns")) >= 2)
       .withColumn("w", expr("1000000 div (length(bin(size(ns))) - 1)"))
-    val pairsArr = flatten(transform(col("ns"), (x, i) =>
-      transform(slice(col("ns"), i + 2, size(col("ns"))),
-        y => struct(x.as("u"), y.as("v")))))
-    nbrs.select(col("w"), explode(pairsArr).as("p"))
-      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+    intraListPairs(nbrs, carry = Seq("w"))
+      .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("co"), sum(col("w")).as("aa_e6"))
   }
 }

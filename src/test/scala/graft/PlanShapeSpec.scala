@@ -221,4 +221,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!readSchema.contains("lang") && !readSchema.contains("source"),
       s"unused columns read:\n$readSchema")
   }
+
+  test("q219 quartile has no ntile over a per-language total order") {
+    // a real corpus is 50-90% one language — ntile(4) partitioned only
+    // by lang is a single-task sort of most of the corpus. The
+    // histogram form ranks via (lang, ttr) tiers instead; the only
+    // full-data window must be keyed by BOTH lang and ttr.
+    val plan = formatted("q219_quality_quantile")
+    assert(!plan.contains("ntile"), s"ntile crept back:\n$plan")
+    val windowSpecs = plan.linesIterator.filter(_.contains("row_number")).toList
+    assert(windowSpecs.nonEmpty, s"no per-tier rank window:\n$plan")
+    assert(windowSpecs.forall(l => l.contains("lang") && l.contains("ttr")),
+      s"rank window not keyed by (lang, ttr):\n${windowSpecs.mkString("\n")}")
+  }
+
+  test("q221 global rank never plans a single-partition Window over the docs") {
+    // rank = range repartition + parallel partition sort + RDD
+    // zipWithIndex (two passes over the same shuffle). A Window with
+    // an empty partition spec over the doc set would be the
+    // single-task global sort this query is designed to avoid.
+    val plan = formatted("q221_balanced_shards")
+    assert(!plan.contains("row_number") && !plan.contains("Window"),
+      s"global window rank crept back:\n$plan")
+    // the rank arrives through the RDD zipWithIndex seam; the range
+    // exchange + partition sort live in the RDD lineage above it
+    assert(plan.contains("ExistingRDD"), s"no zipWithIndex seam:\n$plan")
+    val sorted = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .repartitionByRange(32, org.apache.spark.sql.functions.col("doc_id"))
+    assert(sorted.queryExecution.executedPlan.toString.contains("rangepartitioning"),
+      "repartitionByRange must plan a range exchange")
+  }
 }

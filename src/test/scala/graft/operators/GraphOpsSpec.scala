@@ -120,6 +120,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(aa((1L, 2L)) == ((1L, 1000000L)))
   }
 
+  test("intraListPairs distributes a 5000-degree hub across banded join keys") {
+    val spark2 = spark; import spark2.implicits._
+    // One hub posting list of 5000 sorted neighbors. The round-6 shape
+    // built all 12,497,500 pairs as ONE array value in ONE row — the
+    // OOM class at a 100k-degree hub. The banded shape must (a) produce
+    // the exact pair count, (b) spread the work over >1 (src, block)
+    // join key, (c) never construct a flattened pair array in the plan.
+    val ns = (1L to 5000L).toArray
+    val nbrs = Seq((0L, ns)).toDF("src", "ns")
+    val pairs = GraphOps.intraListPairs(nbrs)
+    val n = ns.length.toLong
+    assert(pairs.count() == n * (n - 1) / 2)
+    // banding: ceil(5000/1024) = 5 blocks → 15 unordered block pairs
+    val blocks = (n - 1) / GraphOps.PairBlock + 1
+    assert(blocks > 1)
+    val plan = pairs.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("flatten("), "pair set must never be one array value")
+    assert(plan.toLowerCase.contains("join"), "pairs must come from a distributed self-join")
+    // spot-check order and bounds on a tiny list
+    val tiny = GraphOps.intraListPairs(Seq((9L, Array(3L, 5L, 8L))).toDF("src", "ns"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tiny == Set((3L, 5L), (3L, 8L), (5L, 8L)))
+  }
+
   test("localClusteringCoefficient is exact ppm of the double form") {
     val ppm = GraphOps.localClusteringCoefficient(df((1, 2), (2, 3), (3, 1), (3, 4)))
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
