@@ -46,7 +46,15 @@ object Bench {
     "q108_dup_span",      // duplicated-span coverage (shingle df rollup)
     "q111_ds_union_rollup", // multi-channel union → rollup (TPC-DS q5/q77)
     "q112_ds_yoy_selfjoin", // multi-alias YoY self-join (TPC-DS q64/q74)
-    "q116_ds_rollup_rank")  // rank over rollup output (TPC-DS q67)
+    "q116_ds_rollup_rank",  // rank over rollup output (TPC-DS q67)
+    // round-5/6 operator families (added r7 so BENCH_rN sees them;
+    // the 32 rows above stay untouched for round-over-round compare)
+    "q210_bloom_decontaminate", // distributed bloom build + codegen prefilter
+    "q211_pq_ann",          // product-quantized ANN (ADC as a LUT join)
+    "q214_surprisal_score", // LM surprisal (corpus LM + per-doc rollup)
+    "q220_token_budget_select", // histogram-bounded budget selection
+    "q231_dup_spans_maximal", // Lee-et-al maximal dup spans (anchor merge)
+    "q242_avro_roundtrip")  // avro DSv2 write + read back (container codec)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-7 parity pack: quantified concatenation groups on both CEP
+  * surfaces (reference `cep/pattern/GroupPattern.java:30` —
+  * `Pattern.begin(Pattern)` quantified via the inherited
+  * times/oneOrMore — and its SQL `PATTERN ((A B){2})` form). */
+object StreamParityQueries5 {
+
+  private val evCte =
+    """WITH ev AS (SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts,
+      |            user_id, event_type, value, props FROM events)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+
+    // CEP quantified CONCATENATION group, Pattern-API surface
+    // (GroupPattern.java:30): "(A B){2} within 7d" — two full
+    // view-then-purchase cycles per user inside a week, occurrences
+    // accumulating under each body step's own name across the group
+    // loop. Skip-till-next-match makes the chain per start
+    // deterministic (each step takes the FIRST qualifying event in
+    // (ts, event_id) arrival order), so the oracle recomputes the
+    // chained-firsts directly; a wrong loop-back, a conflated
+    // occurrence count, or a missed within bound each break the hash.
+    "q254_cep_concat_group" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.{Cep, CepDsl, Event}
+      val pat = CepDsl.compile[Event]("(A B){2} within 7d", Map(
+        "A" -> ((e, _) => e.event_type == "view"),
+        "B" -> ((e, _) => e.event_type == "purchase")))
+      val types = Set("view", "purchase")
+      Cep.matchBatchSorted(
+          Tables.events(s, d).as[Event].filter(e => types(e.event_type)), pat)
+        .map { case (user, m) =>
+          (user, m("A")(0).event_id, m("B")(0).event_id,
+            m("A")(1).event_id, m("B")(1).event_id)
+        }.toDF("user_id", "a1", "b1", "a2", "b2")
+        .orderBy(col("user_id"), col("a1"))
+    }),
+
+    // The same group loop through the SQL front-end: MATCH_RECOGNIZE
+    // PATTERN ((A B){2}) — the parser resolves the quantified
+    // multi-variable group to the sub-NFA (previously a loud
+    // rejection) — with the MEASURES surface reading both
+    // occurrences of each body variable.
+    "q255_match_concat_group" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.{Event, MatchRecognize}
+      val sql = """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES first(A.event_id) AS a1, last(A.event_id) AS a2,
+                   first(B.event_id) AS b1, last(B.event_id) AS b2,
+                   count(A) AS n_a
+          PATTERN ((A B){2}) WITHIN INTERVAL '7' DAY
+          DEFINE A AS A.event_type = 'view', B AS B.event_type = 'purchase'
+        )"""
+      val types = Set("view", "purchase")
+      MatchRecognize.run(
+          Tables.events(s, d).as[Event].filter(e => types(e.event_type)), sql)
+        .orderBy(col("user_id"), col("a1"))
+    })
+  )
+
+  // chained firsts in (ts, event_id) arrival order: b1 = first
+  // purchase after a1, a2 = first view after b1, b2 = first purchase
+  // after a2; the within bound applies to the completing event.
+  private val groupChainCte = evCte +
+    """,
+      |v AS (SELECT * FROM ev WHERE event_type = 'view'),
+      |p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+      |s1 AS (
+      |  SELECT v.user_id, v.event_id AS a1, v.ts AS ts_a1,
+      |    p.event_id AS b1, p.ts AS ts_b1,
+      |    row_number() OVER (PARTITION BY v.user_id, v.event_id
+      |      ORDER BY p.ts, p.event_id) AS rn
+      |  FROM v JOIN p ON p.user_id = v.user_id
+      |   AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))),
+      |f1 AS (SELECT * FROM s1 WHERE rn = 1),
+      |s2 AS (
+      |  SELECT f1.user_id, f1.a1, f1.ts_a1, f1.b1, f1.ts_b1,
+      |    v2.event_id AS a2, v2.ts AS ts_a2,
+      |    row_number() OVER (PARTITION BY f1.user_id, f1.a1
+      |      ORDER BY v2.ts, v2.event_id) AS rn
+      |  FROM f1 JOIN v v2 ON v2.user_id = f1.user_id
+      |   AND (v2.ts > f1.ts_b1 OR (v2.ts = f1.ts_b1 AND v2.event_id > f1.b1))),
+      |f2 AS (SELECT * FROM s2 WHERE rn = 1),
+      |s3 AS (
+      |  SELECT f2.user_id, f2.a1, f2.ts_a1, f2.b1, f2.a2, f2.ts_a2,
+      |    p2.event_id AS b2, p2.ts AS ts_b2,
+      |    row_number() OVER (PARTITION BY f2.user_id, f2.a1
+      |      ORDER BY p2.ts, p2.event_id) AS rn
+      |  FROM f2 JOIN p p2 ON p2.user_id = f2.user_id
+      |   AND (p2.ts > f2.ts_a2 OR (p2.ts = f2.ts_a2 AND p2.event_id > f2.a2))),
+      |f3 AS (SELECT * FROM s3 WHERE rn = 1
+      |       AND epoch_us(ts_b2) - epoch_us(ts_a1) <= 604800000000)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q254_cep_concat_group" -> (groupChainCte +
+      """
+        |SELECT user_id, a1, b1, a2, b2 FROM f3
+        |ORDER BY user_id, a1""".stripMargin),
+    "q255_match_concat_group" -> (groupChainCte +
+      """
+        |SELECT user_id, a1, a2, b1, b2, 2::BIGINT AS n_a FROM f3
+        |ORDER BY user_id, a1""".stripMargin)
+  )
+}

@@ -149,6 +149,8 @@ object AvroConversions {
     case StringType  => v => UTF8String.fromString(v.toString)
     case BinaryType  => v => copyBytes(v)
     case TimestampType if isLogical(s, "timestamp-millis") => v => v.asInstanceOf[Long] * 1000L
+    case TimestampNTZType if isLogical(s, "local-timestamp-millis") =>
+      v => v.asInstanceOf[Long] * 1000L
     case TimestampType | TimestampNTZType | LongType => v => v.asInstanceOf[Long]
     case IntegerType | DateType => v => v.asInstanceOf[Int]
     case BooleanType => v => v.asInstanceOf[Boolean]

@@ -49,12 +49,36 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
     val fs = FileSystem.get(new Path(dir).toUri, conf)
     val files = AvroDataSource.listAvro(fs, new Path(dir))
     require(files.nonEmpty, s"graft-avro: no .avro files under $dir to infer a schema from")
-    val in = fs.open(files.head)
-    try {
-      val stream = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
-      try AvroConversions.toSparkSchema(stream.getSchema)
-      finally stream.close()
-    } finally if (in != null) in.close()
+    def schemaOf(p: Path): StructType = {
+      val in = fs.open(p)
+      try {
+        val stream = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+        try AvroConversions.toSparkSchema(stream.getSchema)
+        finally stream.close()
+      } finally if (in != null) in.close()
+    }
+    // Mixed-generation directories (schema evolution): merge the
+    // NEWEST file's schema (lexicographically last — the epoch-named
+    // write contract makes that the latest generation) with columns
+    // present only in the OLDEST, appended nullable (the decoder
+    // reads them as null from newer files). Bounded at two header
+    // reads, so inference stays O(1) in file count; generations
+    // BETWEEN first and last are covered because evolution is
+    // append-only here — a column alive mid-history exists in first
+    // or last. Explicit .schema(...) remains the precise control.
+    val newest = schemaOf(files.last)
+    if (files.size == 1) newest
+    else {
+      val oldest = schemaOf(files.head)
+      // any column absent from the OTHER generation must read
+      // nullable — files lacking it decode it as null
+      val widened = newest.fields.map(f =>
+        if (oldest.fieldNames.contains(f.name)) f else f.copy(nullable = true))
+      val extra = oldest.fields
+        .filterNot(f => newest.fieldNames.contains(f.name))
+        .map(_.copy(nullable = true))
+      StructType(widened ++ extra)
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],

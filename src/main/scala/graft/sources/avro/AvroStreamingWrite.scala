@@ -31,10 +31,20 @@ class AvroStreamingWrite(dir: String, schema: StructType) extends StreamingWrite
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val target = new Path(dir)
     val fs = FileSystem.get(target.toUri, new Configuration())
+    // A replayed epoch can run with FEWER partitions than a prior
+    // partially-committed attempt — overwriting only per-message
+    // destinations would leave the attempt's higher-numbered parts
+    // visible as duplicate rows. Clear EVERY existing file of the
+    // epoch(s) being committed first, then rename the new set in.
+    val epochs = (epochId +: messages.collect {
+      case AvroEpochCommit(_, e, _) => e }.toSeq).distinct
+    epochs.foreach { e =>
+      val stale = fs.globStatus(new Path(target, f"part-e$e%05d-p*.avro"))
+      if (stale != null) stale.foreach(st => fs.delete(st.getPath, false))
+    }
     messages.foreach { case AvroEpochCommit(file, epoch, partition) =>
       val src = new Path(file)
       val dst = new Path(target, f"part-e$epoch%05d-p$partition%05d.avro")
-      if (fs.exists(dst)) fs.delete(dst, false) // idempotent re-commit
       if (fs.exists(src) && !fs.rename(src, dst))
         throw new java.io.IOException(s"graft-avro: epoch commit rename failed for $file")
     }

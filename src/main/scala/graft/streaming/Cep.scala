@@ -133,45 +133,70 @@ object Cep {
                      greedy: Boolean = false,
                      alts: Vector[(String, (T, Map[String, Vector[T]]) => Boolean)] = Vector.empty)
 
-  case class Pattern[T](steps: Vector[Step[T]], withinUs: Long = Long.MaxValue) {
+  /** A quantified CONCATENATION group `(A B){m,n}` (reference
+    * `cep/pattern/GroupPattern.java:30`, built by
+    * `Pattern.begin(Pattern)` and quantified via the inherited
+    * `times`/`oneOrMore`): the step range [start, end] is one loop
+    * body. Completing the body (binding step `end`) bumps the
+    * repetition count; below `min` the partial MUST loop back to
+    * `start`, in [min, max) it both loops back AND exits (reluctant,
+    * like every loop here), at `max` it exits only. Occurrences
+    * accumulate under each body step's own name across iterations,
+    * exactly as the reference's group loop re-binds the inner
+    * patterns. Iteration-to-iteration contiguity is relaxed
+    * (followedBy), the reference's default for group loops. */
+  case class Group(start: Int, end: Int, min: Int, max: Int)
+
+  case class Pattern[T](steps: Vector[Step[T]], withinUs: Long = Long.MaxValue,
+                        groups: Vector[Group] = Vector.empty,
+                        lastIsGroup: Boolean = false) {
     def followedBy(name: String)(pred: (T, Map[String, Vector[T]]) => Boolean): Pattern[T] =
-      copy(steps = steps :+ Step(name, pred))
+      copy(steps = steps :+ Step(name, pred), lastIsGroup = false)
     /** Strict contiguity (Pattern.java:475): the event immediately
       * after the previous step's binding must match this step, or the
       * partial match is discarded. */
     def next(name: String)(pred: (T, Map[String, Vector[T]]) => Boolean): Pattern[T] =
-      copy(steps = steps :+ Step(name, pred, strict = true))
+      copy(steps = steps :+ Step(name, pred, strict = true), lastIsGroup = false)
     /** Strict negation (Pattern.java:205): the partial dies if the
       * event immediately after the previous binding matches `pred`;
       * otherwise the guard is passed permanently (and that same event
       * may bind the following step). Binds nothing. */
     def notNext(name: String)(pred: (T, Map[String, Vector[T]]) => Boolean): Pattern[T] =
-      copy(steps = steps :+ Step(name, pred, strict = true, negated = true))
+      copy(steps = steps :+ Step(name, pred, strict = true, negated = true),
+        lastIsGroup = false)
     /** Relaxed negation (Pattern.java:177): the partial dies if ANY
       * event matching `pred` arrives between the previous step's
       * binding and the following step's binding (checked before the
       * following step on the same event). Binds nothing; cannot end a
       * pattern (Pattern.java:190 — a NOT pattern needs a successor). */
     def notFollowedBy(name: String)(pred: (T, Map[String, Vector[T]]) => Boolean): Pattern[T] =
-      copy(steps = steps :+ Step(name, pred, negated = true))
-    def optional: Pattern[T] =
+      copy(steps = steps :+ Step(name, pred, negated = true), lastIsGroup = false)
+    def optional: Pattern[T] = {
+      require(!lastIsGroup,
+        "optional (zero-repetition) groups are not supported; wrap the body steps individually")
       copy(steps = steps.init :+ steps.last.copy(optional = true))
+    }
     def oneOrMore: Pattern[T] =
-      copy(steps = steps.init :+ steps.last.copy(oneOrMore = true))
+      if (lastIsGroup) quantifyGroup(1, Int.MaxValue)
+      else copy(steps = steps.init :+ steps.last.copy(oneOrMore = true))
     /** Zero-or-more (Pattern.java:352 `oneOrMore()` + :333 `optional()`
       * — the reference composes SQL `*` exactly this way,
       * `CepOperator`'s translation of the Kleene star): an optional
       * loop. Zero occurrences ride the optional drift path (the step
       * may stay unbound), 1+ occurrences behave as `oneOrMore`;
       * `greedy`/`consecutive`/`until` compose as with `oneOrMore`. */
-    def zeroOrMore: Pattern[T] =
+    def zeroOrMore: Pattern[T] = {
+      require(!lastIsGroup,
+        "zero-repetition groups are not supported; use oneOrMore on the group")
       copy(steps = steps.init :+ steps.last.copy(optional = true, oneOrMore = true))
+    }
     /** Strict contiguity INSIDE a looping last step
       * (Pattern.java:498 `consecutive()`): the loop stops accumulating
       * at the first non-matching event — the partial survives and
       * later steps proceed relaxed, but no further loop occurrences
       * are taken. Without it a loop accumulates across gaps. */
     def consecutive: Pattern[T] = {
+      require(!lastIsGroup, "consecutive group loops are not supported")
       require(steps.last.oneOrMore || steps.last.times > 1,
         "consecutive applies to a quantified step (oneOrMore / times)")
       copy(steps = steps.init :+ steps.last.copy(loopConsecutive = true))
@@ -179,21 +204,24 @@ object Cep {
     /** Exactly n occurrences of the last step (Pattern.java:382). */
     def times(n: Int): Pattern[T] = {
       require(n >= 1, "times(n) needs n >= 1")
-      copy(steps = steps.init :+ steps.last.copy(times = n))
+      if (lastIsGroup) quantifyGroup(n, n)
+      else copy(steps = steps.init :+ steps.last.copy(times = n))
     }
     /** Between m and n occurrences of the last step
       * (Pattern.java:396 `times(from, to)`): satisfied after m, may
       * keep accumulating up to n under relaxed contiguity. */
     def times(m: Int, n: Int): Pattern[T] = {
       require(m >= 1 && n >= m, "times(m,n) needs 1 <= m <= n")
-      copy(steps = steps.init :+ steps.last.copy(times = m, timesMax = n))
+      if (lastIsGroup) quantifyGroup(m, n)
+      else copy(steps = steps.init :+ steps.last.copy(times = m, timesMax = n))
     }
     /** At least n occurrences (Pattern.java:430 `timesOrMore`): an
       * unbounded loop with a raised minimum — reluctant like every
       * loop (prefixes from n up), `greedy` applies as usual. */
     def timesOrMore(n: Int): Pattern[T] = {
       require(n >= 1, "timesOrMore(n) needs n >= 1")
-      copy(steps = steps.init :+ steps.last.copy(times = n, oneOrMore = true))
+      if (lastIsGroup) quantifyGroup(n, Int.MaxValue)
+      else copy(steps = steps.init :+ steps.last.copy(times = n, oneOrMore = true))
     }
     /** Greedy quantifier (Pattern.java:520 `greedy()`): the loop
       * emits only its longest form — no "loop stops here" branch per
@@ -203,6 +231,7 @@ object Cep {
       * matches {A1}B and {A1 A2}B (plus {A2}B from the later start),
       * exactly as the reference NFA. */
     def greedy: Pattern[T] = {
+      require(!lastIsGroup, "greedy group loops are not supported (loops are reluctant, as the reference default)")
       require(steps.last.oneOrMore || steps.last.timesMax > steps.last.times,
         "greedy applies to a loop that can vary in length")
       copy(steps = steps.init :+ steps.last.copy(greedy = true))
@@ -211,21 +240,60 @@ object Cep {
       * once an event satisfies `pred`, the loop stops accumulating
       * (the event itself is not consumed by the loop and may match a
       * later step). */
-    def until(pred: (T, Map[String, Vector[T]]) => Boolean): Pattern[T] =
+    def until(pred: (T, Map[String, Vector[T]]) => Boolean): Pattern[T] = {
+      require(!lastIsGroup, "until applies to a oneOrMore step, not a group")
       copy(steps = steps.init :+ steps.last.copy(untilPred = Some(pred)))
+    }
     def within(us: Long): Pattern[T] = copy(withinUs = us)
     /** Relaxed-contiguity alternation (`(B|C)` after the previous
       * step) — see [[Step.alts]]. */
     def followedByAny(alts: (String, (T, Map[String, Vector[T]]) => Boolean)*): Pattern[T] =
-      copy(steps = steps :+ Pattern.altStep(alts.toVector))
+      copy(steps = steps :+ Pattern.altStep(alts.toVector), lastIsGroup = false)
     /** Strict-contiguity alternation (`next` into `(B|C)`). */
     def nextAny(alts: (String, (T, Map[String, Vector[T]]) => Boolean)*): Pattern[T] =
-      copy(steps = steps :+ Pattern.altStep(alts.toVector).copy(strict = true))
+      copy(steps = steps :+ Pattern.altStep(alts.toVector).copy(strict = true),
+        lastIsGroup = false)
+    /** Append a CONCATENATION group `(A B …)` (reference
+      * `GroupPattern.java:30`, `Pattern.followedBy(Pattern)`): the
+      * body's steps inline into this pattern as one [[Group]] unit
+      * that the NEXT quantifier call (`times`/`oneOrMore`/
+      * `timesOrMore`) applies to as a whole — `(A B).times(2)`
+      * matches A…B…A…B with every occurrence accumulated under its
+      * own step name. Body steps of a quantified group must be
+      * unquantified, non-negated, and the body cannot begin with a
+      * strict step (validated at [[advance]]). */
+    def followedByGroup(body: Pattern[T]): Pattern[T] = {
+      require(body.steps.nonEmpty, "empty group body")
+      require(body.withinUs == Long.MaxValue,
+        "a group body cannot carry its own within(); bound the whole pattern")
+      require(body.groups.isEmpty, "nested groups are not supported")
+      val start = steps.size
+      copy(steps = steps ++ body.steps,
+        groups = groups :+ Group(start, start + body.steps.size - 1, 1, 1),
+        lastIsGroup = true)
+    }
+    private[streaming] def quantifyGroup(min: Int, max: Int): Pattern[T] = {
+      val g = groups.last
+      copy(groups = groups.init :+ g.copy(min = min, max = max),
+        lastIsGroup = false)
+    }
   }
 
   object Pattern {
     def begin[T](name: String)(pred: (T, Map[String, Vector[T]]) => Boolean): Pattern[T] =
       Pattern(Vector(Step(name, pred)))
+    /** Pattern starting with a concatenation group — the reference's
+      * `Pattern.begin(Pattern)` (`GroupPattern.java:30`). Quantify it
+      * with the next `times`/`oneOrMore` call. */
+    def beginGroup[T](body: Pattern[T]): Pattern[T] = {
+      require(body.steps.nonEmpty, "empty group body")
+      require(body.withinUs == Long.MaxValue,
+        "a group body cannot carry its own within(); bound the whole pattern")
+      require(body.groups.isEmpty, "nested groups are not supported")
+      Pattern(body.steps,
+        groups = Vector(Group(0, body.steps.size - 1, 1, 1)),
+        lastIsGroup = true)
+    }
     /** Pattern starting with an alternation step — see [[Step.alts]]. */
     def beginAny[T](alts: (String, (T, Map[String, Vector[T]]) => Boolean)*): Pattern[T] =
       Pattern(Vector(altStep(alts.toVector)))
@@ -253,7 +321,8 @@ object Cep {
                              closedLoops: Set[Int] = Set.empty,
                              bindTs: Map[String, Vector[Long]] = Map.empty,
                              startSeq: Long = 0L,
-                             bindSeq: Map[String, Vector[Long]] = Map.empty)
+                             bindSeq: Map[String, Vector[Long]] = Map.empty,
+                             groupReps: Map[Int, Int] = Map.empty)
 
   /** Sequence base for the NEXT advance() call over the same key:
     * strictly above every sequence number recorded in the surviving
@@ -301,6 +370,34 @@ object Cep {
           s"negated step '${st.name}' must be followed by a non-optional positive step")
       }
     }
+    // Quantified concatenation groups (GroupPattern.java:30): the body
+    // is a plain concat — inner quantifiers/negation inside a REPEATED
+    // body are rejected loudly (occurrence counts accumulate under the
+    // body steps' names across iterations, so an inner loop would
+    // conflate with the group loop). {1,1} groups are pure
+    // concatenation and carry no restrictions.
+    pattern.groups.zipWithIndex.foreach { case (g, gi) =>
+      require(g.min >= 1 && g.max >= g.min, "group quantifier needs 1 <= min <= max")
+      pattern.groups.drop(gi + 1).foreach { h =>
+        require(g.end < h.start || h.end < g.start,
+          "groups cannot nest or overlap") }
+      if (g.min > 1 || g.max > 1) {
+        (g.start to g.end).foreach { si =>
+          val st = pattern.steps(si)
+          require(!st.optional && !st.oneOrMore && st.times == 1 &&
+                  st.timesMax == 0 && st.untilPred.isEmpty,
+            s"step '${st.name}' inside a quantified group cannot carry its own quantifier")
+          require(!st.negated,
+            s"negated step '${st.name}' inside a quantified group is not supported")
+        }
+        require(!pattern.steps(g.start).strict,
+          "a quantified group body cannot begin with a strict step")
+      }
+    }
+    // group-END step index -> group index, for actually-quantified groups
+    val groupEndOf = Array.fill(pattern.steps.size)(-1)
+    pattern.groups.zipWithIndex.foreach { case (g, gi) =>
+      if (g.min > 1 || g.max > 1) groupEndOf(g.end) = gi }
     var open = partials
     var dropped = 0
     val out = List.newBuilder[Map[String, Vector[T]]]
@@ -359,6 +456,7 @@ object Cep {
         def armStrict(from: Int, bound: Map[String, Vector[T]],
                       cls: Set[Int], boundTs: Map[String, Vector[Long]],
                       boundSeq: Map[String, Vector[Long]],
+                      reps: Map[Int, Int],
                       includeFrom: Boolean): Unit = {
           var j = from
           var go = true
@@ -366,7 +464,7 @@ object Cep {
             val sj = pattern.steps(j)
             if (sj.strict && (includeFrom || j > from))
               next += PartialMatch(j, p.startUs, bound, cls, boundTs,
-                p.startSeq, boundSeq)
+                p.startSeq, boundSeq, reps)
             go = sj.optional
             j += 1
           }
@@ -380,7 +478,7 @@ object Cep {
               // it) — hold position, never re-evaluate the guard
               if (retain && rebindable)
                 next += PartialMatch(committed, p.startUs, p.bindings, closed,
-                  p.bindTs, p.startSeq, p.bindSeq)
+                  p.bindTs, p.startSeq, p.bindSeq, p.groupReps)
               return
             }
             if (st.pred(e, p.bindings)) return // guard violated: partial dies
@@ -393,7 +491,7 @@ object Cep {
             // the branch armed at bind time handles the legal case
             if (retain && rebindable)
               next += PartialMatch(committed, p.startUs, p.bindings, closed,
-                p.bindTs, p.startSeq, p.bindSeq)
+                p.bindTs, p.startSeq, p.bindSeq, p.groupReps)
             return
           } else if (st.strict && skippedOpt && st.optional) {
             // an optional strict step reached by drift: can't bind (its
@@ -436,7 +534,41 @@ object Cep {
             val newCnt = cnt + 1
             if (newCnt < st.times) { // times(n)/times(m,_): need more
               next += PartialMatch(i, p.startUs, bound, closed, boundTs,
-                p.startSeq, boundSeq)
+                p.startSeq, boundSeq, p.groupReps)
+            } else if (groupEndOf(i) >= 0) {
+              // this bind completes one ITERATION of a quantified
+              // concat group (GroupPattern loop). Below min the
+              // partial MUST loop back to the body start; in
+              // [min, max) it both loops back AND exits (reluctant,
+              // like step loops — (A B)+ C over A B A B C yields the
+              // 1- and 2-iteration matches); at max it exits only.
+              // Iteration contiguity is relaxed (reference default).
+              val g = pattern.groups(groupEndOf(i))
+              val reps = p.groupReps.getOrElse(groupEndOf(i), 0) + 1
+              val repsMap = p.groupReps.updated(groupEndOf(i), reps)
+              if (reps < g.max)
+                next += PartialMatch(g.start, p.startUs, bound, closed,
+                  boundTs, p.startSeq, boundSeq, repsMap)
+              if (reps >= g.min) {
+                val nextIdx = i + 1
+                if (allOptionalFrom(nextIdx)) {
+                  out += bound
+                  completed = true
+                  completedStarts += p.startSeq
+                  skip match {
+                    case SkipToFirst(n) =>
+                      boundSeq.get(n).foreach(s => pruneSeq = pruneSeq max s.head)
+                    case SkipToLast(n) =>
+                      boundSeq.get(n).foreach(s => pruneSeq = pruneSeq max s.last)
+                    case _ => ()
+                  }
+                } else {
+                  next += PartialMatch(nextIdx, p.startUs, bound, closed,
+                    boundTs, p.startSeq, boundSeq, repsMap)
+                  armStrict(nextIdx, bound, closed, boundTs, boundSeq,
+                    repsMap, includeFrom = false)
+                }
+              }
             } else {
               // looping steps stay at i to accumulate: oneOrMore
               // unbounded, times(m,n) until n occurrences
@@ -458,7 +590,7 @@ object Cep {
                 }
               } else if (looping) {
                 next += PartialMatch(i, p.startUs, bound, closed, boundTs,
-                  p.startSeq, boundSeq)
+                  p.startSeq, boundSeq, p.groupReps)
                 // the loop may also END at this occurrence. Reluctant
                 // (default, as the reference): spawn the stopped-loop
                 // branch so shorter loop forms can complete — A+ B
@@ -467,17 +599,17 @@ object Cep {
                 // a positioned observer regardless of greed).
                 if (!st.greedy || pattern.steps(nextIdx).strict)
                   next += PartialMatch(nextIdx, p.startUs, bound,
-                    closed + i, boundTs, p.startSeq, boundSeq)
+                    closed + i, boundTs, p.startSeq, boundSeq, p.groupReps)
                 // strict heads hiding deeper behind skippable optionals
                 armStrict(nextIdx, bound, closed + i, boundTs, boundSeq,
-                  includeFrom = false)
+                  p.groupReps, includeFrom = false)
               } else {
                 next += PartialMatch(nextIdx, p.startUs, bound, closed, boundTs,
-                  p.startSeq, boundSeq)
+                  p.startSeq, boundSeq, p.groupReps)
                 // strict heads hiding behind skippable optionals (the
                 // partial itself lands at nextIdx, which needs no arm)
                 armStrict(nextIdx, bound, closed, boundTs, boundSeq,
-                  includeFrom = false)
+                  p.groupReps, includeFrom = false)
               }
             }
             return
@@ -493,7 +625,7 @@ object Cep {
               if (st.loopConsecutive || closed(i)) return
               if (retain)
                 next += PartialMatch(committed, p.startUs, p.bindings, closed,
-                  p.bindTs, p.startSeq, p.bindSeq)
+                  p.bindTs, p.startSeq, p.bindSeq, p.groupReps)
               return
             }
             // greedy: no branches exist — the partial itself proceeds
@@ -530,14 +662,14 @@ object Cep {
             if (st.strict && !skippedOpt) return
             if (retain) // keep waiting
               next += PartialMatch(committed, p.startUs, p.bindings, closed,
-                p.bindTs, p.startSeq, p.bindSeq)
+                p.bindTs, p.startSeq, p.bindSeq, p.groupReps)
             return
           }
           }
         }
         if (retain)
           next += PartialMatch(committed, p.startUs, p.bindings, closed,
-            p.bindTs, p.startSeq, p.bindSeq)
+            p.bindTs, p.startSeq, p.bindSeq, p.groupReps)
       }
       // Partials run oldest-first, so the earliest match wins; the skip
       // strategy prunes later partials as soon as a match completes

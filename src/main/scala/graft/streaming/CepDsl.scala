@@ -9,8 +9,17 @@ package graft.streaming
   * Grammar (whitespace-separated steps, then an optional time bound):
   *
   * {{{
-  *   pattern  := step+ ("within" duration)?
+  *   pattern  := unit+ ("within" duration)?
+  *   unit     := step | group
   *   step     := flags NAMES quant?
+  *   group    := "(" step+ ")" gquant?   — quantified CONCATENATION
+  *               group (reference GroupPattern.java): "(A B){2}"
+  *               matches A…B…A…B, occurrences accumulating under
+  *               each step's own name. gquant ∈ {"+", "{n}",
+  *               "{m,n}", "{n,}"}; zero-repetition ("?", "*") and
+  *               consecutive ("++") group forms are rejected loudly,
+  *               as are quantified/negated steps INSIDE a quantified
+  *               group and flags on the group itself.
   *   NAMES    := NAME ("|" NAME)*     — 2+ names = alternation (B|C)
   *   flags    := ""    — relaxed contiguity (followedBy)
   *             | ">"   — strict contiguity (next)
@@ -107,26 +116,26 @@ object CepDsl {
         }
     }
 
-    val pat = stepToks.zipWithIndex.foldLeft(null: Cep.Pattern[T]) {
-      case (acc, (tok, idx)) =>
-        val (flags, name, quant) = tok match {
-          case StepRe(f, n, q) => (f, n, q)
-          case _ => throw new IllegalArgumentException(s"bad step: '$tok'")
-        }
-        def predOf(n: String) = preds.getOrElse(n,
-          throw new IllegalArgumentException(s"no predicate defined for '$n'"))
-        if (name.contains("|")) {
-          val alts = name.split("\\|").toVector.map(n => n -> predOf(n))
-          require(!flags.startsWith("!"),
-            s"alternation '$name' cannot be negated")
-          if (idx == 0) {
-            require(flags.isEmpty, s"first step '$tok' cannot be strict or negated")
-            applyQuant(Cep.Pattern.beginAny(alts: _*), quant)
-          } else if (flags == ">") applyQuant(acc.nextAny(alts: _*), quant)
-          else applyQuant(acc.followedByAny(alts: _*), quant)
-        } else {
+    def appendStep(acc: Cep.Pattern[T], tok: String,
+                   isFirst: Boolean): Cep.Pattern[T] = {
+      val (flags, name, quant) = tok match {
+        case StepRe(f, n, q) => (f, n, q)
+        case _ => throw new IllegalArgumentException(s"bad step: '$tok'")
+      }
+      def predOf(n: String) = preds.getOrElse(n,
+        throw new IllegalArgumentException(s"no predicate defined for '$n'"))
+      if (name.contains("|")) {
+        val alts = name.split("\\|").toVector.map(n => n -> predOf(n))
+        require(!flags.startsWith("!"),
+          s"alternation '$name' cannot be negated")
+        if (isFirst) {
+          require(flags.isEmpty, s"first step '$tok' cannot be strict or negated")
+          applyQuant(Cep.Pattern.beginAny(alts: _*), quant)
+        } else if (flags == ">") applyQuant(acc.nextAny(alts: _*), quant)
+        else applyQuant(acc.followedByAny(alts: _*), quant)
+      } else {
         val pred = predOf(name)
-        if (idx == 0) {
+        if (isFirst) {
           require(flags.isEmpty, s"first step '$tok' cannot be strict or negated")
           applyQuant(Cep.Pattern.begin(name)(pred), quant)
         } else {
@@ -139,8 +148,40 @@ object CepDsl {
               else acc.notNext(name)(pred)
           }
         }
-        }
+      }
     }
+
+    var acc: Cep.Pattern[T] = null
+    var rest = stepToks
+    while (rest.nonEmpty) {
+      val tok = rest.head
+      if (tok.startsWith("(")) {
+        // concatenation group "(A B){2}" — tokens up to the one
+        // holding ")" form the body; the tail after ")" is the
+        // group quantifier, applied through the Pattern methods
+        // (which branch on the group and loudly reject the
+        // unsupported forms: "?", "*", "++", zero-minimum ranges).
+        val closeIdx = rest.indexWhere(_.contains(")"))
+        require(closeIdx >= 0, s"unclosed group starting at '$tok'")
+        val joined = rest.take(closeIdx + 1).mkString(" ")
+        rest = rest.drop(closeIdx + 1)
+        val inner = joined.drop(1)
+        val cut = inner.indexOf(')')
+        val bodyToks = inner.take(cut).trim.split("\\s+").toList.filter(_.nonEmpty)
+        require(bodyToks.nonEmpty, s"empty group body in '$joined'")
+        val quant = inner.drop(cut + 1)
+        val body = bodyToks.zipWithIndex.foldLeft(null: Cep.Pattern[T]) {
+          case (b, (t, i)) => appendStep(b, t, i == 0) }
+        val grouped =
+          if (acc == null) Cep.Pattern.beginGroup(body)
+          else acc.followedByGroup(body)
+        acc = applyQuant(grouped, quant)
+      } else {
+        acc = appendStep(acc, tok, acc == null)
+        rest = rest.tail
+      }
+    }
+    val pat = acc
     if (withinUs == Long.MaxValue) pat else pat.within(withinUs)
   }
 

@@ -81,7 +81,23 @@ object FlinkDdl {
   private val InsertRe =
     """(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(SELECT\b.*|VALUES\b.*)$""".r
   private val SelectRe = """(?is)^\s*\(?\s*SELECT\b.*$""".r
-  private val DropRe = """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$""".r
+  private val DropRe = """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)\s*$""".r
+  private val DropViewRe =
+    """(?is)^\s*DROP\s+(?:TEMPORARY\s+)?VIEW\s+(IF\s+EXISTS\s+)?(\w+)\s*$""".r
+  private val AlterRenameRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*$""".r
+  private val CreateFnRe =
+    """(?is)^\s*CREATE\s+(?:TEMPORARY\s+(?:SYSTEM\s+)?)?FUNCTION\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+'([^']+)'\s*(?:LANGUAGE\s+(\w+)\s*)?$""".r
+  private val DropFnRe =
+    """(?is)^\s*DROP\s+(?:TEMPORARY\s+(?:SYSTEM\s+)?)?FUNCTION\s+(IF\s+EXISTS\s+)?(\w+)\s*$""".r
+  private val CreateDbRe =
+    """(?is)^\s*CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*$""".r
+  private val DropDbRe =
+    """(?is)^\s*DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?(\w+)\s*(?:(CASCADE|RESTRICT)\s*)?$""".r
+  private val UseCatalogRe = """(?is)^\s*USE\s+CATALOG\s+(\w+)\s*$""".r
+  private val UseDbRe = """(?is)^\s*USE\s+(\w+)\s*$""".r
+  private val ShowDbRe = """(?is)^\s*SHOW\s+DATABASES\s*$""".r
+  private val ShowFnRe = """(?is)^\s*SHOW\s+FUNCTIONS\s*$""".r
   private val ShowRe = """(?is)^\s*SHOW\s+TABLES\s*$""".r
   private val DescRe = """(?is)^\s*DESC(?:RIBE)?\s+(\w+)\s*$""".r
   private val WatermarkRe =
@@ -90,15 +106,24 @@ object FlinkDdl {
   private val ColumnRe = """(?is)^\s*(\w+)\s+([A-Za-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*(?:COMMENT\s+'[^']*')?\s*$""".r
   private val PropRe = """'([^']+)'\s*=\s*'([^']*)'""".r
 
-  /** Split a script on statement-terminating semicolons (quote-aware). */
+  /** Split a script on statement-terminating semicolons — quote-aware,
+    * including the SQL `''` escape: a doubled quote inside a quoted
+    * region is a literal quote, not a close-then-reopen, so a literal
+    * like 'it''s; fine' cannot mis-split the script. */
   def splitStatements(script: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var inQuote = false
-    script.foreach {
-      case '\'' => inQuote = !inQuote; cur.append('\'')
-      case ';' if !inQuote => out += cur.toString; cur.clear()
-      case c => cur.append(c)
+    var i = 0
+    while (i < script.length) {
+      val c = script.charAt(i)
+      if (c == '\'') {
+        if (inQuote && i + 1 < script.length && script.charAt(i + 1) == '\'') {
+          cur.append("''"); i += 1 // escaped quote: consume both
+        } else { inQuote = !inQuote; cur.append('\'') }
+      } else if (c == ';' && !inQuote) { out += cur.toString; cur.clear() }
+      else cur.append(c)
+      i += 1
     }
     out += cur.toString
     out.result().map(_.trim).filter(_.nonEmpty)
@@ -123,9 +148,40 @@ object FlinkDdl {
     * CREATE VIEW) before execution — the hook [[FlinkSql]] uses to
     * compose the dialect rewriters (group windows, LATERAL TABLE)
     * with the DDL surface. */
+  /** CREATE FUNCTION class registry: the reference registers by JVM
+    * class name (`flink-sql-parser/.../ddl/SqlCreateFunction.java`);
+    * offline, the loadable classes are the shipped UDx surface —
+    * anything else fails loudly with the available names. Both the
+    * full class name and the bare class name resolve. */
+  private val functionClasses: Map[String, (SparkSession, String) => Unit] = {
+    import org.apache.spark.sql.functions.udaf
+    import graft.functions.Udx
+    val base = Map[String, (SparkSession, String) => Unit](
+      "graft.functions.Udx$WeightedAvg" ->
+        ((s, n) => s.udf.register(n, udaf(new Udx.WeightedAvg))),
+      "graft.functions.Udx$GeoMean" ->
+        ((s, n) => s.udf.register(n, udaf(new Udx.GeoMean))),
+      "graft.functions.Udx$Top2" ->
+        ((s, n) => s.udf.register(n, udaf(new Udx.Top2))),
+      "graft.functions.Udx$Tokenize" ->
+        ((s, n) => s.udf.register(n, (t: String) => Udx.tokenize(t))))
+    base ++ base.map { case (k, v) => k.substring(k.indexOf('$') + 1) -> v }
+  }
+
   final class Env(spark: SparkSession,
       selectRewriter: String => String = identity) {
     private val tables = mutable.Map.empty[String, TableDef]
+    // Database statements (SqlCreateDatabase/SqlDropDatabase/
+    // SqlUseCatalog/SqlUseDatabase): databases are registry-level
+    // namespaces — existence and currency are tracked and enforced;
+    // the tables themselves stay session-global temp views (the
+    // reference's TEMPORARY objects are similarly catalog-transparent).
+    // Each table records its owning database so RESTRICT/CASCADE
+    // drops behave.
+    private val dbs = mutable.Set("default_database")
+    private var currentDb = "default_database"
+    private val tableDb = mutable.Map.empty[String, String]
+    private val functions = mutable.Set.empty[String]
 
     def table(name: String): TableDef =
       tables.getOrElse(name, fail(s"unknown DDL table $name"))
@@ -139,8 +195,82 @@ object FlinkDdl {
       case InsertRe(mode, name, select) =>
         insert(name, select, mode.equalsIgnoreCase("OVERWRITE")); None
       case s if SelectRe.matches(s) => Some(spark.sql(selectRewriter(s)))
-      case DropRe(name) =>
-        tables.remove(name); spark.catalog.dropTempView(name); None
+      case DropRe(ifExists, name) =>
+        if (tables.remove(name).isEmpty && ifExists == null)
+          fail(s"DROP TABLE: unknown table $name (use IF EXISTS)")
+        tableDb.remove(name)
+        spark.catalog.dropTempView(name); None
+      case DropViewRe(ifExists, name) =>
+        // a DDL TABLE is not a view — the reference's DropView checks
+        // the object kind (SqlDropView vs SqlDropTable)
+        if (tables.contains(name))
+          fail(s"DROP VIEW: $name is a table (use DROP TABLE)")
+        if (!spark.catalog.dropTempView(name) && ifExists == null)
+          fail(s"DROP VIEW: unknown view $name (use IF EXISTS)")
+        None
+      case AlterRenameRe(from, to) =>
+        val t = tables.remove(from).getOrElse(
+          fail(s"ALTER TABLE: unknown table $from"))
+        if (tables.contains(to)) fail(s"ALTER TABLE: $to already exists")
+        val renamed = t.copy(name = to)
+        tables(to) = renamed
+        tableDb.put(to, tableDb.remove(from).getOrElse(currentDb))
+        spark.catalog.dropTempView(from)
+        val fsPath = new org.apache.hadoop.fs.Path(renamed.path)
+        if (fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(fsPath)) register(renamed)
+        None
+      case CreateFnRe(ifNotExists, name, cls, lang) =>
+        if (lang != null && !Set("JAVA", "SCALA")(lang.toUpperCase))
+          fail(s"CREATE FUNCTION $name: LANGUAGE ${lang.toUpperCase} is " +
+            "out of scope (JVM languages only)")
+        if (!(functions.contains(name) && ifNotExists != null)) {
+          val reg = functionClasses.getOrElse(cls, fail(
+            s"CREATE FUNCTION $name: class '$cls' is not on the offline " +
+              s"function surface; available: ${functionClasses.keys.toSeq.sorted.mkString(", ")}"))
+          reg(spark, name)
+          functions += name
+        }
+        None
+      case DropFnRe(ifExists, name) =>
+        if (!functions.remove(name) && ifExists == null)
+          fail(s"DROP FUNCTION: unknown function $name (use IF EXISTS)")
+        spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS $name"); None
+      case CreateDbRe(ifNotExists, name) =>
+        if (dbs.contains(name) && ifNotExists == null)
+          fail(s"CREATE DATABASE: $name already exists (use IF NOT EXISTS)")
+        dbs += name; None
+      case DropDbRe(ifExists, name, modeOrNull) =>
+        if (!dbs.contains(name)) {
+          if (ifExists == null)
+            fail(s"DROP DATABASE: unknown database $name (use IF EXISTS)")
+        } else {
+          if (name == currentDb) fail(s"DROP DATABASE: $name is the current database")
+          val owned = tableDb.collect { case (t, d) if d == name => t }.toSeq
+          val cascade = modeOrNull != null && modeOrNull.equalsIgnoreCase("CASCADE")
+          if (owned.nonEmpty && !cascade)
+            fail(s"DROP DATABASE: $name is not empty " +
+              s"(tables: ${owned.sorted.mkString(", ")}); use CASCADE")
+          owned.foreach { t =>
+            tables.remove(t); tableDb.remove(t); spark.catalog.dropTempView(t)
+          }
+          dbs -= name
+        }
+        None
+      case UseCatalogRe(name) =>
+        if (!Set("default_catalog", "spark_catalog")(name))
+          fail(s"USE CATALOG: only the built-in session catalog exists " +
+            s"offline (default_catalog), got '$name'")
+        None
+      case ShowDbRe() =>
+        import spark.implicits._
+        Some(dbs.toSeq.sorted.toDF("database_name"))
+      case ShowFnRe() =>
+        import spark.implicits._
+        Some(functions.toSeq.sorted.toDF("function_name"))
+      case UseDbRe(name) if !name.equalsIgnoreCase("CATALOG") =>
+        if (!dbs.contains(name)) fail(s"USE: unknown database $name")
+        currentDb = name; None
       case ShowRe() =>
         import spark.implicits._
         Some(tables.keys.toSeq.sorted.toDF("table_name"))
@@ -208,7 +338,13 @@ object FlinkDdl {
         parts.toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
         path, format)
       tables(name) = defn
-      if (new java.io.File(path).exists()) register(defn)
+      tableDb(name) = currentDb
+      // Hadoop FS existence check, not java.io.File: a DDL table may
+      // point at hdfs:// or s3a:// (the avro connector underneath
+      // reads them unchanged) and must still register eagerly.
+      val fsPath = new org.apache.hadoop.fs.Path(path)
+      val pathFs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (pathFs.exists(fsPath)) register(defn)
     }
 
     /** (Re-)register the table's batch view over its files. */

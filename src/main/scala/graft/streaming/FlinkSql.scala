@@ -51,6 +51,11 @@ object FlinkSql {
       // text as one row (Flink prints AST / optimized / physical).
       case ExplainRe(inner) =>
         import spark.implicits._
+        // gate BEFORE routing: a DDL/DML statement routed through the
+        // dispatcher would EXECUTE its side effect under EXPLAIN
+        if (!"""(?is)^\s*\(?\s*SELECT\b.*""".r.matches(inner))
+          throw new IllegalArgumentException(
+            "EXPLAIN requires a result-producing statement")
         val df = executeSql(inner).getOrElse(throw new IllegalArgumentException(
           "EXPLAIN requires a result-producing statement"))
         Some(Seq(df.queryExecution.explainString(

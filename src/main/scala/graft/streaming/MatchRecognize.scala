@@ -179,8 +179,11 @@ object MatchRecognize {
   // ---- PATTERN translation ------------------------------------------
 
   /** One parsed PATTERN element: a variable (possibly an alternation
-    * `B|C`, names.size > 1) with its quantifier text. */
-  private case class PatElem(names: Vector[String], quant: String) {
+    * `B|C`, names.size > 1) with its quantifier text; `isGroup` marks
+    * a quantified CONCATENATION group `(A B){2}` whose `names` are the
+    * body variables in order (reference `GroupPattern.java:30`). */
+  private case class PatElem(names: Vector[String], quant: String,
+                             isGroup: Boolean = false) {
     def dslName: String = names.mkString("|")
   }
 
@@ -191,8 +194,13 @@ object MatchRecognize {
     *    cannot take a quantifier (SQL binds `B|C+` as `B|(C+)` —
     *    quantified ALTERNATIVES need a sub-NFA; rejected loudly).
     *  - `( seq )` with no quantifier → spliced into the sequence.
-    *  - `( seq )` of 2+ vars WITH a quantifier, and nested groups,
-    *    are rejected loudly (true sub-NFA semantics).
+    *  - `( seq )` of 2+ plain vars WITH a quantifier → a quantified
+    *    CONCATENATION group (sub-NFA loop, `GroupPattern.java:30`) —
+    *    supported for the forms whose semantics the NFA carries
+    *    faithfully: exact `{n}` and the RELUCTANT `+?` / `{m,n}?` /
+    *    `{n,}?` (the engine's group loops are reluctant; SQL's
+    *    default-greedy `(…)+` and zero-repetition `(…)*` / `(…)?`
+    *    are rejected loudly). Nested groups are rejected.
     */
   private def tokenizePattern(src: String): List[PatElem] = {
     val s = src.trim
@@ -229,10 +237,15 @@ object MatchRecognize {
         } else {
           val seq = inner.trim.split("\\s+").toList.filter(_.nonEmpty)
           if (seq.isEmpty) fail("empty pattern group")
-          if (quant.nonEmpty && seq.size > 1) fail(
-            s"a quantifier on a multi-variable group '($inner)$quant' needs " +
-              "a sub-NFA and is not supported")
-          if (quant.nonEmpty) out += parseBare(seq.head + quant)
+          if (quant.nonEmpty && seq.size > 1) {
+            seq.foreach { t =>
+              if (!t.matches("""[A-Za-z_]\w*""")) fail(
+                s"only plain variables are supported inside a quantified " +
+                  s"group, got '$t' in '($inner)$quant'")
+            }
+            out += PatElem(seq.toVector, quant, isGroup = true)
+          }
+          else if (quant.nonEmpty) out += parseBare(seq.head + quant)
           else seq.foreach(t => out += parseBare(t))
         }
         i = after
@@ -286,6 +299,26 @@ object MatchRecognize {
     var greedy = Set.empty[String]
     var loops = Set.empty[String]
     val dslToks = elems.zipWithIndex.map { case (el, idx) =>
+      if (el.isGroup) {
+        // quantified concat group: iteration-to-iteration adjacency in
+        // the engine's group loop is RELAXED, so only Relaxed mode and
+        // the greediness-faithful quantifier forms are admitted
+        if (contiguity == Strict) fail(
+          "quantified concat groups need relaxed contiguity " +
+            "(strict iteration adjacency is not supported)")
+        val gq = el.quant match {
+          case "?" | "??" | "*" | "*?" => fail(
+            s"zero-repetition group '(…)${el.quant}' is not supported")
+          case q if q.matches("""\{\d+\}""") => q // exact: greediness moot
+          case "+?" => "+"
+          case q if q.matches("""\{\d+,\d*\}\?""") => q.init // reluctant range
+          case q if q == "+" || q.matches("""\{\d+,\d*\}""") => fail(
+            s"greedy group loop '(…)$q' is not supported — the engine's " +
+              s"group loops are reluctant; write '(…)$q?'")
+          case q => fail(s"bad quantifier '$q' on a pattern group")
+        }
+        "(" + el.names.mkString(" ") + ")" + gq
+      } else {
       val (name, quant) = (el.dslName, el.quant)
       val dslQuant = quant match {
         case ""            => ""
@@ -304,6 +337,7 @@ object MatchRecognize {
       val flag =
         if (idx == 0 || contiguity == Relaxed) "" else ">"
       flag + name + dslQuant
+      }
     }
     (dslToks.mkString(" "), greedy, loops)
   }

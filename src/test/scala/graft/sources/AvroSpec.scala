@@ -104,6 +104,77 @@ class AvroSpec extends SparkSpec {
       .toSeq == Seq(None, None, Some(1.5)))
   }
 
+  test("inference over a mixed-generation directory unions the schemas") {
+    import spark.implicits._
+    val p = tmp("avro-infer-mixed")
+    Seq((1L, "a")).toDF("k", "v")
+      .write.format("graft-avro").mode("overwrite").save(p)
+    Seq((2L, "b", 1.5)).toDF("k", "v", "added")
+      .write.format("graft-avro").mode("append").save(p)
+    // NO explicit schema: inference must see the column that exists
+    // only in the newer generation (round-6 advice: first-file-only
+    // inference silently dropped it)
+    val inferred = spark.read.format("graft-avro").load(p)
+    assert(inferred.schema.fieldNames.toSet == Set("k", "v", "added"))
+    val rows = inferred.orderBy("k").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows.map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+      .toSeq == Seq(None, Some(1.5)))
+  }
+
+  test("external local-timestamp-millis decodes to NTZ micros, not /1000") {
+    import org.apache.avro.{LogicalTypes, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    // an EXTERNALLY-written file: long + local-timestamp-millis —
+    // our own writer emits micros, so build the file with avro-core
+    val millisType = LogicalTypes.localTimestampMillis()
+      .addToSchema(org.apache.avro.Schema.create(org.apache.avro.Schema.Type.LONG))
+    val avroSchema = SchemaBuilder.record("r").fields()
+      .requiredLong("k").name("ts").`type`(millisType).noDefault()
+      .endRecord()
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-ntzms")
+    val f = dir.resolve("ext-00000.avro").toFile
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avroSchema))
+    w.create(avroSchema, f)
+    val rec = new GenericData.Record(avroSchema)
+    rec.put("k", 1L)
+    rec.put("ts", 1700000000123L) // millis
+    w.append(rec); w.close()
+    val back = spark.read.format("graft-avro").load(dir.toString)
+    assert(back.schema("ts").dataType == TimestampNTZType)
+    val got = back.head().getAs[java.time.LocalDateTime]("ts")
+    val want = java.time.LocalDateTime.ofEpochSecond(
+      1700000000L, 123000000, java.time.ZoneOffset.UTC)
+    assert(got == want, s"millis must scale to micros: $got vs $want")
+  }
+
+  test("epoch re-commit clears stale higher-numbered parts of the epoch") {
+    import graft.sources.avro.{AvroEpochCommit, AvroStreamingWrite}
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-epoch").toString
+    // a prior attempt of epoch 1 committed TWO partitions
+    Seq((1L, "stale")).toDF("k", "v").write.format("graft-avro")
+      .mode("overwrite").save(dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new Path(dir))
+      .filter(_.getPath.getName.endsWith(".avro")).map(_.getPath)
+    fs.rename(parts.head, new Path(dir, "part-e00001-p00000.avro"))
+    val stale = new Path(dir, "part-e00001-p00001.avro")
+    fs.copyFromLocalFile(new Path(dir, "part-e00001-p00000.avro"), stale)
+    // the replay runs with ONE partition: new temp file -> p00000
+    val tmpSrc = new Path(dir, ".tmp-replay.avro")
+    fs.copyFromLocalFile(new Path(dir, "part-e00001-p00000.avro"), tmpSrc)
+    val schema = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+    new AvroStreamingWrite(dir, schema)
+      .commit(1L, Array(AvroEpochCommit(tmpSrc.toString, 1L, 0)))
+    val names = fs.listStatus(new Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("part-e00001")).sorted
+    assert(names.toSeq == Seq("part-e00001-p00000.avro"),
+      s"stale epoch parts must be cleared, got ${names.mkString(",")}")
+  }
+
   test("micro-batch stream read consumes files in name order, one per trigger") {
     import spark.implicits._
     val dir = tmp("avro-stream")

@@ -114,8 +114,17 @@ class CepAlternationSpec extends SparkSpec {
         DEFINE A AS A.event_type = 'view', B AS B.event_type = 'buy',
                C AS C.event_type = 'cart'
       )""")
+    // SQL's (A B)+ is GREEDY; the engine's group loops are reluctant —
+    // the faithful reluctant form (A B)+? IS supported (sub-NFA,
+    // GroupPattern.java:30), the greedy one rejects loudly
     assert(intercept[IllegalArgumentException](parse("(A B)+ C"))
-      .getMessage.contains("multi-variable group"))
+      .getMessage.contains("reluctant"))
+    assert(parse("(A B)+? C").pattern.groups ==
+      Vector(Cep.Group(0, 1, 1, Int.MaxValue)))
+    assert(parse("(A B){2} C").pattern.groups ==
+      Vector(Cep.Group(0, 1, 2, 2)))
+    assert(intercept[IllegalArgumentException](parse("(A B)* C"))
+      .getMessage.contains("zero-repetition"))
     assert(intercept[IllegalArgumentException](parse("A B|C+"))
       .getMessage.contains("ambiguous"))
     assert(intercept[IllegalArgumentException](parse("A ((B|C)) D"))

@@ -27,6 +27,16 @@ class FlinkDdlSpec extends SparkSpec {
     assert(stmts.head.contains("/x;y"))
   }
 
+  test("script splitting honors the SQL '' escape inside literals") {
+    // 'it''s; fine' is ONE literal containing a quote and a semicolon —
+    // toggling on every quote would mis-split after the escape
+    val stmts = FlinkDdl.splitStatements(
+      "SELECT 'it''s; fine' AS a; SELECT 2")
+    assert(stmts == Seq("SELECT 'it''s; fine' AS a", "SELECT 2"))
+    // an escaped quote at the very end of a literal, then a real split
+    assert(FlinkDdl.splitStatements("SELECT 'x'''; SELECT 'y;z'").size == 2)
+  }
+
   test("non-filesystem connectors are rejected with the env reason") {
     val env = new FlinkDdl.Env(spark)
     val e = intercept[IllegalArgumentException](env.executeSql(
@@ -110,8 +120,12 @@ class FlinkDdlSpec extends SparkSpec {
   test("unknown statements are rejected, DROP TABLE forgets the table") {
     val env = new FlinkDdl.Env(spark)
     val e = intercept[IllegalArgumentException](
-      env.executeSql("ALTER TABLE t RENAME TO u"))
+      env.executeSql("TRUNCATE TABLE t"))
     assert(e.getMessage.contains("unsupported statement"))
+    // ALTER RENAME is supported now — but only for known tables
+    assert(intercept[IllegalArgumentException](
+      env.executeSql("ALTER TABLE t RENAME TO u"))
+      .getMessage.contains("unknown table"))
     val base = java.nio.file.Files.createTempDirectory("graft-ddlspec4")
     env.executeSql(
       s"""CREATE TABLE gone (a BIGINT)
@@ -141,5 +155,99 @@ class FlinkDdlSpec extends SparkSpec {
          |WITH ('connector' = 'filesystem', 'path' = '$base/avp',
          |      'format' = 'avro')""".stripMargin))
     assert(e2.getMessage.contains("does not support"))
+  }
+
+  test("DDL tail: DROP TABLE/VIEW flag semantics and object-kind checks") {
+    val env = new FlinkDdl.Env(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft-ddltail1")
+    // DROP TABLE without IF EXISTS on an unknown name fails loudly
+    assert(intercept[IllegalArgumentException](
+      env.executeSql("DROP TABLE nope")).getMessage.contains("IF EXISTS"))
+    env.executeSql("DROP TABLE IF EXISTS nope") // and with the flag: no-op
+    env.executeSql(
+      s"""CREATE TABLE tt (a BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$base/tt',
+         |      'format' = 'parquet')""".stripMargin)
+    // a table is not a view
+    assert(intercept[IllegalArgumentException](
+      env.executeSql("DROP VIEW tt")).getMessage.contains("DROP TABLE"))
+    env.executeSql("INSERT INTO tt SELECT 5")
+    env.executeSql("CREATE VIEW vv AS SELECT a + 1 AS b FROM tt")
+    assert(env.executeSql("SELECT b FROM vv").get.head().getLong(0) == 6L)
+    env.executeSql("DROP VIEW vv")
+    assert(intercept[IllegalArgumentException](
+      env.executeSql("DROP VIEW vv")).getMessage.contains("IF EXISTS"))
+    env.executeSql("DROP VIEW IF EXISTS vv")
+  }
+
+  test("DDL tail: ALTER TABLE RENAME keeps the data visible") {
+    val env = new FlinkDdl.Env(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft-ddltail2")
+    env.executeSql(
+      s"""CREATE TABLE before_t (a BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$base/t',
+         |      'format' = 'parquet')""".stripMargin)
+    env.executeSql("INSERT INTO before_t SELECT 42")
+    env.executeSql("ALTER TABLE before_t RENAME TO after_t")
+    assert(env.executeSql("SELECT a FROM after_t").get.head().getLong(0) == 42L)
+    assert(intercept[IllegalArgumentException](
+      env.executeSql("INSERT INTO before_t SELECT 1"))
+      .getMessage.contains("unknown DDL table"))
+  }
+
+  test("DDL tail: CREATE/DROP FUNCTION against the shipped class surface") {
+    val env = new FlinkDdl.Env(spark)
+    env.executeSql(
+      "CREATE FUNCTION wavg AS 'graft.functions.Udx$WeightedAvg'")
+    val r = env.executeSql(
+      "SELECT wavg(v, w) AS m FROM (SELECT 10.0 AS v, 1.0 AS w UNION ALL SELECT 20.0, 3.0)")
+    assert(r.get.head().getDouble(0) == 17.5)
+    // unknown class: loud, names the available surface
+    assert(intercept[IllegalArgumentException](env.executeSql(
+      "CREATE FUNCTION f AS 'com.example.MyUdf'"))
+      .getMessage.contains("available"))
+    // python: out of scope, loud
+    assert(intercept[IllegalArgumentException](env.executeSql(
+      "CREATE FUNCTION f AS 'x' LANGUAGE PYTHON"))
+      .getMessage.contains("out of scope"))
+    assert(env.executeSql("SHOW FUNCTIONS").get
+      .collect().map(_.getString(0)).toSeq == Seq("wavg"))
+    env.executeSql("DROP FUNCTION wavg")
+    assert(intercept[IllegalArgumentException](
+      env.executeSql("DROP FUNCTION wavg")).getMessage.contains("IF EXISTS"))
+    env.executeSql("DROP FUNCTION IF EXISTS wavg")
+  }
+
+  test("DDL tail: database lifecycle with RESTRICT/CASCADE and USE") {
+    val env = new FlinkDdl.Env(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft-ddltail3")
+    env.executeSql("CREATE DATABASE mart")
+    assert(intercept[IllegalArgumentException](
+      env.executeSql("CREATE DATABASE mart")).getMessage.contains("IF NOT EXISTS"))
+    env.executeSql("CREATE DATABASE IF NOT EXISTS mart")
+    env.executeSql("USE mart")
+    env.executeSql(
+      s"""CREATE TABLE martt (a BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$base/mt',
+         |      'format' = 'parquet')""".stripMargin)
+    // current database cannot be dropped
+    assert(intercept[IllegalArgumentException](
+      env.executeSql("DROP DATABASE mart")).getMessage.contains("current"))
+    env.executeSql("USE default_database")
+    // non-empty: RESTRICT (default) refuses, names the tables
+    assert(intercept[IllegalArgumentException](
+      env.executeSql("DROP DATABASE mart")).getMessage.contains("martt"))
+    env.executeSql("DROP DATABASE mart CASCADE")
+    assert(intercept[IllegalArgumentException](
+      env.executeSql("INSERT INTO martt SELECT 1"))
+      .getMessage.contains("unknown DDL table"))
+    assert(env.executeSql("SHOW DATABASES").get
+      .collect().map(_.getString(0)).toSeq == Seq("default_database"))
+    // catalogs: only the built-in one exists offline
+    env.executeSql("USE CATALOG default_catalog")
+    assert(intercept[IllegalArgumentException](
+      env.executeSql("USE CATALOG hive_prod")).getMessage.contains("offline"))
+    assert(intercept[IllegalArgumentException](
+      env.executeSql("USE missing_db")).getMessage.contains("unknown database"))
   }
 }
