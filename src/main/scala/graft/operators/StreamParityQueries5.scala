@@ -62,6 +62,53 @@ object StreamParityQueries5 {
       MatchRecognize.run(
           Tables.events(s, d).as[Event].filter(e => types(e.event_type)), sql)
         .orderBy(col("user_id"), col("a1"))
+    }),
+
+    // Whole DDL LIFECYCLE as one pure-SQL application script (the
+    // reference's setup/teardown surface: SqlCreateDatabase,
+    // SqlUseCatalog/Database, SqlCreateFunction, SqlAlterTable,
+    // SqlDropTable/View/Database) — database created and made
+    // current, a function registered from the shipped class surface,
+    // a derived table INSERTed then RENAMED, a view over it, the
+    // result SELECTed, and every object torn down (DROP VIEW / DROP
+    // TABLE / DROP DATABASE CASCADE), exactly the script shape a
+    // reference user runs around every job. The already-analyzed
+    // SELECT frame survives the teardown (plans bind at analysis).
+    "q256_ddl_lifecycle" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-ddlcycle")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("cast(round(value*100) as bigint)").as("cents"))
+        .write.mode("overwrite").option("header", "false").csv(s"$base/src")
+      new graft.streaming.FlinkSql.Env(s).executeScript(
+        s"""CREATE DATABASE IF NOT EXISTS mart;
+           |USE mart;
+           |CREATE TABLE ev_l (
+           |  event_id BIGINT, user_id BIGINT, event_type STRING, cents BIGINT
+           |) WITH (
+           |  'connector.type' = 'filesystem',
+           |  'connector.path' = '$base/src',
+           |  'format.type' = 'csv'
+           |);
+           |CREATE FUNCTION wavg AS 'graft.functions.Udx$$WeightedAvg';
+           |CREATE TABLE agg_l (event_type STRING, n BIGINT, cents_sum BIGINT)
+           |WITH ('connector' = 'filesystem', 'path' = '$base/snk',
+           |      'format' = 'parquet');
+           |INSERT INTO agg_l
+           |SELECT event_type, COUNT(*), SUM(cents) FROM ev_l GROUP BY event_type;
+           |ALTER TABLE agg_l RENAME TO agg_renamed;
+           |CREATE VIEW typed AS SELECT * FROM agg_renamed WHERE n > 0;
+           |SELECT t.event_type, t.n, t.cents_sum, round(w.wv, 4) AS wv
+           |FROM typed t JOIN (
+           |  SELECT event_type, wavg(CAST(cents AS DOUBLE), 1.0) AS wv
+           |  FROM ev_l GROUP BY event_type
+           |) w ON t.event_type = w.event_type
+           |ORDER BY t.event_type;
+           |DROP VIEW typed;
+           |DROP TABLE agg_renamed;
+           |DROP TABLE ev_l;
+           |USE default_database;
+           |DROP DATABASE mart CASCADE""".stripMargin)
     })
   )
 
@@ -99,6 +146,12 @@ object StreamParityQueries5 {
       |       AND epoch_us(ts_b2) - epoch_us(ts_a1) <= 604800000000)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q256_ddl_lifecycle" ->
+      """WITH ev AS (SELECT event_type,
+        |  cast(round(value*100) as bigint) AS cents FROM events)
+        |SELECT event_type, count(*) AS n, sum(cents)::BIGINT AS cents_sum,
+        |  round(sum(cents)::DOUBLE / count(*), 4) AS wv
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q254_cep_concat_group" -> (groupChainCte +
       """
         |SELECT user_id, a1, b1, a2, b2 FROM f3
