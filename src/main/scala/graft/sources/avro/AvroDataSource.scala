@@ -1,6 +1,6 @@
 package graft.sources.avro
 
-import org.apache.avro.file.{CodecFactory, DataFileStream, DataFileWriter}
+import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileStream, DataFileWriter, SeekableInput}
 import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
@@ -27,9 +27,17 @@ import scala.jdk.CollectionConverters._
   * path), row mapping per `AvroRowDe/SerializationSchema` — see
   * [[AvroConversions]].
   *
-  * Scale shape: one input partition per container file (the write path
-  * emits one file per task, so a round trip preserves parallelism; a
-  * 100 TB directory fans out across every executor). Column pruning is
+  * Scale shape: SPLIT-capable reads — files larger than the split
+  * size (option `splitSize`, default 128 MiB, the
+  * `maxPartitionBytes` convention) fan out into byte-range
+  * partitions aligned on Avro's 16-byte block sync markers
+  * (`DataFileReader.sync(start)` seeks to the first block after the
+  * range start; reading stops at `pastSync(end)` — the reference's
+  * `AvroInputFormat` is split-aware through exactly this
+  * FileInputFormat contract), so ONE 10 GB container file occupies
+  * many tasks, not one. Small files stay one partition each (the
+  * write path emits one file per task, so round trips preserve
+  * parallelism). Column pruning is
   * pushed into the decoder — unneeded fields are never converted
   * (Avro's decoder still materializes the record; real IO-level skip
   * would need per-block indexes the format doesn't have). Writes are
@@ -111,7 +119,9 @@ class AvroTable(dir: String, schema: StructType) extends Table
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(dir, schema,
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(options.get("splitSize")).map(_.toLong)
+        .getOrElse(AvroScan.DefaultSplitSize))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AvroWriteBuilder(dir, info.schema())
@@ -119,15 +129,23 @@ class AvroTable(dir: String, schema: StructType) extends Table
 
 // ---- read path ----
 
-class AvroScanBuilder(dir: String, full: StructType, maxFilesPerTrigger: Option[Int])
+class AvroScanBuilder(dir: String, full: StructType,
+    maxFilesPerTrigger: Option[Int],
+    splitSize: Long = AvroScan.DefaultSplitSize)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new AvroScan(dir, required, maxFilesPerTrigger)
+  override def build(): Scan = new AvroScan(dir, required, maxFilesPerTrigger, splitSize)
+}
+
+object AvroScan {
+  /** Default byte-range split size — Spark's maxPartitionBytes convention. */
+  val DefaultSplitSize: Long = 128L * 1024 * 1024
 }
 
 class AvroScan(dir: String, required: StructType,
-    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch {
+    maxFilesPerTrigger: Option[Int] = None,
+    splitSize: Long = AvroScan.DefaultSplitSize) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
@@ -138,34 +156,69 @@ class AvroScan(dir: String, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = FileSystem.get(new Path(dir).toUri, new Configuration())
-    AvroDataSource.listAvro(fs, new Path(dir))
-      .map(p => AvroInputPartition(p.toString): InputPartition).toArray
+    require(splitSize > 0, s"graft-avro: splitSize must be positive, got $splitSize")
+    AvroDataSource.listAvro(fs, new Path(dir)).flatMap { p =>
+      val len = fs.getFileStatus(p).getLen
+      // sync-aligned byte ranges: a range owns the blocks whose sync
+      // marker falls inside it — ranges never split a block
+      if (len <= splitSize) Seq(AvroInputPartition(p.toString, 0L, len))
+      else (0L until len by splitSize).map(off =>
+        AvroInputPartition(p.toString, off, math.min(splitSize, len - off)))
+    }.map(identity[InputPartition]).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroReaderFactory(required)
 }
 
-case class AvroInputPartition(file: String) extends InputPartition
+/** A sync-aligned byte range of one container file; `length` of
+  * Long.MaxValue means to-EOF (the streaming read path). */
+case class AvroInputPartition(file: String, start: Long = 0L,
+                              length: Long = Long.MaxValue) extends InputPartition
+
+/** [[SeekableInput]] over the Hadoop FileSystem API — what
+  * [[DataFileReader]] needs to seek between block sync markers. */
+private[avro] class HadoopSeekableInput(fs: FileSystem, path: Path)
+    extends SeekableInput {
+  private val len = fs.getFileStatus(path).getLen
+  private val in = fs.open(path)
+  override def length(): Long = len
+  override def seek(p: Long): Unit = in.seek(p)
+  override def tell(): Long = in.getPos
+  override def read(b: Array[Byte], off: Int, n: Int): Int = in.read(b, off, n)
+  override def close(): Unit = in.close()
+}
 
 class AvroReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[AvroInputPartition].file
+    val part = partition.asInstanceOf[AvroInputPartition]
     new PartitionReader[InternalRow] {
-      private val in = {
-        val p = new Path(file)
-        FileSystem.get(p.toUri, new Configuration()).open(p)
-      }
-      private val stream =
-        new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
-      private val decode = AvroConversions.recordDecoder(stream.getSchema, required)
+      private val path = new Path(part.file)
+      private val fs = FileSystem.get(path.toUri, new Configuration())
+      private val seekable = new HadoopSeekableInput(fs, path)
+      private val reader = DataFileReader.openReader(
+        seekable, new GenericDatumReader[GenericRecord]())
+        .asInstanceOf[DataFileReader[GenericRecord]]
+      // the split-read contract (AvroInputFormat.open / Hadoop
+      // AvroRecordReader): position at the first sync AFTER start,
+      // stop once the reader passes the range end — each block is
+      // read by exactly one range. `end` is CAPPED at the file length:
+      // pastSync computes position + SYNC_SIZE, which overflows for a
+      // Long.MaxValue to-EOF sentinel and would read zero rows.
+      private val end = math.min(
+        if (part.length > Long.MaxValue - part.start) Long.MaxValue
+        else part.start + part.length,
+        seekable.length())
+      reader.sync(part.start)
+      private val decode = AvroConversions.recordDecoder(reader.getSchema, required)
       private var reuse: GenericRecord = _
       private var current: InternalRow = _
 
       override def next(): Boolean =
-        if (stream.hasNext) { reuse = stream.next(reuse); current = decode(reuse); true }
-        else false
+        if (reader.hasNext && !reader.pastSync(end)) {
+          reuse = reader.next(reuse); current = decode(reuse); true
+        } else false
       override def get(): InternalRow = current
-      override def close(): Unit = { stream.close(); in.close() }
+      override def close(): Unit = reader.close()
     }
   }
 }

@@ -175,6 +175,24 @@ class AvroSpec extends SparkSpec {
       s"stale epoch parts must be cleared, got ${names.mkString(",")}")
   }
 
+  test("large container files split on sync markers into N>1 partitions") {
+    val ev = Tables.events(spark, sf)
+    val p = tmp("avro-split")
+    // ONE container file holding the whole table
+    ev.coalesce(1).write.format("graft-avro").mode("overwrite").save(p)
+    val whole = spark.read.format("graft-avro").load(p)
+    assert(whole.rdd.getNumPartitions == 1)
+    // a split size far below the file length must fan out…
+    val split = spark.read.format("graft-avro")
+      .option("splitSize", 16 * 1024).load(p)
+    assert(split.rdd.getNumPartitions > 1,
+      s"one big file must span multiple partitions, got ${split.rdd.getNumPartitions}")
+    // …and every block lands in exactly one range: identical content
+    assert(split.orderBy(col("event_id")).collect().toSeq ==
+           ev.orderBy(col("event_id")).collect().toSeq)
+    assert(split.count() == ev.count())
+  }
+
   test("micro-batch stream read consumes files in name order, one per trigger") {
     import spark.implicits._
     val dir = tmp("avro-stream")
