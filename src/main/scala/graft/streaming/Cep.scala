@@ -749,6 +749,23 @@ object Cep {
       Measure(StructField(as, DoubleType, nullable = true),
         m => { val vs = m.getOrElse(step, Vector.empty)
                if (vs.isEmpty) null else vs.map(f).sum / vs.size })
+    /** MAX/MIN(step.field); NULL when the step is unbound. */
+    def maxLong[T](step: String, as: String)(f: T => Long): Measure[T] =
+      Measure(StructField(as, LongType, nullable = true),
+        m => { val vs = m.getOrElse(step, Vector.empty)
+               if (vs.isEmpty) null else vs.map(f).max })
+    def maxDouble[T](step: String, as: String)(f: T => Double): Measure[T] =
+      Measure(StructField(as, DoubleType, nullable = true),
+        m => { val vs = m.getOrElse(step, Vector.empty)
+               if (vs.isEmpty) null else vs.map(f).max })
+    def minLong[T](step: String, as: String)(f: T => Long): Measure[T] =
+      Measure(StructField(as, LongType, nullable = true),
+        m => { val vs = m.getOrElse(step, Vector.empty)
+               if (vs.isEmpty) null else vs.map(f).min })
+    def minDouble[T](step: String, as: String)(f: T => Double): Measure[T] =
+      Measure(StructField(as, DoubleType, nullable = true),
+        m => { val vs = m.getOrElse(step, Vector.empty)
+               if (vs.isEmpty) null else vs.map(f).min })
   }
 
   /** Project matches through a MEASURES list into a DataFrame —

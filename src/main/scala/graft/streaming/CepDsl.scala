@@ -195,7 +195,7 @@ object CepDsl {
   // ---- MEASURES clause ---------------------------------------------
 
   private val MeasureRe =
-    """(?i)(first|last|count|sum|avg)\(\s*([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s*\)\s+as\s+([A-Za-z_][A-Za-z0-9_]*)""".r
+    """(?i)(?:(?:RUNNING|FINAL)\s+)?(first|last|count|sum|avg|max|min)\(\s*([A-Za-z_][A-Za-z0-9_]*)(?:\.([A-Za-z_][A-Za-z0-9_]*))?\s*\)\s+as\s+([A-Za-z_][A-Za-z0-9_]*)""".r
 
   /** Compile a MEASURES clause — the declarative output surface of
     * MATCH_RECOGNIZE (`MEASURES FIRST(A.x) AS ..., COUNT(A) AS ...`),
@@ -203,11 +203,17 @@ object CepDsl {
     * `FlinkSqlOperatorTable.java:944+` — into [[Cep.Measure]]s that
     * [[Cep.selectMeasures]] applies at match emission.
     *
-    * Grammar: comma-separated `fn(STEP.field) AS alias` with
-    * fn ∈ {first, last, count, sum, avg}; `count(STEP)` takes no
-    * field. `fields` resolves field names to (Spark type, projection)
-    * — [[Event.fieldTable]] for the events schema. sum/avg require a
-    * numeric field (LongType or DoubleType). */
+    * Grammar: comma-separated `[RUNNING|FINAL] fn(STEP.field) AS
+    * alias` with fn ∈ {first, last, count, sum, avg, max, min};
+    * `count(STEP)` takes no field. The RUNNING/FINAL prefix parses
+    * and is semantically inert: the engine (like the reference —
+    * Flink restricts MATCH_RECOGNIZE to ONE ROW PER MATCH,
+    * `StreamExecMatch.scala:389`) emits one row per COMPLETED match,
+    * where SQL:2016 defines RUNNING ≡ FINAL; the ALL ROWS PER MATCH
+    * mode where they diverge does not exist on either engine.
+    * `fields` resolves field names to (Spark type, projection)
+    * — [[Event.fieldTable]] for the events schema. sum/avg/max/min
+    * require a numeric field (LongType or DoubleType). */
   def compileMeasures[T](src: String,
                          fields: Map[String, (org.apache.spark.sql.types.DataType, T => Any)])
       : Seq[Cep.Measure[T]] = {
@@ -246,6 +252,22 @@ object CepDsl {
               Cep.Measures.avg[T](step, alias)(e => proj(e).asInstanceOf[Double])
             case (dt, _) => throw new IllegalArgumentException(
               s"avg needs a numeric field, got $dt")
+          }
+          case "max" => resolved match {
+            case (LongType, proj) =>
+              Cep.Measures.maxLong[T](step, alias)(e => proj(e).asInstanceOf[Long])
+            case (DoubleType, proj) =>
+              Cep.Measures.maxDouble[T](step, alias)(e => proj(e).asInstanceOf[Double])
+            case (dt, _) => throw new IllegalArgumentException(
+              s"max needs a numeric field, got $dt")
+          }
+          case "min" => resolved match {
+            case (LongType, proj) =>
+              Cep.Measures.minLong[T](step, alias)(e => proj(e).asInstanceOf[Long])
+            case (DoubleType, proj) =>
+              Cep.Measures.minDouble[T](step, alias)(e => proj(e).asInstanceOf[Double])
+            case (dt, _) => throw new IllegalArgumentException(
+              s"min needs a numeric field, got $dt")
           }
         }
       case bad => throw new IllegalArgumentException(s"bad measure: '$bad'")

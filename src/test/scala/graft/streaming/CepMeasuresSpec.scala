@@ -56,6 +56,32 @@ class CepMeasuresSpec extends SparkSpec {
     assert(unbound.head.isNullAt(3), "avg of unbound step = NULL")
   }
 
+  test("max/min measures and the inert RUNNING/FINAL prefix") {
+    val pat = CepDsl.compile[Event]("A+ B within 1h", Map(
+      "A" -> ((e, _) => e.event_type == "view"),
+      "B" -> ((e, _) => e.event_type == "purchase")))
+    // RUNNING/FINAL parse and coincide: one row per COMPLETED match
+    // (the reference's only mode — Flink rejects ALL ROWS PER MATCH,
+    // StreamExecMatch.scala:389 — and SQL:2016 defines RUNNING=FINAL
+    // in ONE ROW PER MATCH)
+    val ms = CepDsl.compileMeasures[Event](
+      "FINAL max(A.value) AS mx, RUNNING min(A.value) AS mn, " +
+        "max(A.event_id) AS mxid, count(A) AS n",
+      Event.fieldTable)
+    val spark2 = spark; import spark2.implicits._
+    val ds = spark.createDataset(Seq(
+      ev(1, 10, 1, "view", 5.0), ev(2, 20, 1, "view", 2.0),
+      ev(3, 30, 1, "purchase")))
+    val rows = Cep.selectMeasures(Cep.matchBatchSorted(ds, pat), "user_id", ms)
+      .collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toSet
+    assert(rows == Set(
+      (5.0, 2.0, 2L, 2L),  // {A1 A2}
+      (5.0, 5.0, 1L, 1L),  // {A1}
+      (2.0, 2.0, 2L, 1L)), // {A2}
+      s"got $rows")
+  }
+
   test("malformed measures are rejected") {
     intercept[IllegalArgumentException] {
       CepDsl.compileMeasures[Event]("first(A.nope) AS x", Event.fieldTable)
