@@ -120,6 +120,39 @@ class CepGroupSpec extends AnyFunSuite {
     }
   }
 
+  test("strict step inside the group body stays strict across iterations") {
+    // C (A >B){2}: after each A binds, the IMMEDIATELY next event
+    // must be B or the partial dies (strictness inside the body);
+    // iteration-to-iteration contiguity stays relaxed.
+    val preds = Map[String, (Ev, Map[String, Vector[Ev]]) => Boolean](
+      "A" -> isTyp("A"), "B" -> isTyp("B"), "C" -> isTyp("C"))
+    val pat = CepDsl.compile[Ev]("C (A >B){2}", preds)
+    val ok = run(pat, evs(1L -> "C", 2L -> "A", 3L -> "B",
+      4L -> "X", 5L -> "A", 6L -> "B"))
+    assert(ok == List(Map("C" -> List(0L),
+      "A" -> List(1L, 4L), "B" -> List(2L, 5L))))
+    // a gap between A and B kills the run (skip-till-next bound the
+    // first A; its strict successor window is that one event)
+    val broken = run(pat, evs(1L -> "C", 2L -> "A", 3L -> "X",
+      4L -> "B", 5L -> "A", 6L -> "B"))
+    assert(broken.isEmpty)
+  }
+
+  test("after-match skip strategies prune overlapping group matches") {
+    val body = Cep.Pattern.begin[Ev]("a")(isTyp("A")).followedBy("b")(isTyp("B"))
+    val pat = Cep.Pattern.beginGroup(body).times(2)
+    val es = evs(1L -> "A", 2L -> "B", 3L -> "A", 4L -> "B",
+      5L -> "A", 6L -> "B").sortBy(e => (e.ts, e.id))
+    def runSkip(skip: Cep.AfterMatchSkip) =
+      Cep.advance(pat, Nil, es.map(e => (e.ts, e)).iterator, skip)._1
+        .map(_("a").map(_.id))
+    // NoSkip: starts at A0 and A2 both complete
+    assert(runSkip(Cep.NoSkip).toSet == Set(Vector(0L, 2L), Vector(2L, 4L)))
+    // SkipPastLastEvent: the A2 start (begun before the first match's
+    // last event) is pruned when {A0 B1 A2 B3} completes
+    assert(runSkip(Cep.SkipPastLastEvent) == List(Vector(0L, 2L)))
+  }
+
   test("property: (A B){2} equals brute-force chained firsts") {
     val genCase = for {
       n <- Gen.chooseNum(0, 30)
