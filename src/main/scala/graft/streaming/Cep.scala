@@ -136,16 +136,30 @@ object Cep {
   /** A quantified CONCATENATION group `(A B){m,n}` (reference
     * `cep/pattern/GroupPattern.java:30`, built by
     * `Pattern.begin(Pattern)` and quantified via the inherited
-    * `times`/`oneOrMore`): the step range [start, end] is one loop
-    * body. Completing the body (binding step `end`) bumps the
-    * repetition count; below `min` the partial MUST loop back to
+    * `times`/`oneOrMore`/`optional`): the step range [start, end] is
+    * one loop body. Completing the body (binding step `end`) bumps
+    * the repetition count; below `min` the partial MUST loop back to
     * `start`, in [min, max) it both loops back AND exits (reluctant,
     * like every loop here), at `max` it exits only. Occurrences
     * accumulate under each body step's own name across iterations,
     * exactly as the reference's group loop re-binds the inner
-    * patterns. Iteration-to-iteration contiguity is relaxed
-    * (followedBy), the reference's default for group loops. */
-  case class Group(start: Int, end: Int, min: Int, max: Int)
+    * patterns.
+    *
+    * `min == 0` is the OPTIONAL group (`(A B)?`, `(A B)*` — the
+    * reference's `GroupPattern` inherits `optional()`): the body
+    * binds all-or-nothing. An un-entered group is drifted past when
+    * a later step's event arrives, and an event that matches the
+    * body's first step both ENTERS the group and (as a branch) is
+    * offered to the steps after the group — so `(A B)? C` over one
+    * C-matching-A corner still finds the group-skipped match.
+    *
+    * Iteration-to-iteration contiguity is relaxed (followedBy), the
+    * reference's group-loop default; `consecutive` makes it STRICT
+    * (the reference's inherited `consecutive()`): an event after a
+    * completed iteration that does not start the next one closes the
+    * loop (the reluctant exit branch carries the continuation). */
+  case class Group(start: Int, end: Int, min: Int, max: Int,
+                   consecutive: Boolean = false)
 
   case class Pattern[T](steps: Vector[Step[T]], withinUs: Long = Long.MaxValue,
                         groups: Vector[Group] = Vector.empty,
@@ -171,11 +185,13 @@ object Cep {
       * pattern (Pattern.java:190 — a NOT pattern needs a successor). */
     def notFollowedBy(name: String)(pred: (T, Map[String, Vector[T]]) => Boolean): Pattern[T] =
       copy(steps = steps :+ Step(name, pred, negated = true), lastIsGroup = false)
-    def optional: Pattern[T] = {
-      require(!lastIsGroup,
-        "optional (zero-repetition) groups are not supported; wrap the body steps individually")
-      copy(steps = steps.init :+ steps.last.copy(optional = true))
-    }
+    def optional: Pattern[T] =
+      // on a group: the reference's GroupPattern.optional() — the
+      // whole body becomes all-or-nothing (min drops to 0)
+      if (lastIsGroup) {
+        val g = groups.last
+        copy(groups = groups.init :+ g.copy(min = 0), lastIsGroup = true)
+      } else copy(steps = steps.init :+ steps.last.copy(optional = true))
     def oneOrMore: Pattern[T] =
       if (lastIsGroup) quantifyGroup(1, Int.MaxValue)
       else copy(steps = steps.init :+ steps.last.copy(oneOrMore = true))
@@ -185,21 +201,27 @@ object Cep {
       * loop. Zero occurrences ride the optional drift path (the step
       * may stay unbound), 1+ occurrences behave as `oneOrMore`;
       * `greedy`/`consecutive`/`until` compose as with `oneOrMore`. */
-    def zeroOrMore: Pattern[T] = {
-      require(!lastIsGroup,
-        "zero-repetition groups are not supported; use oneOrMore on the group")
-      copy(steps = steps.init :+ steps.last.copy(optional = true, oneOrMore = true))
-    }
+    def zeroOrMore: Pattern[T] =
+      if (lastIsGroup) quantifyGroup(0, Int.MaxValue)
+      else copy(steps = steps.init :+ steps.last.copy(optional = true, oneOrMore = true))
     /** Strict contiguity INSIDE a looping last step
       * (Pattern.java:498 `consecutive()`): the loop stops accumulating
       * at the first non-matching event — the partial survives and
       * later steps proceed relaxed, but no further loop occurrences
       * are taken. Without it a loop accumulates across gaps. */
     def consecutive: Pattern[T] = {
-      require(!lastIsGroup, "consecutive group loops are not supported")
+      if (lastIsGroup) {
+        // the reference's inherited consecutive() on a group loop:
+        // STRICT iteration-to-iteration adjacency
+        val g = groups.last
+        require(g.max > 1, "consecutive applies to a LOOPING group (oneOrMore / times)")
+        copy(groups = groups.init :+ g.copy(consecutive = true),
+          lastIsGroup = true)
+      } else {
       require(steps.last.oneOrMore || steps.last.times > 1,
         "consecutive applies to a quantified step (oneOrMore / times)")
       copy(steps = steps.init :+ steps.last.copy(loopConsecutive = true))
+      }
     }
     /** Exactly n occurrences of the last step (Pattern.java:382). */
     def times(n: Int): Pattern[T] = {
@@ -231,7 +253,10 @@ object Cep {
       * matches {A1}B and {A1 A2}B (plus {A2}B from the later start),
       * exactly as the reference NFA. */
     def greedy: Pattern[T] = {
-      require(!lastIsGroup, "greedy group loops are not supported (loops are reluctant, as the reference default)")
+      // REFERENCE PARITY: Flink's Pattern.greedy() calls
+      // checkIfNoGroupPattern() (Pattern.java:369) — "you cannot yet
+      // make group patterns greedy" (docs/dev/libs/cep.md:166)
+      require(!lastIsGroup, "greedy group loops are not supported (the reference rejects them too: Pattern.greedy checkIfNoGroupPattern)")
       require(steps.last.oneOrMore || steps.last.timesMax > steps.last.times,
         "greedy applies to a loop that can vary in length")
       copy(steps = steps.init :+ steps.last.copy(greedy = true))
@@ -273,9 +298,12 @@ object Cep {
         lastIsGroup = true)
     }
     private[streaming] def quantifyGroup(min: Int, max: Int): Pattern[T] = {
+      // the group stays "the last construct" so optional/consecutive
+      // may still compose onto it ((A B).oneOrMore.consecutive —
+      // the reference builder's call order)
       val g = groups.last
       copy(groups = groups.init :+ g.copy(min = min, max = max),
-        lastIsGroup = false)
+        lastIsGroup = true)
     }
   }
 
@@ -377,11 +405,14 @@ object Cep {
     // conflate with the group loop). {1,1} groups are pure
     // concatenation and carry no restrictions.
     pattern.groups.zipWithIndex.foreach { case (g, gi) =>
-      require(g.min >= 1 && g.max >= g.min, "group quantifier needs 1 <= min <= max")
+      require(g.min >= 0 && g.max >= math.max(g.min, 1),
+        "group quantifier needs 0 <= min <= max, max >= 1")
+      require(!g.consecutive || g.max > 1,
+        "consecutive applies to a LOOPING group")
       pattern.groups.drop(gi + 1).foreach { h =>
         require(g.end < h.start || h.end < g.start,
           "groups cannot nest or overlap") }
-      if (g.min > 1 || g.max > 1) {
+      if (g.min != 1 || g.max > 1) {
         (g.start to g.end).foreach { si =>
           val st = pattern.steps(si)
           require(!st.optional && !st.oneOrMore && st.times == 1 &&
@@ -394,10 +425,17 @@ object Cep {
           "a quantified group body cannot begin with a strict step")
       }
     }
-    // group-END step index -> group index, for actually-quantified groups
+    // group-END step index -> group index, for actually-looping groups;
+    // group-START index for optional/looping groups (entry fork, drift,
+    // consecutive loop-back); full membership for the completion test
     val groupEndOf = Array.fill(pattern.steps.size)(-1)
+    val groupStartOf = Array.fill(pattern.steps.size)(-1)
+    val grpOf = Array.fill(pattern.steps.size)(-1)
     pattern.groups.zipWithIndex.foreach { case (g, gi) =>
-      if (g.min > 1 || g.max > 1) groupEndOf(g.end) = gi }
+      if (g.min > 1 || g.max > 1) groupEndOf(g.end) = gi
+      if (g.min == 0 || g.max > 1) groupStartOf(g.start) = gi
+      (g.start to g.end).foreach(j => grpOf(j) = gi)
+    }
     var open = partials
     var dropped = 0
     val out = List.newBuilder[Map[String, Vector[T]]]
@@ -406,8 +444,12 @@ object Cep {
     // completion test. Precomputed once; the inner loop previously
     // re-derived it per (event × partial), an O(pattern length) scan in
     // the hot path (the round-1 "quadratic advance" note).
-    val allOptionalFrom = Array.tabulate(pattern.steps.size + 1)(i =>
-      pattern.steps.drop(i).forall(_.optional))
+    val allOptionalFrom = Array.tabulate(pattern.steps.size + 1)(j =>
+      pattern.steps.zipWithIndex.drop(j).forall { case (st, k) =>
+        st.optional ||
+          (grpOf(k) >= 0 && pattern.groups(grpOf(k)).min == 0 &&
+           pattern.groups(grpOf(k)).start >= j)
+      })
     // Monotonic per-event sequence (the reference NFA's event id):
     // skip strategies prune by it, so timestamp ties resolve exactly
     // as SkipToElementStrategy's `start < pruningId` does.
@@ -499,7 +541,31 @@ object Cep {
             // stay unbound — step over it; not rebindable by this
             // partial (drifting can never bind a strict step)
             i += 1
+          } else if (groupStartOf(i) >= 0 &&
+                     pattern.groups(groupStartOf(i)).min == 0 &&
+                     !p.groupReps.contains(groupStartOf(i)) &&
+                     !(if (st.alts.isEmpty) st.pred(e, p.bindings)
+                       else st.alts.exists(_._2(e, p.bindings)))) {
+            // un-entered OPTIONAL group whose head does not match this
+            // event: drift past the WHOLE body (all-or-nothing — no
+            // body step may bind while the group is skipped; a later
+            // event may still enter it from the retained partial)
+            rebindable = true
+            skippedOpt = true
+            i = pattern.groups(groupStartOf(i)).end + 1
           } else {
+          // entering an OPTIONAL group (its head matched — the drift
+          // branch above would have caught a miss): fork a branch that
+          // offers the SAME event to the steps after the body with the
+          // group left unbound, so `(A B)? C` still finds the
+          // group-skipped match when one event satisfies both A and C.
+          // retain=false — the branch materializes only if it binds.
+          if (groupStartOf(i) >= 0 &&
+              pattern.groups(groupStartOf(i)).min == 0 &&
+              !p.groupReps.contains(groupStartOf(i)))
+            step(PartialMatch(pattern.groups(groupStartOf(i)).end + 1,
+              p.startUs, p.bindings, closed, p.bindTs, p.startSeq,
+              p.bindSeq, p.groupReps), retain = false)
           // occurrence count: an alternation step counts across its
           // alternatives' names ((B|C)+ is ONE loop, mixed bindings)
           val cnt =
@@ -656,6 +722,14 @@ object Cep {
             // consecutive() mid-run below the minimum count: the run
             // is broken and can never reach times(m) — partial dies.
             if (st.loopConsecutive && cnt > 0) return
+            // consecutive GROUP loop: the first event after a
+            // completed iteration must start the next one, or the
+            // loop closes for good — the reluctant exit branch
+            // spawned at completion carries the continuation.
+            if (groupStartOf(i) >= 0 &&
+                pattern.groups(groupStartOf(i)).consecutive &&
+                p.groupReps.getOrElse(groupStartOf(i), 0) > 0 &&
+                !skippedOpt) return
             // Strict head not matched by the immediately-next event:
             // the partial dies (drift arrivals were already diverted
             // above, so reaching here positioned-and-strict is fatal).

@@ -15,11 +15,15 @@ package graft.streaming
   *   group    := "(" step+ ")" gquant?   — quantified CONCATENATION
   *               group (reference GroupPattern.java): "(A B){2}"
   *               matches A…B…A…B, occurrences accumulating under
-  *               each step's own name. gquant ∈ {"+", "{n}",
-  *               "{m,n}", "{n,}"}; zero-repetition ("?", "*") and
-  *               consecutive ("++") group forms are rejected loudly,
-  *               as are quantified/negated steps INSIDE a quantified
-  *               group and flags on the group itself.
+  *               each step's own name. gquant ∈ {"?", "+", "++",
+  *               "*", "**", "{n}", "{m,n}", "{n,}", "{0,n}"} — "?"
+  *               is the all-or-nothing OPTIONAL group, "*" the
+  *               optional loop, "++"/"**" the consecutive loop forms
+  *               (strict iteration adjacency). Quantified/negated
+  *               steps INSIDE a quantified group, flags on the group
+  *               itself, and greedy group loops (also rejected by
+  *               the reference: Pattern.greedy
+  *               checkIfNoGroupPattern) are rejected loudly.
   *   NAMES    := NAME ("|" NAME)*     — 2+ names = alternation (B|C)
   *   flags    := ""    — relaxed contiguity (followedBy)
   *             | ">"   — strict contiguity (next)

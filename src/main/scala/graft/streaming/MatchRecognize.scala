@@ -197,10 +197,12 @@ object MatchRecognize {
     *  - `( seq )` of 2+ plain vars WITH a quantifier → a quantified
     *    CONCATENATION group (sub-NFA loop, `GroupPattern.java:30`) —
     *    supported for the forms whose semantics the NFA carries
-    *    faithfully: exact `{n}` and the RELUCTANT `+?` / `{m,n}?` /
-    *    `{n,}?` (the engine's group loops are reluctant; SQL's
-    *    default-greedy `(…)+` and zero-repetition `(…)*` / `(…)?`
-    *    are rejected loudly). Nested groups are rejected.
+    *    faithfully: exact `{n}`, optional `?`/`??`, and the
+    *    RELUCTANT `+?` / `*?` / `{m,n}?` / `{n,}?` (the engine's
+    *    group loops are reluctant; SQL's default-greedy `(…)+` /
+    *    `(…)*` / `(…){m,n}` reject loudly — as the reference does:
+    *    greedy group patterns throw in `Pattern.greedy`). Nested
+    *    groups are rejected.
     */
   private def tokenizePattern(src: String): List[PatElem] = {
     val s = src.trim
@@ -307,14 +309,18 @@ object MatchRecognize {
           "quantified concat groups need relaxed contiguity " +
             "(strict iteration adjacency is not supported)")
         val gq = el.quant match {
-          case "?" | "??" | "*" | "*?" => fail(
-            s"zero-repetition group '(…)${el.quant}' is not supported")
+          // optional group (GroupPattern.optional()): greediness is
+          // immaterial here — the engine emits both the entered and
+          // the skipped match, so ? and ?? coincide
+          case "?" | "??" => "?"
           case q if q.matches("""\{\d+\}""") => q // exact: greediness moot
           case "+?" => "+"
+          case "*?" => "*"
           case q if q.matches("""\{\d+,\d*\}\?""") => q.init // reluctant range
-          case q if q == "+" || q.matches("""\{\d+,\d*\}""") => fail(
-            s"greedy group loop '(…)$q' is not supported — the engine's " +
-              s"group loops are reluctant; write '(…)$q?'")
+          case q if q == "+" || q == "*" || q.matches("""\{\d+,\d*\}""") => fail(
+            s"greedy group loop '(…)$q' is not supported (the reference " +
+              s"rejects greedy group patterns too — Pattern.greedy " +
+              s"checkIfNoGroupPattern); write the reluctant '(…)$q?'")
           case q => fail(s"bad quantifier '$q' on a pattern group")
         }
         "(" + el.names.mkString(" ") + ")" + gq

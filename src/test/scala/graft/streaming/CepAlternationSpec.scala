@@ -123,8 +123,14 @@ class CepAlternationSpec extends SparkSpec {
       Vector(Cep.Group(0, 1, 1, Int.MaxValue)))
     assert(parse("(A B){2} C").pattern.groups ==
       Vector(Cep.Group(0, 1, 2, 2)))
+    // greedy (A B)* rejects (reference parity); reluctant and
+    // optional group forms are sub-NFA-supported
     assert(intercept[IllegalArgumentException](parse("(A B)* C"))
-      .getMessage.contains("zero-repetition"))
+      .getMessage.contains("reluctant"))
+    assert(parse("(A B)*? C").pattern.groups ==
+      Vector(Cep.Group(0, 1, 0, Int.MaxValue)))
+    assert(parse("(A B)? C").pattern.groups ==
+      Vector(Cep.Group(0, 1, 0, 1)))
     assert(intercept[IllegalArgumentException](parse("A B|C+"))
       .getMessage.contains("ambiguous"))
     assert(intercept[IllegalArgumentException](parse("A ((B|C)) D"))

@@ -105,9 +105,6 @@ class CepGroupSpec extends AnyFunSuite {
   test("unsupported group forms are rejected loudly") {
     val preds = Map[String, (Ev, Map[String, Vector[Ev]]) => Boolean](
       "A" -> isTyp("A"), "B" -> isTyp("B"))
-    intercept[IllegalArgumentException](CepDsl.compile[Ev]("(A B)*", preds))
-    intercept[IllegalArgumentException](CepDsl.compile[Ev]("(A B)?", preds))
-    intercept[IllegalArgumentException](CepDsl.compile[Ev]("(A B)++", preds))
     intercept[IllegalArgumentException](CepDsl.compile[Ev]("(A B", preds))
     // quantified step inside a quantified group: rejected at advance
     val inner = CepDsl.compile[Ev]("(A+ B){2}", preds)
@@ -153,6 +150,74 @@ class CepGroupSpec extends AnyFunSuite {
     assert(runSkip(Cep.SkipPastLastEvent) == List(Vector(0L, 2L)))
   }
 
+  test("(A B)? optional group binds all-or-nothing") {
+    val preds = Map[String, (Ev, Map[String, Vector[Ev]]) => Boolean](
+      "A" -> isTyp("A"), "B" -> isTyp("B"), "S" -> isTyp("S"),
+      "C" -> isTyp("C"))
+    val pat = CepDsl.compile[Ev]("S (A B)? C", preds)
+    assert(pat.groups == Vector(Cep.Group(1, 2, 0, 1)))
+    // group present
+    val full = run(pat, evs(1L -> "S", 2L -> "A", 3L -> "B", 4L -> "C"))
+    assert(full == List(Map("S" -> List(0L), "A" -> List(1L),
+      "B" -> List(2L), "C" -> List(3L))))
+    // group absent: drift past the whole body
+    val skip = run(pat, evs(1L -> "S", 2L -> "C"))
+    assert(skip == List(Map("S" -> List(0L), "C" -> List(1L))))
+    // HALF a body is never a match: A without B blocks that branch,
+    // and C arrived before A so no drift match either… C AFTER the
+    // dangling A must still match via a fresh scan order: here the
+    // entered partial is stuck at B, but C events cannot bind B —
+    // all-or-nothing means no {S, A, C} row ever
+    val half = run(pat, evs(1L -> "S", 2L -> "A", 3L -> "C"))
+    assert(half.forall(m => !m.contains("A")), s"half-bound group leaked: $half")
+  }
+
+  test("one event satisfying both the group head and the next step") {
+    // (A B)? C where C's predicate also accepts A-typed events: the
+    // entry FORK must offer the same event to C with the group
+    // unbound, or the match would be lost to leftmost entry.
+    val preds = Map[String, (Ev, Map[String, Vector[Ev]]) => Boolean](
+      "S" -> isTyp("S"), "A" -> isTyp("A"), "B" -> isTyp("B"),
+      "C" -> ((e, _) => e.typ == "A" || e.typ == "C"))
+    val pat = CepDsl.compile[Ev]("S (A B)? C", preds)
+    val got = run(pat, evs(1L -> "S", 2L -> "A"))
+    assert(got == List(Map("S" -> List(0L), "C" -> List(1L))))
+  }
+
+  test("(A B)* zero-or-more group emits every reluctant iteration count") {
+    val preds = Map[String, (Ev, Map[String, Vector[Ev]]) => Boolean](
+      "S" -> isTyp("S"), "A" -> isTyp("A"), "B" -> isTyp("B"),
+      "C" -> isTyp("C"))
+    val pat = CepDsl.compile[Ev]("S (A B)* C", preds)
+    assert(pat.groups == Vector(Cep.Group(1, 2, 0, Int.MaxValue)))
+    // zero iterations: S then C with no A in between
+    assert(run(pat, evs(1L -> "S", 2L -> "C")) ==
+      List(Map("S" -> List(0L), "C" -> List(1L))))
+    // skip-till-next: a takeable A may NOT be ignored, so over
+    // S A B C only the 1-iteration match exists (no {S C})
+    val one = run(pat, evs(1L -> "S", 2L -> "A", 3L -> "B", 4L -> "C"))
+    assert(one == List(Map("S" -> List(0L), "A" -> List(1L),
+      "B" -> List(2L), "C" -> List(3L))))
+  }
+
+  test("(A B)++ consecutive group loop closes on the first gap") {
+    val preds = Map[String, (Ev, Map[String, Vector[Ev]]) => Boolean](
+      "A" -> isTyp("A"), "B" -> isTyp("B"), "C" -> isTyp("C"))
+    val pat = CepDsl.compile[Ev]("(A B)++ C", preds)
+    assert(pat.groups.head.consecutive && pat.groups.head.max == Int.MaxValue)
+    // back-to-back iterations both match
+    val ok = run(pat, evs(1L -> "A", 2L -> "B", 3L -> "A", 4L -> "B",
+      5L -> "C")).map(m => m("A").size).toSet
+    assert(ok == Set(1, 2))
+    // a gap between iterations closes the loop: the 2-iteration
+    // match must NOT exist, the per-iteration exits still do
+    val gap = run(pat, evs(1L -> "A", 2L -> "B", 3L -> "X", 4L -> "A",
+      5L -> "B", 6L -> "C"))
+    val aSets = gap.map(_("A").map(identity)).toSet
+    assert(aSets == Set(Vector(0L), Vector(3L)),
+      s"gap must break the consecutive loop: $aSets")
+  }
+
   test("property: (A B){2} equals brute-force chained firsts") {
     val genCase = for {
       n <- Gen.chooseNum(0, 30)
@@ -187,6 +252,54 @@ class CepGroupSpec extends AnyFunSuite {
       } yield (Vector(es(i0).id, es(i1).id), Vector(es(j0).id, es(j1).id)))
         .toSet
       got == expected
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
+  test("property: (A B)* C equals brute-force with zero-iteration rows") {
+    val genCase = for {
+      n <- Gen.chooseNum(0, 24)
+      raw <- Gen.listOfN(n,
+        Gen.zip(Gen.chooseNum(0L, 40L), Gen.oneOf("A", "B", "C")))
+    } yield raw
+
+    val prop = Prop.forAll(genCase) { raw =>
+      val es = raw.zipWithIndex
+        .map { case ((ts, ty), i) => Ev(i.toLong, ts, ty) }
+        .sortBy(e => (e.ts, e.id))
+      val pat = Cep.Pattern.beginGroup(
+          Cep.Pattern.begin[Ev]("a")(isTyp("A")).followedBy("b")(isTyp("B")))
+        .zeroOrMore
+        .followedBy("c")(isTyp("C"))
+      val got = Cep.advance(pat, Nil, es.map(e => (e.ts, e)).iterator)._1
+        .map(m => (m.getOrElse("a", Vector.empty).map(_.id),
+          m.getOrElse("b", Vector.empty).map(_.id), m("c").head.id)).toSet
+
+      def firstAfter(i: Int, ty: String): Option[Int] =
+        es.indices.drop(i + 1).find(j => es(j).typ == ty)
+      val expected = scala.collection.mutable.Set.empty[(Vector[Long], Vector[Long], Long)]
+      // zero-iteration: every C event seeds its own {C} match
+      es.filter(_.typ == "C").foreach(c =>
+        expected += ((Vector.empty, Vector.empty, c.id)))
+      // k >= 1 iterations: chained firsts per A start, every prefix
+      for (i0 <- es.indices if es(i0).typ == "A") {
+        var as = Vector(i0); var bs = Vector.empty[Int]
+        var cur = firstAfter(i0, "B"); var go = true
+        while (go) cur match {
+          case Some(bIdx) =>
+            bs = bs :+ bIdx
+            firstAfter(bIdx, "C").foreach(cIdx =>
+              expected += ((as.map(es(_).id), bs.map(es(_).id), es(cIdx).id)))
+            firstAfter(bIdx, "A") match {
+              case Some(aIdx) => as = as :+ aIdx; cur = firstAfter(aIdx, "B")
+              case None => go = false
+            }
+          case None => go = false
+        }
+      }
+      got == expected.toSet
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
