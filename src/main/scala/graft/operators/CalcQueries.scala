@@ -281,6 +281,27 @@ object CalcQueries {
           array_join(sort_array(map_keys(map_filter(m, (_, v) => v > 3))), ",")
             .as("big_keys"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Nondeterministic scalar surface (reference UUID /
+    // PROCTIME materialization — FlinkSqlOperatorTable UUID,
+    // ProcTimeMaterialization). The VALUES differ run to run by
+    // nature, so the oracle binds the deterministic INVARIANTS as
+    // counts: uuid() yields one distinct well-formed v4 UUID per row,
+    // and processing time is query-constant within a batch (Spark's
+    // current_timestamp() contract, the semantic PROCTIME exposes to
+    // a single micro-batch). NondetSurfaceSpec covers the cross-batch
+    // monotonicity half that needs a real stream.
+    "q257_nondet_invariants" -> ((s, d) => {
+      val v4 = "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-" +
+        "[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+      Tables.lineitem(s, d)
+        .select(expr("uuid()").as("u"), current_timestamp().as("pt"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("u")).as("n_uuid_distinct"),
+          sum(when(col("u").rlike(v4), 1L).otherwise(0L)).as("n_uuid_v4"),
+          countDistinct(col("pt")).as("n_proctime_distinct"))
     })
   )
 
@@ -462,6 +483,10 @@ object CalcQueries {
         |        MAP(['a','b','c'],
         |            [o_orderkey % 10, o_orderkey % 7, 5]) AS m
         |      FROM orders WHERE o_orderkey <= 2000)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "q257_nondet_invariants" ->
+      """SELECT count(*) AS n_rows, count(*) AS n_uuid_distinct,
+        |  count(*) AS n_uuid_v4, CAST(1 AS BIGINT) AS n_proctime_distinct
+        |FROM lineitem""".stripMargin
   )
 }

@@ -109,6 +109,57 @@ object StreamParityQueries5 {
            |DROP TABLE ev_l;
            |USE default_database;
            |DROP DATABASE mart CASCADE""".stripMargin)
+    }),
+
+    // The ALTER statement tail as one script (SqlAlterTableProperties /
+    // SqlAlterDatabase / SqlAlterFunction, flink-sql-parser/…/ddl/):
+    // a database gets properties, a function is re-pointed to a
+    // DIFFERENT class (GeoMean → WeightedAvg — load-bearing: the two
+    // have different arities, so a silently ignored ALTER fails
+    // analysis on the 2-arg call), a view freezes the PRE-alter read
+    // of the table (plans bind at analysis), then ALTER TABLE … SET
+    // repoints the same table at a different path AND format (csv→
+    // parquet, flat keys evicting the dotted spellings the CREATE
+    // used) and the final SELECT unions the frozen pre-alter frame
+    // with the post-alter read — two disjoint row sets through ONE
+    // table name.
+    "q258_ddl_alter" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-ddlalter")
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("cast(round(value*100) as bigint)").as("cents"))
+      ev.filter(col("event_id") % 3 === 0)
+        .write.mode("overwrite").option("header", "false").csv(s"$base/a")
+      ev.filter(col("event_id") % 3 === 1)
+        .write.mode("overwrite").parquet(s"$base/b")
+      new graft.streaming.FlinkSql.Env(s).executeScript(
+        s"""CREATE DATABASE adb;
+           |ALTER DATABASE adb SET ('owner' = 'graft', 'tier' = 'gold');
+           |USE adb;
+           |CREATE TABLE evt (
+           |  event_id BIGINT, user_id BIGINT, event_type STRING, cents BIGINT
+           |) WITH (
+           |  'connector.type' = 'filesystem',
+           |  'connector.path' = '$base/a',
+           |  'format.type' = 'csv'
+           |);
+           |CREATE FUNCTION favg AS 'graft.functions.Udx$$GeoMean';
+           |ALTER FUNCTION favg AS 'graft.functions.Udx$$WeightedAvg';
+           |CREATE VIEW pre AS
+           |  SELECT 'pre' AS phase, event_type, COUNT(*) AS n,
+           |         SUM(cents) AS cents_sum,
+           |         round(favg(CAST(cents AS DOUBLE), 1.0), 4) AS m
+           |  FROM evt GROUP BY event_type;
+           |ALTER TABLE evt SET ('path' = '$base/b', 'format' = 'parquet');
+           |SELECT phase, event_type, n, cents_sum, m FROM (
+           |  SELECT * FROM pre
+           |  UNION ALL
+           |  SELECT 'post', event_type, COUNT(*), SUM(cents),
+           |         round(favg(CAST(cents AS DOUBLE), 1.0), 4)
+           |  FROM evt GROUP BY event_type
+           |) u ORDER BY phase, event_type;
+           |USE default_database;
+           |DROP DATABASE adb CASCADE""".stripMargin)
     })
   )
 
@@ -159,6 +210,19 @@ object StreamParityQueries5 {
     "q255_match_concat_group" -> (groupChainCte +
       """
         |SELECT user_id, a1, a2, b1, b2, 2::BIGINT AS n_a FROM f3
-        |ORDER BY user_id, a1""".stripMargin)
+        |ORDER BY user_id, a1""".stripMargin),
+    "q258_ddl_alter" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |  cast(round(value*100) as bigint) AS cents FROM events)
+        |SELECT phase, event_type, n, cents_sum, m FROM (
+        |  SELECT 'pre' AS phase, event_type, count(*) AS n,
+        |    sum(cents)::BIGINT AS cents_sum,
+        |    round(sum(cents)::DOUBLE / count(*), 4) AS m
+        |  FROM ev WHERE event_id % 3 = 0 GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'post', event_type, count(*), sum(cents)::BIGINT,
+        |    round(sum(cents)::DOUBLE / count(*), 4)
+        |  FROM ev WHERE event_id % 3 = 1 GROUP BY event_type
+        |) u ORDER BY phase, event_type""".stripMargin
   )
 }

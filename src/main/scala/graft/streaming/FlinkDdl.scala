@@ -8,6 +8,11 @@ import scala.collection.mutable
   * surface: a reference user's PURE-SQL pipeline (`CREATE TABLE … WITH
   * (connector properties)`, `CREATE VIEW`, `INSERT INTO t SELECT …`,
   * trailing `SELECT`) runs verbatim with no DataFrame code at all.
+  * The statement tail covers the whole `flink-sql-parser` ddl/dql
+  * surface: DROP TABLE/VIEW, ALTER TABLE (RENAME TO, SET properties),
+  * CREATE/DROP/ALTER FUNCTION, CREATE/DROP/ALTER DATABASE, USE [CATALOG],
+  * SHOW TABLES/DATABASES/FUNCTIONS/CATALOGS, DESCRIBE
+  * [TABLE|DATABASE|CATALOG].
   *
   * Reference: the DDL grammar in `flink-table/flink-sql-parser/…/
   * FlinkSqlParserImplTest.java:207` (CREATE TABLE with computed
@@ -86,6 +91,12 @@ object FlinkDdl {
     """(?is)^\s*DROP\s+(?:TEMPORARY\s+)?VIEW\s+(IF\s+EXISTS\s+)?(\w+)\s*$""".r
   private val AlterRenameRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*$""".r
+  private val AlterTblPropsRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s*\((.*)\)\s*$""".r
+  private val AlterDbRe =
+    """(?is)^\s*ALTER\s+DATABASE\s+(\w+)\s+SET\s*\((.*)\)\s*$""".r
+  private val AlterFnRe =
+    """(?is)^\s*ALTER\s+(?:TEMPORARY\s+(?:SYSTEM\s+)?)?FUNCTION\s+(IF\s+EXISTS\s+)?(\w+)\s+AS\s+'([^']+)'\s*(?:LANGUAGE\s+(\w+)\s*)?$""".r
   private val CreateFnRe =
     """(?is)^\s*CREATE\s+(?:TEMPORARY\s+(?:SYSTEM\s+)?)?FUNCTION\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+'([^']+)'\s*(?:LANGUAGE\s+(\w+)\s*)?$""".r
   private val DropFnRe =
@@ -98,7 +109,12 @@ object FlinkDdl {
   private val UseDbRe = """(?is)^\s*USE\s+(\w+)\s*$""".r
   private val ShowDbRe = """(?is)^\s*SHOW\s+DATABASES\s*$""".r
   private val ShowFnRe = """(?is)^\s*SHOW\s+FUNCTIONS\s*$""".r
+  private val ShowCatRe = """(?is)^\s*SHOW\s+CATALOGS\s*$""".r
   private val ShowRe = """(?is)^\s*SHOW\s+TABLES\s*$""".r
+  private val DescCatRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+CATALOG\s+(\w+)\s*$""".r
+  private val DescDbRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+DATABASE\s+(?:EXTENDED\s+)?(\w+)\s*$""".r
   private val DescRe = """(?is)^\s*DESC(?:RIBE)?\s+(\w+)\s*$""".r
   private val WatermarkRe =
     """(?is)^\s*WATERMARK\s+FOR\s+(\w+)\s+AS\s+\w+\s*-\s*INTERVAL\s+'(\d+)'\s+(\w+)\s*$""".r
@@ -182,6 +198,12 @@ object FlinkDdl {
     private var currentDb = "default_database"
     private val tableDb = mutable.Map.empty[String, String]
     private val functions = mutable.Set.empty[String]
+    // Raw WITH-property maps, kept so ALTER TABLE … SET (…) — the
+    // reference's SqlAlterTableProperties — can merge a delta and
+    // re-derive the storage binding; same for database properties
+    // (SqlAlterDatabase / SqlDescribeDatabase).
+    private val tableProps = mutable.Map.empty[String, Map[String, String]]
+    private val dbProps = mutable.Map.empty[String, Map[String, String]]
 
     def table(name: String): TableDef =
       tables.getOrElse(name, fail(s"unknown DDL table $name"))
@@ -198,7 +220,7 @@ object FlinkDdl {
       case DropRe(ifExists, name) =>
         if (tables.remove(name).isEmpty && ifExists == null)
           fail(s"DROP TABLE: unknown table $name (use IF EXISTS)")
-        tableDb.remove(name)
+        tableDb.remove(name); tableProps.remove(name)
         spark.catalog.dropTempView(name); None
       case DropViewRe(ifExists, name) =>
         // a DDL TABLE is not a view — the reference's DropView checks
@@ -215,10 +237,64 @@ object FlinkDdl {
         val renamed = t.copy(name = to)
         tables(to) = renamed
         tableDb.put(to, tableDb.remove(from).getOrElse(currentDb))
+        tableProps.remove(from).foreach(tableProps.put(to, _))
         spark.catalog.dropTempView(from)
         val fsPath = new org.apache.hadoop.fs.Path(renamed.path)
         if (fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
               .exists(fsPath)) register(renamed)
+        None
+      // ALTER TABLE … SET ('k'='v', …) — SqlAlterTableProperties
+      // (flink-sql-parser/…/ddl/SqlAlterTableProperties.java): merge
+      // the delta into the WITH map and re-derive the storage binding,
+      // so a table can be repointed (new path) or re-formatted. A key
+      // given in either the 1.10 dotted or the flat spelling evicts
+      // the other spelling from the merge, whichever the CREATE used.
+      case AlterTblPropsRe(name, propsSrc) =>
+        val t = table(name)
+        val delta = PropRe.findAllMatchIn(propsSrc)
+          .map(m => m.group(1) -> m.group(2)).toMap
+        if (delta.isEmpty) fail(s"ALTER TABLE $name SET: no properties given")
+        val aliases = Map(
+          "path" -> "connector.path", "connector.path" -> "path",
+          "format" -> "format.type", "format.type" -> "format",
+          "connector" -> "connector.type", "connector.type" -> "connector")
+        val merged = (tableProps.getOrElse(name, Map.empty) --
+          delta.keys.flatMap(aliases.get)) ++ delta
+        val (path, format) = storage(name, merged, t.partitionedBy.nonEmpty)
+        val updated = t.copy(path = path, format = format)
+        tables(name) = updated
+        tableProps(name) = merged
+        val fsP = new org.apache.hadoop.fs.Path(path)
+        if (fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(fsP)) register(updated)
+        else spark.catalog.dropTempView(name) // back to lazy-sink state
+        None
+      // ALTER DATABASE … SET (…) — SqlAlterDatabase.java: property
+      // merge on the database registry entry (visible via DESCRIBE
+      // DATABASE).
+      case AlterDbRe(name, propsSrc) =>
+        if (!dbs.contains(name)) fail(s"ALTER DATABASE: unknown database $name")
+        val delta = PropRe.findAllMatchIn(propsSrc)
+          .map(m => m.group(1) -> m.group(2)).toMap
+        if (delta.isEmpty) fail(s"ALTER DATABASE $name SET: no properties given")
+        dbProps(name) = dbProps.getOrElse(name, Map.empty) ++ delta
+        None
+      // ALTER FUNCTION … AS '<class>' — SqlAlterFunction.java:
+      // re-resolve the name to a (possibly different) class on the
+      // offline surface and re-register it under the same name.
+      case AlterFnRe(ifExists, name, cls, lang) =>
+        if (lang != null && !Set("JAVA", "SCALA")(lang.toUpperCase))
+          fail(s"ALTER FUNCTION $name: LANGUAGE ${lang.toUpperCase} is " +
+            "out of scope (JVM languages only)")
+        if (!functions.contains(name)) {
+          if (ifExists == null)
+            fail(s"ALTER FUNCTION: unknown function $name (use IF EXISTS)")
+        } else {
+          val reg = functionClasses.getOrElse(cls, fail(
+            s"ALTER FUNCTION $name: class '$cls' is not on the offline " +
+              s"function surface; available: ${functionClasses.keys.toSeq.sorted.mkString(", ")}"))
+          reg(spark, name)
+        }
         None
       case CreateFnRe(ifNotExists, name, cls, lang) =>
         if (lang != null && !Set("JAVA", "SCALA")(lang.toUpperCase))
@@ -252,9 +328,10 @@ object FlinkDdl {
             fail(s"DROP DATABASE: $name is not empty " +
               s"(tables: ${owned.sorted.mkString(", ")}); use CASCADE")
           owned.foreach { t =>
-            tables.remove(t); tableDb.remove(t); spark.catalog.dropTempView(t)
+            tables.remove(t); tableDb.remove(t); tableProps.remove(t)
+            spark.catalog.dropTempView(t)
           }
-          dbs -= name
+          dbs -= name; dbProps.remove(name)
         }
         None
       case UseCatalogRe(name) =>
@@ -271,9 +348,28 @@ object FlinkDdl {
       case UseDbRe(name) if !name.equalsIgnoreCase("CATALOG") =>
         if (!dbs.contains(name)) fail(s"USE: unknown database $name")
         currentDb = name; None
+      case ShowCatRe() =>
+        import spark.implicits._
+        Some(Seq("default_catalog").toDF("catalog_name"))
       case ShowRe() =>
         import spark.implicits._
         Some(tables.keys.toSeq.sorted.toDF("table_name"))
+      // DESCRIBE CATALOG / DATABASE — SqlDescribeCatalog.java /
+      // SqlDescribeDatabase.java: (info_name, info_value) rows, the
+      // database form listing its ALTER-set properties.
+      case DescCatRe(name) =>
+        import spark.implicits._
+        if (!Set("default_catalog", "spark_catalog")(name))
+          fail(s"DESCRIBE CATALOG: unknown catalog $name")
+        Some(Seq(("name", name), ("type", "graft-session"))
+          .toDF("info_name", "info_value"))
+      case DescDbRe(name) =>
+        import spark.implicits._
+        if (!dbs.contains(name)) fail(s"DESCRIBE DATABASE: unknown database $name")
+        val props = dbProps.getOrElse(name, Map.empty)
+        Some((Seq(("database", name)) ++ props.toSeq.sortBy(_._1)
+            .map { case (k, v) => (s"property:$k", v) })
+          .toDF("info_name", "info_value"))
       case DescRe(name) =>
         import spark.implicits._
         val t = table(name)
@@ -293,10 +389,10 @@ object FlinkDdl {
         case _ => fail("script contained no SELECT statement")
       }
 
-    private def createTable(name: String, colsSrc: String,
-        parts: Option[String], propsSrc: String): Unit = {
-      val props = PropRe.findAllMatchIn(propsSrc)
-        .map(m => m.group(1) -> m.group(2)).toMap
+    /** Resolve the storage binding (path, format) from a WITH-property
+      * map — shared by CREATE TABLE and ALTER TABLE … SET. */
+    private def storage(name: String, props: Map[String, String],
+        partitioned: Boolean): (String, String) = {
       def prop(keys: String*): Option[String] = keys.flatMap(props.get).headOption
       val connector = prop("connector.type", "connector")
         .getOrElse(fail(s"table $name: no connector property"))
@@ -314,10 +410,18 @@ object FlinkDdl {
       if (!Set("csv", "json", "parquet", "orc", "avro")(format0))
         fail(s"table $name: unsupported format '$format0'")
       val format = if (format0 == "avro") "graft-avro" else format0
-      if (format == "graft-avro" &&
-          parts.exists(_.split(",").exists(_.trim.nonEmpty)))
+      if (format == "graft-avro" && partitioned)
         fail(s"table $name: the avro connector does not support " +
           "PARTITIONED BY sinks")
+      (path, format)
+    }
+
+    private def createTable(name: String, colsSrc: String,
+        parts: Option[String], propsSrc: String): Unit = {
+      val props = PropRe.findAllMatchIn(propsSrc)
+        .map(m => m.group(1) -> m.group(2)).toMap
+      val (path, format) = storage(name, props,
+        parts.exists(_.split(",").exists(_.trim.nonEmpty)))
 
       var fields = Vector.empty[StructField]
       var computed = Vector.empty[(String, String)]
@@ -339,6 +443,7 @@ object FlinkDdl {
         path, format)
       tables(name) = defn
       tableDb(name) = currentDb
+      tableProps(name) = props
       // Hadoop FS existence check, not java.io.File: a DDL table may
       // point at hdfs:// or s3a:// (the avro connector underneath
       // reads them unchanged) and must still register eagerly.

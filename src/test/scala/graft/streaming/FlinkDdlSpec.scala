@@ -250,4 +250,87 @@ class FlinkDdlSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](
       env.executeSql("USE missing_db")).getMessage.contains("unknown database"))
   }
+
+  test("ALTER TABLE SET repoints path and format; alias spellings merge") {
+    import spark.implicits._
+    val env = new FlinkDdl.Env(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft-ddlalter1")
+    Seq((1L, "csv-row")).toDF("a", "s").write
+      .option("header", "false").csv(s"$base/a")
+    Seq((2L, "parquet-row")).toDF("a", "s").write.parquet(s"$base/b")
+    // created with the 1.10 dotted keys …
+    env.executeSql(
+      s"""CREATE TABLE moved (a BIGINT, s STRING)
+         |WITH ('connector.type' = 'filesystem',
+         |      'connector.path' = '$base/a', 'format.type' = 'csv')""".stripMargin)
+    assert(env.executeSql("SELECT s FROM moved").get.head().getString(0)
+      == "csv-row")
+    // … altered with the flat keys: the delta must evict the dotted
+    // spellings, not lose to them in the merge
+    env.executeSql(
+      s"ALTER TABLE moved SET ('path' = '$base/b', 'format' = 'parquet')")
+    assert(env.executeSql("SELECT s FROM moved").get.head().getString(0)
+      == "parquet-row")
+    // invalid delta: loud, and the table keeps its previous binding
+    assert(intercept[IllegalArgumentException](env.executeSql(
+      "ALTER TABLE moved SET ('format' = 'xml')"))
+      .getMessage.contains("unsupported format"))
+    assert(intercept[IllegalArgumentException](env.executeSql(
+      "ALTER TABLE nope SET ('path' = '/x')"))
+      .getMessage.contains("unknown DDL table"))
+    assert(intercept[IllegalArgumentException](env.executeSql(
+      "ALTER TABLE moved SET ()")).getMessage.contains("no properties"))
+  }
+
+  test("ALTER DATABASE SET properties show through DESCRIBE DATABASE") {
+    val env = new FlinkDdl.Env(spark)
+    env.executeSql("CREATE DATABASE propd")
+    env.executeSql("ALTER DATABASE propd SET ('owner' = 'graft')")
+    env.executeSql("ALTER DATABASE propd SET ('tier' = 'gold')")
+    val rows = env.executeSql("DESCRIBE DATABASE propd").get
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSeq
+    assert(rows == Seq("database" -> "propd",
+      "property:owner" -> "graft", "property:tier" -> "gold"))
+    assert(intercept[IllegalArgumentException](env.executeSql(
+      "ALTER DATABASE missing SET ('k' = 'v')"))
+      .getMessage.contains("unknown database"))
+    assert(intercept[IllegalArgumentException](env.executeSql(
+      "DESCRIBE DATABASE missing")).getMessage.contains("unknown database"))
+  }
+
+  test("ALTER FUNCTION re-registers the name to a different class") {
+    val env = new FlinkDdl.Env(spark)
+    env.executeSql("CREATE FUNCTION rf AS 'graft.functions.Udx$GeoMean'")
+    // GeoMean is unary: geomean(4, 16) per group
+    assert(math.abs(env.executeSql(
+      "SELECT rf(v) AS m FROM (SELECT 4.0 AS v UNION ALL SELECT 16.0)")
+      .get.head().getDouble(0) - 8.0) < 1e-9)
+    env.executeSql("ALTER FUNCTION rf AS 'graft.functions.Udx$WeightedAvg'")
+    // now binary — a silently ignored ALTER could not analyze this call
+    assert(env.executeSql(
+      "SELECT rf(v, w) AS m FROM (SELECT 10.0 AS v, 1.0 AS w UNION ALL SELECT 20.0, 3.0)")
+      .get.head().getDouble(0) == 17.5)
+    assert(intercept[IllegalArgumentException](env.executeSql(
+      "ALTER FUNCTION missing AS 'graft.functions.Udx$GeoMean'"))
+      .getMessage.contains("IF EXISTS"))
+    env.executeSql(
+      "ALTER FUNCTION IF EXISTS missing AS 'graft.functions.Udx$GeoMean'")
+    assert(intercept[IllegalArgumentException](env.executeSql(
+      "ALTER FUNCTION rf AS 'com.example.Nope'"))
+      .getMessage.contains("available"))
+    assert(intercept[IllegalArgumentException](env.executeSql(
+      "ALTER FUNCTION rf AS 'x' LANGUAGE PYTHON"))
+      .getMessage.contains("out of scope"))
+  }
+
+  test("SHOW CATALOGS and DESCRIBE CATALOG expose the session catalog") {
+    val env = new FlinkDdl.Env(spark)
+    assert(env.executeSql("SHOW CATALOGS").get
+      .collect().map(_.getString(0)).toSeq == Seq("default_catalog"))
+    val info = env.executeSql("DESCRIBE CATALOG default_catalog").get
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(info("name") == "default_catalog")
+    assert(intercept[IllegalArgumentException](env.executeSql(
+      "DESCRIBE CATALOG hive_prod")).getMessage.contains("unknown catalog"))
+  }
 }
