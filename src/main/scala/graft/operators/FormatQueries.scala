@@ -48,6 +48,63 @@ object FormatQueries {
       aggAfter(s.read.schema(ev.schema).json(s"$base/json"))
     }),
 
+    // Malformed-input handling of the JSON format — the reference's
+    // JsonRowDeserializationSchema error options (flink-formats/
+    // flink-json/.../JsonRowDeserializationSchema.java:84
+    // failOnMissingField, :153 ignoreParseErrors): Spark parity is
+    // the read modes PERMISSIVE + columnNameOfCorruptRecord (the
+    // quarantine / dead-letter split), DROPMALFORMED
+    // (ignoreParseErrors), and FAILFAST (spec-bound in FormatsSpec —
+    // throws on the first bad line). The jsonl file derives
+    // deterministically from events: event_id%10==3 lines are
+    // TRUNCATED (parse error → quarantined with the raw line
+    // preserved), %10==7 lines drop the cents field (NOT an error
+    // under failOnMissingField=false → null). Quarantine counts and
+    // the clean-row aggregate face the oracle.
+    "q259_json_errmodes" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-jsonerr")
+      val ev = centsProj(s, d)
+      val full = to_json(struct(col("event_id"), col("user_id"),
+        col("event_type"), col("cents")))
+      val noCents = to_json(struct(col("event_id"), col("user_id"),
+        col("event_type")))
+      ev.select(col("event_id"), full.as("j"), noCents.as("jm"))
+        .select(
+          when(col("event_id") % 10 === 3,
+            expr("substring(j, 1, length(j) - 3)"))
+            .when(col("event_id") % 10 === 7, col("jm"))
+            .otherwise(col("j")).as("value"))
+        .write.mode("overwrite").text(s"$base/jsonl")
+      val dataSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cents",
+          org.apache.spark.sql.types.LongType)))
+      val withCorrupt = dataSchema.add("_bad",
+        org.apache.spark.sql.types.StringType)
+      // ignoreParseErrors=true analog: malformed lines dropped at read
+      val nDropped = s.read.schema(dataSchema)
+        .option("mode", "DROPMALFORMED").json(s"$base/jsonl").count()
+      // cache: Spark disallows predicates over the internal corrupt
+      // column on the raw scan
+      val read = s.read.schema(withCorrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(s"$base/jsonl").cache()
+      read.agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("_bad").isNotNull, 1L).otherwise(0L))
+          .as("n_quarantined"),
+        sum(when(col("_bad").isNull && col("cents").isNull, 1L)
+          .otherwise(0L)).as("n_missing_field"),
+        sum(when(col("_bad").isNull, col("cents"))).as("cents_clean"),
+        lit(nDropped).as("n_kept_dropmalformed"))
+    }),
+
     // ORC is binary: full-fidelity round trip including the µs
     // timestamp and the raw double — the aggregate covers both.
     "q169_orc_roundtrip" -> ((s, d) => {
@@ -231,6 +288,19 @@ object FormatQueries {
          |  count(DISTINCT user_id)::BIGINT AS users,
          |  min(event_id) AS min_id, max(event_id) AS max_id
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q259_json_errmodes" ->
+      """WITH ev AS (SELECT event_id,
+        |  cast(round(value*100) as bigint) AS cents FROM events)
+        |SELECT count(*)::BIGINT AS n_lines,
+        |  sum(CASE WHEN event_id % 10 = 3 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_quarantined,
+        |  sum(CASE WHEN event_id % 10 = 7 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_missing_field,
+        |  sum(CASE WHEN event_id % 10 NOT IN (3, 7) THEN cents END)::BIGINT
+        |    AS cents_clean,
+        |  (count(*) - sum(CASE WHEN event_id % 10 = 3 THEN 1 ELSE 0 END))::BIGINT
+        |    AS n_kept_dropmalformed
+        |FROM ev""".stripMargin,
     "q169_orc_roundtrip" ->
       s"""SELECT event_type, count(*)::BIGINT AS n, $centsSum AS cents_v,
          |  min(make_timestamp(epoch_ns(ts)//1000)) AS min_ts,

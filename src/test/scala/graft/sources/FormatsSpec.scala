@@ -51,6 +51,33 @@ class FormatsSpec extends SparkSpec {
       s"no orc pushdown:\n$plan")
   }
 
+  test("json error modes: FAILFAST throws, DROPMALFORMED keeps missing-field rows") {
+    // reference flink-json JsonRowDeserializationSchema:84/:153 —
+    // failOnMissingField / ignoreParseErrors; the PERMISSIVE
+    // quarantine leg is oracle-bound as q259
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = tmp("jsonerr")
+    Seq("""{"a": 1, "b": "x"}""", """{"a": 2""", """{"a": 3}""")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType)))
+    // FAILFAST = the reference default (ignoreParseErrors unset):
+    // the first malformed line aborts the read
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.schema(schema).option("mode", "FAILFAST").json(dir).collect()
+    }
+    assert(e.getMessage.contains("Malformed") ||
+      Option(e.getCause).exists(_.getMessage.contains("Malformed")))
+    // DROPMALFORMED = ignoreParseErrors: the truncated line vanishes,
+    // but the missing-field line survives with b = null
+    // (failOnMissingField = false, the reference's builder default)
+    val kept = spark.read.schema(schema).option("mode", "DROPMALFORMED")
+      .json(dir).orderBy("a").collect()
+    assert(kept.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(kept(1).isNullAt(1))
+  }
+
   test("partitioned catalog table prunes to the predicate's partition") {
     // the q187 scale contract: a source=… predicate over the
     // partitioned table must become a PartitionFilters entry (one
