@@ -78,6 +78,42 @@ class FormatsSpec extends SparkSpec {
     assert(kept(1).isNullAt(1))
   }
 
+  test("csv error modes mirror flink-csv ignoreParseErrors") {
+    // reference flink-csv CsvRowDeserializationSchema:74 — a type-bad
+    // line is dropped under DROPMALFORMED, aborts under FAILFAST
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = tmp("csverr")
+    Seq("1,x", "oops,y", "3,z").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(dir)
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType)))
+    val kept = spark.read.schema(schema).option("mode", "DROPMALFORMED")
+      .csv(dir).orderBy("a").collect()
+    assert(kept.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "x"), (3L, "z")))
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema(schema).option("mode", "FAILFAST").csv(dir).collect()
+    }
+  }
+
+  test("compressed jsonl round-trips exactly (gzip and bzip2)") {
+    // 100 TB corpora ship compressed jsonl — the codec path must
+    // round-trip bit-exactly (gzip + bzip2; this container's hadoop
+    // has no zstd/text binding — parquet zstd is covered elsewhere)
+    val ev = Tables.nation(spark, sf)
+    for ((codec, ext) <- Seq("gzip" -> ".gz", "bzip2" -> ".bz2")) {
+      val dir = tmp(s"jsonl-$codec")
+      ev.write.mode("overwrite").option("compression", codec).json(dir)
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-")).map(_.getName)
+      assert(files.nonEmpty && files.forall(_.endsWith(ext)),
+        files.toSeq.toString)
+      val back = spark.read.schema(ev.schema).json(dir)
+      assert(sortedRows(back) == sortedRows(ev), s"$codec round-trip drifted")
+    }
+  }
+
   test("partitioned catalog table prunes to the predicate's partition") {
     // the q187 scale contract: a source=… predicate over the
     // partitioned table must become a PartitionFilters entry (one
