@@ -480,17 +480,32 @@ object FlinkDdl {
       }
     }
 
-    private def insert(name: String, select: String, overwrite: Boolean): Unit = {
-      val t = table(name)
+    /** The aligned write-side frame of an INSERT statement WITHOUT
+      * executing the write — the `TableEnvironment.explainSql(INSERT …)`
+      * surface (the reference explains sink plans; 1.10
+      * `TableEnvironment.explain(Table)` over `sqlUpdate`). Returns
+      * (sink table name, aligned frame) when the statement is an
+      * INSERT, None otherwise. */
+    def insertFrame(stmt: String): Option[(String, DataFrame)] = stmt match {
+      case InsertRe(_, name, select) => Some((name, align(table(name), select)))
+      case _ => None
+    }
+
+    // positional alignment + cast to declared types (Flink inserts
+    // by position, not by name)
+    private def align(t: TableDef, select: String): DataFrame = {
       val src = spark.sql(selectRewriter(select))
       if (src.columns.length != t.schema.length)
-        fail(s"INSERT INTO $name: ${src.columns.length} columns for " +
+        fail(s"INSERT INTO ${t.name}: ${src.columns.length} columns for " +
           s"${t.schema.length}-column table")
-      // positional alignment + cast to declared types (Flink inserts
-      // by position, not by name)
-      val aligned = src.toDF(t.schema.fieldNames.toIndexedSeq: _*)
+      src.toDF(t.schema.fieldNames.toIndexedSeq: _*)
         .selectExpr(t.schema.fields.map(f =>
           s"CAST(${f.name} AS ${f.dataType.sql}) AS ${f.name}").toIndexedSeq: _*)
+    }
+
+    private def insert(name: String, select: String, overwrite: Boolean): Unit = {
+      val t = table(name)
+      val aligned = align(t, select)
       val writer = aligned.write.format(t.format)
         .mode(if (overwrite) "overwrite" else "append")
         .option("header", "false")

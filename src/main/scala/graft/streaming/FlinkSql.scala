@@ -51,16 +51,27 @@ object FlinkSql {
       // text as one row (Flink prints AST / optimized / physical).
       case ExplainRe(inner) =>
         import spark.implicits._
-        // gate BEFORE routing: a DDL/DML statement routed through the
-        // dispatcher would EXECUTE its side effect under EXPLAIN
-        if (!"""(?is)^\s*\(?\s*SELECT\b.*""".r.matches(inner))
-          throw new IllegalArgumentException(
-            "EXPLAIN requires a result-producing statement")
-        val df = executeSql(inner).getOrElse(throw new IllegalArgumentException(
-          "EXPLAIN requires a result-producing statement"))
-        Some(Seq(df.queryExecution.explainString(
-          org.apache.spark.sql.execution.ExplainMode.fromString("extended")))
-          .toDF("plan"))
+        def planOf(df: DataFrame) = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("extended"))
+        // INSERT explains WITHOUT executing (the reference's
+        // explainSql(INSERT) surface): the aligned write-side frame's
+        // plan, headed by the sink binding
+        ddl.insertFrame(inner) match {
+          case Some((sink, frame)) =>
+            Some(Seq(s"== Sink: DDL table $sink ==\n" + planOf(frame))
+              .toDF("plan"))
+          case None =>
+            // gate BEFORE routing: any other DDL statement routed
+            // through the dispatcher would EXECUTE its side effect
+            // under EXPLAIN
+            if (!"""(?is)^\s*\(?\s*SELECT\b.*""".r.matches(inner))
+              throw new IllegalArgumentException(
+                "EXPLAIN requires a SELECT or INSERT statement")
+            val df = executeSql(inner).getOrElse(
+              throw new IllegalArgumentException(
+                "EXPLAIN requires a SELECT or INSERT statement"))
+            Some(Seq(planOf(df)).toDF("plan"))
+        }
       case MatchStmtRe(tableName, clause) =>
         import spark.implicits._
         Some(MatchRecognize.run(spark.table(tableName).as[Event], clause))

@@ -90,6 +90,32 @@ class FlinkSqlSpec extends SparkSpec {
     assert(mrPlan.contains("== Physical Plan =="))
     val e = intercept[IllegalArgumentException](
       env.executeSql("EXPLAIN DROP TABLE nope"))
-    assert(e.getMessage.contains("result-producing"))
+    assert(e.getMessage.contains("SELECT or INSERT"))
+  }
+
+  test("EXPLAIN INSERT shows the sink plan without writing") {
+    // the reference explains INSERT statements (explainSql surface) —
+    // the plan must come back WITHOUT the side effect executing
+    val base = java.nio.file.Files.createTempDirectory("graft-explins")
+    val env2 = new FlinkSql.Env(spark)
+    Tables.events(spark, sf).createOrReplaceTempView("events_ei")
+    env2.executeSql(
+      s"""CREATE TABLE ei_snk (t STRING, n BIGINT)
+         |WITH ('connector' = 'filesystem', 'path' = '$base/snk',
+         |      'format' = 'parquet')""".stripMargin)
+    val plan = env2.executeSql(
+      "EXPLAIN INSERT INTO ei_snk SELECT event_type, count(*) FROM events_ei GROUP BY 1")
+      .get.head().getString(0)
+    assert(plan.contains("== Sink: DDL table ei_snk =="))
+    assert(plan.contains("== Physical Plan ==") && plan.contains("HashAggregate"))
+    // the cast-to-declared-types alignment is part of the explained plan
+    assert(plan.toLowerCase.contains("cast"))
+    // …and nothing was written
+    assert(!new java.io.File(s"$base/snk").exists(),
+      "EXPLAIN INSERT must not execute the write")
+    // the lazy sink stays usable afterwards
+    env2.executeSql("INSERT INTO ei_snk SELECT event_type, count(*) FROM events_ei GROUP BY 1")
+    assert(env2.executeSql("SELECT sum(n) AS s FROM ei_snk").get.head().getLong(0) ==
+      Tables.events(spark, sf).count())
   }
 }
