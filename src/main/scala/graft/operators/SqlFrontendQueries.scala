@@ -498,6 +498,36 @@ object SqlFrontendQueries {
           |FROM documents LEFT JOIN LATERAL TABLE(long_tokens(text, 6)) AS t(tok) ON TRUE
           |WHERE doc_id < 50
           |ORDER BY doc_id, tok""".stripMargin)
+    }),
+
+    // The scalar-function dialect (FlinkFunctions): the Flink
+    // spellings Spark's parser/registry rejects, run VERBATIM through
+    // the unified executeSql surface — FLOOR/CEIL to a time unit,
+    // SIMILAR TO, TRUNCATE (round-toward-zero), TO/FROM_BASE64 (STRING
+    // in, STRING out), SPLIT_INDEX (verbatim separator, 0-based,
+    // out-of-range → NULL: 'error' has no 'i' so seg1 IS NULL),
+    // IS_ALPHA/IS_DECIMAL, SHA256, CONVERT_TZ (fixed
+    // 'yyyy-MM-dd HH:mm:ss' STRING). Every rewrite lands on native
+    // codegen'd Spark functions — one projection, scan-speed at any SF.
+    "q260_flinksql_functions" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events")
+      new FlinkSql.Env(s).executeSql(
+        """SELECT event_id,
+          |       CAST(FLOOR(ts TO HOUR) AS VARCHAR) AS hr_floor,
+          |       CAST(CEIL(ts TO DAY) AS VARCHAR) AS day_ceil,
+          |       event_type SIMILAR TO '(view|click)' AS is_vc,
+          |       CAST(TRUNCATE(value, 1) AS DOUBLE) AS val_t1,
+          |       TO_BASE64(event_type) AS b64,
+          |       FROM_BASE64(TO_BASE64(event_type)) AS b64rt,
+          |       SPLIT_INDEX(event_type, 'i', 1) AS seg1,
+          |       IS_ALPHA(event_type) AS alpha,
+          |       IS_DECIMAL(CAST(event_id AS VARCHAR)) AS isdec,
+          |       SHA256(event_type) AS sha,
+          |       STR_TO_MAP(CONCAT('a=', event_type, ',n=1'))['a'] AS m_a,
+          |       CONVERT_TZ(CAST(FLOOR(ts TO SECOND) AS VARCHAR),
+          |                  'UTC', 'Asia/Shanghai') AS ctz
+          |FROM events
+          |ORDER BY event_id""".stripMargin).get
     })
   )
 
@@ -663,6 +693,34 @@ object SqlFrontendQueries {
         |  SELECT unnest(list_filter(string_split(d.text, ' '),
         |                            x -> len(x) > 6)) AS tok) t ON TRUE
         |WHERE d.doc_id < 50
-        |ORDER BY doc_id, tok""".stripMargin
+        |ORDER BY doc_id, tok""".stripMargin,
+    // Mirrors each translated spelling with DuckDB natives: FLOOR/CEIL
+    // to unit = date_trunc (+1 unit unless aligned); SIMILAR TO is
+    // native in DuckDB; TRUNCATE = floor(x*10)/10 (values ≥ 0 here);
+    // base64 via encode/decode blobs; SPLIT_INDEX = 1-based
+    // list_extract over str_split (out-of-range → NULL); IS_* as
+    // anchored regexes; CONVERT_TZ = the fixed +8h Asia/Shanghai
+    // offset formatted back to seconds.
+    "q260_flinksql_functions" -> (evCte +
+      """
+        |SELECT event_id,
+        |       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr_floor,
+        |       strftime(CASE WHEN date_trunc('day', ts) = ts THEN ts
+        |                     ELSE date_trunc('day', ts) + INTERVAL 1 DAY END,
+        |                '%Y-%m-%d %H:%M:%S') AS day_ceil,
+        |       event_type SIMILAR TO '(view|click)' AS is_vc,
+        |       floor(value * 10) / 10 AS val_t1,
+        |       base64(encode(event_type)) AS b64,
+        |       decode(from_base64(base64(encode(event_type)))) AS b64rt,
+        |       list_extract(str_split(event_type, 'i'), 2) AS seg1,
+        |       regexp_full_match(event_type, '\p{L}+') AS alpha,
+        |       regexp_full_match(CAST(event_id AS VARCHAR),
+        |         '[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?[fFdD]?') AS isdec,
+        |       sha256(event_type) AS sha,
+        |       event_type AS m_a,
+        |       strftime(date_trunc('second', ts) + INTERVAL 8 HOUR,
+        |                '%Y-%m-%d %H:%M:%S') AS ctz
+        |FROM ev
+        |ORDER BY event_id""".stripMargin)
   )
 }

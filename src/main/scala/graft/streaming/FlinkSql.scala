@@ -9,10 +9,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - DDL / DML (`CREATE TABLE/VIEW`, `INSERT`, `DROP`, SELECT) →
   *    [[FlinkDdl.Env]], with every SELECT body piped through the
   *    composable TEXT rewriters first: group windows
-  *    ([[GroupWindowSql.rewrite]]: TUMBLE/HOP/SESSION + auxiliaries)
-  *    and UDTF correlates ([[FlinkSqlJoins.rewriteLateral]]) — both
-  *    are identity on text that uses neither dialect, so plain SQL
-  *    flows through untouched;
+  *    ([[GroupWindowSql.rewrite]]: TUMBLE/HOP/SESSION + auxiliaries),
+  *    UDTF correlates ([[FlinkSqlJoins.rewriteLateral]]) and the
+  *    scalar-function dialect ([[FlinkFunctions.rewrite]]:
+  *    SPLIT_INDEX, FROM/TO_BASE64, SIMILAR TO, FLOOR/CEIL-to-unit,
+  *    TRUNCATE, IS_* predicates, SHA-2 family, CONVERT_TZ) — all
+  *    identity on text that uses no dialect, so plain SQL flows
+  *    through untouched;
   *  - `… FOR SYSTEM_TIME AS OF …` → [[FlinkSqlJoins.runTemporal]]
   *    (the AsOfJoin plan node);
   *  - `SELECT * FROM t MATCH_RECOGNIZE (…)` → [[MatchRecognize.run]]
@@ -25,7 +28,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object FlinkSql {
 
   private val dialects: String => String =
-    (GroupWindowSql.rewrite _) compose (FlinkSqlJoins.rewriteLateral _)
+    (GroupWindowSql.rewrite _) compose (FlinkSqlJoins.rewriteLateral _) compose
+      (FlinkFunctions.rewrite _)
 
   private val MatchStmtRe =
     """(?is)^\s*SELECT\s+\*\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\((.*)\)\s*$""".r
