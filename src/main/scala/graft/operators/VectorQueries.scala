@@ -84,6 +84,47 @@ object VectorQueries {
         lit(-sid).as("negSid"))
     }: _*)).getField("negSid")
 
+  /** q261's fit-then-score: fixed-point per-dim Gaussian moments → a
+    * bounded `dims`-row collect → scan-speed Mahalanobis²-diag
+    * projection → top-`topK` tail. Exposed for the planted-outlier
+    * property spec. */
+  private[operators] def gaussianOutliers(e: org.apache.spark.sql.DataFrame,
+                                          topK: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val codes = e.select(col("vec_id"), col("label"),
+      transform(asD(col("embedding")), x =>
+        least(greatest(round(x * 1000), lit(-8000.0)), lit(8000.0))
+          .cast("long") + lit(8000L)).as("xs"))
+    val st = codes
+      .select(posexplode(col("xs")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("qx"))
+      .collect()                         // bounded: exactly `dims` rows
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val mu = st.map { case (_, n, sx, _) => (2 * sx + n) / (2 * n) }
+    val vr = st.zipWithIndex.map { case ((_, n, _, qx), i) =>
+      math.max(qx / n - mu(i) * mu(i), 1L)
+    }
+    val muLit = array(mu.toIndexedSeq.map(lit(_)): _*)
+    val vrLit = array(vr.toIndexedSeq.map(lit(_)): _*)
+    // integer division via pmod: operands are non-negative and the
+    // subtraction makes the double division exact (result < 2^53)
+    def idiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    codes
+      .withColumn("score", aggregate(
+        transform(col("xs"), (x, i) => {
+          val dlt = x - element_at(muLit, (i + 1).cast("int"))
+          idiv(lit(1000L) * dlt * dlt, element_at(vrLit, (i + 1).cast("int")))
+        }),
+        lit(0L), (acc, t) => acc + t))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(topK)
+      .select(col("vec_id"), col("label"), col("score"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Brute-force cosine top-5 for 20 probe vectors (baseline).
     "q70_knn_brute" -> ((s, d) => {
@@ -164,6 +205,32 @@ object VectorQueries {
       IvfAnn.search(e, probes, "embedding", model, k = 5, nprobe = 8)
         .orderBy(col("pid"), col("rk"))
     }),
+
+    // Multivariate-Gaussian outlier scoring (reference: flink-ml's
+    // distribution primitive, flink-ml-lib/.../basicstatistic/
+    // MultivariateGaussian.java:37 — mean + covariance → per-point
+    // density), reduced to the diagonal-covariance case so the score
+    // is oracle-exact: Mahalanobis² = Σ_d (x_d−μ_d)²/σ²_d, the
+    // quadratic form the reference's logpdf computes with Σ⁻¹. The
+    // classic curation use: corrupt/degenerate embedding vectors sit
+    // in the distribution tail — score high, gate out.
+    //
+    // Oracle-parity discipline (the quantized-family rule): embeddings
+    // land on a FIXED 1/1000 grid (clamped ±8, then offset +8000 so
+    // every term is non-negative and floor=truncate in both engines),
+    // per-dim moments (n, Σx, Σx²) are exact BIGINTs, the rounded mean
+    // is (2Σx+n) div 2n, the variance Σx²divN − μ̂² (≥1-guarded), and
+    // the score a per-dim integer division summed — no IEEE op
+    // anywhere, so Spark and DuckDB agree bit-for-bit.
+    //
+    // Scale: one 64-key aggregation (map-side combined) → a bounded
+    // `dims`-row collect (the IvfAnn-centroid precedent) → scoring is
+    // a pure scan-speed projection against literal μ̂/v̂ arrays — the
+    // corpus never shuffles. Headroom: Σx² per dim ≤ n·(16000)², so
+    // BIGINT holds past 3×10¹⁰ vectors; beyond that the decomposable
+    // moments shard-and-combine.
+    "q261_gaussian_outliers" -> ((s, d) =>
+      gaussianOutliers(Tables.embeddings(s, d), topK = 20)),
 
     // INT8 symmetric quantization + quantized ANN: each vector gets a
     // per-vector scale (max |x|) and an int8 code round(x·127/s); the
@@ -609,6 +676,40 @@ object VectorQueries {
          |    row_number() OVER (PARTITION BY pid ORDER BY sim DESC, cid) AS rk
          |  FROM sims)
          |SELECT pid, rk, cid, round(sim, 6) AS sim6
-         |FROM ranked WHERE rk <= 5 ORDER BY pid, rk""".stripMargin
+         |FROM ranked WHERE rk <= 5 ORDER BY pid, rk""".stripMargin,
+
+    // The same fixed-point pipeline recomputed relationally: grid
+    // codes, per-dim integer moments, rounded mean (2Σx+n)//(2n),
+    // ≥1-guarded variance, per-dim integer-divided quadratic terms
+    // summed. Every operand is non-negative, so DuckDB's // and
+    // Spark's div agree; the final sum casts back to BIGINT (DuckDB
+    // sum(BIGINT) is HUGEINT, which would render 151.0 vs 151).
+    "q261_gaussian_outliers" ->
+      """WITH c AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x ->
+        |      CAST(least(greatest(round(CAST(x AS DOUBLE) * 1000), -8000),
+        |                 8000) AS BIGINT) + 8000) AS xs
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, label, generate_subscripts(xs, 1) AS d,
+        |         unnest(xs) AS x
+        |  FROM c),
+        |st AS (
+        |  SELECT d, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(x*x) AS BIGINT) AS qx
+        |  FROM e GROUP BY d),
+        |mv AS (
+        |  SELECT d, (2*sx + n) // (2*n) AS mu,
+        |         greatest(qx // n - ((2*sx + n) // (2*n)) *
+        |                            ((2*sx + n) // (2*n)), 1) AS v
+        |  FROM st),
+        |sc AS (
+        |  SELECT e.vec_id, e.label,
+        |    CAST(sum((1000 * (e.x - mv.mu) * (e.x - mv.mu)) // mv.v)
+        |         AS BIGINT) AS score
+        |  FROM e JOIN mv USING (d) GROUP BY e.vec_id, e.label)
+        |SELECT vec_id, label, score FROM sc
+        |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
   )
 }
