@@ -199,6 +199,46 @@ object StreamParityQueries4 {
         .select(col("vec_id"))
         .dropDuplicates("vec_id")
       runAppend(flagged, base.toString, s).orderBy(col("vec_id"))
+    }),
+
+    // STREAMING Gaussian outlier gate — q261's Mahalanobis scorer in
+    // the q154/q218 snapshot+stream shape: the lower-id half is the
+    // nightly corpus whose per-dim moments FREEZE (q261's fit), the
+    // gate is the corpus's own P90 self-score (the min of its top
+    // n/10 scores — "more anomalous than the corpus's own worst
+    // decile"), and the upper half streams in three micro-batches.
+    // Each batch is a PURE PROJECTION (grid codes + literal-moments
+    // score + literal-gate filter — no aggregate, no watermark, no
+    // stream-side state), so at 100 TB/day ingestion this runs at
+    // scan speed with the moments riding the closure. Wrong iff the
+    // frozen moments drift between batches, the gate is recomputed
+    // per-batch, or a batch boundary splits a score.
+    "q263_gaussian_gate_stream" -> ((s, d) => {
+      import graft.streaming.Replay
+      val base = java.nio.file.Files.createTempDirectory("graft-gaussgate")
+      val e = Tables.embeddings(s, d)
+      val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+      val half = maxId / 2
+      val corpusCodes = VectorQueries.gridCodes(e.filter(col("vec_id") < half))
+      val m = VectorQueries.gaussianMoments(corpusCodes)
+      val k = math.max(m.n / 10, 1).toInt
+      val gate = corpusCodes
+        .select(col("vec_id"),
+          VectorQueries.mahalanobis(col("xs"), m).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(k)
+        .agg(min(col("score"))).head().getLong(0)
+      val (c1, c2) = (half + (maxId - half) / 3, half + 2 * ((maxId - half) / 3))
+      val chunks = Seq(
+        col("vec_id") >= half && col("vec_id") < c1,
+        col("vec_id") >= c1 && col("vec_id") < c2,
+        col("vec_id") >= c2)
+      val (inDir, schema) =
+        Replay.fileEpochs(e.filter(col("vec_id") >= half), chunks, base.toString)
+      val scored = VectorQueries.gridCodes(Replay.streamDf(s, inDir, schema))
+        .withColumn("score", VectorQueries.mahalanobis(col("xs"), m))
+        .filter(col("score") > gate)
+        .select(col("vec_id"), col("label"), col("score"))
+      runAppend(scored, base.toString, s).orderBy(col("vec_id"))
     })
   )
 
@@ -298,6 +338,50 @@ object StreamParityQueries4 {
          |  AND s.cluster = c.cluster
          |  AND CAST(list_dot_product(s.qv, c.qv) AS DOUBLE) /
          |      greatest(sqrt(CAST(s.nrm * c.nrm AS DOUBLE)), 1e-30) >= 0.4
-         |ORDER BY s.vec_id""".stripMargin
+         |ORDER BY s.vec_id""".stripMargin,
+
+    // q261's fixed-point pipeline with the moments fitted on the
+    // lower-id half only; the gate is the min of the corpus's top
+    // n/10 self-scores (rank with vec_id tiebreak); upper-half
+    // vectors emit iff strictly above it. The epoch split is
+    // invisible — scoring is stateless against frozen moments.
+    "q263_gaussian_gate_stream" ->
+      """WITH mx AS (SELECT max(vec_id) // 2 AS half FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x ->
+        |      CAST(least(greatest(round(CAST(x AS DOUBLE) * 1000), -8000),
+        |                 8000) AS BIGINT) + 8000) AS xs
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, label, generate_subscripts(xs, 1) AS d,
+        |         unnest(xs) AS x
+        |  FROM c),
+        |st AS (
+        |  SELECT d, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(x*x) AS BIGINT) AS qx
+        |  FROM e, mx WHERE vec_id < half GROUP BY d),
+        |mv AS (
+        |  SELECT d, (2*sx + n) // (2*n) AS mu,
+        |         greatest(qx // n - ((2*sx + n) // (2*n)) *
+        |                            ((2*sx + n) // (2*n)), 1) AS v
+        |  FROM st),
+        |sc AS (
+        |  SELECT e.vec_id, e.label,
+        |    CAST(sum((1000 * (e.x - mv.mu) * (e.x - mv.mu)) // mv.v)
+        |         AS BIGINT) AS score
+        |  FROM e JOIN mv USING (d) GROUP BY 1, 2),
+        |selfsc AS (SELECT sc.* FROM sc, mx WHERE vec_id < half),
+        |ranked AS (
+        |  SELECT score, row_number() OVER (ORDER BY score DESC, vec_id) AS rk
+        |  FROM selfsc),
+        |nc AS (SELECT count(*) AS n FROM selfsc),
+        |gate AS (
+        |  SELECT r.score AS g FROM ranked r, nc
+        |  WHERE r.rk = greatest(n // 10, 1))
+        |SELECT sc.vec_id, sc.label, sc.score
+        |FROM sc, mx, gate
+        |WHERE sc.vec_id >= half AND sc.score > g
+        |ORDER BY sc.vec_id""".stripMargin
   )
 }

@@ -84,17 +84,26 @@ object VectorQueries {
         lit(-sid).as("negSid"))
     }: _*)).getField("negSid")
 
-  /** q261's fit-then-score: fixed-point per-dim Gaussian moments → a
-    * bounded `dims`-row collect → scan-speed Mahalanobis²-diag
-    * projection → top-`topK` tail. Exposed for the planted-outlier
-    * property spec. */
-  private[operators] def gaussianOutliers(e: org.apache.spark.sql.DataFrame,
-                                          topK: Int)
-      : org.apache.spark.sql.DataFrame = {
-    val codes = e.select(col("vec_id"), col("label"),
+  /** Fixed-point grid codes for the Gaussian-statistics family
+    * (q261–q263): 1/1000 grid, clamped ±8, offset +8000 so every code
+    * is non-negative (floor = truncate in both engines). */
+  private[operators] def gridCodes(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    e.select(col("vec_id"), col("label"),
       transform(asD(col("embedding")), x =>
         least(greatest(round(x * 1000), lit(-8000.0)), lit(8000.0))
           .cast("long") + lit(8000L)).as("xs"))
+
+  /** Per-dimension Gaussian moments of a grid-coded corpus, all exact
+    * BIGINT: rounded mean μ̂ = (2Σx+n) div 2n, ≥1-guarded variance
+    * v̂ = Σx² div n − μ̂², centered sum of squares
+    * ssd = Σx² − 2μ̂Σx + nμ̂² (the correlation denominator). One
+    * `dims`-key map-side-combined aggregation, bounded collect. */
+  private[operators] case class Moments(n: Long, mu: Array[Long],
+                                        vr: Array[Long], ssd: Array[Long])
+
+  private[operators] def gaussianMoments(codes: org.apache.spark.sql.DataFrame)
+      : Moments = {
     val st = codes
       .select(posexplode(col("xs")).as(Seq("d", "x")))
       .groupBy(col("d"))
@@ -107,19 +116,39 @@ object VectorQueries {
     val vr = st.zipWithIndex.map { case ((_, n, _, qx), i) =>
       math.max(qx / n - mu(i) * mu(i), 1L)
     }
-    val muLit = array(mu.toIndexedSeq.map(lit(_)): _*)
-    val vrLit = array(vr.toIndexedSeq.map(lit(_)): _*)
-    // integer division via pmod: operands are non-negative and the
-    // subtraction makes the double division exact (result < 2^53)
-    def idiv(a: Column, b: Column): Column =
-      ((a - pmod(a, b)) / b).cast("long")
+    val ssd = st.zipWithIndex.map { case ((_, n, sx, qx), i) =>
+      qx - 2 * mu(i) * sx + n * mu(i) * mu(i)
+    }
+    Moments(st.head._2, mu, vr, ssd)
+  }
+
+  /** Integer division via pmod: operands are non-negative and the
+    * subtraction makes the double division exact (result < 2^53). */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** Mahalanobis²-diag as a scan-speed projection against literal
+    * μ̂/v̂ arrays: Σ_d (1000·(x_d−μ̂_d)²) div v̂_d. */
+  private[operators] def mahalanobis(xs: Column, m: Moments): Column = {
+    val muLit = array(m.mu.toIndexedSeq.map(lit(_)): _*)
+    val vrLit = array(m.vr.toIndexedSeq.map(lit(_)): _*)
+    aggregate(
+      transform(xs, (x, i) => {
+        val dlt = x - element_at(muLit, (i + 1).cast("int"))
+        idiv(lit(1000L) * dlt * dlt, element_at(vrLit, (i + 1).cast("int")))
+      }),
+      lit(0L), (acc, t) => acc + t)
+  }
+
+  /** q261's fit-then-score: moments → scan-speed scoring projection →
+    * top-`topK` tail. Exposed for the planted-outlier property spec. */
+  private[operators] def gaussianOutliers(e: org.apache.spark.sql.DataFrame,
+                                          topK: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val codes = gridCodes(e)
+    val m = gaussianMoments(codes)
     codes
-      .withColumn("score", aggregate(
-        transform(col("xs"), (x, i) => {
-          val dlt = x - element_at(muLit, (i + 1).cast("int"))
-          idiv(lit(1000L) * dlt * dlt, element_at(vrLit, (i + 1).cast("int")))
-        }),
-        lit(0L), (acc, t) => acc + t))
+      .withColumn("score", mahalanobis(col("xs"), m))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(topK)
       .select(col("vec_id"), col("label"), col("score"))
@@ -231,6 +260,52 @@ object VectorQueries {
     // moments shard-and-combine.
     "q261_gaussian_outliers" -> ((s, d) =>
       gaussianOutliers(Tables.embeddings(s, d), topK = 20)),
+
+    // The covariance half of the reference's MultivariateGaussian
+    // surface (flink-ml-lib/.../basicstatistic/MultivariateGaussian
+    // .java:52 holds mean + FULL covariance): the pairwise Pearson
+    // correlation matrix of the embedding dimensions, reported as the
+    // top-15 most-correlated pairs — the diagnostic that tells you
+    // which dimensions are redundant before whitening/PCA.
+    //
+    // Exactness: q261's grid codes centered on the integer rounded
+    // mean; per-pair Σ(cx·cy) and per-dim centered Σcx² are exact
+    // BIGINTs, so the only IEEE ops are the final multiply/sqrt/divide
+    // (q197's one-division discipline) — bit-identical both engines.
+    //
+    // Scale: each row expands to a FIXED d(d−1)/2 = 2016-element pair
+    // array — bounded by the DIMENSION, not the data (contrast the
+    // degree-dependent arrays de-hubbed in GraphOps) — and partial
+    // aggregation collapses every partition to ≤2016 keys before the
+    // one tiny shuffle. Denominators ride literal arrays; the corpus
+    // never shuffles at full width.
+    "q262_dim_correlation" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val codes = gridCodes(e)
+      val m = gaussianMoments(codes)
+      val muLit = array(m.mu.toIndexedSeq.map(lit(_)): _*)
+      val ssdLit = array(m.ssd.toIndexedSeq.map(lit(_)): _*)
+      val nd = m.mu.length
+      val cxs = transform(col("xs"),
+        (x, i) => x - element_at(muLit, (i + 1).cast("int")))
+      val pairs = codes
+        .select(explode(flatten(transform(cxs, (x, i) =>
+          transform(slice(cxs, i + lit(2), lit(nd)), (y, j) =>
+            struct(i.cast("int").as("di"), (i + 1 + j).cast("int").as("dj"),
+              (x * y).as("p")))))).as("pr"))
+        .select(col("pr.di"), col("pr.dj"), col("pr.p"))
+        .groupBy(col("di"), col("dj"))
+        .agg(sum(col("p")).as("sxy"))
+      val den = greatest(
+        sqrt(element_at(ssdLit, col("di") + 1).cast("double") *
+             element_at(ssdLit, col("dj") + 1).cast("double")),
+        lit(1e-30))
+      pairs
+        .withColumn("corr", col("sxy").cast("double") / den)
+        .orderBy(abs(col("corr")).desc, col("di"), col("dj"))
+        .limit(15)
+        .select(col("di"), col("dj"), round(col("corr"), 6).as("corr6"))
+    }),
 
     // INT8 symmetric quantization + quantized ANN: each vector gets a
     // per-vector scale (max |x|) and an int8 code round(x·127/s); the
@@ -710,6 +785,46 @@ object VectorQueries {
         |         AS BIGINT) AS score
         |  FROM e JOIN mv USING (d) GROUP BY e.vec_id, e.label)
         |SELECT vec_id, label, score FROM sc
-        |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
+        |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+
+    // Centered pair products relationally: grid codes, per-dim rounded
+    // mean, centered values self-joined on (vec_id, d_i < d_j) — the
+    // oracle can afford the O(n·d²) pair join at sf; the engine's
+    // bounded per-row pair array + partial agg is the scale path.
+    // d is 0-based (generate_subscripts − 1) to match posexplode.
+    "q262_dim_correlation" ->
+      """WITH c AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(least(greatest(round(CAST(x AS DOUBLE) * 1000), -8000),
+        |                 8000) AS BIGINT) + 8000) AS xs
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, generate_subscripts(xs, 1) - 1 AS d,
+        |         unnest(xs) AS x
+        |  FROM c),
+        |st AS (
+        |  SELECT d, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(x*x) AS BIGINT) AS qx
+        |  FROM e GROUP BY d),
+        |mv AS (SELECT d, (2*sx + n) // (2*n) AS mu FROM st),
+        |sd AS (
+        |  SELECT st.d, qx - 2*mu*sx + n*mu*mu AS ssd
+        |  FROM st JOIN mv ON mv.d = st.d),
+        |ce AS (
+        |  SELECT e.vec_id, e.d, e.x - mv.mu AS cx
+        |  FROM e JOIN mv ON mv.d = e.d),
+        |p AS (
+        |  SELECT a.d AS di, b.d AS dj,
+        |         CAST(sum(a.cx * b.cx) AS BIGINT) AS sxy
+        |  FROM ce a JOIN ce b ON a.vec_id = b.vec_id AND a.d < b.d
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT di, dj, CAST(sxy AS DOUBLE) /
+        |    greatest(sqrt(CAST(s1.ssd AS DOUBLE) * CAST(s2.ssd AS DOUBLE)),
+        |             1e-30) AS corr
+        |  FROM p JOIN sd s1 ON s1.d = p.di JOIN sd s2 ON s2.d = p.dj)
+        |SELECT di, dj, round(corr, 6) AS corr6 FROM r
+        |ORDER BY abs(corr) DESC, di, dj LIMIT 15""".stripMargin
   )
 }

@@ -56,4 +56,35 @@ class GaussianOutlierSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
     assert(!plan.contains("Exchange"))
   }
+
+  test("moments match the brute-force integer formulas") {
+    val rows = inliers.take(40)
+    val m = VectorQueries.gaussianMoments(
+      VectorQueries.gridCodes(corpus(rows)))
+    val xs = rows.map(_._3.map(v =>
+      math.min(math.max(math.round(v.toDouble * 1000), -8000L), 8000L) + 8000L))
+    (0 until 8).foreach { d =>
+      val col = xs.map(_(d))
+      val (n, sx, qx) = (col.size.toLong, col.sum, col.map(x => x * x).sum)
+      assert(m.mu(d) == (2 * sx + n) / (2 * n))
+      assert(m.vr(d) == math.max(qx / n - m.mu(d) * m.mu(d), 1L))
+      assert(m.ssd(d) == qx - 2 * m.mu(d) * sx + n * m.mu(d) * m.mu(d))
+      assert(m.ssd(d) >= 0L)
+    }
+  }
+
+  test("a duplicated dimension tops the correlation pairs at ~1") {
+    // dim 3 := dim 0 exactly; the (0,3) pair must rank first with
+    // corr ≈ 1 (exact up to the one final IEEE division)
+    val rows = inliers.map { case (id, lb, e) =>
+      val e2 = e.clone(); e2(3) = e(0); (id, lb, e2)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrspec")
+    corpus(rows).write.mode("overwrite")
+      .parquet(dir.resolve("embeddings.parquet").toString)
+    val top = VectorQueries.queries("q262_dim_correlation")(spark, dir.toString)
+      .collect()
+    assert(top.head.getInt(0) == 0 && top.head.getInt(1) == 3)
+    assert(math.abs(top.head.getDouble(2) - 1.0) < 1e-9)
+  }
 }
