@@ -1,0 +1,247 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.VectorQueries
+
+/** The reference's ML pipeline API re-expressed over DataFrames
+  * (flink-ml-api/.../api/core/: `PipelineStage.java`,
+  * `Transformer.java:33`, `Estimator.java:37`, `Model.java:38`,
+  * `Pipeline.java:60`) — 1.10's flink-ml ships the pipeline
+  * INFRASTRUCTURE (no algorithm zoo), so this surface plus the
+  * Gaussian/quantizer stages below is the complete user-facing
+  * capability.
+  *
+  * Semantics mirrored exactly from `Pipeline.java`:
+  *  - `appendStage` tracks the LAST estimator index; `needFit` is
+  *    true iff one exists (`:122`);
+  *  - `fit` walks the stages, fitting estimators and REPLACING them
+  *    with their models, transforming the training input through each
+  *    fitted/given stage up to the last estimator (`:169–189`), and
+  *    returns a NEW all-transformer pipeline;
+  *  - `transform` refuses when unfitted estimators remain (`:202`);
+  *  - `toJson`/`loadJson` persist stages as (class name, params)
+  *    pairs (`:212–240`) — stages restore via a no-arg constructor +
+  *    `withParams`, so a fitted pipeline survives a round trip.
+  *
+  * Spark-first: a stage is a DataFrame→DataFrame function, so every
+  * stage composes into ONE lazy Catalyst plan — a fitted pipeline adds
+  * projections/filters to the logical plan and the optimizer fuses
+  * them; nothing materializes between stages.
+  */
+object Pipeline {
+
+  /** Reference `PipelineStage`: persistable via (class, params). */
+  trait PipelineStage extends Serializable {
+    /** Flat string params — the persisted state. */
+    def params: Map[String, String]
+    /** Rebuild this stage's state from persisted params. */
+    def withParams(p: Map[String, String]): PipelineStage
+  }
+
+  /** Reference `Transformer`: a DataFrame→DataFrame stage. */
+  trait Transformer extends PipelineStage {
+    def transform(df: DataFrame): DataFrame
+  }
+
+  /** Reference `Model`: a Transformer produced by an Estimator. */
+  trait Model extends Transformer
+
+  /** Reference `Estimator`: fits a Model on data. */
+  trait Estimator extends PipelineStage {
+    def fit(df: DataFrame): Model
+  }
+
+  // ---- minimal JSON (strings only; no external mapper) -------------
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c    => c.toString
+    }
+
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); case x => sb.append(x)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def mapToJson(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
+
+  private val PairRe = """"((?:[^"\\]|\\.)*)":"((?:[^"\\]|\\.)*)"""".r
+
+  private def jsonToMap(s: String): Map[String, String] =
+    PairRe.findAllMatchIn(s)
+      .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
+}
+
+/** Reference `Pipeline`: Estimator + Transformer + Model in one. */
+final class Pipeline(initial: Seq[Pipeline.PipelineStage] = Nil)
+    extends Pipeline.Estimator with Pipeline.Model {
+  import Pipeline._
+
+  private var stages = Vector.empty[PipelineStage]
+  private var lastEstimatorIndex = -1
+  initial.foreach(appendStage)
+
+  def this(pipelineJson: String) = { this(Nil); loadJson(pipelineJson) }
+
+  def appendStage(stage: PipelineStage): Pipeline = {
+    val stageNeedsFit = stage match {
+      case p: Pipeline     => p.needFit
+      case _: Estimator    => true
+      case _: Transformer  => false
+      case _ => throw new IllegalArgumentException(
+        s"stage must be an Estimator or Transformer: ${stage.getClass}")
+    }
+    if (stageNeedsFit) lastEstimatorIndex = stages.size
+    stages = stages :+ stage
+    this
+  }
+
+  def getStages: Seq[PipelineStage] = stages
+
+  /** True iff an unfitted Estimator remains (Pipeline.java:122). */
+  def needFit: Boolean = lastEstimatorIndex >= 0
+
+  /** Fit every estimator in order, threading the training input
+    * through each stage up to the last estimator; returns a new
+    * all-transformer pipeline (Pipeline.java:169). */
+  def fit(df: DataFrame): Pipeline = {
+    var input = df
+    val fitted = stages.zipWithIndex.map { case (s, i) =>
+      if (i <= lastEstimatorIndex) {
+        val t: Transformer = s match {
+          case p: Pipeline if p.needFit => p.fit(input)
+          case e: Estimator             => e.fit(input)
+          case tr: Transformer          => tr
+        }
+        input = t.transform(input)
+        t
+      } else s
+    }
+    new Pipeline(fitted)
+  }
+
+  /** Apply all stages in order (Pipeline.java:201); refuses when the
+    * pipeline still contains an unfitted Estimator. */
+  def transform(df: DataFrame): DataFrame = {
+    if (needFit)
+      throw new IllegalStateException(
+        "Pipeline contains Estimator, need to fit first.")
+    stages.foldLeft(df)((d, s) => s.asInstanceOf[Transformer].transform(d))
+  }
+
+  /** Persist as a JSON array of {class, params} (Pipeline.java:212). */
+  def toJson: String =
+    stages.map {
+      case p: Pipeline =>
+        s"""{"class":"${classOf[Pipeline].getName}","pipeline":${p.toJson}}"""
+      case s =>
+        s"""{"class":"${s.getClass.getName}","params":${mapToJson(s.params)}}"""
+    }.mkString("[", ",", "]")
+
+  /** Restore stages via no-arg constructor + withParams
+    * (Pipeline.java:232). Nested pipelines are not supported here —
+    * fail loudly rather than half-restore. */
+  def loadJson(json: String): Unit = {
+    stages = Vector.empty; lastEstimatorIndex = -1
+    if (json.contains(""""pipeline":"""))
+      throw new IllegalArgumentException(
+        "nested Pipeline persistence is not supported; flatten the stages")
+    val StageRe = """\{"class":"([^"]+)","params":(\{(?:[^{}]|\\.)*\})\}""".r
+    StageRe.findAllMatchIn(json).foreach { m =>
+      val cls = Class.forName(m.group(1))
+      val stage = cls.getDeclaredConstructor().newInstance()
+        .asInstanceOf[PipelineStage]
+        .withParams(jsonToMap(m.group(2)))
+      appendStage(stage)
+    }
+  }
+
+  // a Pipeline's own persisted state is its stages, not flat params
+  def params: Map[String, String] = Map.empty
+  def withParams(p: Map[String, String]): PipelineStage = this
+}
+
+// ---- concrete stages over the existing engine machinery -------------
+
+/** Transformer: q197's int8 symmetric quantization — appends `qv`
+  * (int8 codes as longs) and `nrm` (integer norm) to rows keyed by
+  * `idCol`. Pure projection. */
+final class Int8Quantizer(idCol: String) extends Pipeline.Transformer {
+  def this() = this("vec_id")
+  def transform(df: DataFrame): DataFrame =
+    df.join(VectorQueries.quantI8(df, idCol), Seq(idCol))
+  def params: Map[String, String] = Map("idCol" -> idCol)
+  def withParams(p: Map[String, String]): Pipeline.PipelineStage =
+    new Int8Quantizer(p("idCol"))
+}
+
+/** Estimator: fits q261's diagonal-covariance Gaussian on the
+  * `embedding` column; the model appends the fixed-point Mahalanobis²
+  * `score` and boolean `outlier` (score > gate, the training corpus's
+  * own P90 self-score — q263's gate rule). */
+final class GaussianOutlierEstimator extends Pipeline.Estimator {
+  def fit(df: DataFrame): Pipeline.Model = {
+    val codes = VectorQueries.gridCodes(df)
+    val m = VectorQueries.gaussianMoments(codes)
+    val k = math.max(m.n / 10, 1).toInt
+    val gate = codes
+      .select(col("vec_id"), VectorQueries.mahalanobis(col("xs"), m).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(k)
+      .agg(min(col("s"))).head().getLong(0)
+    new GaussianOutlierModel(m.mu, m.vr, gate)
+  }
+  def params: Map[String, String] = Map.empty
+  def withParams(p: Map[String, String]): Pipeline.PipelineStage = this
+}
+
+/** Fitted Gaussian gate: a scan-speed projection (the moments ride the
+  * closure as literals — q263's streaming-safe shape). Persists its
+  * fitted state, so a saved pipeline scores identically after reload. */
+final class GaussianOutlierModel(mu: Array[Long], vr: Array[Long],
+                                 gate: Long) extends Pipeline.Model {
+  def this() = this(Array(0L), Array(1L), 0L)
+  def transform(df: DataFrame): DataFrame = {
+    val m = VectorQueries.Moments(0L, mu, vr, Array.empty)
+    val xs = transform_(df)
+    df.withColumn("score", VectorQueries.mahalanobis(xs, m))
+      .withColumn("outlier", col("score") > lit(gate))
+  }
+  private def transform_(df: DataFrame): Column =
+    org.apache.spark.sql.functions.transform(
+      col("embedding"), x =>
+        least(greatest(round(x.cast("double") * 1000), lit(-8000.0)),
+          lit(8000.0)).cast("long") + lit(8000L))
+  def params: Map[String, String] = Map(
+    "mu" -> mu.mkString(","), "vr" -> vr.mkString(","),
+    "gate" -> gate.toString)
+  def withParams(p: Map[String, String]): Pipeline.PipelineStage =
+    new GaussianOutlierModel(
+      p("mu").split(',').map(_.toLong), p("vr").split(',').map(_.toLong),
+      p("gate").toLong)
+}
+
+/** Transformer: keeps only non-outliers — the curation gate's tail
+  * end; composes with the model into one fused Catalyst plan. */
+final class OutlierFilter extends Pipeline.Transformer {
+  def transform(df: DataFrame): DataFrame =
+    df.filter(!col("outlier")).drop("score", "outlier")
+  def params: Map[String, String] = Map.empty
+  def withParams(p: Map[String, String]): Pipeline.PipelineStage = this
+}

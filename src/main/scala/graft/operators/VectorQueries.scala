@@ -57,7 +57,7 @@ object VectorQueries {
     * codes round(x·127/s); integer codes/norms make every downstream
     * sum order-independent exact (the oracle-parity discipline of the
     * whole quantized family: q197/q209/q211/q213). */
-  private[operators] def quantI8(df: org.apache.spark.sql.DataFrame,
+  private[graft] def quantI8(df: org.apache.spark.sql.DataFrame,
                                  id: String): org.apache.spark.sql.DataFrame =
     df.select(col(id), asD(col("embedding")).as("de"))
       .withColumn("scale",
@@ -87,7 +87,7 @@ object VectorQueries {
   /** Fixed-point grid codes for the Gaussian-statistics family
     * (q261–q263): 1/1000 grid, clamped ±8, offset +8000 so every code
     * is non-negative (floor = truncate in both engines). */
-  private[operators] def gridCodes(e: org.apache.spark.sql.DataFrame)
+  private[graft] def gridCodes(e: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     e.select(col("vec_id"), col("label"),
       transform(asD(col("embedding")), x =>
@@ -99,10 +99,10 @@ object VectorQueries {
     * v̂ = Σx² div n − μ̂², centered sum of squares
     * ssd = Σx² − 2μ̂Σx + nμ̂² (the correlation denominator). One
     * `dims`-key map-side-combined aggregation, bounded collect. */
-  private[operators] case class Moments(n: Long, mu: Array[Long],
+  private[graft] case class Moments(n: Long, mu: Array[Long],
                                         vr: Array[Long], ssd: Array[Long])
 
-  private[operators] def gaussianMoments(codes: org.apache.spark.sql.DataFrame)
+  private[graft] def gaussianMoments(codes: org.apache.spark.sql.DataFrame)
       : Moments = {
     val st = codes
       .select(posexplode(col("xs")).as(Seq("d", "x")))
@@ -129,7 +129,7 @@ object VectorQueries {
 
   /** Mahalanobis²-diag as a scan-speed projection against literal
     * μ̂/v̂ arrays: Σ_d (1000·(x_d−μ̂_d)²) div v̂_d. */
-  private[operators] def mahalanobis(xs: Column, m: Moments): Column = {
+  private[graft] def mahalanobis(xs: Column, m: Moments): Column = {
     val muLit = array(m.mu.toIndexedSeq.map(lit(_)): _*)
     val vrLit = array(m.vr.toIndexedSeq.map(lit(_)): _*)
     aggregate(

@@ -1,0 +1,78 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pipeline API semantics vs the reference contract
+  * (flink-ml-api Pipeline.java): estimator replacement on fit,
+  * transform-before-fit refusal, input threading, JSON round-trip. */
+class PipelineSpec extends SparkSpec {
+
+  private def emb = {
+    import spark.implicits._
+    (0L until 120L).map { i =>
+      val e = Array.tabulate(8) { d =>
+        val h = (i * 31 + d * 17 + 7) % 101
+        (h / 101.0f) - 0.5f
+      }
+      // two planted anomalies
+      val e2 = if (i >= 118) Array.fill(8)(4.0f) else e
+      (i, (i % 3).toInt, e2)
+    }.toDF("vec_id", "label", "embedding")
+  }
+
+  test("fit replaces estimators with models; transform threads stages") {
+    val p = new Pipeline()
+      .appendStage(new GaussianOutlierEstimator())
+      .appendStage(new OutlierFilter())
+    assert(p.needFit)
+    val fitted = p.fit(emb)
+    assert(!fitted.needFit)
+    assert(fitted.getStages.head.isInstanceOf[GaussianOutlierModel])
+    val out = fitted.transform(emb)
+    val ids = out.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    // the planted anomalies are gated out; schema back to the input's
+    assert(!ids.contains(118L) && !ids.contains(119L))
+    assert(out.columns.toSeq == Seq("vec_id", "label", "embedding"))
+  }
+
+  test("transform before fit refuses (reference Pipeline.java:202)") {
+    val p = new Pipeline().appendStage(new GaussianOutlierEstimator())
+    val err = intercept[IllegalStateException](p.transform(emb))
+    assert(err.getMessage.contains("need to fit first"))
+  }
+
+  test("a transformer-only pipeline needs no fit") {
+    val p = new Pipeline().appendStage(new Int8Quantizer("vec_id"))
+    assert(!p.needFit)
+    val out = p.transform(emb)
+    assert(out.columns.contains("qv") && out.columns.contains("nrm"))
+    assert(out.count() == 120)
+  }
+
+  test("JSON round-trip restores a fitted pipeline exactly") {
+    val fitted = new Pipeline()
+      .appendStage(new GaussianOutlierEstimator())
+      .fit(emb)
+    val json = fitted.toJson
+    val restored = new Pipeline(json)
+    assert(!restored.needFit)
+    def scores(p: Pipeline) = p.transform(emb)
+      .select(col("vec_id"), col("score"), col("outlier"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    assert(scores(restored) == scores(fitted))
+    // and the json itself is stable across a second trip
+    assert(new Pipeline(json).toJson == json)
+  }
+
+  test("a fitted pipeline composes into one lazy plan (no mid-stage sink)") {
+    val fitted = new Pipeline()
+      .appendStage(new GaussianOutlierEstimator())
+      .appendStage(new OutlierFilter())
+      .fit(emb)
+    val plan = fitted.transform(emb).queryExecution.optimizedPlan.toString
+    // the filter fused into the same plan tree as the scoring projection
+    assert(!plan.contains("LogicalRDD") || plan.split("LogicalRDD").length <= 2)
+  }
+}
