@@ -54,7 +54,10 @@ object Bench {
     "q214_surprisal_score", // LM surprisal (corpus LM + per-doc rollup)
     "q220_token_budget_select", // histogram-bounded budget selection
     "q231_dup_spans_maximal", // Lee-et-al maximal dup spans (anchor merge)
-    "q242_avro_roundtrip")  // avro DSv2 write + read back (container codec)
+    "q242_avro_roundtrip",  // avro DSv2 write + read back (container codec)
+    // round-7 Gaussian statistics family
+    "q261_gaussian_outliers", // moments fit + scan-speed Mahalanobis tail
+    "q262_dim_correlation")   // 2016-key centered pair-product rollup
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
