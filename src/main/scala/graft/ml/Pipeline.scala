@@ -181,15 +181,26 @@ final class Pipeline(initial: Seq[Pipeline.PipelineStage] = Nil)
 // ---- concrete stages over the existing engine machinery -------------
 
 /** Transformer: q197's int8 symmetric quantization — appends `qv`
-  * (int8 codes as longs) and `nrm` (integer norm) to rows keyed by
-  * `idCol`. Pure projection. */
-final class Int8Quantizer(idCol: String) extends Pipeline.Transformer {
-  def this() = this("vec_id")
-  def transform(df: DataFrame): DataFrame =
-    df.join(VectorQueries.quantI8(df, idCol), Seq(idCol))
-  def params: Map[String, String] = Map("idCol" -> idCol)
+  * (int8 codes as longs) and `nrm` (integer norm). A PURE projection
+  * (no join-back: the per-vector scale is recomputed inline, exactly
+  * quantI8's expressions), so the stage adds zero shuffles. */
+final class Int8Quantizer(embCol: String) extends Pipeline.Transformer {
+  def this() = this("embedding")
+  def transform(df: DataFrame): DataFrame = {
+    val de = org.apache.spark.sql.functions.transform(
+      col(embCol), x => x.cast("double"))
+    val scale = greatest(
+      array_max(org.apache.spark.sql.functions.transform(de, x => abs(x))),
+      lit(1e-30))
+    df.withColumn("qv", org.apache.spark.sql.functions.transform(
+        de, x => round(x * lit(127) / scale).cast("long")))
+      .withColumn("nrm", aggregate(
+        org.apache.spark.sql.functions.transform(col("qv"), x => x * x),
+        lit(0L), (acc, x) => acc + x))
+  }
+  def params: Map[String, String] = Map("embCol" -> embCol)
   def withParams(p: Map[String, String]): Pipeline.PipelineStage =
-    new Int8Quantizer(p("idCol"))
+    new Int8Quantizer(p("embCol"))
 }
 
 /** Estimator: fits q261's diagonal-covariance Gaussian on the

@@ -42,12 +42,21 @@ class PipelineSpec extends SparkSpec {
     assert(err.getMessage.contains("need to fit first"))
   }
 
-  test("a transformer-only pipeline needs no fit") {
-    val p = new Pipeline().appendStage(new Int8Quantizer("vec_id"))
+  test("a transformer-only pipeline needs no fit and adds no shuffle") {
+    val p = new Pipeline().appendStage(new Int8Quantizer("embedding"))
     assert(!p.needFit)
     val out = p.transform(emb)
     assert(out.columns.contains("qv") && out.columns.contains("nrm"))
     assert(out.count() == 120)
+    // codes agree with the engine's quantI8 projection
+    val viaHelper = graft.operators.VectorQueries.quantI8(emb, "vec_id")
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    out.select(col("vec_id"), col("qv"), col("nrm")).collect().foreach { r =>
+      val (qv, nrm) = viaHelper(r.getLong(0))
+      assert(r.getSeq[Long](1) == qv && r.getLong(2) == nrm)
+    }
+    // pure projection: no Exchange in the stage's plan
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
   test("JSON round-trip restores a fitted pipeline exactly") {
