@@ -279,6 +279,26 @@ object VectorQueries {
     // aggregation collapses every partition to ≤2016 keys before the
     // one tiny shuffle. Denominators ride literal arrays; the corpus
     // never shuffles at full width.
+    // The ML Pipeline API end-to-end AGAINST THE ORACLE: fit the
+    // Gaussian outlier estimator (reference flink-ml-api
+    // Pipeline.fit semantics — estimator replaced by its model),
+    // PERSIST the fitted pipeline to JSON, reload it, and emit the
+    // reloaded pipeline's flagged outliers. The JSON round trip is
+    // inside the oracle binding on purpose: a mis-persisted moment,
+    // gate, or stage order breaks the hash. Relational semantics =
+    // q261's scorer + q263's P90 gate rule over the full corpus.
+    "q264_ml_pipeline" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val fitted = new graft.ml.Pipeline()
+        .appendStage(new graft.ml.GaussianOutlierEstimator())
+        .fit(e)
+      val reloaded = new graft.ml.Pipeline(fitted.toJson)
+      reloaded.transform(e)
+        .filter(col("outlier"))
+        .select(col("vec_id"), col("label"), col("score"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q262_dim_correlation" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val codes = gridCodes(e)
@@ -786,6 +806,45 @@ object VectorQueries {
         |  FROM e JOIN mv USING (d) GROUP BY e.vec_id, e.label)
         |SELECT vec_id, label, score FROM sc
         |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+
+    // q261's scorer + q263's gate rule over the FULL corpus: the
+    // pipeline's fitted state recomputed relationally; emitted rows
+    // are the strictly-above-gate tail.
+    "q264_ml_pipeline" ->
+      """WITH c AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x ->
+        |      CAST(least(greatest(round(CAST(x AS DOUBLE) * 1000), -8000),
+        |                 8000) AS BIGINT) + 8000) AS xs
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, label, generate_subscripts(xs, 1) AS d,
+        |         unnest(xs) AS x
+        |  FROM c),
+        |st AS (
+        |  SELECT d, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(x*x) AS BIGINT) AS qx
+        |  FROM e GROUP BY d),
+        |mv AS (
+        |  SELECT d, (2*sx + n) // (2*n) AS mu,
+        |         greatest(qx // n - ((2*sx + n) // (2*n)) *
+        |                            ((2*sx + n) // (2*n)), 1) AS v
+        |  FROM st),
+        |sc AS (
+        |  SELECT e.vec_id, e.label,
+        |    CAST(sum((1000 * (e.x - mv.mu) * (e.x - mv.mu)) // mv.v)
+        |         AS BIGINT) AS score
+        |  FROM e JOIN mv USING (d) GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT score, row_number() OVER (ORDER BY score DESC, vec_id) AS rk
+        |  FROM sc),
+        |nc AS (SELECT count(*) AS n FROM sc),
+        |gate AS (
+        |  SELECT r.score AS g FROM ranked r, nc
+        |  WHERE r.rk = greatest(n // 10, 1))
+        |SELECT sc.vec_id, sc.label, sc.score
+        |FROM sc, gate WHERE sc.score > g
+        |ORDER BY sc.vec_id""".stripMargin,
 
     // Centered pair products relationally: grid codes, per-dim rounded
     // mean, centered values self-joined on (vec_id, d_i < d_j) — the
