@@ -256,3 +256,37 @@ final class OutlierFilter extends Pipeline.Transformer {
   def params: Map[String, String] = Map.empty
   def withParams(p: Map[String, String]): Pipeline.PipelineStage = this
 }
+
+/** Estimator: k-means coarse quantizer over `embCol` (q146's IvfAnn
+  * fit — Lloyd iterations with only centroids through the driver);
+  * the model appends the `cluster` column via the zero-shuffle
+  * literal-argmax projection. Fitted centroids persist, so a reloaded
+  * pipeline assigns identically. */
+final class IvfClusterEstimator(embCol: String, k: Int, lloydIters: Int)
+    extends Pipeline.Estimator {
+  def this() = this("embedding", 8, 2)
+  def fit(df: DataFrame): Pipeline.Model =
+    new IvfClusterModel(embCol,
+      graft.operators.IvfAnn.fit(df, embCol, k, lloydIters).centroids)
+  def params: Map[String, String] = Map(
+    "embCol" -> embCol, "k" -> k.toString, "lloydIters" -> lloydIters.toString)
+  def withParams(p: Map[String, String]): Pipeline.PipelineStage =
+    new IvfClusterEstimator(p("embCol"), p("k").toInt, p("lloydIters").toInt)
+}
+
+/** Fitted coarse quantizer: literal-argmax cluster assignment (pure
+  * projection; the centroids ride the closure). */
+final class IvfClusterModel(embCol: String,
+                            centroids: Array[Array[Double]])
+    extends Pipeline.Model {
+  def this() = this("embedding", Array(Array(0.0)))
+  def transform(df: DataFrame): DataFrame =
+    graft.operators.IvfAnn.assign(df, embCol,
+      graft.operators.IvfAnn.Model(centroids))
+  def params: Map[String, String] = Map(
+    "embCol" -> embCol,
+    "centroids" -> centroids.map(_.mkString(",")).mkString(";"))
+  def withParams(p: Map[String, String]): Pipeline.PipelineStage =
+    new IvfClusterModel(p("embCol"),
+      p("centroids").split(';').map(_.split(',').map(_.toDouble)))
+}

@@ -75,6 +75,24 @@ class PipelineSpec extends SparkSpec {
     assert(new Pipeline(json).toJson == json)
   }
 
+  test("IvfClusterEstimator round-trips and matches the engine's assign") {
+    val fitted = new Pipeline()
+      .appendStage(new IvfClusterEstimator("embedding", 4, 2))
+      .fit(emb)
+    val restored = new Pipeline(fitted.toJson)
+    def clusters(p: Pipeline) = p.transform(emb)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).sortBy(_._1).toSeq
+    val viaPipeline = clusters(fitted)
+    assert(clusters(restored) == viaPipeline)
+    val m = graft.operators.IvfAnn.fit(emb, "embedding", 4, 2)
+    val direct = graft.operators.IvfAnn.assign(emb, "embedding", m)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).sortBy(_._1).toSeq
+    assert(viaPipeline == direct)
+    assert(viaPipeline.map(_._2).distinct.size > 1)
+  }
+
   test("a fitted pipeline composes into one lazy plan (no mid-stage sink)") {
     val fitted = new Pipeline()
       .appendStage(new GaussianOutlierEstimator())
