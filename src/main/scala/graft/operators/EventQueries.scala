@@ -354,6 +354,78 @@ object EventQueries {
         .orderBy(col("w_start"), col("event_type"))
     }),
 
+    // STREAMING NON-KEYED window aggregate (the reference's
+    // `DataStream.timeWindowAll` → `windowAll(TumblingEventTimeWindows)`,
+    // DataStream.java:789): q129's replay harness with NO key — one
+    // global 1h tumbling series. Flink pins windowAll to parallelism 1
+    // (AllWindowedStream is non-parallel by contract); Spark's
+    // groupBy(window) distributes BY WINDOW, so the same query
+    // parallelizes across the time axis — strictly better at scale.
+    // Flush-window rows can't be filtered by key (there is none): the
+    // output keeps only windows starting at or before the last real
+    // event, which excludes the day-offset sentinels structurally.
+    "q265_windowall_stream" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.{Event, Replay}
+      import org.apache.spark.sql.streaming.Trigger
+      val base = java.nio.file.Files.createTempDirectory("graft-winall")
+      val (out, ck) = (s"$base/out", s"$base/ck")
+      val real = Tables.events(s, d).as[Event]
+      val (loUs, hiUs) = {
+        val r = real.agg(min(col("ts")), max(col("ts"))).head()
+        (Event.micros(r.getTimestamp(0)), Event.micros(r.getTimestamp(1)))
+      }
+      def tsOf(us: Long) = new java.sql.Timestamp(us / 1000)
+      val cut = (q: Long) => lit(tsOf(loUs + (hiUs - loUs) * q / 4))
+      def flush(id: Long, offDays: Long) = Event(id,
+        tsOf(hiUs + offDays * 86400L * 1000000L), -1L, "flush", 0.0, "{}")
+      val ev = real.union(Seq(flush(-1L, 1), flush(-2L, 2)).toDS())
+      val fcol = col("event_type") === "flush"
+      val chunks = Seq(
+        col("ts") < cut(1) && !fcol,
+        col("ts") >= cut(1) && col("ts") < cut(2) && !fcol,
+        col("ts") >= cut(2) && col("ts") < cut(3) && !fcol,
+        col("ts") >= cut(3) && !fcol,
+        col("event_id") === -1L && fcol,
+        col("event_id") === -2L && fcol)
+      val (inDir, schema) = Replay.fileEpochs(ev, chunks, base.toString)
+      val agg = Replay.stream(s, inDir, schema)
+        .withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), sumCents.as("cents_v"))
+        .select(col("w.start").as("w_start"), col("n"), col("cents_v"))
+      val q = agg.writeStream
+        .option("checkpointLocation", ck)
+        .outputMode("append").format("parquet").option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out).filter(col("w_start") <= lit(tsOf(hiUs)))
+        .orderBy(col("w_start"))
+    }),
+
+    // NON-KEYED count windows (`DataStream.countWindowAll`,
+    // DataStream.java:832 → KeyedStream countWindow semantics over
+    // the whole stream): consecutive 500-event windows in global
+    // (ts, event_id) order. Flink again runs this at parallelism 1;
+    // here the global order comes from the q221 two-pass distributed
+    // rank (repartitionByRange → sortWithinPartitions →
+    // RDD zipWithIndex — range partitions number in order, so the
+    // index IS the rank) and the per-window aggregation distributes.
+    // No single-partition Window operator anywhere in the plan.
+    "q266_countwindowall" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .repartitionByRange(col("ts"), col("event_id"))
+        .sortWithinPartitions(col("ts"), col("event_id"))
+      DatasetUtils.zipWithIndex(ev)
+        .groupBy((col("idx") / 500).cast("long").as("win_id"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_v"),
+          min(col("event_id")).as("min_ev"),
+          max(col("event_id")).as("max_ev"))
+        .orderBy(col("win_id"))
+    }),
+
     // STREAMING session windows oracle-bound (the reference's
     // EventTimeSessionWindows path): Spark's session_window with a
     // 30-minute gap over the multi-epoch replay — sessions merge in
@@ -600,6 +672,28 @@ object EventQueries {
         |  count(*) AS n,
         |  sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents_v
         |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // q129 minus the key: ONE global tumbling series; the streaming
+    // windowAll must close every window on exactly the batch result
+    "q265_windowall_stream" -> (evCte +
+      """
+        |SELECT date_trunc('hour', ts) AS w_start,
+        |  count(*) AS n,
+        |  sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents_v
+        |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin),
+    // global (ts, event_id) rank → consecutive 500-event windows;
+    // the engine's two-pass distributed rank must reproduce the
+    // window boundaries of the literal row_number exactly
+    "q266_countwindowall" -> (evCte +
+      """,
+        |rk AS (
+        |  SELECT (row_number() OVER (ORDER BY ts, event_id) - 1) // 500
+        |           AS win_id,
+        |         event_id, value
+        |  FROM ev)
+        |SELECT win_id, count(*) AS n,
+        |  sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents_v,
+        |  min(event_id) AS min_ev, max(event_id) AS max_ev
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin),
     // identical SQL to q50: the watermarked streaming aggregation must
     // close every window on exactly the batch result
     "q129_window_stream" -> (evCte +
