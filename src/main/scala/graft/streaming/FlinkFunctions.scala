@@ -60,12 +60,28 @@ object FlinkFunctions {
 
   // ---- generic balanced-paren call scanner -------------------------
 
-  /** First `NAME ( … )` call at or after `from`; top-level args split
-    * on commas outside parens/quotes. */
+  /** True iff index `i` falls INSIDE a string literal (between an
+    * opening quote and its closing quote, '' escapes included) — a
+    * dialect spelling inside a literal is data, not a call, and must
+    * be neither rewritten nor rejected. */
+  private def insideLiteral(sql: String, i: Int): Boolean = {
+    var inQ = false; var p = 0
+    while (p < i) {
+      if (sql.charAt(p) == '\'') inQ = !inQ
+      p += 1
+    }
+    inQ
+  }
+
+  /** First `NAME ( … )` call at or after `from` that is NOT inside a
+    * string literal; top-level args split on commas outside
+    * parens/quotes. */
   private def findCall(sql: String, name: String, from: Int)
       : Option[(Int, Int, List[String])] = {
     val re = ("""(?i)\b""" + name + """\s*\(""").r
-    re.findFirstMatchIn(sql.substring(from)).map { m =>
+    re.findAllMatchIn(sql.substring(from))
+      .find(m => !insideLiteral(sql, from + m.start))
+      .map { m =>
       val open = from + m.end // index just past '('
       var depth = 1; var i = open; var argStart = open; var inQ = false
       val args = scala.collection.mutable.ListBuffer[String]()
@@ -176,16 +192,23 @@ object FlinkFunctions {
     """(?is)SIMILAR\s+TO\s+'(?:[^']|'')*'\s+ESCAPE\b""".r
 
   private def rewriteSimilar(sql: String): String = {
-    if (EscapeClauseRe.findFirstIn(sql).isDefined)
+    if (EscapeClauseRe.findAllMatchIn(sql)
+          .exists(m => !insideLiteral(sql, m.start)))
       fail("SIMILAR TO … ESCAPE is not supported; inline the escapes")
-    SimilarRe.replaceAllIn(sql, m => {
-      val operand = m.group(1)
-      val neg = m.group(2) != null
-      val rx = "^(?:" + similarToRegex(m.group(3).replace("''", "'")) + ")$"
-      val call = s"regexp_like($operand, ${sqlLit(rx)})"
-      scala.util.matching.Regex.quoteReplacement(
-        if (neg) s"(NOT $call)" else call)
-    })
+    // manual rebuild so matches INSIDE string literals stay data
+    val sb = new StringBuilder; var last = 0
+    SimilarRe.findAllMatchIn(sql).foreach { m =>
+      if (m.start >= last && !insideLiteral(sql, m.start)) {
+        val operand = m.group(1)
+        val neg = m.group(2) != null
+        val rx = "^(?:" + similarToRegex(m.group(3).replace("''", "'")) + ")$"
+        val call = s"regexp_like($operand, ${sqlLit(rx)})"
+        sb.append(sql.substring(last, m.start))
+          .append(if (neg) s"(NOT $call)" else call)
+        last = m.end
+      }
+    }
+    sb.append(sql.substring(last)).toString
   }
 
   // ---- the rewrite pass --------------------------------------------
@@ -272,8 +295,10 @@ object FlinkFunctions {
     val leftover = ("""(?i)\b(SPLIT_INDEX|FROM_BASE64|TO_BASE64|IS_ALPHA|""" +
       """IS_DIGIT|IS_DECIMAL|SHA224|SHA256|SHA384|SHA512|CONVERT_TZ|""" +
       """RAND_INTEGER|TRUNCATE)\s*\(|(?i)\bSIMILAR\s+TO\b""").r
-    leftover.findFirstIn(s).foreach(tok =>
-      fail(s"unsupported dialect form left after rewrite: ${tok.trim}"))
+    leftover.findAllMatchIn(s)
+      .find(m => !insideLiteral(s, m.start))
+      .foreach(m =>
+        fail(s"unsupported dialect form left after rewrite: ${m.matched.trim}"))
     s
   }
 

@@ -169,6 +169,21 @@ class FlinkFunctionsSpec extends SparkSpec {
     assert(FlinkFunctions.rewrite(sql) == sql)
   }
 
+  test("dialect spellings INSIDE string literals are data, not calls") {
+    // neither rewritten nor rejected by the leftover valve
+    val s1 = "SELECT 'see SHA256(x) and TRUNCATE(1) docs' AS note FROM t"
+    assert(FlinkFunctions.rewrite(s1) == s1)
+    val s2 = "SELECT 'a SIMILAR TO ''b''' AS note FROM t"
+    assert(FlinkFunctions.rewrite(s2) == s2)
+    // a real call NEXT TO such a literal still rewrites — and the
+    // literal survives verbatim
+    val s3 = FlinkFunctions.rewrite(
+      "SELECT SHA256(name) AS h, 'keep SHA384( text' AS note FROM t")
+    assert(s3.contains("sha2(name, 256)") && s3.contains("'keep SHA384( text'"))
+    // end-to-end through the engine
+    assert(one("SELECT 'x TRUNCATE(9) y'") == "x TRUNCATE(9) y")
+  }
+
   test("the unified executeSql surface routes the dialect") {
     val env = new FlinkSql.Env(spark)
     val df = env.executeSql(
