@@ -60,18 +60,10 @@ object FlinkFunctions {
 
   // ---- generic balanced-paren call scanner -------------------------
 
-  /** True iff index `i` falls INSIDE a string literal (between an
-    * opening quote and its closing quote, '' escapes included) — a
-    * dialect spelling inside a literal is data, not a call, and must
-    * be neither rewritten nor rejected. */
-  private def insideLiteral(sql: String, i: Int): Boolean = {
-    var inQ = false; var p = 0
-    while (p < i) {
-      if (sql.charAt(p) == '\'') inQ = !inQ
-      p += 1
-    }
-    inQ
-  }
+  /** A dialect spelling inside a string literal is data, not a call —
+    * it must be neither rewritten nor rejected (shared SqlText rule). */
+  private def insideLiteral(sql: String, i: Int): Boolean =
+    SqlText.insideLiteral(sql, i)
 
   /** First `NAME ( … )` call at or after `from` that is NOT inside a
     * string literal; top-level args split on commas outside

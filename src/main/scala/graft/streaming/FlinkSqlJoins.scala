@@ -132,10 +132,10 @@ object FlinkSqlJoins {
     * Spark's `LATERAL VIEW [OUTER] explode/inline`. */
   def rewriteLateral(sql: String): String = {
     import scala.util.matching.Regex.Match
-    BadJoinRe.findFirstIn(sql).foreach(j =>
-      fail(s"unsupported correlate join type: ${j.trim} " +
+    SqlText.firstOutside(BadJoinRe, sql).foreach(j =>
+      fail(s"unsupported correlate join type: ${j.matched.trim} " +
         "(the reference supports inner and LEFT ... ON TRUE correlates)"))
-    val out = LateralRe.replaceAllIn(sql, (m: Match) => {
+    val out = SqlText.replaceAll(LateralRe, sql) { (m: Match) =>
       val joiner = m.group(1).trim.toUpperCase.replaceAll("\\s+", " ")
       val (fn, args, alias) = (m.group(2), m.group(3), m.group(4))
       val cols = m.group(5).split(",").map(_.trim).filter(_.nonEmpty)
@@ -150,9 +150,9 @@ object FlinkSqlJoins {
       val lead = if (joiner == ",") " " else ""
       s"${lead}LATERAL VIEW ${if (outer) "OUTER " else ""}$gen($fn($args)) " +
         s"$alias AS ${cols.mkString(", ")}"
-    })
-    if (out.toUpperCase.contains("LATERAL TABLE"))
-      fail(s"unsupported LATERAL TABLE form left after rewrite")
+    }
+    SqlText.firstOutside("""(?i)\bLATERAL\s+TABLE\b""".r, out).foreach(_ =>
+      fail(s"unsupported LATERAL TABLE form left after rewrite"))
     out
   }
 

@@ -56,11 +56,13 @@ object GroupWindowSql {
   // `session_window(`/`window(` are our own rewrites — don't re-flag
   private val LeftoverRe = """(?i)\b(TUMBLE|HOP|SESSION)(_(?!window\b)\w+)?\s*\(""".r
 
-  /** Translate the Flink-SQL group-window dialect to Spark SQL. */
+  /** Translate the Flink-SQL group-window dialect to Spark SQL.
+    * All matching is literal-aware (SqlText): TUMBLE/HOP/SESSION text
+    * inside a string literal is data. */
   def rewrite(sql: String): String = {
     import scala.util.matching.Regex.Match
     // 1. auxiliary accessors (before the bare assigners: same prefix)
-    val aux = AuxRe.replaceAllIn(sql, (m: Match) => {
+    val aux = SqlText.replaceAll(AuxRe, sql) { (m: Match) =>
       val win = if (m.group(1).equalsIgnoreCase("SESSION")) "session_window" else "window"
       m.group(2).toUpperCase match {
         case "START"   => s"$win.start"
@@ -68,19 +70,19 @@ object GroupWindowSql {
         case "ROWTIME" => s"($win.end - INTERVAL 1 MILLISECOND)"
         case "PROCTIME" => fail("_PROCTIME auxiliaries are processing-time only")
       }
-    })
+    }
     // 2. assigners in GROUP BY
-    val t = TumbleRe.replaceAllIn(aux,
+    val t = SqlText.replaceAll(TumbleRe, aux)(
       (m: Match) => s"window(${m.group(1)}, '${dur(m.group(2), m.group(3))}')")
-    val h = HopRe.replaceAllIn(t, (m: Match) =>
+    val h = SqlText.replaceAll(HopRe, t)((m: Match) =>
       // Flink HOP(ts, slide, size) → Spark window(ts, size, slide)
       s"window(${m.group(1)}, '${dur(m.group(4), m.group(5))}', '${dur(m.group(2), m.group(3))}')")
-    val se = SessRe.replaceAllIn(h,
+    val se = SqlText.replaceAll(SessRe, h)(
       (m: Match) => s"session_window(${m.group(1)}, '${dur(m.group(2), m.group(3))}')")
-    LeftoverRe.findFirstIn(se).foreach(tok =>
-      fail(s"unsupported group-window form left after rewrite: $tok"))
+    SqlText.firstOutside(LeftoverRe, se).foreach(m =>
+      fail(s"unsupported group-window form left after rewrite: ${m.matched}"))
     // 3. dialect shim: VARCHAR casts
-    se.replaceAll("(?i)\\bAS\\s+VARCHAR\\b", "AS STRING")
+    SqlText.replaceAll("""(?i)\bAS\s+VARCHAR\b""".r, se)(_ => "AS STRING")
   }
 
   /** Rewrite + execute against the session's temp views. */

@@ -118,4 +118,14 @@ class GroupWindowSqlSpec extends SparkSpec {
       GroupWindowSql.rewrite("SELECT 1 FROM events GROUP BY TUMBLE(ts, 3600)")
     }
   }
+
+  test("assigner spellings inside string literals are data, not syntax") {
+    val s = "SELECT 'docs: TUMBLE(ts, INTERVAL ''1'' HOUR) and AS VARCHAR' AS note FROM t"
+    assert(GroupWindowSql.rewrite(s) == s)
+    // and a literal next to a REAL assigner survives verbatim
+    val r = GroupWindowSql.rewrite(
+      "SELECT 'HOP( stays', TUMBLE_START(ts, INTERVAL '1' HOUR) AS ws " +
+        "FROM events GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)")
+    assert(r.contains("'HOP( stays'") && r.contains("window(ts, '1 hour')"))
+  }
 }
