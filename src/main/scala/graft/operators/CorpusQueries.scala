@@ -44,6 +44,8 @@ object CorpusQueries {
 
   private val langQuota = 60 // q204: per-language cap
   private val chunkW = 10 // q205: words per dedup chunk
+  private val winW = 64   // q267: tokens per context window
+  private val strideW = 48 // q267: window stride (16-token overlap)
 
   val queries: Map[String, Q] = Map(
     // TF-IDF top term per document, integer-exact: idf is the scaled
@@ -129,6 +131,29 @@ object CorpusQueries {
     // occurrence rank), one on doc_id (reassembly); both carry the
     // chunks once. The rebuilt string aggregates via sorted struct
     // collect — deterministic.
+    // Sliding-window CONTEXT CHUNKING — the training-context prep
+    // step q205/q95 sit on top of: each document splits into
+    // 64-token windows at stride 48 (16-token overlap, so no
+    // train-time span straddles a boundary unseen). Pure projection
+    // + one explode — no shuffle at all until a downstream consumer
+    // groups; each window carries its exact token count and an md5
+    // fingerprint (the dedup/packing join key). At 100 TB this is
+    // scan-speed: the fan-out is ~n_tok/48 rows per doc and the text
+    // column never shuffles.
+    "q267_sliding_chunks" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val w0 = toks(col("text"))
+      val last = ((size(w0) - 1) / strideW).cast("int")
+      docs.select(col("doc_id"), size(w0).as("n"),
+          posexplode(transform(sequence(lit(0), last),
+            i => concat_ws(" ", slice(w0, i * strideW + 1, lit(winW))))))
+        .toDF("doc_id", "n", "chunk_id", "chunk")
+        .select(col("doc_id"), col("chunk_id"),
+          least(lit(winW), col("n") - col("chunk_id") * strideW).as("n_tok"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     "q205_chunk_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val w0 = toks(col("text"))
@@ -251,6 +276,23 @@ object CorpusQueries {
          |FROM documents
          |QUALIFY rk <= $langQuota
          |ORDER BY lang, rk""".stripMargin,
+    // windows recomputed with DuckDB list slicing (1-based inclusive
+    // ends, truncating past length — same as Spark's slice semantics)
+    "q267_sliding_chunks" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |s AS (
+         |  SELECT doc_id, len(tk) AS n, tk,
+         |    unnest(generate_series(0,
+         |      CAST((len(tk) - 1) // $strideW AS BIGINT))) AS chunk_id
+         |  FROM d)
+         |SELECT doc_id, chunk_id,
+         |  least($winW, n - chunk_id * $strideW) AS n_tok,
+         |  md5(array_to_string(
+         |    list_slice(tk, chunk_id * $strideW + 1,
+         |               chunk_id * $strideW + $winW), ' ')) AS chunk_md5
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
     "q205_chunk_dedup" ->
       s"""WITH ix AS (
          |  SELECT doc_id, text,
