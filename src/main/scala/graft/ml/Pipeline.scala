@@ -171,6 +171,14 @@ final class Pipeline(initial: Seq[Pipeline.PipelineStage] = Nil)
         .withParams(jsonToMap(m.group(2)))
       appendStage(stage)
     }
+    // fail loudly rather than half-restore: every "class" entry in the
+    // input must have parsed into a stage (a malformed params blob —
+    // e.g. an unescaped brace — would otherwise VANISH silently)
+    val declared = """"class":""".r.findAllMatchIn(json).size
+    if (stages.size != declared)
+      throw new IllegalArgumentException(
+        s"pipeline JSON declares $declared stage(s) but only " +
+          s"${stages.size} parsed — malformed stage entry")
   }
 
   // a Pipeline's own persisted state is its stages, not flat params
@@ -182,22 +190,12 @@ final class Pipeline(initial: Seq[Pipeline.PipelineStage] = Nil)
 
 /** Transformer: q197's int8 symmetric quantization — appends `qv`
   * (int8 codes as longs) and `nrm` (integer norm). A PURE projection
-  * (no join-back: the per-vector scale is recomputed inline, exactly
-  * quantI8's expressions), so the stage adds zero shuffles. */
+  * (no join-back), delegating to the engine's single quantizer
+  * definition so stage and oracle-bound queries can never drift. */
 final class Int8Quantizer(embCol: String) extends Pipeline.Transformer {
   def this() = this("embedding")
-  def transform(df: DataFrame): DataFrame = {
-    val de = org.apache.spark.sql.functions.transform(
-      col(embCol), x => x.cast("double"))
-    val scale = greatest(
-      array_max(org.apache.spark.sql.functions.transform(de, x => abs(x))),
-      lit(1e-30))
-    df.withColumn("qv", org.apache.spark.sql.functions.transform(
-        de, x => round(x * lit(127) / scale).cast("long")))
-      .withColumn("nrm", aggregate(
-        org.apache.spark.sql.functions.transform(col("qv"), x => x * x),
-        lit(0L), (acc, x) => acc + x))
-  }
+  def transform(df: DataFrame): DataFrame =
+    VectorQueries.withI8Codes(df, embCol)
   def params: Map[String, String] = Map("embCol" -> embCol)
   def withParams(p: Map[String, String]): Pipeline.PipelineStage =
     new Int8Quantizer(p("embCol"))
@@ -211,7 +209,9 @@ final class GaussianOutlierEstimator extends Pipeline.Estimator {
   def fit(df: DataFrame): Pipeline.Model = {
     val codes = VectorQueries.gridCodes(df)
     val m = VectorQueries.gaussianMoments(codes)
-    val k = math.max(m.n / 10, 1).toInt
+    // clamp before toInt: at n > ~2.1e10 (inside the fixed-point
+    // headroom) n/10 exceeds Int.MaxValue and would wrap negative
+    val k = math.min(math.max(m.n / 10, 1L), Int.MaxValue.toLong).toInt
     val gate = codes
       .select(col("vec_id"), VectorQueries.mahalanobis(col("xs"), m).as("s"))
       .orderBy(col("s").desc, col("vec_id")).limit(k)
@@ -230,15 +230,11 @@ final class GaussianOutlierModel(mu: Array[Long], vr: Array[Long],
   def this() = this(Array(0L), Array(1L), 0L)
   def transform(df: DataFrame): DataFrame = {
     val m = VectorQueries.Moments(0L, mu, vr, Array.empty)
-    val xs = transform_(df)
+    val xs = org.apache.spark.sql.functions.transform(
+      col("embedding"), VectorQueries.gridCode _)
     df.withColumn("score", VectorQueries.mahalanobis(xs, m))
       .withColumn("outlier", col("score") > lit(gate))
   }
-  private def transform_(df: DataFrame): Column =
-    org.apache.spark.sql.functions.transform(
-      col("embedding"), x =>
-        least(greatest(round(x.cast("double") * 1000), lit(-8000.0)),
-          lit(8000.0)).cast("long") + lit(8000L))
   def params: Map[String, String] = Map(
     "mu" -> mu.mkString(","), "vr" -> vr.mkString(","),
     "gate" -> gate.toString)

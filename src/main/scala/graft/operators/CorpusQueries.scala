@@ -141,7 +141,11 @@ object CorpusQueries {
     // scan-speed: the fan-out is ~n_tok/48 rows per doc and the text
     // column never shuffles.
     "q267_sliding_chunks" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      // NULL text is excluded EXPLICITLY on both sides: Spark's
+      // size(null) = -1 would emit a phantom chunk while DuckDB's
+      // len(NULL) generates no series rows — the one place the
+      // (size-1)/stride idiom diverges cross-engine.
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
       val w0 = toks(col("text"))
       val last = ((size(w0) - 1) / strideW).cast("int")
       docs.select(col("doc_id"), size(w0).as("n"),
@@ -280,7 +284,8 @@ object CorpusQueries {
     // ends, truncating past length — same as Spark's slice semantics)
     "q267_sliding_chunks" ->
       s"""WITH d AS (
-         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+         |  WHERE text IS NOT NULL),
          |s AS (
          |  SELECT doc_id, len(tk) AS n, tk,
          |    unnest(generate_series(0,

@@ -71,11 +71,19 @@ object MultivariateGaussian {
     val k = aIn.length
     val a = Array.tabulate(k, k)((i, j) => aIn(i)(j))
     val v = Array.tabulate(k, k)((i, j) => if (i == j) 1.0 else 0.0)
+    // convergence is RELATIVE to the matrix scale: the Frobenius
+    // norm² is rotation-invariant, so off² / frob² is a pure measure
+    // of remaining off-diagonal mass — an absolute floor would
+    // declare a tiny-magnitude covariance (entries ~1e-16) "already
+    // diagonal" and silently skip its correlation structure.
+    var frob = 0.0
+    for (p <- 0 until k; q <- 0 until k) frob += a(p)(q) * a(p)(q)
+    val tol = frob * 1e-28
     var sweep = 0
     while (sweep < 64) {
       var off = 0.0
       for (p <- 0 until k; q <- p + 1 until k) off += a(p)(q) * a(p)(q)
-      if (off < 1e-30) sweep = 64
+      if (off <= tol) sweep = 64
       else {
         for (p <- 0 until k; q <- p + 1 until k) if (a(p)(q) != 0.0) {
           val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))

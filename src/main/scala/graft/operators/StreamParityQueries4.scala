@@ -221,7 +221,7 @@ object StreamParityQueries4 {
       val half = maxId / 2
       val corpusCodes = VectorQueries.gridCodes(e.filter(col("vec_id") < half))
       val m = VectorQueries.gaussianMoments(corpusCodes)
-      val k = math.max(m.n / 10, 1).toInt
+      val k = math.min(math.max(m.n / 10, 1L), Int.MaxValue.toLong).toInt
       val gate = corpusCodes
         .select(col("vec_id"),
           VectorQueries.mahalanobis(col("xs"), m).as("score"))

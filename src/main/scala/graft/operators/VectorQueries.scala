@@ -59,14 +59,23 @@ object VectorQueries {
     * whole quantized family: q197/q209/q211/q213). */
   private[graft] def quantI8(df: org.apache.spark.sql.DataFrame,
                                  id: String): org.apache.spark.sql.DataFrame =
-    df.select(col(id), asD(col("embedding")).as("de"))
-      .withColumn("scale",
-        greatest(array_max(transform(col("de"), x => abs(x))), lit(1e-30)))
-      .select(col(id),
-        transform(col("de"),
-          x => round(x * lit(127) / col("scale")).cast("long")).as("qv"))
+    withI8Codes(df.select(col(id), col("embedding")), "embedding")
+      .select(col(id), col("qv"), col("nrm"))
+
+  /** Append q197's (qv, nrm) int8 code columns as a PURE projection
+    * (scale materialized once per row, no join-back) — the single
+    * definition of the quantizer expressions, shared by [[quantI8]]
+    * and the ml pipeline's Int8Quantizer stage. */
+  private[graft] def withI8Codes(df: org.apache.spark.sql.DataFrame,
+                                 embCol: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("__de", asD(col(embCol)))
+      .withColumn("__scale",
+        greatest(array_max(transform(col("__de"), x => abs(x))), lit(1e-30)))
+      .withColumn("qv", transform(col("__de"),
+        x => round(x * lit(127) / col("__scale")).cast("long")))
       .withColumn("nrm", aggregate(transform(col("qv"), x => x * x),
         lit(0L), (acc, x) => acc + x))
+      .drop("__de", "__scale")
 
   /** Literal-argmax cluster assignment against collected int8 seeds:
     * argmax code-cosine, tie → lowest seed id (same total order as
@@ -84,15 +93,21 @@ object VectorQueries {
         lit(-sid).as("negSid"))
     }: _*)).getField("negSid")
 
+  /** The q261 fixed-point grid code of ONE element: 1/1000 grid,
+    * clamped ±8, offset +8000 so every code is non-negative (floor =
+    * truncate in both engines). The single definition shared by the
+    * corpus fit below and the ml pipeline's fitted-model scoring —
+    * a drifting copy would silently desynchronize scoring from fit. */
+  private[graft] def gridCode(x: Column): Column =
+    least(greatest(round(x.cast("double") * 1000), lit(-8000.0)),
+      lit(8000.0)).cast("long") + lit(8000L)
+
   /** Fixed-point grid codes for the Gaussian-statistics family
-    * (q261–q263): 1/1000 grid, clamped ±8, offset +8000 so every code
-    * is non-negative (floor = truncate in both engines). */
+    * (q261–q264). */
   private[graft] def gridCodes(e: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     e.select(col("vec_id"), col("label"),
-      transform(asD(col("embedding")), x =>
-        least(greatest(round(x * 1000), lit(-8000.0)), lit(8000.0))
-          .cast("long") + lit(8000L)).as("xs"))
+      transform(col("embedding"), gridCode _).as("xs"))
 
   /** Per-dimension Gaussian moments of a grid-coded corpus, all exact
     * BIGINT: rounded mean μ̂ = (2Σx+n) div 2n, ≥1-guarded variance
@@ -261,24 +276,6 @@ object VectorQueries {
     "q261_gaussian_outliers" -> ((s, d) =>
       gaussianOutliers(Tables.embeddings(s, d), topK = 20)),
 
-    // The covariance half of the reference's MultivariateGaussian
-    // surface (flink-ml-lib/.../basicstatistic/MultivariateGaussian
-    // .java:52 holds mean + FULL covariance): the pairwise Pearson
-    // correlation matrix of the embedding dimensions, reported as the
-    // top-15 most-correlated pairs — the diagnostic that tells you
-    // which dimensions are redundant before whitening/PCA.
-    //
-    // Exactness: q261's grid codes centered on the integer rounded
-    // mean; per-pair Σ(cx·cy) and per-dim centered Σcx² are exact
-    // BIGINTs, so the only IEEE ops are the final multiply/sqrt/divide
-    // (q197's one-division discipline) — bit-identical both engines.
-    //
-    // Scale: each row expands to a FIXED d(d−1)/2 = 2016-element pair
-    // array — bounded by the DIMENSION, not the data (contrast the
-    // degree-dependent arrays de-hubbed in GraphOps) — and partial
-    // aggregation collapses every partition to ≤2016 keys before the
-    // one tiny shuffle. Denominators ride literal arrays; the corpus
-    // never shuffles at full width.
     // The ML Pipeline API end-to-end AGAINST THE ORACLE: fit the
     // Gaussian outlier estimator (reference flink-ml-api
     // Pipeline.fit semantics — estimator replaced by its model),
@@ -299,6 +296,24 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // The covariance half of the reference's MultivariateGaussian
+    // surface (flink-ml-lib/.../basicstatistic/MultivariateGaussian
+    // .java:52 holds mean + FULL covariance): the pairwise Pearson
+    // correlation matrix of the embedding dimensions, reported as the
+    // top-15 most-correlated pairs — the diagnostic that tells you
+    // which dimensions are redundant before whitening/PCA.
+    //
+    // Exactness: q261's grid codes centered on the integer rounded
+    // mean; per-pair Σ(cx·cy) and per-dim centered Σcx² are exact
+    // BIGINTs, so the only IEEE ops are the final multiply/sqrt/divide
+    // (q197's one-division discipline) — bit-identical both engines.
+    //
+    // Scale: each row expands to a FIXED d(d−1)/2 = 2016-element pair
+    // array — bounded by the DIMENSION, not the data (contrast the
+    // degree-dependent arrays de-hubbed in GraphOps) — and partial
+    // aggregation collapses every partition to ≤2016 keys before the
+    // one tiny shuffle. Denominators ride literal arrays; the corpus
+    // never shuffles at full width.
     "q262_dim_correlation" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val codes = gridCodes(e)

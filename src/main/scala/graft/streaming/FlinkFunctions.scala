@@ -114,9 +114,14 @@ object FlinkFunctions {
 
   // ---- SQL literal helpers -----------------------------------------
 
-  /** Spark SQL string literal (backslash-escaping parser). */
+  /** Spark SQL string literal. Quotes are escaped by DOUBLING (the
+    * SQL-standard form Spark also accepts), NOT by backslash: a
+    * backslash-escaped quote would flip [[SqlText.insideLiteral]]'s
+    * quote parity and blind every LATER rewrite pass (and the
+    * leftover valve) to the rest of the statement. Backslashes
+    * still double for Spark's backslash-escaping lexer. */
   private def sqlLit(s: String): String =
-    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
   /** Unwrap a SQL string literal ('' self-escape); None if not one. */
   private def asLiteral(arg: String): Option[String] = {

@@ -21,13 +21,29 @@ private[streaming] object SqlText {
     inQ
   }
 
+  /** Quote parity as one O(n) prefix pass: `parity(i)` = inside-ness
+    * just before index i (the multi-match passes below would be
+    * O(n·matches) re-scanning from 0 per match). */
+  private def parityPrefix(sql: String): Array[Boolean] = {
+    val out = new Array[Boolean](sql.length + 1)
+    var inQ = false; var p = 0
+    while (p < sql.length) {
+      out(p) = inQ
+      if (sql.charAt(p) == '\'') inQ = !inQ
+      p += 1
+    }
+    out(sql.length) = inQ
+    out
+  }
+
   /** `replaceAllIn` that (a) skips matches starting inside string
     * literals and (b) inserts the callback's result VERBATIM — no
     * `$`-group expansion, so no quoteReplacement dance. */
   def replaceAll(re: Regex, sql: String)(f: Match => String): String = {
+    val inside = parityPrefix(sql)
     val sb = new StringBuilder; var last = 0
     re.findAllMatchIn(sql).foreach { m =>
-      if (m.start >= last && !insideLiteral(sql, m.start)) {
+      if (m.start >= last && !inside(m.start)) {
         sb.append(sql.substring(last, m.start)).append(f(m))
         last = m.end
       }
@@ -36,6 +52,8 @@ private[streaming] object SqlText {
   }
 
   /** First match NOT inside a string literal (valve checks). */
-  def firstOutside(re: Regex, sql: String): Option[Match] =
-    re.findAllMatchIn(sql).find(m => !insideLiteral(sql, m.start))
+  def firstOutside(re: Regex, sql: String): Option[Match] = {
+    val inside = parityPrefix(sql)
+    re.findAllMatchIn(sql).find(m => !inside(m.start))
+  }
 }

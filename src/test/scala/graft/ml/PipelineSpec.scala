@@ -75,6 +75,18 @@ class PipelineSpec extends SparkSpec {
     assert(new Pipeline(json).toJson == json)
   }
 
+  test("loadJson fails loudly on malformed stage entries") {
+    // garbage with a class marker: declared > parsed → loud failure
+    intercept[IllegalArgumentException] {
+      new Pipeline("""[{"class":"graft.ml.OutlierFilter","params":{bad}]""")
+    }
+    // a params value containing '}' breaks the stage regex — must
+    // throw, never silently restore a shorter pipeline
+    val json = new Pipeline()
+      .appendStage(new Int8Quantizer("emb}col")).toJson
+    intercept[IllegalArgumentException](new Pipeline(json))
+  }
+
   test("IvfClusterEstimator round-trips and matches the engine's assign") {
     val fitted = new Pipeline()
       .appendStage(new IvfClusterEstimator("embedding", 4, 2))

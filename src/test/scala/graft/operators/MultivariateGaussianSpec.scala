@@ -42,6 +42,23 @@ class MultivariateGaussianSpec extends SparkSpec {
     }
   }
 
+  test("tiny-magnitude covariance still eigendecomposes (relative tol)") {
+    // entries ~1e-16: an absolute convergence floor would declare
+    // this "already diagonal" and ignore the strong correlation
+    val c = 1e-16
+    val a = Array(
+      Array(2 * c, 1.9 * c),
+      Array(1.9 * c, 2 * c))
+    val (evs, v) = MultivariateGaussian.jacobiEigen(a)
+    for (i <- 0 until 2; j <- 0 until 2) {
+      val r = (0 until 2).map(t => v(i)(t) * evs(t) * v(j)(t)).sum
+      assert(math.abs(r - a(i)(j)) < 1e-9 * c, s"recon($i)($j)")
+    }
+    // the rotation actually happened: eigenvalues split to c±1.9c
+    assert(math.abs(evs.max - 3.9 * c) < 1e-3 * c)
+    assert(math.abs(evs.min - 0.1 * c) < 1e-3 * c)
+  }
+
   test("fit matches the brute-force mean/covariance and logpdf") {
     val m = MultivariateGaussian.fit(df, "embedding")
     val xs = dataset.map(_._3.map(_.toDouble))

@@ -184,6 +184,20 @@ class FlinkFunctionsSpec extends SparkSpec {
     assert(one("SELECT 'x TRUNCATE(9) y'") == "x TRUNCATE(9) y")
   }
 
+  test("a rewritten literal containing a quote keeps later passes seeing") {
+    // sqlLit must escape quotes by DOUBLING: a backslash-escaped
+    // quote would flip quote parity and blind every later pass —
+    // here SIMILAR TO rewrites first and SHA256 must STILL rewrite
+    val out = FlinkFunctions.rewrite(
+      "SELECT name SIMILAR TO 'it''s%' AS m, SHA256(name) AS h FROM t")
+    assert(out.contains("sha2(name, 256)"), out)
+    assert(!out.contains("\\'"), out)
+    // and end-to-end: a quoted separator through SPLIT_INDEX, then a
+    // later dialect call on the same statement
+    assert(one("SELECT SPLIT_INDEX('a''b', '''', 1) || TO_BASE64('z')")
+      == "b" + java.util.Base64.getEncoder.encodeToString("z".getBytes))
+  }
+
   test("the unified executeSql surface routes the dialect") {
     val env = new FlinkSql.Env(spark)
     val df = env.executeSql(
