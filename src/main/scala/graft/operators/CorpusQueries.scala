@@ -56,7 +56,11 @@ object CorpusQueries {
     // tiebreak (score desc, term asc).
     "q201_tfidf_topterm" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val n = docs.count() // driver scalar: corpus cardinality only
+      // corpus cardinality rides the PLAN as a broadcast 1-row
+      // aggregate (the q104 scalar pattern) instead of a separate
+      // docs.count() driver action — no extra job, no extra scan
+      // scheduled outside the query itself
+      val nDf = docs.agg(count(lit(1)).as("n_corpus"))
       val tok = docs.select(col("doc_id"),
         explode(toks(col("text"))).as("term"))
       val tf = tok.groupBy(col("doc_id"), col("term"))
@@ -66,7 +70,8 @@ object CorpusQueries {
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("term"))
       tf.join(dft, "term")
-        .withColumn("idf", (lit(1000000L * n) / col("df")).cast("long"))
+        .crossJoin(broadcast(nDf))
+        .withColumn("idf", (lit(1000000L) * col("n_corpus") / col("df")).cast("long"))
         .withColumn("score", col("tf") * col("idf"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -86,12 +91,17 @@ object CorpusQueries {
     // the exact path is the right one.)
     "q202_ngram_support" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val n = docs.count()
+      // the support threshold's corpus count rides the plan as a
+      // broadcast 1-row aggregate (q104 pattern) — one job, no
+      // separate count() action
+      val nDf = docs.agg(count(lit(1)).as("n_corpus"))
       docs.select(col("doc_id"), explode(bigrams(col("text"))).as("ngram"))
         .groupBy(col("ngram"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_total"))
-        .filter(col("n_docs") * 100 >= n)
+        .crossJoin(broadcast(nDf))
+        .filter(col("n_docs") * 100 >= col("n_corpus"))
+        .select(col("ngram"), col("n_docs"), col("n_total"))
         .orderBy(col("n_total").desc, col("ngram"))
     }),
 

@@ -42,7 +42,22 @@ object IvfAnn {
     * balanced-ish for IVF recall, and a deterministic seed keeps the
     * oracle bind (q146) reproducible; swap in a sampled seed if cell
     * skew ever shows on real embeddings. */
+  /** Loud valve on the two driver-bounded structures: the K×dim seed
+    * collect and the literal-argmax assignment (K struct literals in
+    * one codegen'd expression — fine for coarse quantizers, broken
+    * well before K=10⁶). A caller needing more centroids gets an
+    * actionable error instead of a codegen blowup / driver OOM. */
+  private val MaxLiteralCentroids = 256
+
+  private def requireCoarseK(k: Int): Unit =
+    require(k >= 1 && k <= MaxLiteralCentroids,
+      s"IvfAnn: K=$k centroids exceeds the literal-argmax cap of " +
+        s"$MaxLiteralCentroids (K struct literals ride one codegen'd " +
+        "expression and K×dim doubles ride the driver); use " +
+        "assignViaJoin for large-K assignment")
+
   def fit(vectors: DataFrame, embCol: String, k: Int, lloydIters: Int = 2): Model = {
+    requireCoarseK(k)
     val first = vectors.orderBy(col("vec_id")).limit(k)
       .select(toD(col(embCol)).as("e")).collect()
       .map(_.getSeq[Double](0).toArray)
@@ -67,8 +82,10 @@ object IvfAnn {
   /** Assign every vector its inverted-list id (literal-argmax path:
     * zero shuffle, but codegen size caps K at a few dozen — right for
     * coarse quantizers). */
-  def assign(vectors: DataFrame, embCol: String, model: Model): DataFrame =
+  def assign(vectors: DataFrame, embCol: String, model: Model): DataFrame = {
+    requireCoarseK(model.centroids.length)
     vectors.withColumn("cluster", nearestCentroid(toD(col(embCol)), model.centroids))
+  }
 
   /** Large-K assignment: centroids as a broadcast DataFrame, argmax by
     * aggregation. One broadcast join + one shuffle, no codegen cap —

@@ -138,6 +138,15 @@ object MultivariateGaussian {
   def fit(df: DataFrame, embCol: String): Model = {
     val xs = transform(col(embCol), x => x.cast("double"))
     val dims = df.select(size(col(embCol))).head().getInt(0)
+    // loud valve: the pair pass fans out k(k+1)/2 terms per row and
+    // the covariance collect lands a dims²-entry map on the driver —
+    // bounded by construction for embedding-sized k, but a caller
+    // with a 10⁵-dim column should fail with a message, not an OOM
+    require(dims >= 1 && dims <= 512,
+      s"MultivariateGaussian.fit: $dims dims exceeds the dense-" +
+        "covariance cap of 512 (k(k+1)/2 pair terms per row, k² " +
+        "driver entries); reduce dimensionality or use the diagonal-" +
+        "covariance Gaussian (VectorQueries.gaussianMoments)")
     val n = df.count()
     // mean: explode once, k keys, map-side combined
     val mu = df.select(posexplode(xs).as(Seq("d", "x")))

@@ -127,6 +127,11 @@ object VectorQueries {
       .collect()                         // bounded: exactly `dims` rows
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1)
+    // loud valve on the dims-bounded collect: a future caller pointing
+    // this at a 10⁶-dim column should get a message, not a driver OOM
+    require(st.length <= 65536,
+      s"gaussianMoments: ${st.length} dimensions exceeds the 65536 " +
+        "moment-collect cap; shard the moment pass per dimension range")
     val mu = st.map { case (_, n, sx, _) => (2 * sx + n) / (2 * n) }
     val vr = st.zipWithIndex.map { case ((_, n, _, qx), i) =>
       math.max(qx / n - mu(i) * mu(i), 1L)

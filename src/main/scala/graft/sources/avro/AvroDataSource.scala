@@ -79,9 +79,24 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
     else {
       val oldest = schemaOf(files.head)
       // any column absent from the OTHER generation must read
-      // nullable — files lacking it decode it as null
+      // nullable — files lacking it decode it as null. A column
+      // present in BOTH generations must agree on type: merging keys
+      // on names, so a type change between generations would hand
+      // older files the newest type's decoder and fail mid-scan with
+      // a raw ClassCastException (or silently mis-time timestamps) —
+      // fail at inference with the column named instead.
       val widened = newest.fields.map(f =>
-        if (oldest.fieldNames.contains(f.name)) f else f.copy(nullable = true))
+        oldest.fields.find(_.name == f.name) match {
+          case Some(o) if o.dataType != f.dataType =>
+            throw new IllegalArgumentException(
+              s"graft-avro: column '${f.name}' changed type across " +
+                s"generations (${o.dataType.simpleString} in " +
+                s"${files.head.getName} vs ${f.dataType.simpleString} in " +
+                s"${files.last.getName}); pass an explicit .schema(...) " +
+                "to read evolved-type directories")
+          case Some(_) => f
+          case None    => f.copy(nullable = true)
+        })
       val extra = oldest.fields
         .filterNot(f => newest.fieldNames.contains(f.name))
         .map(_.copy(nullable = true))

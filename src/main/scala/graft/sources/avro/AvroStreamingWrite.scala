@@ -34,19 +34,50 @@ class AvroStreamingWrite(dir: String, schema: StructType) extends StreamingWrite
     // A replayed epoch can run with FEWER partitions than a prior
     // partially-committed attempt — overwriting only per-message
     // destinations would leave the attempt's higher-numbered parts
-    // visible as duplicate rows. Clear EVERY existing file of the
-    // epoch(s) being committed first, then rename the new set in.
-    val epochs = (epochId +: messages.collect {
-      case AvroEpochCommit(_, e, _) => e }.toSeq).distinct
+    // visible as duplicate rows. But delete-all-then-rename has no
+    // atomicity either: a crash between the glob delete and the
+    // renames would leave a previously COMMITTED epoch's files gone
+    // while the replacements still sit in temp. Three-step commit
+    // instead:
+    //   1. STAGE — rename every new part to a dot-prefixed staged
+    //      name in the target dir (readers skip dot-files), so the
+    //      full replacement set is durably in place first;
+    //   2. SWAP — per destination file, delete-then-rename (the only
+    //      non-visible window is one file wide, and the staged copy
+    //      survives any crash inside it);
+    //   3. SWEEP — delete stale visible parts of the epoch(s) whose
+    //      part numbers are NOT in the new set (the fewer-partitions
+    //      replay case), after the new set is fully visible.
+    // Leftover .staged files from a crashed attempt are invisible to
+    // readers and get overwritten when the epoch replays.
+    val commits = messages.collect { case c: AvroEpochCommit => c }
+    val staged = commits.map { case AvroEpochCommit(file, epoch, partition) =>
+      val src = new Path(file)
+      val stg = new Path(target, f".staged-e$epoch%05d-p$partition%05d.avro")
+      if (fs.exists(stg)) fs.delete(stg, false)
+      if (fs.exists(src) && !fs.rename(src, stg))
+        throw new java.io.IOException(s"graft-avro: epoch stage rename failed for $file")
+      (stg, epoch, partition)
+    }
+    staged.foreach { case (stg, epoch, partition) =>
+      val dst = new Path(target, f"part-e$epoch%05d-p$partition%05d.avro")
+      if (fs.exists(dst)) fs.delete(dst, false)
+      if (fs.exists(stg) && !fs.rename(stg, dst))
+        throw new java.io.IOException(s"graft-avro: epoch commit rename failed for $stg")
+    }
+    val epochs = (epochId +: commits.map(_.epoch)).distinct
+    val fresh = staged.map { case (_, e, p) => (e, p) }.toSet
     epochs.foreach { e =>
       val stale = fs.globStatus(new Path(target, f"part-e$e%05d-p*.avro"))
-      if (stale != null) stale.foreach(st => fs.delete(st.getPath, false))
-    }
-    messages.foreach { case AvroEpochCommit(file, epoch, partition) =>
-      val src = new Path(file)
-      val dst = new Path(target, f"part-e$epoch%05d-p$partition%05d.avro")
-      if (fs.exists(src) && !fs.rename(src, dst))
-        throw new java.io.IOException(s"graft-avro: epoch commit rename failed for $file")
+      if (stale != null) stale
+        .filterNot { st =>
+          val PartRe = """part-e(\d+)-p(\d+)\.avro""".r
+          st.getPath.getName match {
+            case PartRe(ep, pp) => fresh.contains((ep.toLong, pp.toInt))
+            case _              => false
+          }
+        }
+        .foreach(st => fs.delete(st.getPath, false))
     }
   }
 

@@ -300,7 +300,14 @@ object FlinkDdl {
         if (lang != null && !Set("JAVA", "SCALA")(lang.toUpperCase))
           fail(s"CREATE FUNCTION $name: LANGUAGE ${lang.toUpperCase} is " +
             "out of scope (JVM languages only)")
-        if (!(functions.contains(name) && ifNotExists != null)) {
+        if (functions.contains(name)) {
+          // reference parity (FunctionCatalog: function-already-exists
+          // validation): a bare CREATE FUNCTION on a taken name fails
+          // loudly instead of silently re-registering — the same
+          // contract DROP/CREATE DATABASE and DROP TABLE honor here.
+          if (ifNotExists == null)
+            fail(s"CREATE FUNCTION: $name already exists (use IF NOT EXISTS)")
+        } else {
           val reg = functionClasses.getOrElse(cls, fail(
             s"CREATE FUNCTION $name: class '$cls' is not on the offline " +
               s"function surface; available: ${functionClasses.keys.toSeq.sorted.mkString(", ")}"))

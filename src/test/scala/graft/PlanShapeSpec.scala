@@ -207,6 +207,26 @@ class PlanShapeSpec extends SparkSpec {
       s"missing partial aggregation:\n$plan")
   }
 
+  test("q201/q202 corpus cardinality rides the plan, not a driver action") {
+    // the former shape ran docs.count() as a SEPARATE action — an
+    // extra scheduled job scanning documents once more per query. The
+    // scalar must now arrive as a broadcast 1-row aggregate inside the
+    // one plan (the q104 pattern): broadcast loop join present, no
+    // cartesian product, and ONLY the documents scans the query itself
+    // needs (tf/df branches + the scalar) — no hidden extra subtree.
+    for (q <- Seq("q201_tfidf_topterm", "q202_ngram_support")) {
+      val plan = formatted(q)
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: corpus count not folded into the plan:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q cartesian:\n$plan")
+      // count the detail-section entries only — each scan also appears
+      // once in the tree rendering
+      val scans = plan.linesIterator.count(_.matches("""^\(\d+\) Scan parquet\s*"""))
+      val cap = if (q.startsWith("q201")) 3 else 2
+      assert(scans <= cap, s"$q: $scans parquet scans (cap $cap):\n$plan")
+    }
+  }
+
   test("q215 feature-weight table joins broadcast (fixed 1024 rows)") {
     val plan = formatted("q215_dsir_weight")
     // the qw side is bounded by the bucket count at ANY corpus size —

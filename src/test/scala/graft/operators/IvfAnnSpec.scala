@@ -59,6 +59,18 @@ class IvfAnnSpec extends SparkSpec {
     }
   }
 
+  test("oversized K fails loudly instead of blowing codegen / driver memory") {
+    val e = intercept[IllegalArgumentException] {
+      IvfAnn.fit(emb, "embedding", k = 1000000)
+    }
+    assert(e.getMessage.contains("assignViaJoin"))
+    val e2 = intercept[IllegalArgumentException] {
+      IvfAnn.assign(emb, "embedding",
+        IvfAnn.Model(Array.fill(257)(Array(0.0))))
+    }
+    assert(e2.getMessage.contains("cap"))
+  }
+
   test("approximate setting (nprobe 2 of 8) keeps recall@5 above the floor") {
     // the q240 audit covers the LSH path with an exact oracle; the
     // IVF path's k-means model is not SQL-expressible, so its recall

@@ -23,6 +23,17 @@ class MultivariateGaussianSpec extends SparkSpec {
     dataset.toDF("vec_id", "label", "embedding")
   }
 
+  test("a dimensionality past the dense-covariance cap fails loudly") {
+    import spark.implicits._
+    val wide = Seq((0L, 0, Array.fill(513)(0.1f)),
+                   (1L, 0, Array.fill(513)(0.2f)))
+      .toDF("vec_id", "label", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      MultivariateGaussian.fit(wide, "embedding")
+    }
+    assert(e.getMessage.contains("512"))
+  }
+
   test("jacobiEigen reconstructs the matrix with orthonormal vectors") {
     val a = Array(
       Array(4.0, 1.0, 0.5),

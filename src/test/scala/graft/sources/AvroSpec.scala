@@ -122,6 +122,70 @@ class AvroSpec extends SparkSpec {
       .toSeq == Seq(None, Some(1.5)))
   }
 
+  test("inference fails loudly when a column changes type across generations") {
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    // name-keyed merging would hand old files the NEW type's decoder
+    // and die mid-scan with a raw ClassCastException — inference must
+    // instead refuse up front, naming the column
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-typeconflict")
+    def writeOne(name: String, vAsDouble: Boolean): Unit = {
+      val sch =
+        if (vAsDouble) SchemaBuilder.record("r").fields()
+          .requiredLong("k").requiredDouble("v").endRecord()
+        else SchemaBuilder.record("r").fields()
+          .requiredLong("k").requiredString("v").endRecord()
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](sch))
+      w.create(sch, dir.resolve(name).toFile)
+      val rec = new GenericData.Record(sch)
+      rec.put("k", 1L)
+      rec.put("v", if (vAsDouble) java.lang.Double.valueOf(1.5) else "x")
+      w.append(rec); w.close()
+    }
+    writeOne("gen-a-00000.avro", vAsDouble = false) // oldest: v STRING
+    writeOne("gen-b-00000.avro", vAsDouble = true)  // newest: v DOUBLE
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-avro").load(dir.toString).schema
+    }
+    assert(e.getMessage.contains("'v'") &&
+      e.getMessage.contains("schema"), e.getMessage)
+    // the documented escape hatch still reads the compatible column
+    val explicit = spark.read.format("graft-avro")
+      .schema("k LONG").load(dir.toString)
+    assert(explicit.collect().map(_.getLong(0)).toSeq == Seq(1L, 1L))
+  }
+
+  test("staged leftovers from a crashed commit stay invisible and replay clean") {
+    import graft.sources.avro.{AvroEpochCommit, AvroStreamingWrite}
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-staged").toString
+    Seq((1L, "committed")).toDF("k", "v").write.format("graft-avro")
+      .mode("overwrite").save(dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new Path(dir))
+      .filter(_.getPath.getName.endsWith(".avro")).map(_.getPath).head
+    fs.rename(part, new Path(dir, "part-e00001-p00000.avro"))
+    // a crashed prior attempt left a dot-prefixed staged file behind
+    val leftover = new Path(dir, ".staged-e00001-p00000.avro")
+    fs.copyFromLocalFile(new Path(dir, "part-e00001-p00000.avro"), leftover)
+    // readers skip dot-files: only the committed row is visible
+    assert(spark.read.format("graft-avro").load(dir).count() == 1L)
+    // the epoch replays: the leftover is overwritten, the swap lands,
+    // and no staged residue survives the commit
+    val tmpSrc = new Path(dir, ".tmp-replay2.avro")
+    fs.copyFromLocalFile(new Path(dir, "part-e00001-p00000.avro"), tmpSrc)
+    val schema = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+    new AvroStreamingWrite(dir, schema)
+      .commit(1L, Array(AvroEpochCommit(tmpSrc.toString, 1L, 0)))
+    val names = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+    assert(names.count(_ == "part-e00001-p00000.avro") == 1)
+    assert(!names.exists(_.startsWith(".staged")),
+      s"staged residue after commit: ${names.mkString(",")}")
+    assert(spark.read.format("graft-avro").load(dir).count() == 1L)
+  }
+
   test("external local-timestamp-millis decodes to NTZ micros, not /1000") {
     import org.apache.avro.{LogicalTypes, SchemaBuilder}
     import org.apache.avro.file.DataFileWriter

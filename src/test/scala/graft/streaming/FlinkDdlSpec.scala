@@ -212,6 +212,17 @@ class FlinkDdlSpec extends SparkSpec {
       .getMessage.contains("out of scope"))
     assert(env.executeSql("SHOW FUNCTIONS").get
       .collect().map(_.getString(0)).toSeq == Seq("wavg"))
+    // name collision without IF NOT EXISTS: loud (reference
+    // function-already-exists validation), never a silent re-register
+    assert(intercept[IllegalArgumentException](env.executeSql(
+      "CREATE FUNCTION wavg AS 'graft.functions.Udx$GeoMean'"))
+      .getMessage.contains("already exists"))
+    // with IF NOT EXISTS: a no-op that keeps the original binding
+    env.executeSql(
+      "CREATE FUNCTION IF NOT EXISTS wavg AS 'graft.functions.Udx$GeoMean'")
+    assert(env.executeSql(
+      "SELECT wavg(v, w) AS m FROM (SELECT 10.0 AS v, 1.0 AS w UNION ALL SELECT 20.0, 3.0)")
+      .get.head().getDouble(0) == 17.5)
     env.executeSql("DROP FUNCTION wavg")
     assert(intercept[IllegalArgumentException](
       env.executeSql("DROP FUNCTION wavg")).getMessage.contains("IF EXISTS"))
