@@ -22,7 +22,8 @@ object SparkEntry {
     UdxQueries.queries ++ FormatQueries.queries ++ Partitioning.queries ++
     SourceQueries.queries ++ CorpusQueries.queries ++
     StreamParityQueries4.queries ++ SqlFrontendQueries.queries ++
-    CurationQueries.queries ++ StreamParityQueries5.queries
+    CurationQueries.queries ++ StreamParityQueries5.queries ++
+    IvfPqQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
     UdxQueries.oracle ++ FormatQueries.oracle ++ Partitioning.oracle ++
     SourceQueries.oracle ++ CorpusQueries.oracle ++
     StreamParityQueries4.oracle ++ SqlFrontendQueries.oracle ++
-    CurationQueries.oracle ++ StreamParityQueries5.oracle
+    CurationQueries.oracle ++ StreamParityQueries5.oracle ++
+    IvfPqQueries.oracle
 }

@@ -82,7 +82,10 @@ object Pipeline {
       .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
 
-  private val PairRe = """"((?:[^"\\]|\\.)*)":"((?:[^"\\]|\\.)*)"""".r
+  // run-greedy alternation ([^…]+ not [^…]) — the per-character form
+  // recurses one Java-regex frame per char and StackOverflows on long
+  // values (an IvfPq codebook param is ~20 KB of digits)
+  private val PairRe = """"((?:[^"\\]+|\\.)*)":"((?:[^"\\]+|\\.)*)"""".r
 
   private def jsonToMap(s: String): Map[String, String] =
     PairRe.findAllMatchIn(s)
@@ -163,9 +166,20 @@ final class Pipeline(initial: Seq[Pipeline.PipelineStage] = Nil)
     if (json.contains(""""pipeline":"""))
       throw new IllegalArgumentException(
         "nested Pipeline persistence is not supported; flatten the stages")
-    val StageRe = """\{"class":"([^"]+)","params":(\{(?:[^{}]|\\.)*\})\}""".r
+    // run-greedy alternation — see PairRe: per-char recursion would
+    // StackOverflow on multi-KB params blobs
+    val StageRe = """\{"class":"([^"]+)","params":(\{(?:[^{}]+|\\.)*\})\}""".r
     StageRe.findAllMatchIn(json).foreach { m =>
       val cls = Class.forName(m.group(1))
+      // refuse BEFORE instantiation: Class.forName + newInstance on a
+      // name taken from the (possibly untrusted) JSON would run any
+      // no-arg constructor on the classpath before the cast could
+      // reject it — an arbitrary-instantiation vector. Only classes
+      // that are provably PipelineStages get a constructor call.
+      if (!classOf[PipelineStage].isAssignableFrom(cls))
+        throw new IllegalArgumentException(
+          s"pipeline JSON stage class ${cls.getName} is not a " +
+            "PipelineStage — refusing to instantiate")
       val stage = cls.getDeclaredConstructor().newInstance()
         .asInstanceOf[PipelineStage]
         .withParams(jsonToMap(m.group(2)))
@@ -268,6 +282,53 @@ final class IvfClusterEstimator(embCol: String, k: Int, lloydIters: Int)
     "embCol" -> embCol, "k" -> k.toString, "lloydIters" -> lloydIters.toString)
   def withParams(p: Map[String, String]): Pipeline.PipelineStage =
     new IvfClusterEstimator(p("embCol"), p("k").toInt, p("lloydIters").toInt)
+}
+
+/** Estimator: the composed IVF+PQ ANN index (IvfPq.fit — q146's
+  * coarse k-means + q211's deterministic PQ codebook). The model's
+  * transform IS the index build: (cid, cluster, m, code) rows at ~4
+  * bytes of PQ payload per vector, ready to persist
+  * partitionBy("cluster") so probes prune to nprobe lists. */
+final class IvfPqEstimator(embCol: String, kCoarse: Int, lloydIters: Int,
+                           numSub: Int, codesPerSub: Int)
+    extends Pipeline.Estimator {
+  def this() = this("embedding", 8, 2, 8, 16)
+  def fit(df: DataFrame): Pipeline.Model =
+    new IvfPqModel(embCol,
+      graft.operators.IvfPq.fit(df, embCol, kCoarse, lloydIters,
+        numSub, codesPerSub))
+  def params: Map[String, String] = Map(
+    "embCol" -> embCol, "kCoarse" -> kCoarse.toString,
+    "lloydIters" -> lloydIters.toString, "numSub" -> numSub.toString,
+    "codesPerSub" -> codesPerSub.toString)
+  def withParams(p: Map[String, String]): Pipeline.PipelineStage =
+    new IvfPqEstimator(p("embCol"), p("kCoarse").toInt,
+      p("lloydIters").toInt, p("numSub").toInt, p("codesPerSub").toInt)
+}
+
+/** Fitted IVF+PQ index: transform = index build; `search` runs the
+  * pruned ADC scan against an indexed corpus. Centroids and codebook
+  * persist as params (Double.toString round-trips exactly), so a
+  * reloaded pipeline indexes and scores bit-identically. */
+final class IvfPqModel(embCol: String, val model: graft.operators.IvfPq.Model)
+    extends Pipeline.Model {
+  def this() = this("embedding",
+    graft.operators.IvfPq.Model(Array(Array(0.0)), Array(Array(Array(0.0)))))
+  def transform(df: DataFrame): DataFrame =
+    graft.operators.IvfPq.index(df, embCol, model)
+  def search(indexed: DataFrame, probes: DataFrame, k: Int,
+             nprobe: Int): DataFrame =
+    graft.operators.IvfPq.search(indexed, probes, embCol, model, k, nprobe)
+  def params: Map[String, String] = Map(
+    "embCol" -> embCol,
+    "centroids" -> model.centroids.map(_.mkString(",")).mkString(";"),
+    "codebook" -> model.codebook
+      .map(_.map(_.mkString(",")).mkString(";")).mkString("|"))
+  def withParams(p: Map[String, String]): Pipeline.PipelineStage =
+    new IvfPqModel(p("embCol"), graft.operators.IvfPq.Model(
+      p("centroids").split(';').map(_.split(',').map(_.toDouble)),
+      p("codebook").split('|')
+        .map(_.split(';').map(_.split(',').map(_.toDouble)))))
 }
 
 /** Fitted coarse quantizer: literal-argmax cluster assignment (pure

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.cosine_similarity
+
+/** IVF+PQ — the production 100 TB ANN serving shape, composing the two
+  * halves the engine already ships separately: q146's inverted-file
+  * coarse quantizer (IvfAnn) prunes each probe to `nprobe` lists, and
+  * q211's product-quantization ADC scan — re-expressed relationally as
+  * a broadcast LUT join — scores ONLY those lists' codes. (Reference
+  * precedent: flink-ml ships the pipeline/estimator INFRASTRUCTURE,
+  * flink-ml-api/.../Pipeline.java:60; the composed index itself is the
+  * standard IVFADC design of Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011 — public literature.)
+  *
+  * Index layout at scale: `index` emits one (cid, cluster, m, code) row
+  * per vector per subspace — 4 bits/code, M codes/vector, i.e. ~4
+  * bytes of PQ payload per vector. Written `partitionBy("cluster")`,
+  * a probe batch touches nprobe/K of the corpus via partition pruning;
+  * the LUT (probes × nprobe × M×K entries of scaled-int dots) stays a
+  * tiny broadcast. No full-precision vector ever shuffles at search
+  * time.
+  *
+  * Exactness discipline (the quantized-family rule): LUT dots and
+  * codeword norms are ×1e6-scaled rounded integers, per-pair scores
+  * are order-independent integer sums, ranking ties break on cid — so
+  * with nprobe = K the search output is BIT-IDENTICAL to the flat ADC
+  * scan (every corpus vector lives in exactly one list), which is what
+  * binds the whole fit→index→probe→score pipeline to q211's DuckDB
+  * oracle (q268). The recall-vs-scan trade at nprobe < K is itself
+  * oracle-bound through q269's fully-relational replication.
+  */
+object IvfPq {
+
+  /** Fitted index state: coarse centroids (K_c × dim) + PQ codebook
+    * (M × K × dsub). Both driver-bounded (guarded in fit). */
+  case class Model(centroids: Array[Array[Double]],
+                   codebook: Array[Array[Array[Double]]]) {
+    def kCoarse: Int = centroids.length
+    def numSub: Int = codebook.length          // M subspaces
+    def codesPerSub: Int = codebook.head.length // K codewords
+    def dsub: Int = codebook.head.head.length
+    /** ×1e6-scaled codeword norms², precomputed once per model. */
+    lazy val cbNorm: Array[Array[Long]] = codebook.map(_.map(cw =>
+      math.round(cw.foldLeft(0.0)((a, x) => a + x * x) * 1e6)))
+  }
+
+  private def asD(a: Column): Column = transform(a, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Fit = coarse k-means (IvfAnn's Lloyd loop; lloydIters=0 keeps the
+    * deterministic first-K_c seed centroids — the SQL-expressible
+    * setting q269's oracle replicates) + PQ codebook from the first K
+    * vectors' subvectors (q211's deterministic scheme — a trained
+    * codebook drops in without changing the operator). */
+  def fit(corpus: DataFrame, embCol: String, kCoarse: Int,
+          lloydIters: Int, numSub: Int, codesPerSub: Int): Model = {
+    require(numSub >= 1 && codesPerSub >= 1 && codesPerSub <= 256,
+      s"IvfPq: $codesPerSub codewords/subspace exceeds the 8-bit PQ cap")
+    val coarse = IvfAnn.fit(corpus, embCol, kCoarse, lloydIters)
+    val dims = coarse.centroids.head.length
+    require(dims % numSub == 0,
+      s"IvfPq: $dims dims not divisible into $numSub subspaces")
+    val dsub = dims / numSub
+    val seeds = corpus.orderBy(col("vec_id")).limit(codesPerSub)
+      .select(asD(col(embCol)).as("e")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seeds.length == codesPerSub,
+      s"IvfPq: corpus has only ${seeds.length} vectors for " +
+        s"$codesPerSub codewords")
+    val cb = Array.tabulate(numSub, codesPerSub)((m, k) =>
+      seeds(k).slice(m * dsub, (m + 1) * dsub))
+    Model(coarse.centroids, cb)
+  }
+
+  private def subCol(v: Column, m: Int, dsub: Int): Column =
+    slice(v, m * dsub + 1, dsub)
+
+  private def cwLit(model: Model, m: Int, k: Int): Column =
+    array(model.codebook(m)(k).toIndexedSeq.map(lit(_)): _*)
+
+  /** The index build: each vector's inverted-list id + its M PQ codes,
+    * exploded to (cid, cluster, m, code). This is the 4-byte/vector
+    * scan body; persist it `partitionBy("cluster")` so probes prune. */
+  def index(corpus: DataFrame, embCol: String, model: Model): DataFrame = {
+    val M = model.numSub; val K = model.codesPerSub; val dsub = model.dsub
+    def l2(sub: Column, m: Int, k: Int): Column =
+      aggregate(zip_with(sub, cwLit(model, m, k), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    def codeFor(v: Column, m: Int): Column =
+      array_min(array((0 until K).map(k =>
+        struct(l2(subCol(v, m, dsub), m, k).as("d"), lit(k).as("k"))): _*))
+        .getField("k")
+    IvfAnn.assign(corpus, embCol, IvfAnn.Model(model.centroids))
+      .select(col("vec_id").as("cid"), col("cluster"),
+        asD(col(embCol)).as("ce"))
+      .select(col("cid"), col("cluster"),
+        explode(array((0 until M).map(m =>
+          struct(lit(m).as("m"), codeFor(col("ce"), m).as("code"))): _*)).as("mc"))
+      .select(col("cid"), col("cluster"),
+        col("mc.m").as("m"), col("mc.code").as("code"))
+  }
+
+  /** ADC search over the probed lists only. `indexed` is `index`'s
+    * output (or a re-read of its partitioned persistence). Each probe:
+    * its `nprobe` nearest coarse lists (cosine argmax, ties → lowest
+    * cluster id), an M×K LUT of ×1e6-scaled subvector dots, one
+    * equi-join on (cluster, m, code) — a corpus vector outside the
+    * probed lists matches nothing (on a cluster-partitioned index the
+    * storage layer prunes it before the scan). Score = Σpdot /
+    * √Σnorm: order-independent integer sums, exact across engines. */
+  def search(indexed: DataFrame, probes: DataFrame, embCol: String,
+             model: Model, k: Int, nprobe: Int): DataFrame = {
+    val M = model.numSub; val K = model.codesPerSub; val dsub = model.dsub
+    require(nprobe >= 1 && nprobe <= model.kCoarse,
+      s"IvfPq: nprobe=$nprobe outside [1, ${model.kCoarse}]")
+    // nprobe nearest lists, ties → lowest cluster id (negIdx trick)
+    val probeClusters = array(model.centroids.toIndexedSeq.zipWithIndex.map {
+      case (c, i) =>
+        struct(cosine_similarity(col("pe"), array(c.toIndexedSeq.map(lit(_)): _*)).as("sim"),
+          lit(-i).as("negIdx"))
+    }: _*)
+    val lutRows = for (m <- 0 until M; kk <- 0 until K) yield
+      struct(lit(m).as("m"), lit(kk).as("k"),
+        round(dot(subCol(col("pe"), m, dsub), cwLit(model, m, kk)) * 1e6)
+          .cast("long").as("pdot"),
+        lit(model.cbNorm(m)(kk)).as("cn"))
+    val probeLut = probes
+      .select(col("vec_id").as("pid"), asD(col(embCol)).as("pe"))
+      .select(col("pid"), col("pe"),
+        slice(reverse(array_sort(probeClusters)), 1, nprobe).as("near"))
+      .select(col("pid"), col("pe"),
+        explode(transform(col("near"), s => -s.getField("negIdx"))).as("cluster"))
+      .select(col("pid"), col("cluster"), explode(array(lutRows: _*)).as("x"))
+      .select(col("pid"), col("cluster"), col("x.m").as("m"),
+        col("x.k").as("k"), col("x.pdot").as("pdot"), col("x.cn").as("cn"))
+    val score = col("idot").cast("double") /
+      greatest(sqrt(col("rn").cast("double")), lit(1e-30))
+    val w = Window.partitionBy(col("pid")).orderBy(col("score").desc, col("cid"))
+    indexed.join(broadcast(probeLut),
+        indexed("cluster") === probeLut("cluster") &&
+          indexed("m") === probeLut("m") && indexed("code") === probeLut("k"))
+      .filter(col("cid") =!= col("pid"))
+      .groupBy(col("pid"), col("cid"))
+      .agg(sum(col("pdot")).as("idot"), sum(col("cn")).as("rn"))
+      .withColumn("score", score)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("pid"), col("rk"), col("cid"),
+        round(col("score"), 6).as("score6"))
+  }
+}

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Oracle bindings for the composed IVF+PQ ANN index (IvfPq.scala —
+  * q146's coarse quantizer pruning q211's ADC scan to nprobe lists).
+  *
+  * Two complementary bindings:
+  *  - q268 rides the EXACTNESS invariant: with nprobe = K every
+  *    inverted list is probed, each corpus vector lives in exactly one
+  *    list, so every (probe, corpus) pair is ADC-scored exactly once —
+  *    the output must equal the flat ADC scan bit-for-bit, i.e. q211's
+  *    DuckDB oracle verbatim (the q146↔q70 trick). The row ALSO runs
+  *    the whole ML-pipeline persistence loop (fit → toJson → reload →
+  *    index → search), so a mis-persisted centroid/codeword breaks the
+  *    hash.
+  *  - q269 binds the APPROXIMATE setting (nprobe=2 of 8) — the actual
+  *    recall-vs-scan trade — by replicating the full composed index
+  *    relationally in DuckDB: lloydIters=0 keeps the coarse centroids
+  *    SQL-expressible (the first-K_c seed vectors), and the audited
+  *    metric is recall@5 against the brute-force ground truth (q70's
+  *    exact top-5) as an exact integer permille — q240's audit shape.
+  */
+object IvfPqQueries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  private val dims = 64
+
+  val queries: Map[String, Q] = Map(
+
+    // fit → persist → reload → index → search at nprobe=K: must equal
+    // the flat ADC scan (q211's oracle). Lloyd-refined centroids are
+    // fine here — the nprobe=K result is centroid-independent, which
+    // is exactly what makes the full pipeline oracle-checkable.
+    "q268_ivfpq_exact" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val fitted = new graft.ml.Pipeline()
+        .appendStage(new graft.ml.IvfPqEstimator("embedding", 8, 2, 8, 16))
+        .fit(e)
+      val reloaded = new graft.ml.Pipeline(fitted.toJson)
+      val indexed = reloaded.transform(e) // the index build
+      val model = reloaded.getStages.head.asInstanceOf[graft.ml.IvfPqModel]
+      val probes = e.filter(col("vec_id") <= 20)
+      model.search(indexed, probes, k = 5, nprobe = 8)
+        .orderBy(col("pid"), col("rk"))
+    }),
+
+    // the approximate setting itself, oracle-bound: nprobe=2 of 8,
+    // deterministic seed centroids (lloydIters=0), recall@5 vs the
+    // exact brute-force top-5 as an integer permille per probe.
+    "q269_ivfpq_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val model = IvfPq.fit(e, "embedding", kCoarse = 8, lloydIters = 0,
+        numSub = 8, codesPerSub = 16)
+      val indexed = IvfPq.index(e, "embedding", model)
+      val probes = e.filter(col("vec_id") <= 20)
+      val approx = IvfPq.search(indexed, probes, "embedding", model,
+        k = 5, nprobe = 2).select(col("pid"), col("cid"))
+      val truth = VectorQueries.queries("q70_knn_brute")(s, d)
+        .select(col("pid"), col("cid"))
+      val hits = approx.join(truth, Seq("pid", "cid"), "left_semi")
+        .groupBy(col("pid")).agg(count(lit(1)).as("n_hits"))
+      truth.select(col("pid")).distinct()
+        .join(hits, Seq("pid"), "left")
+        .select(col("pid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall_permille", expr("(1000 * n_hits) div 5"))
+        .orderBy(col("pid"))
+    })
+  )
+
+  // cosine with CosineSimilarity's exact accumulation: three
+  // independent left-fold accumulators, dot/(√na·√nb)
+  private def cosSql(a: String, b: String): String = {
+    def fold(ex: String): String =
+      s"""list_reduce(list_transform(range(1, ${dims + 1}),
+         |        i -> $ex), (x,y) -> x+y)""".stripMargin
+    s"""${fold(s"$a[i]*$b[i]")} /
+       |      (sqrt(${fold(s"$a[i]*$a[i]")}) * sqrt(${fold(s"$b[i]*$b[i]")}))""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+
+    // nprobe=K ≡ the flat ADC scan: q211's oracle, verbatim.
+    "q268_ivfpq_exact" -> VectorQueries.oracle("q211_pq_ann"),
+
+    // the composed index replicated relationally: seed centroids →
+    // cluster argmax (tie lowest id) → probe top-2 lists → PQ encode
+    // (q211's fragments) → ADC over probed lists only → top-5 →
+    // recall@5 vs brute-force top-5.
+    "q269_ivfpq_recall" ->
+      s"""WITH de AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, dv AS cv
+         |  FROM de ORDER BY vec_id LIMIT 8),
+         |asg AS (
+         |  SELECT d.vec_id, c.j,
+         |    ${cosSql("d.dv", "c.cv")} AS sim
+         |  FROM de d, cents c),
+         |cl AS (
+         |  SELECT vec_id, j AS cluster FROM (
+         |    SELECT vec_id, j,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY sim DESC, j) AS rn
+         |    FROM asg) WHERE rn = 1),
+         |pcl AS (
+         |  SELECT vec_id AS pid, j AS cluster FROM (
+         |    SELECT vec_id, j,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY sim DESC, j) AS rn
+         |    FROM asg WHERE vec_id <= 20) WHERE rn <= 2),
+         |ms AS (SELECT unnest(range(0, 8)) AS m),
+         |seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, dv AS sv
+         |  FROM de ORDER BY vec_id LIMIT 16),
+         |cb AS (
+         |  SELECT seeds.k, ms.m,
+         |    list_transform(range(1, 9), i -> sv[ms.m*8 + i]) AS cw
+         |  FROM seeds, ms),
+         |cbn AS (
+         |  SELECT k, m, cw,
+         |    CAST(round(list_reduce(list_transform(range(1, 9),
+         |      i -> cw[i]*cw[i]), (x,y) -> x+y) * 1e6) AS BIGINT) AS cn
+         |  FROM cb),
+         |subs AS (
+         |  SELECT vec_id, ms.m,
+         |    list_transform(range(1, 9), i -> dv[ms.m*8 + i]) AS sub
+         |  FROM de, ms),
+         |enc AS (
+         |  SELECT vec_id AS cid, m, k AS code FROM (
+         |    SELECT s.vec_id, s.m, c.k,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |        list_reduce(list_transform(range(1, 9),
+         |          i -> (s.sub[i]-c.cw[i])*(s.sub[i]-c.cw[i])),
+         |          (x,y) -> x+y), c.k) AS rn
+         |    FROM subs s JOIN cbn c ON s.m = c.m) WHERE rn = 1),
+         |lut AS (
+         |  SELECT s.vec_id AS pid, s.m, c.k,
+         |    CAST(round(list_reduce(list_transform(range(1, 9),
+         |      i -> s.sub[i]*c.cw[i]), (x,y) -> x+y) * 1e6) AS BIGINT)
+         |      AS pdot,
+         |    c.cn
+         |  FROM subs s JOIN cbn c ON s.m = c.m WHERE s.vec_id <= 20),
+         |sc AS (
+         |  SELECT l.pid, e.cid, sum(l.pdot) AS idot, sum(l.cn) AS rn
+         |  FROM enc e
+         |  JOIN cl ON e.cid = cl.vec_id
+         |  JOIN pcl ON pcl.cluster = cl.cluster
+         |  JOIN lut l ON l.pid = pcl.pid AND e.m = l.m AND e.code = l.k
+         |  WHERE e.cid <> l.pid
+         |  GROUP BY 1, 2),
+         |approx AS (
+         |  SELECT pid, cid FROM (
+         |    SELECT pid, cid,
+         |      row_number() OVER (PARTITION BY pid ORDER BY
+         |        CAST(idot AS DOUBLE) /
+         |          greatest(sqrt(CAST(rn AS DOUBLE)), 1e-30) DESC,
+         |        cid) AS rk
+         |    FROM sc) WHERE rk <= 5),
+         |pairs AS (
+         |  SELECT p.vec_id AS pid, c.vec_id AS cid, p.dv AS pe, c.dv AS ce
+         |  FROM de p JOIN de c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id <= 20),
+         |tr AS (
+         |  SELECT pid, cid FROM (
+         |    SELECT pid, cid,
+         |      row_number() OVER (PARTITION BY pid ORDER BY
+         |        ${cosSql("pe", "ce")} DESC, cid) AS rk
+         |    FROM pairs) WHERE rk <= 5),
+         |hits AS (
+         |  SELECT a.pid, count(*) AS n_hits
+         |  FROM approx a JOIN tr t ON a.pid = t.pid AND a.cid = t.cid
+         |  GROUP BY 1)
+         |SELECT t.pid, coalesce(h.n_hits, 0) AS n_hits,
+         |  (1000 * coalesce(h.n_hits, 0)) // 5 AS recall_permille
+         |FROM (SELECT DISTINCT pid FROM tr) t
+         |LEFT JOIN hits h ON t.pid = h.pid
+         |ORDER BY t.pid""".stripMargin
+  )
+}

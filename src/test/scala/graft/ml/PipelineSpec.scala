@@ -87,6 +87,16 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException](new Pipeline(json))
   }
 
+  test("loadJson refuses non-PipelineStage classes before instantiating") {
+    // a class name smuggled into the JSON must be rejected BEFORE its
+    // no-arg constructor runs — otherwise pipeline JSON is an
+    // arbitrary-instantiation vector for anything on the classpath
+    val e = intercept[IllegalArgumentException] {
+      new Pipeline("""[{"class":"java.util.ArrayList","params":{}}]""")
+    }
+    assert(e.getMessage.contains("not a PipelineStage"))
+  }
+
   test("IvfClusterEstimator round-trips and matches the engine's assign") {
     val fitted = new Pipeline()
       .appendStage(new IvfClusterEstimator("embedding", 4, 2))

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Composed IVF+PQ index invariants (IvfPq.scala): the structural
+  * properties under the q268/q269 oracle rows. */
+class IvfPqSpec extends SparkSpec {
+
+  lazy val emb = Tables.embeddings(spark, sf)
+  lazy val model = IvfPq.fit(emb, "embedding", kCoarse = 8,
+    lloydIters = 2, numSub = 8, codesPerSub = 16)
+
+  test("index emits exactly M code rows per vector, codes in [0, K)") {
+    val idx = IvfPq.index(emb, "embedding", model)
+    val n = emb.count()
+    assert(idx.count() == n * 8)
+    val perVec = idx.groupBy(col("cid"))
+      .agg(countDistinct(col("m")).as("nm"), count(lit(1)).as("nr"))
+      .filter(col("nm") =!= 8 || col("nr") =!= 8)
+    assert(perVec.isEmpty, "every vector carries one code per subspace")
+    val bad = idx.filter(col("code") < 0 || col("code") >= 16 ||
+      col("cluster") < 0 || col("cluster") >= 8)
+    assert(bad.isEmpty)
+  }
+
+  test("nprobe=K search equals the flat ADC scan (q211) bit-for-bit") {
+    val indexed = IvfPq.index(emb, "embedding", model)
+    val probes = emb.filter(col("vec_id") <= 20)
+    val composed = IvfPq.search(indexed, probes, "embedding", model,
+      k = 5, nprobe = 8)
+      .orderBy(col("pid"), col("rk")).collect().toSeq
+    val flat = VectorQueries.queries("q211_pq_ann")(spark, sf)
+      .collect().toSeq
+    assert(composed == flat,
+      "probing every list must reproduce the exhaustive ADC result")
+  }
+
+  test("pruning prunes: nprobe=2 candidates come only from probed lists") {
+    val indexed = IvfPq.index(emb, "embedding", model)
+    val probes = emb.filter(col("vec_id") <= 5)
+    val res = IvfPq.search(indexed, probes, "embedding", model,
+      k = 5, nprobe = 2)
+    // every returned cid must live in one of its probe's 2 lists
+    val clusters = indexed.select(col("cid"), col("cluster")).distinct()
+    val joined = res.join(clusters, "cid")
+      .groupBy(col("pid")).agg(countDistinct(col("cluster")).as("nc"))
+      .collect()
+    assert(joined.nonEmpty && joined.forall(_.getLong(1) <= 2),
+      "candidates leaked in from unprobed lists")
+  }
+
+  test("pipeline persistence round-trips the fitted index state exactly") {
+    val fitted = new graft.ml.Pipeline()
+      .appendStage(new graft.ml.IvfPqEstimator("embedding", 8, 2, 8, 16))
+      .fit(emb)
+    val reloaded = new graft.ml.Pipeline(fitted.toJson)
+    val m0 = fitted.getStages.head.asInstanceOf[graft.ml.IvfPqModel].model
+    val m1 = reloaded.getStages.head.asInstanceOf[graft.ml.IvfPqModel].model
+    assert(m0.centroids.map(_.toSeq).toSeq == m1.centroids.map(_.toSeq).toSeq)
+    assert(m0.codebook.map(_.map(_.toSeq).toSeq).toSeq ==
+           m1.codebook.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("guards: bad nprobe / indivisible dims / oversized K fail loudly") {
+    intercept[IllegalArgumentException] {
+      IvfPq.search(IvfPq.index(emb, "embedding", model),
+        emb.limit(1), "embedding", model, k = 5, nprobe = 0)
+    }
+    intercept[IllegalArgumentException] {
+      IvfPq.fit(emb, "embedding", kCoarse = 8, lloydIters = 0,
+        numSub = 7, codesPerSub = 16) // 64 % 7 != 0
+    }
+    intercept[IllegalArgumentException] {
+      IvfPq.fit(emb, "embedding", kCoarse = 8, lloydIters = 0,
+        numSub = 8, codesPerSub = 1000)
+    }
+  }
+}
