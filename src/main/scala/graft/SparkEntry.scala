@@ -23,7 +23,7 @@ object SparkEntry {
     SourceQueries.queries ++ CorpusQueries.queries ++
     StreamParityQueries4.queries ++ SqlFrontendQueries.queries ++
     CurationQueries.queries ++ StreamParityQueries5.queries ++
-    IvfPqQueries.queries
+    IvfPqQueries.queries ++ FluentApiQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +39,5 @@ object SparkEntry {
     SourceQueries.oracle ++ CorpusQueries.oracle ++
     StreamParityQueries4.oracle ++ SqlFrontendQueries.oracle ++
     CurationQueries.oracle ++ StreamParityQueries5.oracle ++
-    IvfPqQueries.oracle
+    IvfPqQueries.oracle ++ FluentApiQueries.oracle
 }

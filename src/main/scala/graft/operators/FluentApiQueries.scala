@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.streaming.FluentTable
+
+/** Oracle bindings for the fluent Table-API string-expression facade
+  * (graft.streaming.TableApi / FluentTable — reference Table.java:104
+  * select(String) family + PlannerExpressionParserImpl grammar).
+  * Every query below goes through STRING expressions only — no SQL
+  * text, no direct Column construction — so the whole
+  * tokenizer→parser→Column path is what the hash binds.
+  */
+object FluentApiQueries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+
+    // multi-step relational pipeline: filter → join → project (with
+    // arithmetic, round, cast) → groupBy → aggregate spellings
+    // (.sum/.count/.count.distinct/.avg/.max) → orderBy (.desc) →
+    // offset/fetch. The money arithmetic lands on exact cents (the
+    // centsE discipline), so every aggregate is an exact integer.
+    "q270_fluent_pipeline" -> ((s, d) => {
+      val li = new FluentTable(Tables.lineitem(s, d))
+      val ord = new FluentTable(Tables.orders(s, d))
+      li.filter("l_quantity > 25 && l_returnflag !== 'N'")
+        .join(ord, "l_orderkey === o_orderkey")
+        .select("o_orderpriority, l_linestatus, " +
+          "(l_extendedprice * (1 - l_discount) * 100).round(0).cast(LONG) as net_cents, " +
+          "l_quantity.cast(LONG) as qty")
+        .groupBy("o_orderpriority, l_linestatus")
+        .select("o_orderpriority, l_linestatus, " +
+          "net_cents.sum as sum_net_cents, qty.sum as sum_qty, " +
+          "qty.count as n_rows, qty.count.distinct as n_qty, " +
+          "qty.avg.round(6) as avg_qty, net_cents.max as max_cents")
+        .orderBy("sum_net_cents.desc, o_orderpriority, l_linestatus")
+        .offset(2).fetch(8)
+        .toDF
+    }),
+
+    // scalar-expression battery: string suffixes, conditionals, the
+    // `?:`/IF forms, in/between, Null(TYPE), concat, numeric math —
+    // all through the string grammar.
+    "q271_fluent_calc" -> ((s, d) => {
+      new FluentTable(Tables.customer(s, d))
+        .filter("c_custkey <= 500 && c_mktsegment.isNotNull")
+        .select("c_custkey, " +
+          "c_name.upperCase as name_up, " +
+          "c_name.charLength as name_len, " +
+          "c_name.substring(1, 8) as name8, " +
+          "c_mktsegment.lowerCase as seg, " +
+          "(c_acctbal * 100).round(0).cast(LONG) as bal_cents, " +
+          "c_acctbal.between(0, 5000) as mid_bal, " +
+          "IF(c_nationkey % 2 === 0, 'even', 'odd') as parity, " +
+          "c_nationkey.in(1, 3, 5) as in_small, " +
+          "c_name.like('%001%') as has001, " +
+          "'seg='.concat(c_mktsegment) as seg_tag, " +
+          "?(c_acctbal < 0, 'neg', 'nonneg') as sign_tag, " +
+          "c_acctbal.sign.cast(INT) as bal_sign, " +
+          "c_custkey.cast(DOUBLE).sqrt.round(6) as key_root, " +
+          "c_custkey.mod(7) as m7, " +
+          "Null(STRING) as nothing")
+        .orderBy("c_custkey")
+        .toDF
+    }),
+
+    // temporal battery incl. the rowtime attribute reference:
+    // extract units, floor/ceil to unit, dateFormat, timestampDiff,
+    // interval-literal arithmetic (10.minutes), offset/fetch tail.
+    "q272_fluent_temporal" -> ((s, d) => {
+      new FluentTable(Tables.events(s, d))
+        .filter("value > 10 && ts.isNotNull")
+        .select("event_id, " +
+          "ts.rowtime as rt, " +
+          "ts.extract(YEAR) as y, " +
+          "ts.extract(MINUTE) as mi, " +
+          "ts.floor(HOUR) as ts_hour, " +
+          "ts.ceil(MINUTE) as ts_cmin, " +
+          "dateFormat(ts, 'yyyy-MM-dd HH:mm') as fmt, " +
+          "timestampDiff(MINUTE, ts.floor(HOUR), ts) as min_into_hour, " +
+          "ts + 10.minutes as ts10")
+        .orderBy("event_id")
+        .offset(100).fetch(2000)
+        .toDF
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "q270_fluent_pipeline" ->
+      """WITH base AS (
+        |  SELECT o.o_orderpriority, l.l_linestatus,
+        |    CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+        |         AS BIGINT) AS net_cents,
+        |    CAST(l.l_quantity AS BIGINT) AS qty
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_quantity > 25 AND l.l_returnflag <> 'N'),
+        |g AS (
+        |  SELECT o_orderpriority, l_linestatus,
+        |    CAST(sum(net_cents) AS BIGINT) AS sum_net_cents,
+        |    CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |    count(qty) AS n_rows,
+        |    count(DISTINCT qty) AS n_qty,
+        |    round(avg(qty), 6) AS avg_qty,
+        |    max(net_cents) AS max_cents
+        |  FROM base GROUP BY 1, 2)
+        |SELECT * FROM g
+        |ORDER BY sum_net_cents DESC, o_orderpriority, l_linestatus
+        |LIMIT 8 OFFSET 2""".stripMargin,
+
+    "q271_fluent_calc" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS name_up,
+        |  CAST(length(c_name) AS INT) AS name_len,
+        |  substring(c_name, 1, 8) AS name8,
+        |  lower(c_mktsegment) AS seg,
+        |  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+        |  c_acctbal BETWEEN 0 AND 5000 AS mid_bal,
+        |  CASE WHEN c_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS parity,
+        |  c_nationkey IN (1, 3, 5) AS in_small,
+        |  c_name LIKE '%001%' AS has001,
+        |  'seg=' || c_mktsegment AS seg_tag,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END AS sign_tag,
+        |  CAST(sign(c_acctbal) AS INT) AS bal_sign,
+        |  round(sqrt(CAST(c_custkey AS DOUBLE)), 6) AS key_root,
+        |  c_custkey % 7 AS m7,
+        |  CAST(NULL AS VARCHAR) AS nothing
+        |FROM customer
+        |WHERE c_custkey <= 500 AND c_mktsegment IS NOT NULL
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q272_fluent_temporal" ->
+      """SELECT event_id,
+        |  ts AS rt,
+        |  CAST(extract(year FROM ts) AS BIGINT) AS y,
+        |  CAST(extract(minute FROM ts) AS BIGINT) AS mi,
+        |  date_trunc('hour', ts) AS ts_hour,
+        |  CASE WHEN date_trunc('minute', ts) = ts THEN ts
+        |       ELSE date_trunc('minute', ts) + INTERVAL 1 MINUTE END AS ts_cmin,
+        |  strftime(ts, '%Y-%m-%d %H:%M') AS fmt,
+        |  CAST(date_diff('minute', date_trunc('hour', ts), ts) AS INT)
+        |    AS min_into_hour,
+        |  ts + INTERVAL 10 MINUTE AS ts10
+        |FROM events
+        |WHERE value > 10 AND ts IS NOT NULL
+        |ORDER BY event_id
+        |LIMIT 2000 OFFSET 100""".stripMargin
+  )
+}

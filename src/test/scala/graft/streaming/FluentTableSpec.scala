@@ -1,0 +1,143 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The fluent Table-API facade (TableApi/FluentTable) — surface not
+  * already hash-bound by q270–q272: set ops, column ops, joinLateral,
+  * proctime, and the loud rejections. */
+class FluentTableSpec extends SparkSpec {
+
+  private def t(name: String) = new FluentTable(name match {
+    case "customer" => Tables.customer(spark, sf)
+    case "nation"   => Tables.nation(spark, sf)
+  })
+
+  private def err(body: => Any): String =
+    intercept[IllegalArgumentException](body).getMessage
+
+  test("select/filter/groupBy pipeline matches hand-written DataFrame code") {
+    val fluent = t("customer")
+      .filter("c_acctbal > 0")
+      .groupBy("c_mktsegment")
+      .select("c_mktsegment, c_custkey.count as n, (c_acctbal * 100).round(0).cast(LONG).sum as cents")
+      .orderBy("c_mktsegment")
+      .toDF.collect().toSeq
+    val hand = Tables.customer(spark, sf)
+      .filter(col("c_acctbal") > 0)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(col("c_custkey")).as("n"),
+        sum(round(col("c_acctbal") * 100, 0).cast("long")).as("cents"))
+      .orderBy(col("c_mktsegment"))
+      .collect().toSeq
+    assert(fluent == hand)
+  }
+
+  test("global aggregate select (no groupBy) and mixed-select rejection") {
+    val r = t("customer").select("c_custkey.count as n, c_acctbal.min as lo")
+      .toDF.head()
+    assert(r.getLong(0) > 0)
+    assert(err(t("customer").select("c_custkey, c_acctbal.sum"))
+      .contains("groupBy"))
+  }
+
+  test("as/addColumns/renameColumns/dropColumns") {
+    val out = t("nation")
+      .as("k, name, region")
+      .addColumns("name.charLength as len")
+      .renameColumns("region as reg")
+      .dropColumns("reg")
+      .toDF
+    assert(out.columns.toSeq == Seq("k", "name", "len"))
+    assert(err(t("nation").as("a, b")).contains("names"))
+    assert(err(t("nation").addColumns("n_name")).contains("as name"))
+    assert(err(t("nation")
+      .renameColumns("missing as x")).contains("unknown column"))
+    assert(err(t("nation").dropColumns("missing")).contains("unknown column"))
+  }
+
+  test("set operations route to the right Spark ops") {
+    val a = t("nation").filter("n_nationkey < 10")
+    val b = t("nation").filter("n_nationkey >= 5 && n_nationkey < 15")
+    assert(a.union(b).toDF.count() == 15)
+    assert(a.unionAll(b).toDF.count() == 20)
+    assert(a.minus(b).toDF.count() == 5)
+    assert(a.intersect(b).toDF.count() == 5)
+  }
+
+  test("joinLateral expands registered table functions; outer keeps empties") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val inner = new FluentTable(docs)
+      .joinLateral("tokenize(text) as (idx, tok)").toDF
+    assert(inner.filter(col("id") === 1).count() == 3)
+    assert(inner.filter(col("id") === 3).count() == 0) // null → no rows
+    val outerRows = new FluentTable(docs)
+      .leftOuterJoinLateral("long_tokens(text, 0) as tok").toDF
+    assert(outerRows.filter(col("id") === 3).count() == 1) // kept with null
+    assert(err(new FluentTable(docs).joinLateral("nosuch(text) as x"))
+      .contains("available"))
+  }
+
+  test("rowtime is the attribute itself; proctime is a wall-clock timestamp") {
+    import spark.implicits._
+    val df = Seq((1L, java.sql.Timestamp.valueOf("2024-05-01 10:00:00")))
+      .toDF("id", "ts")
+    val out = new FluentTable(df)
+      .select("id, ts.rowtime as rt, id.proctime as pt").toDF
+    assert(out.schema("pt").dataType.typeName == "timestamp")
+    val r = out.head()
+    assert(r.getTimestamp(1) == java.sql.Timestamp.valueOf("2024-05-01 10:00:00"))
+  }
+
+  test("out-of-scope constructs reject loudly with a pointer") {
+    assert(err(t("nation").select("n_nationkey.sum over w"))
+      .contains("WindowQueries"))
+    assert(err(t("nation").select("5.rows")).contains("GroupWindowSql"))
+    assert(err(t("nation").select("n_name.get(0)")).contains("out of the fluent scope"))
+    assert(err(t("nation").select("n_name.flatten")).contains("out of the fluent scope"))
+    assert(err(t("nation").select("n_name.cast(SQL_TIME)")).contains("TIME"))
+    assert(err(t("nation").select("n_name.noSuchFn"))
+      .contains("unknown function"))
+    assert(err(t("nation").select("n_name.cast(WIBBLE)")).contains("unknown type"))
+    assert(err(t("nation").filter("n_nationkey.sum > 5"))
+      .contains("not allowed in filter"))
+    assert(err(t("nation").groupBy("n_regionkey.sum"))
+      .contains("not allowed in groupBy"))
+    assert(err(t("nation").select("n_nationkey.sum.distinct.distinct"))
+      .contains("distinct"))
+    assert(err(t("nation").select("3.minutes.minutes"))
+      .contains("numeric literal"))
+  }
+
+  test("literal forms: typed numbers, quoted strings with escapes, Null") {
+    import spark.implicits._
+    val df = Seq(1).toDF("x")
+    val out = new FluentTable(df).select(
+      "12L as a, 1.5f as b, 2.5d as c, 'It''s' as d, \"a \"\"b\"\"\" as e, " +
+        "true as f, Null(LONG) as g, -3 as h").toDF.head()
+    assert(out.getLong(0) == 12L)
+    assert(out.getFloat(1) == 1.5f)
+    assert(out.getDouble(2) == 2.5)
+    assert(out.getString(3) == "It's")
+    assert(out.getString(4) == "a \"b\"")
+    assert(out.getBoolean(5))
+    assert(out.isNullAt(6))
+    assert(out.getInt(7) == -3)
+  }
+
+  test("trim modes and interval arithmetic parse to the right Columns") {
+    import spark.implicits._
+    val df = Seq(("--x--", java.sql.Timestamp.valueOf("2024-05-01 10:00:00")))
+      .toDF("s", "ts")
+    val r = new FluentTable(df).select(
+      "s.trim(LEADING, '-') as l, s.trim(TRAILING, '-') as r2, " +
+        "s.trim(BOTH, '-') as b, trim(LEADING, '-', s) as pl, " +
+        "ts + 2.hours as t2, ts + 1.days as t3").toDF.head()
+    assert(r.getString(0) == "x--" && r.getString(1) == "--x" &&
+      r.getString(2) == "x" && r.getString(3) == "x--")
+    assert(r.getTimestamp(4) == java.sql.Timestamp.valueOf("2024-05-01 12:00:00"))
+    assert(r.getTimestamp(5) == java.sql.Timestamp.valueOf("2024-05-02 10:00:00"))
+  }
+}
