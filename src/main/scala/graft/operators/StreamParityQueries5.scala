@@ -14,6 +14,7 @@ object StreamParityQueries5 {
       |            user_id, event_type, value, props FROM events)""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q273_multi_catalog" -> multiCatalogQuery,
 
     // CEP quantified CONCATENATION group, Pattern-API surface
     // (GroupPattern.java:30): "(A B){2} within 7d" — two full
@@ -196,7 +197,52 @@ object StreamParityQueries5 {
       |f3 AS (SELECT * FROM s3 WHERE rn = 1
       |       AND epoch_us(ts_b2) - epoch_us(ts_a1) <= 604800000000)""".stripMargin
 
+  private def multiCatalogQuery: Q = (s, d) => {
+    // Multi-catalog lifecycle (reference TableEnvironment
+    // .registerCatalog, TableEnvironment.java:104; the CREATE CATALOG
+    // SQL spelling binds to the same semantic): a SECOND catalog gets
+    // its own database and a table under the SAME NAME as a
+    // default-catalog table but over DIFFERENT data; unqualified
+    // resolution must follow the current catalog, and a view created
+    // inside the second catalog freezes its binding (plans bind at
+    // analysis — the q258 discipline), so the final frame carries both
+    // resolutions of one table name side by side. Any cross-catalog
+    // leak (shared table registry, unswitched view binding, wrong
+    // current-database tracking) breaks the hash.
+    val base = java.nio.file.Files.createTempDirectory("graft-multicat")
+    val ev = Tables.events(s, d).select(col("event_id"), col("event_type"))
+    ev.filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").option("header", "false").csv(s"$base/a")
+    ev.filter(col("event_id") % 3 === 0)
+      .write.mode("overwrite").option("header", "false").csv(s"$base/b")
+    new graft.streaming.FlinkSql.Env(s).executeScript(
+      s"""CREATE TABLE ev (event_id BIGINT, event_type STRING)
+         |WITH ('connector'='filesystem','path'='$base/a','format'='csv');
+         |CREATE CATALOG prod WITH ('type'='graft-session','owner'='pipeline');
+         |USE CATALOG prod;
+         |CREATE DATABASE raw;
+         |USE raw;
+         |CREATE TABLE ev (event_id BIGINT, event_type STRING)
+         |WITH ('connector'='filesystem','path'='$base/b','format'='csv');
+         |CREATE VIEW prod_counts AS
+         |  SELECT event_type, COUNT(*) AS n FROM ev GROUP BY event_type;
+         |USE CATALOG default_catalog;
+         |SELECT 'default' AS catalog_src, event_type, COUNT(*) AS n
+         |FROM ev GROUP BY event_type
+         |UNION ALL
+         |SELECT 'prod' AS catalog_src, event_type, n FROM prod_counts
+         |ORDER BY catalog_src, event_type""".stripMargin)
+  }
+
   val oracle: Map[String, String] = Map(
+    "q273_multi_catalog" ->
+      """SELECT catalog_src, event_type, n FROM (
+        |  SELECT 'default' AS catalog_src, event_type, count(*) AS n
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'prod', event_type, count(*)
+        |  FROM events WHERE event_id % 3 = 0 GROUP BY event_type
+        |) u ORDER BY catalog_src, event_type""".stripMargin,
     "q256_ddl_lifecycle" ->
       """WITH ev AS (SELECT event_type,
         |  cast(round(value*100) as bigint) AS cents FROM events)

@@ -106,6 +106,10 @@ object FlinkDdl {
   private val DropDbRe =
     """(?is)^\s*DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?(\w+)\s*(?:(CASCADE|RESTRICT)\s*)?$""".r
   private val UseCatalogRe = """(?is)^\s*USE\s+CATALOG\s+(\w+)\s*$""".r
+  private val CreateCatRe =
+    """(?is)^\s*CREATE\s+CATALOG\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)\s*(?:WITH\s*\((.*)\)\s*)?$""".r
+  private val DropCatRe =
+    """(?is)^\s*DROP\s+CATALOG\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*$""".r
   private val UseDbRe = """(?is)^\s*USE\s+(\w+)\s*$""".r
   private val ShowDbRe = """(?is)^\s*SHOW\s+DATABASES\s*$""".r
   private val ShowFnRe = """(?is)^\s*SHOW\s+FUNCTIONS\s*$""".r
@@ -186,7 +190,6 @@ object FlinkDdl {
 
   final class Env(spark: SparkSession,
       selectRewriter: String => String = identity) {
-    private val tables = mutable.Map.empty[String, TableDef]
     // Database statements (SqlCreateDatabase/SqlDropDatabase/
     // SqlUseCatalog/SqlUseDatabase): databases are registry-level
     // namespaces — existence and currency are tracked and enforced;
@@ -194,16 +197,51 @@ object FlinkDdl {
     // reference's TEMPORARY objects are similarly catalog-transparent).
     // Each table records its owning database so RESTRICT/CASCADE
     // drops behave.
-    private val dbs = mutable.Set("default_database")
-    private var currentDb = "default_database"
-    private val tableDb = mutable.Map.empty[String, String]
+    //
+    // Catalogs are one level up (reference: TableEnvironment
+    // .registerCatalog, TableEnvironment.java:104 — 1.10's parser has
+    // no CREATE CATALOG statement yet; the SQL spelling accepted here
+    // is the one later Flink releases bind to exactly this
+    // registerCatalog semantic). Each catalog owns its own database
+    // set, current database, and table registry; unqualified names
+    // resolve against the CURRENT catalog, so USE CATALOG re-binds
+    // the bare-name temp views to the target catalog's tables.
+    private final class CatalogState {
+      val tables = mutable.Map.empty[String, TableDef]
+      val dbs = mutable.Set("default_database")
+      var currentDb = "default_database"
+      val tableDb = mutable.Map.empty[String, String]
+      val tableProps = mutable.Map.empty[String, Map[String, String]]
+      val dbProps = mutable.Map.empty[String, Map[String, String]]
+    }
+    private val catalogs = mutable.Map("default_catalog" -> new CatalogState)
+    private val catalogProps = mutable.Map.empty[String, Map[String, String]]
+    private var currentCatalog = "default_catalog"
+    private def cat: CatalogState = catalogs(currentCatalog)
+    private def tables = cat.tables
+    private def dbs = cat.dbs
+    private def currentDb = cat.currentDb
+    private def currentDb_=(v: String): Unit = cat.currentDb = v
+    private def tableDb = cat.tableDb
+    private def tableProps = cat.tableProps
+    private def dbProps = cat.dbProps
+    // temporary functions are catalog-transparent in the reference —
+    // session-global here for the same reason temp views are
     private val functions = mutable.Set.empty[String]
-    // Raw WITH-property maps, kept so ALTER TABLE … SET (…) — the
-    // reference's SqlAlterTableProperties — can merge a delta and
-    // re-derive the storage binding; same for database properties
-    // (SqlAlterDatabase / SqlDescribeDatabase).
-    private val tableProps = mutable.Map.empty[String, Map[String, String]]
-    private val dbProps = mutable.Map.empty[String, Map[String, String]]
+
+    /** Reference `TableEnvironment.registerCatalog` (:104): register a
+      * fresh catalog namespace. The `CREATE CATALOG` SQL spelling
+      * routes here. */
+    def registerCatalog(name: String,
+        props: Map[String, String] = Map.empty): Unit = {
+      if (catalogs.contains(name) || name == "spark_catalog")
+        fail(s"CREATE CATALOG: $name already exists (use IF NOT EXISTS)")
+      catalogs(name) = new CatalogState
+      if (props.nonEmpty) catalogProps(name) = props
+    }
+    // Raw WITH-property maps (CatalogState.tableProps/dbProps) keep
+    // ALTER TABLE … SET (…) / SqlAlterDatabase / SqlDescribeDatabase
+    // able to merge deltas and re-derive storage bindings.
 
     def table(name: String): TableDef =
       tables.getOrElse(name, fail(s"unknown DDL table $name"))
@@ -341,10 +379,41 @@ object FlinkDdl {
           dbs -= name; dbProps.remove(name)
         }
         None
+      case CreateCatRe(ifNotExists, name, propsSrc) =>
+        if (catalogs.contains(name) || name == "spark_catalog") {
+          if (ifNotExists == null)
+            fail(s"CREATE CATALOG: $name already exists (use IF NOT EXISTS)")
+        } else registerCatalog(name,
+          if (propsSrc == null) Map.empty
+          else PropRe.findAllMatchIn(propsSrc)
+            .map(m => m.group(1) -> m.group(2)).toMap)
+        None
+      case DropCatRe(ifExists, name) =>
+        if (name == "default_catalog" || name == "spark_catalog")
+          fail("DROP CATALOG: the built-in session catalog cannot be dropped")
+        if (name == currentCatalog)
+          fail(s"DROP CATALOG: $name is the current catalog")
+        if (catalogs.remove(name).isEmpty && ifExists == null)
+          fail(s"DROP CATALOG: unknown catalog $name (use IF EXISTS)")
+        catalogProps.remove(name)
+        None
       case UseCatalogRe(name) =>
-        if (!Set("default_catalog", "spark_catalog")(name))
-          fail(s"USE CATALOG: only the built-in session catalog exists " +
-            s"offline (default_catalog), got '$name'")
+        val resolved = if (name == "spark_catalog") "default_catalog" else name
+        if (!catalogs.contains(resolved))
+          fail(s"USE CATALOG: unknown catalog $name " +
+            "(SHOW CATALOGS lists the registered set)")
+        if (resolved != currentCatalog) {
+          // unqualified names resolve against the CURRENT catalog:
+          // unbind the outgoing catalog's bare-name views, bind the
+          // incoming one's (existence-checked, like ALTER … RENAME)
+          tables.keys.foreach(spark.catalog.dropTempView(_))
+          currentCatalog = resolved
+          tables.values.foreach { t =>
+            val fsPath = new org.apache.hadoop.fs.Path(t.path)
+            if (fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                  .exists(fsPath)) register(t)
+          }
+        }
         None
       case ShowDbRe() =>
         import spark.implicits._
@@ -357,7 +426,7 @@ object FlinkDdl {
         currentDb = name; None
       case ShowCatRe() =>
         import spark.implicits._
-        Some(Seq("default_catalog").toDF("catalog_name"))
+        Some(catalogs.keys.toSeq.sorted.toDF("catalog_name"))
       case ShowRe() =>
         import spark.implicits._
         Some(tables.keys.toSeq.sorted.toDF("table_name"))
@@ -366,9 +435,12 @@ object FlinkDdl {
       // database form listing its ALTER-set properties.
       case DescCatRe(name) =>
         import spark.implicits._
-        if (!Set("default_catalog", "spark_catalog")(name))
+        val resolved = if (name == "spark_catalog") "default_catalog" else name
+        if (!catalogs.contains(resolved))
           fail(s"DESCRIBE CATALOG: unknown catalog $name")
-        Some(Seq(("name", name), ("type", "graft-session"))
+        val props = catalogProps.getOrElse(resolved, Map.empty)
+        Some((Seq(("name", name), ("type", "graft-session")) ++
+            props.toSeq.sortBy(_._1).map { case (k, v) => (s"property:$k", v) })
           .toDF("info_name", "info_value"))
       case DescDbRe(name) =>
         import spark.implicits._

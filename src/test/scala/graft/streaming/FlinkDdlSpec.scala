@@ -229,6 +229,48 @@ class FlinkDdlSpec extends SparkSpec {
     env.executeSql("DROP FUNCTION IF EXISTS wavg")
   }
 
+  test("DDL tail: catalog lifecycle — create, switch, resolve, describe, drop") {
+    val env = new FlinkDdl.Env(spark)
+    // built-in state
+    assert(env.executeSql("SHOW CATALOGS").get
+      .collect().map(_.getString(0)).toSeq == Seq("default_catalog"))
+    env.executeSql("CREATE CATALOG prod WITH ('owner' = 'pipeline')")
+    assert(env.executeSql("SHOW CATALOGS").get
+      .collect().map(_.getString(0)).toSeq == Seq("default_catalog", "prod"))
+    // collision: loud without IF NOT EXISTS; no-op with it
+    assert(intercept[IllegalArgumentException](
+      env.executeSql("CREATE CATALOG prod")).getMessage.contains("already exists"))
+    env.executeSql("CREATE CATALOG IF NOT EXISTS prod")
+    // DESCRIBE surfaces the WITH properties
+    val desc = env.executeSql("DESCRIBE CATALOG prod").get.collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc("property:owner") == "pipeline")
+    // databases are per-catalog: prod's database set starts fresh
+    env.executeSql("USE CATALOG prod")
+    env.executeSql("CREATE DATABASE raw")
+    env.executeSql("USE CATALOG default_catalog")
+    assert(intercept[IllegalArgumentException](
+      env.executeSql("USE raw")).getMessage.contains("unknown database"))
+    // drop guards: not current, not built-in, unknown needs IF EXISTS
+    env.executeSql("USE CATALOG prod")
+    assert(intercept[IllegalArgumentException](
+      env.executeSql("DROP CATALOG prod")).getMessage.contains("current"))
+    env.executeSql("USE CATALOG default_catalog")
+    assert(intercept[IllegalArgumentException](
+      env.executeSql("DROP CATALOG default_catalog"))
+      .getMessage.contains("cannot be dropped"))
+    env.executeSql("DROP CATALOG prod")
+    assert(intercept[IllegalArgumentException](
+      env.executeSql("DROP CATALOG prod")).getMessage.contains("IF EXISTS"))
+    env.executeSql("DROP CATALOG IF EXISTS prod")
+    assert(intercept[IllegalArgumentException](
+      env.executeSql("USE CATALOG prod")).getMessage.contains("unknown catalog"))
+    // the programmatic reference surface (TableEnvironment.java:104)
+    env.registerCatalog("warehouse")
+    assert(env.executeSql("SHOW CATALOGS").get.collect()
+      .map(_.getString(0)).toSeq == Seq("default_catalog", "warehouse"))
+  }
+
   test("DDL tail: database lifecycle with RESTRICT/CASCADE and USE") {
     val env = new FlinkDdl.Env(spark)
     val base = java.nio.file.Files.createTempDirectory("graft-ddltail3")
@@ -254,10 +296,11 @@ class FlinkDdlSpec extends SparkSpec {
       .getMessage.contains("unknown DDL table"))
     assert(env.executeSql("SHOW DATABASES").get
       .collect().map(_.getString(0)).toSeq == Seq("default_database"))
-    // catalogs: only the built-in one exists offline
+    // catalogs: only registered ones resolve (multi-catalog lifecycle
+    // has its own test above)
     env.executeSql("USE CATALOG default_catalog")
     assert(intercept[IllegalArgumentException](
-      env.executeSql("USE CATALOG hive_prod")).getMessage.contains("offline"))
+      env.executeSql("USE CATALOG hive_prod")).getMessage.contains("unknown catalog"))
     assert(intercept[IllegalArgumentException](
       env.executeSql("USE missing_db")).getMessage.contains("unknown database"))
   }
