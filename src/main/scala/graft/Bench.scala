@@ -57,7 +57,10 @@ object Bench {
     "q242_avro_roundtrip",  // avro DSv2 write + read back (container codec)
     // round-7 Gaussian statistics family
     "q261_gaussian_outliers", // moments fit + scan-speed Mahalanobis tail
-    "q262_dim_correlation")   // 2016-key centered pair-product rollup
+    "q262_dim_correlation",   // 2016-key centered pair-product rollup
+    // round-8 additions (budgets arrive at the next re-baseline)
+    "q268_ivfpq_exact",       // composed IVF+PQ ANN through the ML pipeline
+    "q270_fluent_pipeline")   // fluent Table-API string-expression path
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -97,7 +100,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // regression self-report: budgets (r7 baseline + headroom) ride
+    // the artifact, so a per-query regression is visible in BENCH_rN
+    // itself, not only in a cross-round diff
+    val breaches = BenchBudgets.breaches(sfDir, results)
+    breaches.foreach { case (n, t, b) =>
+      System.err.println(f"[bench] BUDGET BREACH: $n took $t%.2f s (budget $b%.2f s)")
+    }
+    val breachJson = breaches.map { case (n, t, b) =>
+      s"""{"query":"$n","sec":$t,"budget":$b}""" }.mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"budget_breaches":$breachJson,"sf":"$sfDir"}"""
     // Also write to a file for local tooling.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     try {
