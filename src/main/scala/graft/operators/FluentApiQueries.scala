@@ -67,6 +67,26 @@ object FluentApiQueries {
         .toDF
     }),
 
+    // the group-window surface through the fluent API only
+    // (reference Tumble.java:36 + GroupWindowedTable/
+    // WindowGroupedTable): Tumble.over("1.hours").on(rowtime).as(w),
+    // groupBy referencing the window alias, select reading the
+    // window PROPERTIES (w.start / w.end) next to exact aggregates.
+    // Spark's epoch-aligned tumbling window makes w.start ≡
+    // date_trunc('hour'), which is what the oracle recomputes.
+    "q274_fluent_window" -> ((s, d) => {
+      import graft.streaming.GroupWindows.Tumble
+      new FluentTable(Tables.events(s, d))
+        .filter("ts.isNotNull")
+        .select("ts, event_type, (value * 100).round(0).cast(LONG) as cents")
+        .window(Tumble.over("1.hours").on("ts").as("w"))
+        .groupBy("w, event_type")
+        .select("w.start as ws, w.end as we, event_type, " +
+          "event_type.count as n, cents.sum as cents_sum")
+        .orderBy("ws, event_type")
+        .toDF
+    }),
+
     // temporal battery incl. the rowtime attribute reference:
     // extract units, floor/ceil to unit, dateFormat, timestampDiff,
     // interval-literal arithmetic (10.minutes), offset/fetch tail.
@@ -131,6 +151,16 @@ object FluentApiQueries {
         |FROM customer
         |WHERE c_custkey <= 500 AND c_mktsegment IS NOT NULL
         |ORDER BY c_custkey""".stripMargin,
+
+    "q274_fluent_window" ->
+      """SELECT date_trunc('hour', ts) AS ws,
+        |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS we,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY ws, event_type""".stripMargin,
 
     "q272_fluent_temporal" ->
       """SELECT event_id,

@@ -386,6 +386,12 @@ object TableApi {
           // Spark's model — the reference suffix declares/references
           // it (PlannerExpressionParserImpl `rowtime`); identity here
           operand
+        case "start" | "end" if operand.fieldName.isDefined =>
+          // window properties (reference WindowProperties: w.start /
+          // w.end on a group-window alias) — the Spark window struct
+          // carries exactly these fields
+          optEmptyParens()
+          Px(F.col(s"${operand.fieldName.get}.$lower"))
         case "proctime" => Px(F.current_timestamp())
         case "cast" => castCall(operand)
         case "trim" => trimCall(Some(operand))
@@ -726,6 +732,13 @@ final class FluentTable(private val df: DataFrame) {
     new GroupedFluentTable(df, keys)
   }
 
+  /** Table.java `window(GroupWindow)` (reference GroupWindowedTable):
+    * the subsequent groupBy MUST reference the window alias (the
+    * reference's contract), and the window's struct column carries
+    * w.start / w.end for the select. */
+  def window(w: GroupWindows.GroupWindow): WindowedFluentTable =
+    new WindowedFluentTable(df, w)
+
   /** Table.java:285. */
   def distinct(): FluentTable = new FluentTable(df.distinct())
 
@@ -848,6 +861,30 @@ final class FluentTable(private val df: DataFrame) {
       }
       new FluentTable(expanded)
     case _ => fail("joinLateral takes 'function(args) as (name, ...)'")
+  }
+}
+
+/** Reference `GroupWindowedTable` → `WindowGroupedTable`: groupBy must
+  * name the window alias; select sees the keys, the aggregates, and
+  * the window properties (w.start / w.end as struct fields of the
+  * aliased window column). */
+final class WindowedFluentTable(df: DataFrame,
+                                w: GroupWindows.GroupWindow) {
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"Table API: $msg")
+
+  def groupBy(fields: String): GroupedFluentTable = {
+    val items = TableApi.parseList(fields)
+    if (items.exists(_.agg)) fail("aggregates are not allowed in groupBy()")
+    if (!items.exists(_.fieldName.contains(w.alias)))
+      fail(s"windowed groupBy must reference the window alias '${w.alias}' " +
+        "(reference GroupWindowedTable.groupBy contract)")
+    val keys = items.map { p =>
+      if (p.fieldName.contains(w.alias))
+        p.copy(col = w.groupColumn, alias = None)
+      else p
+    }
+    new GroupedFluentTable(df, keys)
   }
 }
 

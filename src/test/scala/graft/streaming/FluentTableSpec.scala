@@ -111,6 +111,43 @@ class FluentTableSpec extends SparkSpec {
       .contains("numeric literal"))
   }
 
+  test("Slide/Session fluent windows match the native Spark operators") {
+    import spark.implicits._
+    import GroupWindows.{Session, Slide}
+    val ev = Seq(
+      (1L, "2024-05-01 10:00:00", 10.0), (2L, "2024-05-01 10:04:00", 20.0),
+      (3L, "2024-05-01 10:21:00", 30.0), (4L, "2024-05-01 11:00:30", 40.0))
+      .toDF("id", "tss", "v")
+      .select(col("id"), col("tss").cast("timestamp").as("ts"), col("v"))
+    val slide = new FluentTable(ev)
+      .window(Slide.over("10.minutes").every("5.minutes").on("ts").as("w"))
+      .groupBy("w")
+      .select("w.start as ws, v.sum as s")
+      .orderBy("ws").toDF.collect().toSeq
+    val slideHand = ev.groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(sum(col("v")).as("s"))
+      .select(col("w.start").as("ws"), col("s"))
+      .orderBy("ws").collect().toSeq
+    assert(slide == slideHand && slide.nonEmpty)
+    val sess = new FluentTable(ev)
+      .window(Session.withGap("10.minutes").on("ts").as("w"))
+      .groupBy("w")
+      .select("w.start as ws, w.end as we, id.count as n")
+      .orderBy("ws").toDF.collect().toSeq
+    val sessHand = ev.groupBy(session_window(col("ts"), "10 minutes").as("w"))
+      .agg(count(col("id")).as("n"))
+      .select(col("w.start").as("ws"), col("w.end").as("we"), col("n"))
+      .orderBy("ws").collect().toSeq
+    assert(sess == sessHand && sess.size == 3)
+    // contract: windowed groupBy must name the window alias
+    assert(err(new FluentTable(ev)
+      .window(Session.withGap("10.minutes").on("ts").as("w"))
+      .groupBy("id")).contains("window alias"))
+    // bad duration is loud
+    assert(err(GroupWindows.Tumble.over("ten.minutes").on("ts").as("w")
+      .groupColumn).contains("duration"))
+  }
+
   test("literal forms: typed numbers, quoted strings with escapes, Null") {
     import spark.implicits._
     val df = Seq(1).toDF("x")
