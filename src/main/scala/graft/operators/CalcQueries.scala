@@ -292,6 +292,45 @@ object CalcQueries {
     // current_timestamp() contract, the semantic PROCTIME exposes to
     // a single micro-batch). NondetSurfaceSpec covers the cross-batch
     // monotonicity half that needs a real stream.
+    // Approximate aggregates oracle-bound through their DETERMINISTIC
+    // invariants (the q257 discipline — the estimates themselves are
+    // engine-specific, the invariants are not): HLL++
+    // approx_count_distinct lands within 3σ of exact (rsd 0.05 →
+    // 15%; the sketch is a deterministic function of the data, so
+    // this is a fixed boolean per dataset, verified at every SF +
+    // soak); the datasketches HLL union over a DISJOINT PARTITION of
+    // the rows reproduces the whole-data sketch EXACTLY (register-max
+    // is associative — the mergeability contract a 1000-executor
+    // partial aggregation relies on); percentile_approx at accuracy
+    // 10⁴ lands within 1 of the exact interpolated percentile
+    // (quantity buckets dwarf the GK rank error at every SF).
+    "q275_approx_audit" -> ((s, d) => {
+      val e = Tables.lineitem(s, d)
+      e.agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          approx_count_distinct(col("l_suppkey")).as("est_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          approx_count_distinct(col("l_partkey")).as("est_part"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("apx_med"),
+          percentile_approx(col("l_quantity"), lit(0.9), lit(10000)).as("apx_p90"),
+          expr("percentile(l_quantity, 0.5)").as("ex_med"),
+          expr("percentile(l_quantity, 0.9)").as("ex_p90"),
+          expr("hll_sketch_estimate(hll_sketch_agg(l_suppkey))").as("hll_all"),
+          expr("""hll_sketch_estimate(hll_union(
+                 |  hll_sketch_agg(case when l_orderkey % 2 = 0 then l_suppkey end),
+                 |  hll_sketch_agg(case when l_orderkey % 2 = 1 then l_suppkey end)))"""
+            .stripMargin).as("hll_union"))
+        .select(
+          col("n_supp"), col("n_part"),
+          (abs(col("est_supp") - col("n_supp")) <=
+            col("n_supp") * 0.15).as("supp_within_3sigma"),
+          (abs(col("est_part") - col("n_part")) <=
+            col("n_part") * 0.15).as("part_within_3sigma"),
+          (col("hll_all") === col("hll_union")).as("hll_merge_exact"),
+          (abs(col("apx_med") - col("ex_med")) <= 1.0).as("med_within_1"),
+          (abs(col("apx_p90") - col("ex_p90")) <= 1.0).as("p90_within_1"))
+    }),
+
     "q257_nondet_invariants" -> ((s, d) => {
       val v4 = "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-" +
         "[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
@@ -487,6 +526,13 @@ object CalcQueries {
     "q257_nondet_invariants" ->
       """SELECT count(*) AS n_rows, count(*) AS n_uuid_distinct,
         |  count(*) AS n_uuid_v4, CAST(1 AS BIGINT) AS n_proctime_distinct
+        |FROM lineitem""".stripMargin,
+    "q275_approx_audit" ->
+      """SELECT count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part,
+        |  TRUE AS supp_within_3sigma, TRUE AS part_within_3sigma,
+        |  TRUE AS hll_merge_exact, TRUE AS med_within_1,
+        |  TRUE AS p90_within_1
         |FROM lineitem""".stripMargin
   )
 }
