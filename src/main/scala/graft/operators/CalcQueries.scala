@@ -299,9 +299,13 @@ object CalcQueries {
     // 15%; the sketch is a deterministic function of the data, so
     // this is a fixed boolean per dataset, verified at every SF +
     // soak); the datasketches HLL union over a DISJOINT PARTITION of
-    // the rows reproduces the whole-data sketch EXACTLY (register-max
-    // is associative — the mergeability contract a 1000-executor
-    // partial aggregation relies on); percentile_approx at accuracy
+    // the rows estimates within 5% of the whole-data sketch — the
+    // mergeability contract a 1000-executor partial aggregation
+    // relies on. (Not EXACT equality: past coupon mode the union
+    // result carries the out-of-order flag, which selects a
+    // different estimator than the directly-built sketch — the
+    // registers agree, the last-mile estimate can drift ~1%; the
+    // sf1 soak is what surfaced this.) percentile_approx at accuracy
     // 10⁴ lands within 1 of the exact interpolated percentile
     // (quantity buckets dwarf the GK rank error at every SF).
     "q275_approx_audit" -> ((s, d) => {
@@ -326,7 +330,8 @@ object CalcQueries {
             col("n_supp") * 0.15).as("supp_within_3sigma"),
           (abs(col("est_part") - col("n_part")) <=
             col("n_part") * 0.15).as("part_within_3sigma"),
-          (col("hll_all") === col("hll_union")).as("hll_merge_exact"),
+          (abs(col("hll_all") - col("hll_union")) <=
+            col("hll_all") * 0.05).as("hll_merge_within"),
           (abs(col("apx_med") - col("ex_med")) <= 1.0).as("med_within_1"),
           (abs(col("apx_p90") - col("ex_p90")) <= 1.0).as("p90_within_1"))
     }),
@@ -531,7 +536,7 @@ object CalcQueries {
       """SELECT count(DISTINCT l_suppkey) AS n_supp,
         |  count(DISTINCT l_partkey) AS n_part,
         |  TRUE AS supp_within_3sigma, TRUE AS part_within_3sigma,
-        |  TRUE AS hll_merge_exact, TRUE AS med_within_1,
+        |  TRUE AS hll_merge_within, TRUE AS med_within_1,
         |  TRUE AS p90_within_1
         |FROM lineitem""".stripMargin
   )
