@@ -349,6 +349,23 @@ object StreamParityQueries2 {
       fires(s, d, "dtrig", WindowOps.DeltaTrigger(10000.0),
         WindowOps.NoEvictor)),
 
+    // ContinuousEventTimeTrigger oracle-bound (the last trigger that
+    // was spec-only): fire whenever the watermark advances ≥ 2 days
+    // past the window's last fire (initially its start), while the
+    // window is still open. The fire HISTORY depends on the watermark
+    // sequence — which the flushed quarter replay makes fully
+    // deterministic: batch b sees wm = maxTs(batches < b) − 60 s
+    // (Spark's one-batch watermark lag), with the two flush sentinels
+    // appending hi+1d / hi+2d. The oracle walks the 6-batch sequence
+    // with a recursive CTE carrying each window's last-fire time and
+    // emits the cumulative (n, Σ) of rows arrived through the firing
+    // batch — a wrong watermark model, a missed batch callback, or an
+    // extra per-batch fire all break the hash.
+    "q276_continuous_trigger_stream" -> ((s, d) =>
+      fires(s, d, "cet",
+        WindowOps.ContinuousEventTimeTrigger(2L * 86400000L),
+        WindowOps.NoEvictor)),
+
     // Weighted community detection oracle-bound (the one Gelly library
     // algorithm still spec-only): co-purchase graph with shared-order
     // counts as weights, TWO supersteps. Bounded at 2 so every score
@@ -492,6 +509,79 @@ object StreamParityQueries2 {
     // carried anchor and then becomes the new anchor. Early fires emit
     // the full cumulative buffer (no purging); closing emits the
     // whole window.
+    // the 6-batch watermark walk: quarter cuts replicate flushedReplay
+    // (lo + (hi−lo)·q/4 in µs), per-batch max-ts in ms, wm at batch b =
+    // cummax(batches < b) − 60 000; recursion carries last_fire per
+    // open window and emits cumulative prefix aggregates at each fire
+    "q276_continuous_trigger_stream" -> (evCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""",
+         |span AS (SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi FROM ev),
+         |rb AS (
+         |  SELECT user_id, event_id,
+         |    CAST(round(value*100) AS BIGINT) AS cents,
+         |    (epoch_us(ts) // 1000 // $weekMs) * $weekMs AS w_start,
+         |    CASE WHEN epoch_us(ts) < lo + (hi-lo)*1//4 THEN 1
+         |         WHEN epoch_us(ts) < lo + (hi-lo)*2//4 THEN 2
+         |         WHEN epoch_us(ts) < lo + (hi-lo)*3//4 THEN 3
+         |         ELSE 4 END AS b
+         |  FROM ev, span),
+         |rbmax AS (SELECT b, max(epoch_us(ts)) // 1000 AS max_ms
+         |          FROM ev, span,
+         |            LATERAL (SELECT CASE
+         |              WHEN epoch_us(ts) < lo + (hi-lo)*1//4 THEN 1
+         |              WHEN epoch_us(ts) < lo + (hi-lo)*2//4 THEN 2
+         |              WHEN epoch_us(ts) < lo + (hi-lo)*3//4 THEN 3
+         |              ELSE 4 END AS b) x
+         |          GROUP BY b),
+         |bmax AS (
+         |  SELECT g.b, r.max_ms
+         |  FROM generate_series(1, 4) g(b) LEFT JOIN rbmax r ON r.b = g.b
+         |  UNION ALL SELECT 5, (hi + 86400000000) // 1000 FROM span
+         |  UNION ALL SELECT 6, (hi + 2*86400000000) // 1000 FROM span),
+         |wm AS (
+         |  SELECT b, max(max_ms) OVER (ORDER BY b
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 60000 AS wm_ms
+         |  FROM bmax),
+         |win AS (
+         |  SELECT user_id, w_start, min(b) AS firstb,
+         |         count(*) AS cnt, sum(cents) AS tot
+         |  FROM rb GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT w.user_id, w.w_start, g.b,
+         |         count(r.event_id) AS n, coalesce(sum(r.cents), 0) AS s
+         |  FROM win w
+         |  CROSS JOIN generate_series(1, 6) g(b)
+         |  LEFT JOIN rb r ON r.user_id = w.user_id
+         |    AND r.w_start = w.w_start AND r.b <= g.b
+         |  GROUP BY 1, 2, 3),
+         |rec AS (
+         |  SELECT user_id, w_start, firstb - 1 AS b,
+         |         w_start AS last_fire,
+         |         CAST(NULL AS BIGINT) AS fire_n,
+         |         CAST(NULL AS BIGINT) AS fire_s, FALSE AS fired
+         |  FROM win
+         |  UNION ALL
+         |  SELECT t.user_id, t.w_start, t.b + 1,
+         |    CASE WHEN f.ok THEN f.wm_ms ELSE t.last_fire END,
+         |    CASE WHEN f.ok THEN c.n END,
+         |    CASE WHEN f.ok THEN c.s END,
+         |    f.ok
+         |  FROM rec t
+         |  JOIN cum c ON c.user_id = t.user_id AND c.w_start = t.w_start
+         |            AND c.b = t.b + 1
+         |  JOIN LATERAL (
+         |    SELECT w2.wm_ms,
+         |      w2.wm_ms IS NOT NULL AND w2.wm_ms < t.w_start + $weekMs
+         |        AND w2.wm_ms - t.last_fire >= 172800000 AS ok
+         |    FROM wm w2 WHERE w2.b = t.b + 1) f ON TRUE
+         |  WHERE t.b < 6)
+         |SELECT user_id, w_start AS w_start_ms, fire_n AS n,
+         |  CAST(fire_s AS DOUBLE) AS sum_v, FALSE AS closing
+         |FROM rec WHERE fired
+         |UNION ALL
+         |SELECT user_id, w_start, cnt, CAST(tot AS DOUBLE), TRUE FROM win
+         |ORDER BY user_id, w_start_ms, closing, n, sum_v""".stripMargin),
+
     "q166_delta_trigger_stream" -> (winCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """,
         |walk AS (

@@ -62,6 +62,22 @@ class IvfPqSpec extends SparkSpec {
            m1.codebook.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  test("fitted centroids at nprobe=4 keep recall@5 above the seed floor") {
+    // the production setting: Lloyd-refined lists, half the lists
+    // probed — recall must beat random-candidate chance by a wide
+    // margin (brute-force truth via q70)
+    val indexed = IvfPq.index(emb, "embedding", model)
+    val probes = emb.filter(col("vec_id") <= 20)
+    val approx = IvfPq.search(indexed, probes, "embedding", model,
+      k = 5, nprobe = 4).select(col("pid"), col("cid"))
+    val truth = VectorQueries.queries("q70_knn_brute")(spark, sf)
+      .select(col("pid"), col("cid"))
+    val hits = approx.join(truth, Seq("pid", "cid"), "left_semi").count()
+    val total = truth.count()
+    assert(total > 0 && hits * 100 >= total * 20,
+      s"recall@5 collapsed: $hits/$total")
+  }
+
   test("guards: bad nprobe / indivisible dims / oversized K fail loudly") {
     intercept[IllegalArgumentException] {
       IvfPq.search(IvfPq.index(emb, "embedding", model),
