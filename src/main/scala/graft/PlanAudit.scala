@@ -13,6 +13,21 @@ import org.apache.spark.sql.execution.ExplainMode
   * tables cite this output.
   */
 object PlanAudit {
+
+  /** True when a plan line carries a Window whose partition spec is
+    * empty — the single-task global sort smell. Partitioned windows
+    * render as `windowspecdefinition(part1#1, …, ord#2 ASC …, frame)`;
+    * a GLOBAL window's FIRST argument is already the order spec, so
+    * ASC/DESC appears before the first comma. */
+  private[graft] def hasGlobalWindow(l: String): Boolean = {
+    val i = l.indexOf("windowspecdefinition(")
+    i >= 0 && {
+      val firstArg = l.substring(i + "windowspecdefinition(".length)
+        .takeWhile(_ != ',')
+      firstArg.contains(" ASC") || firstArg.contains(" DESC")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val names = args.drop(1).toSeq
@@ -24,13 +39,7 @@ object PlanAudit {
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       val lines = plan.linesIterator.toSeq
       def count(m: String) = lines.count(_.contains(m))
-      // a Window whose partition spec is empty sorts ALL data in one
-      // task — the detail line renders as "[...] windowspecdefinition()"
-      // with no partition columns before the order spec
-      val globalWindow = lines.exists(l =>
-        l.contains("Arguments:") && l.contains("windowspecdefinition(") &&
-          l.contains("specifiedwindowframe") &&
-          !l.matches(""".*windowspecdefinition\([^,)]+,.*"""))
+      val globalWindow = lines.exists(PlanAudit.hasGlobalWindow)
       println(Seq(
         s"query=$n",
         s"cartesian=${count("CartesianProduct")}",

@@ -82,10 +82,12 @@ object Pipeline {
       .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
 
-  // run-greedy alternation ([^…]+ not [^…]) — the per-character form
-  // recurses one Java-regex frame per char and StackOverflows on long
-  // values (an IvfPq codebook param is ~20 KB of digits)
-  private val PairRe = """"((?:[^"\\]+|\\.)*)":"((?:[^"\\]+|\\.)*)"""".r
+  // POSSESSIVE runs ([^…]++ not [^…]+ or [^…]) — the per-character
+  // form recurses one Java-regex frame per char and StackOverflows on
+  // long values (an IvfPq codebook param is ~20 KB of digits), and a
+  // merely-greedy run inside (x+|y)* backtracks exponentially on
+  // malformed input (an unterminated value would HANG, not error)
+  private val PairRe = """"((?:[^"\\]++|\\.)*+)":"((?:[^"\\]++|\\.)*+)"""".r
 
   private def jsonToMap(s: String): Map[String, String] =
     PairRe.findAllMatchIn(s)
@@ -166,9 +168,9 @@ final class Pipeline(initial: Seq[Pipeline.PipelineStage] = Nil)
     if (json.contains(""""pipeline":"""))
       throw new IllegalArgumentException(
         "nested Pipeline persistence is not supported; flatten the stages")
-    // run-greedy alternation — see PairRe: per-char recursion would
-    // StackOverflow on multi-KB params blobs
-    val StageRe = """\{"class":"([^"]+)","params":(\{(?:[^{}]+|\\.)*\})\}""".r
+    // possessive runs — see PairRe: per-char recursion StackOverflows
+    // on multi-KB params blobs, plain-greedy runs ReDoS on malformed
+    val StageRe = """\{"class":"([^"]+)","params":(\{(?:[^{}]++|\\.)*+\})\}""".r
     StageRe.findAllMatchIn(json).foreach { m =>
       val cls = Class.forName(m.group(1))
       // refuse BEFORE instantiation: Class.forName + newInstance on a

@@ -60,9 +60,16 @@ object IvfPq {
     * codebook drops in without changing the operator). */
   def fit(corpus: DataFrame, embCol: String, kCoarse: Int,
           lloydIters: Int, numSub: Int, codesPerSub: Int): Model = {
-    require(numSub >= 1 && codesPerSub >= 1 && codesPerSub <= 256,
-      s"IvfPq: $codesPerSub codewords/subspace exceeds the 8-bit PQ cap")
+    require(numSub >= 1, s"IvfPq: numSub=$numSub subspaces (need >= 1)")
+    require(codesPerSub >= 1 && codesPerSub <= 256,
+      s"IvfPq: codesPerSub=$codesPerSub outside [1, 256] (8-bit PQ cap)")
     val coarse = IvfAnn.fit(corpus, embCol, kCoarse, lloydIters)
+    // a corpus smaller than kCoarse silently yields fewer lists —
+    // which would shift search's nprobe bound and the nprobe=K
+    // exactness contract; refuse instead
+    require(coarse.centroids.length == kCoarse,
+      s"IvfPq: corpus has only ${coarse.centroids.length} vectors for " +
+        s"kCoarse=$kCoarse coarse centroids")
     val dims = coarse.centroids.head.length
     require(dims % numSub == 0,
       s"IvfPq: $dims dims not divisible into $numSub subspaces")

@@ -119,6 +119,13 @@ object VectorQueries {
 
   private[graft] def gaussianMoments(codes: org.apache.spark.sql.DataFrame)
       : Moments = {
+    // loud valve BEFORE the dims-bounded collect runs (a post-collect
+    // check would materialize the rows first and OOM anyway): one
+    // cheap first-row probe of the array width
+    val dims = codes.select(size(col("xs"))).head().getInt(0)
+    require(dims <= 65536,
+      s"gaussianMoments: $dims dimensions exceeds the 65536 " +
+        "moment-collect cap; shard the moment pass per dimension range")
     val st = codes
       .select(posexplode(col("xs")).as(Seq("d", "x")))
       .groupBy(col("d"))
@@ -127,11 +134,6 @@ object VectorQueries {
       .collect()                         // bounded: exactly `dims` rows
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1)
-    // loud valve on the dims-bounded collect: a future caller pointing
-    // this at a 10⁶-dim column should get a message, not a driver OOM
-    require(st.length <= 65536,
-      s"gaussianMoments: ${st.length} dimensions exceeds the 65536 " +
-        "moment-collect cap; shard the moment pass per dimension range")
     val mu = st.map { case (_, n, sx, _) => (2 * sx + n) / (2 * n) }
     val vr = st.zipWithIndex.map { case ((_, n, _, qx), i) =>
       math.max(qx / n - mu(i) * mu(i), 1L)

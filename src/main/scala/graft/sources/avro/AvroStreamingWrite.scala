@@ -67,17 +67,23 @@ class AvroStreamingWrite(dir: String, schema: StructType) extends StreamingWrite
     }
     val epochs = (epochId +: commits.map(_.epoch)).distinct
     val fresh = staged.map { case (_, e, p) => (e, p) }.toSet
+    val PartRe = """part-e(\d+)-p(\d+)\.avro""".r
     epochs.foreach { e =>
       val stale = fs.globStatus(new Path(target, f"part-e$e%05d-p*.avro"))
       if (stale != null) stale
         .filterNot { st =>
-          val PartRe = """part-e(\d+)-p(\d+)\.avro""".r
           st.getPath.getName match {
             case PartRe(ep, pp) => fresh.contains((ep.toLong, pp.toInt))
             case _              => false
           }
         }
         .foreach(st => fs.delete(st.getPath, false))
+      // also sweep staged leftovers of this epoch that no message in
+      // THIS commit claimed — a prior crashed attempt with MORE
+      // partitions would otherwise leave invisible .staged garbage
+      // accumulating forever
+      val orphans = fs.globStatus(new Path(target, f".staged-e$e%05d-p*.avro"))
+      if (orphans != null) orphans.foreach(st => fs.delete(st.getPath, false))
     }
   }
 

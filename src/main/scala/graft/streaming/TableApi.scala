@@ -442,8 +442,12 @@ object TableApi {
               val iv = monthIntervals.get(u)
                 .map(k => s"INTERVAL '${v * k}' MONTH")
                 .getOrElse {
+                  // render sign explicitly: truncating division would
+                  // split a negative ms into '0.-10'-style garbage
                   val ms = v * milliIntervals(u)
-                  s"INTERVAL '${ms / 1000}.${"%03d".format(ms % 1000)}' SECOND"
+                  val a = math.abs(ms)
+                  val sign = if (ms < 0) "-" else ""
+                  s"INTERVAL '$sign${a / 1000}.${"%03d".format(a % 1000)}' SECOND"
                 }
               Px(F.expr(iv), litVal = None)
             case None => fail(s"interval suffix .$name needs a numeric literal (e.g. 10.minutes)")

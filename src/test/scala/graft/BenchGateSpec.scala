@@ -21,10 +21,12 @@ class BenchGateSpec extends SparkSpec {
 
   test("budgets cover the whole r7 headline set") {
     val missing = Bench.headline.filterNot(BenchBudgets.sf01Budgets.contains)
-    // post-r7 additions are exempt until the next re-baseline; the r7
-    // 40 must all carry budgets
+    // ONLY post-r7 additions may lack budgets — a silently dropped or
+    // misspelled r7 budget would exempt that query from the gate
+    val exemptUntilRebaseline = Set("q268_ivfpq_exact", "q270_fluent_pipeline")
+    assert(missing.toSet.subsetOf(exemptUntilRebaseline),
+      s"r7 headliners without budgets: ${missing.filterNot(exemptUntilRebaseline)}")
     assert(BenchBudgets.sf01Budgets.size >= 39, "budget table truncated")
-    assert(missing.forall(n => !BenchBudgets.sf01Budgets.contains(n)))
   }
 
   test("wall-time gate: headline set stays inside budget (GRAFT_BENCH_GATE=1)") {

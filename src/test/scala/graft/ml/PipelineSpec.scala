@@ -87,6 +87,17 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException](new Pipeline(json))
   }
 
+  test("malformed JSON with an unterminated value errors fast (no ReDoS)") {
+    // merely-greedy runs inside (x+|y)* backtrack exponentially on an
+    // unterminated quoted value; the possessive regexes must fail this
+    // in milliseconds, loudly
+    val bad = """[{"class":"graft.ml.Int8Quantizer","params":{"embCol":"""" +
+      ("x" * 2000) // no closing quote, no closing braces
+    val t0 = System.nanoTime()
+    intercept[IllegalArgumentException](new Pipeline(bad))
+    assert((System.nanoTime() - t0) / 1e9 < 5.0, "parse did not fail fast")
+  }
+
   test("loadJson refuses non-PipelineStage classes before instantiating") {
     // a class name smuggled into the JSON must be rejected BEFORE its
     // no-arg constructor runs — otherwise pipeline JSON is an
