@@ -78,6 +78,29 @@ class IvfPqSpec extends SparkSpec {
       s"recall@5 collapsed: $hits/$total")
   }
 
+  test("cluster-partitioned index persistence prunes unprobed lists at the scan") {
+    // the 100 TB claim made concrete: the index written
+    // partitionBy(cluster) must let a probe batch's list filter reach
+    // the scan as PARTITION pruning (directories skipped, not rows
+    // filtered) — that is what makes a probe touch nprobe/K of the
+    // corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx").toString
+    IvfPq.index(emb, "embedding", model)
+      .write.partitionBy("cluster").mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val pruned = back.filter(col("cluster").isin(0, 3))
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("cluster"), s"list filter not pushed to partitions:\n$plan")
+    assert(!plan.contains("PushedFilters: [In(cluster"),
+      "cluster must prune as a partition column, not a data filter")
+    // and the pruned read is exactly those lists' codes
+    val expect = IvfPq.index(emb, "embedding", model)
+      .filter(col("cluster").isin(0, 3)).count()
+    assert(pruned.count() == expect && expect > 0)
+  }
+
   test("guards: bad nprobe / indivisible dims / oversized K fail loudly") {
     intercept[IllegalArgumentException] {
       IvfPq.search(IvfPq.index(emb, "embedding", model),
