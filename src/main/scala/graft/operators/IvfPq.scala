@@ -113,6 +113,182 @@ object IvfPq {
         col("mc.m").as("m"), col("mc.code").as("code"))
   }
 
+  // ---- residual encoding (IVFADC proper — Jégou et al. §IV) --------
+
+  /** Residual-encoding model: the PQ codebook quantizes `x − c(list)`
+    * instead of `x`, so codewords spend their resolution on the
+    * within-cell displacement — the accuracy refinement that makes
+    * IVFADC the production form. Scoring decomposes exactly:
+    * `p·x̂ = p·c + Σ_m p_sub·cw` and
+    * `‖x̂‖² = ‖c‖² + Σ_m (2·c_sub·cw + ‖cw‖²)` (subspace
+    * orthogonality), so the per-(cluster, m, code) cross/norm terms
+    * precompute to ×1e6-scaled integer literals and every per-pair
+    * score stays an order-independent exact sum. */
+  case class ResidualModel(centroids: Array[Array[Double]],
+                           codebook: Array[Array[Array[Double]]]) {
+    def kCoarse: Int = centroids.length
+    def numSub: Int = codebook.length
+    def codesPerSub: Int = codebook.head.length
+    def dsub: Int = codebook.head.head.length
+    // HALF-AWAY-FROM-ZERO, not math.round (floor(x+½)): cross terms
+    // can be NEGATIVE and both Spark's round() and DuckDB's round()
+    // round halves away from zero — the driver must match
+    private def rz(x: Double): Long =
+      if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    /** crossNorm(cluster)(m)(k) = round((2·c_sub·cw + ‖cw‖²)·1e6). */
+    lazy val crossNorm: Array[Array[Array[Long]]] =
+      centroids.map { c =>
+        Array.tabulate(numSub, codesPerSub) { (m, k) =>
+          val cs = c.slice(m * dsub, (m + 1) * dsub)
+          val cw = codebook(m)(k)
+          val cross = cs.zip(cw).foldLeft(0.0)((a, p) => a + p._1 * p._2)
+          val nw = cw.foldLeft(0.0)((a, x) => a + x * x)
+          rz((2 * cross + nw) * 1e6)
+        }
+      }
+    /** cNorm(cluster) = round(‖c‖²·1e6). */
+    lazy val cNorm: Array[Long] =
+      centroids.map(c => rz(c.foldLeft(0.0)((a, x) => a + x * x) * 1e6))
+  }
+
+  /** CosineSimilarity's exact arithmetic on the driver (left-to-right
+    * accumulation, dot/(√na·√nb)) — seed-cluster assignment must match
+    * the distributed argmax bit-for-bit. */
+  private def cosD(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i)
+      nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Fit the residual model: coarse centroids as [[fit]], then the
+    * shared codebook from the RESIDUALS of the first `codesPerSub`
+    * vectors w.r.t. their own assigned centroids (deterministic, like
+    * q211's scheme; a trained codebook drops in unchanged). */
+  def fitResidual(corpus: DataFrame, embCol: String, kCoarse: Int,
+                  lloydIters: Int, numSub: Int,
+                  codesPerSub: Int): ResidualModel = {
+    require(numSub >= 1, s"IvfPq: numSub=$numSub subspaces (need >= 1)")
+    require(codesPerSub >= 1 && codesPerSub <= 256,
+      s"IvfPq: codesPerSub=$codesPerSub outside [1, 256] (8-bit PQ cap)")
+    val coarse = IvfAnn.fit(corpus, embCol, kCoarse, lloydIters)
+    require(coarse.centroids.length == kCoarse,
+      s"IvfPq: corpus has only ${coarse.centroids.length} vectors for " +
+        s"kCoarse=$kCoarse coarse centroids")
+    val dims = coarse.centroids.head.length
+    require(dims % numSub == 0,
+      s"IvfPq: $dims dims not divisible into $numSub subspaces")
+    val dsub = dims / numSub
+    val seeds = corpus.orderBy(col("vec_id")).limit(codesPerSub)
+      .select(asD(col(embCol)).as("e")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seeds.length == codesPerSub,
+      s"IvfPq: corpus has only ${seeds.length} vectors for " +
+        s"$codesPerSub codewords")
+    val residuals = seeds.map { x =>
+      // argmax cosine, tie → lowest cluster id (nearestCentroid's rule)
+      val cl = coarse.centroids.zipWithIndex
+        .map { case (c, j) => (cosD(x, c), j) }
+        .maxBy { case (s, j) => (s, -j) }._2
+      x.zip(coarse.centroids(cl)).map { case (a, b) => a - b }
+    }
+    val cb = Array.tabulate(numSub, codesPerSub)((m, k) =>
+      residuals(k).slice(m * dsub, (m + 1) * dsub))
+    ResidualModel(coarse.centroids, cb)
+  }
+
+  private def centsLit(cents: Array[Array[Double]]): Column =
+    array(cents.toIndexedSeq.map(c =>
+      array(c.toIndexedSeq.map(lit(_)): _*)): _*)
+
+  /** Residual index build: (cid, cluster, m, code) where code
+    * quantizes `x − c(cluster)`. Same 4-byte/vector payload and
+    * partitionBy(cluster) persistence contract as [[index]]. */
+  def indexResidual(corpus: DataFrame, embCol: String,
+                    model: ResidualModel): DataFrame = {
+    val M = model.numSub; val K = model.codesPerSub; val dsub = model.dsub
+    def cwL(m: Int, k: Int) =
+      array(model.codebook(m)(k).toIndexedSeq.map(lit(_)): _*)
+    def l2(sub: Column, m: Int, k: Int): Column =
+      aggregate(zip_with(sub, cwL(m, k), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    def codeFor(v: Column, m: Int): Column =
+      array_min(array((0 until K).map(k =>
+        struct(l2(slice(v, m * dsub + 1, dsub), m, k).as("d"),
+          lit(k).as("k"))): _*))
+        .getField("k")
+    IvfAnn.assign(corpus, embCol, IvfAnn.Model(model.centroids))
+      .select(col("vec_id").as("cid"), col("cluster"),
+        zip_with(asD(col(embCol)),
+          element_at(centsLit(model.centroids), col("cluster") + 1),
+          (a, b) => a - b).as("re"))
+      .select(col("cid"), col("cluster"),
+        explode(array((0 until M).map(m =>
+          struct(lit(m).as("m"), codeFor(col("re"), m).as("code"))): _*)).as("mc"))
+      .select(col("cid"), col("cluster"),
+        col("mc.m").as("m"), col("mc.code").as("code"))
+  }
+
+  /** Residual ADC search: probed lists only, scores decomposed as
+    * `(p·c + Σ p_sub·cw) / √(‖c‖² + Σ(2·c_sub·cw + ‖cw‖²))` — the
+    * per-(cluster, m, code) cross/norm terms ride as integer literals,
+    * the per-(probe, cluster) `p·c` term is one scaled dot per probed
+    * list, and all sums are order-independent exact. */
+  def searchResidual(indexed: DataFrame, probes: DataFrame, embCol: String,
+                     model: ResidualModel, k: Int, nprobe: Int): DataFrame = {
+    val M = model.numSub; val K = model.codesPerSub; val dsub = model.dsub
+    require(nprobe >= 1 && nprobe <= model.kCoarse,
+      s"IvfPq: nprobe=$nprobe outside [1, ${model.kCoarse}]")
+    val probeClusters = array(model.centroids.toIndexedSeq.zipWithIndex.map {
+      case (c, i) =>
+        struct(cosine_similarity(col("pe"),
+          array(c.toIndexedSeq.map(lit(_)): _*)).as("sim"),
+          lit(-i).as("negIdx"))
+    }: _*)
+    def cwL(m: Int, kk: Int) =
+      array(model.codebook(m)(kk).toIndexedSeq.map(lit(_)): _*)
+    val lutRows = for (m <- 0 until M; kk <- 0 until K) yield
+      struct(lit(m).as("m"), lit(kk).as("k"),
+        round(dot(subCol(col("pe"), m, dsub), cwL(m, kk)) * 1e6)
+          .cast("long").as("pdot"))
+    val crossLit = array(model.crossNorm.toIndexedSeq.map(cl =>
+      array(cl.toIndexedSeq.map(ml =>
+        array(ml.toIndexedSeq.map(lit(_)): _*)): _*)): _*)
+    val cNormLit = array(model.cNorm.toIndexedSeq.map(lit(_)): _*)
+    val probeLut = probes
+      .select(col("vec_id").as("pid"), asD(col(embCol)).as("pe"))
+      .select(col("pid"), col("pe"),
+        slice(reverse(array_sort(probeClusters)), 1, nprobe).as("near"))
+      .select(col("pid"), col("pe"),
+        explode(transform(col("near"), s => -s.getField("negIdx"))).as("cluster"))
+      .withColumn("pcdot",
+        round(dot(col("pe"),
+          element_at(centsLit(model.centroids), col("cluster") + 1)) * 1e6)
+          .cast("long"))
+      .select(col("pid"), col("cluster"), col("pcdot"),
+        explode(array(lutRows: _*)).as("x"))
+      .select(col("pid"), col("cluster"), col("pcdot"),
+        col("x.m").as("m"), col("x.k").as("k"), col("x.pdot").as("pdot"),
+        element_at(element_at(element_at(crossLit, col("cluster") + 1),
+          col("x.m") + 1), col("x.k") + 1).as("cn2"))
+    val score = (col("pcdot") + col("idot")).cast("double") /
+      greatest(sqrt(greatest((element_at(cNormLit, col("cluster") + 1) +
+        col("rn")).cast("double"), lit(0.0))), lit(1e-30))
+    val w = Window.partitionBy(col("pid")).orderBy(col("score").desc, col("cid"))
+    indexed.join(broadcast(probeLut),
+        indexed("cluster") === probeLut("cluster") &&
+          indexed("m") === probeLut("m") && indexed("code") === probeLut("k"))
+      .groupBy(col("pid"), col("cid"), probeLut("cluster").as("cluster"),
+        col("pcdot"))
+      .agg(sum(col("pdot")).as("idot"), sum(col("cn2")).as("rn"))
+      .filter(col("cid") =!= col("pid"))
+      .withColumn("score", score)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("pid"), col("rk"), col("cid"),
+        round(col("score"), 6).as("score6"))
+  }
+
   /** ADC search over the probed lists only. `indexed` is `index`'s
     * output (or a re-read of its partitioned persistence). Each probe:
     * its `nprobe` nearest coarse lists (cosine argmax, ties → lowest

@@ -49,6 +49,26 @@ object IvfPqQueries {
         .orderBy(col("pid"), col("rk"))
     }),
 
+    // IVFADC PROPER — residual encoding (Jégou et al. §IV): the PQ
+    // codebook quantizes x − c(list), scores decompose exactly into
+    // (p·c + Σ p_sub·cw) / √(‖c‖² + Σ(2·c_sub·cw + ‖cw‖²)) with every
+    // term a ×1e6-scaled integer. Oracle-bound at the APPROXIMATE
+    // nprobe=2 setting by full relational replication (lloydIters=0
+    // keeps centroids SQL-expressible; the codebook is the residuals
+    // of the first 16 vectors w.r.t. their own lists) — the output is
+    // the ranked search result itself, so a wrong residual, a dropped
+    // cross term, or a mis-rounded literal breaks the hash directly.
+    "q277_ivfadc_residual" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val model = IvfPq.fitResidual(e, "embedding", kCoarse = 8,
+        lloydIters = 0, numSub = 8, codesPerSub = 16)
+      val indexed = IvfPq.indexResidual(e, "embedding", model)
+      val probes = e.filter(col("vec_id") <= 20)
+      IvfPq.searchResidual(indexed, probes, "embedding", model,
+        k = 5, nprobe = 2)
+        .orderBy(col("pid"), col("rk"))
+    }),
+
     // the approximate setting itself, oracle-bound: nprobe=2 of 8,
     // deterministic seed centroids (lloydIters=0), recall@5 vs the
     // exact brute-force top-5 as an integer permille per probe.
@@ -86,6 +106,114 @@ object IvfPqQueries {
 
     // nprobe=K ≡ the flat ADC scan: q211's oracle, verbatim.
     "q268_ivfpq_exact" -> VectorQueries.oracle("q211_pq_ann"),
+
+    // residual IVFADC replicated relationally: q269's coarse fragments
+    // plus residual vectors, residual-seed codebook, per-(cluster,m,k)
+    // cross/norm integer terms, per-(probe,cluster) p·c terms, and the
+    // decomposed score.
+    "q277_ivfadc_residual" ->
+      s"""WITH de AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, dv AS cv
+         |  FROM de ORDER BY vec_id LIMIT 8),
+         |asg AS (
+         |  SELECT d.vec_id, c.j,
+         |    ${cosSql("d.dv", "c.cv")} AS sim
+         |  FROM de d, cents c),
+         |cl AS (
+         |  SELECT vec_id, j AS cluster FROM (
+         |    SELECT vec_id, j,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY sim DESC, j) AS rn
+         |    FROM asg) WHERE rn = 1),
+         |pcl AS (
+         |  SELECT vec_id AS pid, j AS cluster FROM (
+         |    SELECT vec_id, j,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY sim DESC, j) AS rn
+         |    FROM asg WHERE vec_id <= 20) WHERE rn <= 2),
+         |rv AS (
+         |  SELECT d.vec_id, cl.cluster,
+         |    list_transform(range(1, 65), i -> d.dv[i] - c.cv[i]) AS re
+         |  FROM de d JOIN cl ON cl.vec_id = d.vec_id
+         |  JOIN cents c ON c.j = cl.cluster),
+         |ms AS (SELECT unnest(range(0, 8)) AS m),
+         |seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, re AS sv
+         |  FROM rv ORDER BY vec_id LIMIT 16),
+         |cb AS (
+         |  SELECT seeds.k, ms.m,
+         |    list_transform(range(1, 9), i -> sv[ms.m*8 + i]) AS cw
+         |  FROM seeds, ms),
+         |cn2 AS (
+         |  SELECT c.j AS cluster, cb.m, cb.k,
+         |    CAST(round((2*list_reduce(list_transform(range(1, 9),
+         |        i -> c.cv[cb.m*8 + i]*cb.cw[i]), (x,y) -> x+y)
+         |      + list_reduce(list_transform(range(1, 9),
+         |        i -> cb.cw[i]*cb.cw[i]), (x,y) -> x+y)) * 1e6) AS BIGINT)
+         |      AS cn2
+         |  FROM cents c, cb),
+         |cnorm AS (
+         |  SELECT j AS cluster,
+         |    CAST(round(list_reduce(list_transform(range(1, 65),
+         |      i -> cv[i]*cv[i]), (x,y) -> x+y) * 1e6) AS BIGINT) AS cnorm
+         |  FROM cents),
+         |subs AS (
+         |  SELECT vec_id, cluster, ms.m,
+         |    list_transform(range(1, 9), i -> re[ms.m*8 + i]) AS sub
+         |  FROM rv, ms),
+         |enc AS (
+         |  SELECT vec_id AS cid, cluster, m, k AS code FROM (
+         |    SELECT s.vec_id, s.cluster, s.m, c.k,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |        list_reduce(list_transform(range(1, 9),
+         |          i -> (s.sub[i]-c.cw[i])*(s.sub[i]-c.cw[i])),
+         |          (x,y) -> x+y), c.k) AS rn
+         |    FROM subs s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+         |psub AS (
+         |  SELECT vec_id, ms.m,
+         |    list_transform(range(1, 9), i -> dv[ms.m*8 + i]) AS sub
+         |  FROM de, ms WHERE vec_id <= 20),
+         |lut AS (
+         |  SELECT s.vec_id AS pid, s.m, c.k,
+         |    CAST(round(list_reduce(list_transform(range(1, 9),
+         |      i -> s.sub[i]*c.cw[i]), (x,y) -> x+y) * 1e6) AS BIGINT)
+         |      AS pdot
+         |  FROM psub s JOIN cb c ON s.m = c.m),
+         |pcd AS (
+         |  SELECT d.vec_id AS pid, p.cluster,
+         |    CAST(round(list_reduce(list_transform(range(1, 65),
+         |      i -> d.dv[i]*c.cv[i]), (x,y) -> x+y) * 1e6) AS BIGINT)
+         |      AS pcdot
+         |  FROM de d JOIN pcl p ON p.pid = d.vec_id
+         |  JOIN cents c ON c.j = p.cluster),
+         |sc AS (
+         |  SELECT l.pid, e.cid, e.cluster,
+         |    sum(l.pdot) AS idot, sum(n2.cn2) AS rn
+         |  FROM enc e
+         |  JOIN pcl ON pcl.cluster = e.cluster
+         |  JOIN lut l ON l.pid = pcl.pid AND e.m = l.m AND e.code = l.k
+         |  JOIN cn2 n2 ON n2.cluster = e.cluster AND n2.m = e.m
+         |            AND n2.k = e.code
+         |  WHERE e.cid <> l.pid
+         |  GROUP BY 1, 2, 3),
+         |ranked AS (
+         |  SELECT s.pid, s.cid,
+         |    CAST(p.pcdot + s.idot AS DOUBLE) /
+         |      greatest(sqrt(greatest(CAST(cn.cnorm + s.rn AS DOUBLE), 0)),
+         |        1e-30) AS score,
+         |    row_number() OVER (PARTITION BY s.pid ORDER BY
+         |      CAST(p.pcdot + s.idot AS DOUBLE) /
+         |        greatest(sqrt(greatest(CAST(cn.cnorm + s.rn AS DOUBLE), 0)),
+         |          1e-30) DESC, s.cid) AS rk
+         |  FROM sc s
+         |  JOIN pcd p ON p.pid = s.pid AND p.cluster = s.cluster
+         |  JOIN cnorm cn ON cn.cluster = s.cluster)
+         |SELECT pid, rk, cid, round(score, 6) AS score6
+         |FROM ranked WHERE rk <= 5 ORDER BY pid, rk""".stripMargin,
 
     // the composed index replicated relationally: seed centroids →
     // cluster argmax (tie lowest id) → probe top-2 lists → PQ encode

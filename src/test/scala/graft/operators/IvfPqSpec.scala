@@ -78,6 +78,27 @@ class IvfPqSpec extends SparkSpec {
       s"recall@5 collapsed: $hits/$total")
   }
 
+  test("residual IVFADC: deterministic fit, M codes/vector, probed lists only") {
+    val rm = IvfPq.fitResidual(emb, "embedding", kCoarse = 8,
+      lloydIters = 0, numSub = 8, codesPerSub = 16)
+    val rm2 = IvfPq.fitResidual(emb, "embedding", kCoarse = 8,
+      lloydIters = 0, numSub = 8, codesPerSub = 16)
+    assert(rm.codebook.map(_.map(_.toSeq).toSeq).toSeq ==
+           rm2.codebook.map(_.map(_.toSeq).toSeq).toSeq)
+    val idx = IvfPq.indexResidual(emb, "embedding", rm)
+    assert(idx.count() == emb.count() * 8)
+    assert(idx.filter(col("code") < 0 || col("code") >= 16).isEmpty)
+    val probes = emb.filter(col("vec_id") <= 5)
+    val res = IvfPq.searchResidual(idx, probes, "embedding", rm,
+      k = 5, nprobe = 2)
+    val clusters = idx.select(col("cid"), col("cluster")).distinct()
+    val perProbe = res.join(clusters, "cid")
+      .groupBy(col("pid")).agg(countDistinct(col("cluster")).as("nc"))
+      .collect()
+    assert(perProbe.nonEmpty && perProbe.forall(_.getLong(1) <= 2),
+      "residual candidates leaked in from unprobed lists")
+  }
+
   test("cluster-partitioned index persistence prunes unprobed lists at the scan") {
     // the 100 TB claim made concrete: the index written
     // partitionBy(cluster) must let a probe batch's list filter reach
