@@ -333,6 +333,70 @@ final class IvfPqModel(embCol: String, val model: graft.operators.IvfPq.Model)
         .map(_.split(';').map(_.split(',').map(_.toDouble)))))
 }
 
+/** Estimator: OPQ-rotated IVF+PQ — learns an orthogonal rotation
+  * (Opq.fitRotation's OPQ-NP alternation; rotationIters=0 keeps the
+  * deterministic signed-permutation init, the SQL-expressible setting
+  * q278's oracle replicates), then fits the composed IVF+PQ index on
+  * the ROTATED corpus. Rotation preserves dots and norms exactly, so
+  * the whole downstream ADC machinery runs unchanged. */
+final class OpqIvfPqEstimator(embCol: String, rotationIters: Int,
+                              kCoarse: Int, lloydIters: Int,
+                              numSub: Int, codesPerSub: Int)
+    extends Pipeline.Estimator {
+  def this() = this("embedding", 0, 8, 0, 8, 16)
+  def fit(df: DataFrame): Pipeline.Model = {
+    val d = df.select(size(col(embCol))).head().getInt(0)
+    val init = graft.operators.Opq.signedPerm(d)
+    val (r, _) = graft.operators.Opq.fitRotation(
+      df, embCol, numSub, codesPerSub, rotationIters, init)
+    val rotated = graft.operators.Opq.rotate(df, embCol, r, "__rot")
+    val ivf = graft.operators.IvfPq.fit(rotated, "__rot", kCoarse,
+      lloydIters, numSub, codesPerSub)
+    new OpqIvfPqModel(embCol, r, ivf)
+  }
+  def params: Map[String, String] = Map(
+    "embCol" -> embCol, "rotationIters" -> rotationIters.toString,
+    "kCoarse" -> kCoarse.toString, "lloydIters" -> lloydIters.toString,
+    "numSub" -> numSub.toString, "codesPerSub" -> codesPerSub.toString)
+  def withParams(p: Map[String, String]): Pipeline.PipelineStage =
+    new OpqIvfPqEstimator(p("embCol"), p("rotationIters").toInt,
+      p("kCoarse").toInt, p("lloydIters").toInt, p("numSub").toInt,
+      p("codesPerSub").toInt)
+}
+
+/** Fitted OPQ index: transform = rotate + index build; `search`
+  * rotates the probes with the SAME learned R, then runs the pruned
+  * ADC scan. The rotation matrix persists as params (Double.toString
+  * round-trips exactly), so a reloaded pipeline rotates, indexes, and
+  * scores bit-identically. */
+final class OpqIvfPqModel(embCol: String, val rotation: Array[Array[Double]],
+                          val model: graft.operators.IvfPq.Model)
+    extends Pipeline.Model {
+  def this() = this("embedding", Array(Array(1.0)),
+    graft.operators.IvfPq.Model(Array(Array(0.0)), Array(Array(Array(0.0)))))
+  private def rotated(df: DataFrame): DataFrame =
+    graft.operators.Opq.rotate(df, embCol, rotation, "__rot")
+  def transform(df: DataFrame): DataFrame =
+    graft.operators.IvfPq.index(rotated(df), "__rot", model)
+  def search(indexed: DataFrame, probes: DataFrame, k: Int,
+             nprobe: Int): DataFrame =
+    graft.operators.IvfPq.search(indexed, rotated(probes), "__rot",
+      model, k, nprobe)
+  def params: Map[String, String] = Map(
+    "embCol" -> embCol,
+    "rotation" -> rotation.map(_.mkString(",")).mkString(";"),
+    "centroids" -> model.centroids.map(_.mkString(",")).mkString(";"),
+    "codebook" -> model.codebook
+      .map(_.map(_.mkString(",")).mkString(";")).mkString("|"))
+  def withParams(p: Map[String, String]): Pipeline.PipelineStage =
+    new OpqIvfPqModel(p("embCol"),
+      p("rotation").split(';').map(_.split(',').map(_.toDouble)),
+      graft.operators.IvfPq.Model(
+        p("centroids").split(';').map(_.split(',').map(_.toDouble)),
+        p("codebook").split('|')
+          .map(_.split(';').map(_.split(',').map(_.toDouble)))))
+}
+
 /** Fitted coarse quantizer: literal-argmax cluster assignment (pure
   * projection; the centroids ride the closure). */
 final class IvfClusterModel(embCol: String,

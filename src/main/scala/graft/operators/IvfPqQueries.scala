@@ -69,6 +69,32 @@ object IvfPqQueries {
         .orderBy(col("pid"), col("rk"))
     }),
 
+    // OPQ in front of the composed index (Ge et al., CVPR 2013): an
+    // orthogonal rotation is learned so PQ loses less, and because
+    // rotation preserves dots and norms EXACTLY the whole ADC stack
+    // runs unchanged on rotated vectors. Oracle-bound through the
+    // deterministic setting: rotationIters=0 keeps the signed-
+    // permutation init (y_j = ±x[29j mod 64] — exactly SQL-
+    // expressible), lloydIters=0 + nprobe=K makes the search the flat
+    // ADC scan on rotated vectors — q211's oracle body over a rotated
+    // `de`. The row ALSO runs the full pipeline persistence loop
+    // (fit → toJson → reload → index → search), so a mis-persisted
+    // rotation cell (64×64 doubles through JSON) breaks the hash. The
+    // LEARNED rotation (iters>0, exact Procrustes per step) is pinned
+    // by OpqSpec's monotone-objective and orthogonality invariants.
+    "q278_opq_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val fitted = new graft.ml.Pipeline()
+        .appendStage(new graft.ml.OpqIvfPqEstimator("embedding", 0, 8, 0, 8, 16))
+        .fit(e)
+      val reloaded = new graft.ml.Pipeline(fitted.toJson)
+      val indexed = reloaded.transform(e)
+      val model = reloaded.getStages.head.asInstanceOf[graft.ml.OpqIvfPqModel]
+      val probes = e.filter(col("vec_id") <= 20)
+      model.search(indexed, probes, k = 5, nprobe = 8)
+        .orderBy(col("pid"), col("rk"))
+    }),
+
     // the approximate setting itself, oracle-bound: nprobe=2 of 8,
     // deterministic seed centroids (lloydIters=0), recall@5 vs the
     // exact brute-force top-5 as an integer permille per probe.
@@ -106,6 +132,67 @@ object IvfPqQueries {
 
     // nprobe=K ≡ the flat ADC scan: q211's oracle, verbatim.
     "q268_ivfpq_exact" -> VectorQueries.oracle("q211_pq_ann"),
+
+    // OPQ at the deterministic setting: q211's flat-ADC oracle body
+    // over the signed-permutation-rotated vectors (rotation preserves
+    // dots/norms exactly; nprobe=K collapses IVF pruning).
+    "q278_opq_ann" ->
+      s"""WITH raw AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
+         |  FROM embeddings),
+         |de AS (
+         |  SELECT vec_id, list_transform(range(0, 64), j ->
+         |    (CASE WHEN j % 3 = 0 THEN -1 ELSE 1 END) *
+         |      rv[((29*j) % 64) + 1]) AS dv
+         |  FROM raw),
+         |ms AS (SELECT unnest(range(0, 8)) AS m),
+         |seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, dv AS sv
+         |  FROM de ORDER BY vec_id LIMIT 16),
+         |cb AS (
+         |  SELECT seeds.k, ms.m,
+         |    list_transform(range(1, 9), i -> sv[ms.m*8 + i]) AS cw
+         |  FROM seeds, ms),
+         |cbn AS (
+         |  SELECT k, m, cw,
+         |    CAST(round(list_reduce(list_transform(range(1, 9),
+         |      i -> cw[i]*cw[i]), (x,y) -> x+y) * 1e6) AS BIGINT) AS cn
+         |  FROM cb),
+         |subs AS (
+         |  SELECT vec_id, ms.m,
+         |    list_transform(range(1, 9), i -> dv[ms.m*8 + i]) AS sub
+         |  FROM de, ms),
+         |enc AS (
+         |  SELECT vec_id AS cid, m, k AS code FROM (
+         |    SELECT s.vec_id, s.m, c.k,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |        list_reduce(list_transform(range(1, 9),
+         |          i -> (s.sub[i]-c.cw[i])*(s.sub[i]-c.cw[i])),
+         |          (x,y) -> x+y), c.k) AS rn
+         |    FROM subs s JOIN cbn c ON s.m = c.m) WHERE rn = 1),
+         |lut AS (
+         |  SELECT s.vec_id AS pid, s.m, c.k,
+         |    CAST(round(list_reduce(list_transform(range(1, 9),
+         |      i -> s.sub[i]*c.cw[i]), (x,y) -> x+y) * 1e6) AS BIGINT)
+         |      AS pdot,
+         |    c.cn
+         |  FROM subs s JOIN cbn c ON s.m = c.m WHERE s.vec_id <= 20),
+         |sc AS (
+         |  SELECT l.pid, e.cid, sum(l.pdot) AS idot, sum(l.cn) AS rn
+         |  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.k
+         |  WHERE e.cid <> l.pid
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT pid, cid,
+         |    CAST(idot AS DOUBLE) /
+         |      greatest(sqrt(CAST(rn AS DOUBLE)), 1e-30) AS score,
+         |    row_number() OVER (PARTITION BY pid
+         |                       ORDER BY CAST(idot AS DOUBLE) /
+         |      greatest(sqrt(CAST(rn AS DOUBLE)), 1e-30) DESC, cid) AS rk
+         |  FROM sc)
+         |SELECT pid, rk, cid, round(score, 6) AS score6
+         |FROM ranked WHERE rk <= 5 ORDER BY pid, rk""".stripMargin,
 
     // residual IVFADC replicated relationally: q269's coarse fragments
     // plus residual vectors, residual-seed codebook, per-(cluster,m,k)
