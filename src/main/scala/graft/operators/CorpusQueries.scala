@@ -253,10 +253,162 @@ object CorpusQueries {
           sum(col("ntok")).as("tok_in"),
           sum(when(col("kept"), col("ntok")).otherwise(0L)).as("tok_kept"))
         .orderBy(col("source"))
+    }),
+
+    // BM25 top-k retrieval (Robertson/Spärck Jones; the Lucene
+    // ln(1 + (N−df+½)/(df+½)) idf form, k1=1.2 b=0.75) — the
+    // retrieval primitive behind decontamination-by-retrieval and
+    // dedup candidate mining. Probes are the first 5 documents
+    // (more-like-this: the probe's distinct terms are the query).
+    // Exactness: each per-term contribution rounds to a ×1e6 integer
+    // (q43's round-6 ln discipline), so per-pair scores are
+    // order-independent exact sums and ranking is integer-total.
+    // Scale shape: postings (tf) shuffle once on term; the probe
+    // vocabulary broadcasts; only postings matching probe terms flow
+    // into the per-(probe, doc) aggregation — a posting-list join,
+    // never a doc×doc product; df/dl are vocabulary-/corpus-bounded
+    // side tables; avgdl and N ride the plan as a broadcast 1-row
+    // aggregate (q104 pattern, no separate count action).
+    "q279_bm25_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nAvg = docs.agg(count(lit(1)).as("n_corpus"),
+        avg(size(toks(col("text")))).as("avgdl"))
+      val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val dft = tok.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val qt = tok.filter(col("doc_id") <= 4)
+        .select(col("doc_id").as("pid"), col("term")).distinct()
+      val idf = log(lit(1.0) +
+        (col("n_corpus") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val tfn = (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      val w = Window.partitionBy(col("pid"))
+        .orderBy(col("s").desc, col("doc_id"))
+      tf.join(broadcast(qt), tf("term") === qt("term") &&
+          tf("doc_id") =!= qt("pid"))
+        .drop(qt("term"))
+        .join(dl, "doc_id")
+        .join(dft, "term")
+        .crossJoin(broadcast(nAvg))
+        .withColumn("c", round(idf * tfn * lit(1e6)).cast("long"))
+        .groupBy(col("pid"), col("doc_id"))
+        .agg(sum(col("c")).as("s"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("pid"), col("rk"), col("doc_id").as("cid"),
+          (col("s").cast("double") / lit(1e6)).as("score6"))
+        .orderBy(col("pid"), col("rk"))
+    }),
+
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003
+    // — MOSS's local document fingerprinting): hash every word
+    // 3-gram, slide a window of 4 consecutive hashes, keep each
+    // window's MINIMUM (ties → rightmost occurrence, the robust-
+    // winnowing rule that makes the fingerprint position-stable
+    // under edits); near-dup candidates = doc pairs sharing ≥2
+    // selected hashes. The (hash, rightmost-pos) pick is ONE integer
+    // window-min: key = h·2²⁰ + (2²⁰−1−pos) — min(key) is min-hash
+    // first, then largest position (fingerprint positions are
+    // sub-2²⁰; corpus docs are KB-scale, and a longer doc would
+    // chunk upstream). Scale shape: per-doc window functions (no
+    // cross-doc traffic), a vocabulary-bounded fingerprint df table,
+    // and df-capped posting lists (≤50 docs/hash) exactly like
+    // q66's discipline — pair generation can never go quadratic in
+    // the corpus.
+    "q280_winnow_dedup" -> ((s, d) => {
+      val W = 4; val dfCap = 50
+      val docs = Tables.documents(s, d)
+      val wtoks = toks(col("text"))
+      val grams = docs.select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(1), greatest(size(wtoks) - 2, lit(1))),
+            i => concat_ws(" ", slice(wtoks, i, lit(3))))))
+        .select(col("doc_id"), (col("pos") + lit(1)).as("pos"),
+          md5i(col("col")).as("h"))
+      val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(0, W - 1)
+      val wAll = Window.partitionBy(col("doc_id"))
+      val fps = grams
+        .withColumn("k", col("h") * lit(1048576L) + (lit(1048575L) - col("pos")))
+        .withColumn("mk", min(col("k")).over(wWin))
+        .withColumn("ng", max(col("pos")).over(wAll))
+        .filter(col("pos") <= greatest(col("ng") - lit(W - 1), lit(1)))
+        .select(col("doc_id"), expr("mk div 1048576").as("fh"))
+        .distinct()
+      val dfh = fps.groupBy(col("fh")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2 && col("nd") <= dfCap)
+        .select(col("fh"))
+      val posting = fps.join(dfh, "fh")
+      posting.select(col("fh"), col("doc_id").as("a"))
+        .join(posting.select(col("fh"), col("doc_id").as("b")), "fh")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy(col("a"), col("b"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q279_bm25_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+        |            FROM documents),
+        |navg AS (SELECT count(*) AS n_corpus,
+        |                avg(len(string_split(text,' '))) AS avgdl
+        |         FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |dft AS (SELECT term, count(*) AS df
+        |        FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
+        |qt AS (SELECT DISTINCT doc_id AS pid, term FROM tok
+        |       WHERE doc_id <= 4),
+        |contrib AS (
+        |  SELECT q.pid, t.doc_id,
+        |    CAST(round(
+        |      ln(1.0 + (n.n_corpus - f.df + 0.5) / (f.df + 0.5)) *
+        |      ((t.tf * 2.2) /
+        |       (t.tf + 1.2 * (0.25 + 0.75 * l.dl / n.avgdl))) * 1e6)
+        |      AS BIGINT) AS c
+        |  FROM tf t
+        |  JOIN qt q ON t.term = q.term AND t.doc_id <> q.pid
+        |  JOIN dl l ON l.doc_id = t.doc_id
+        |  JOIN dft f ON f.term = t.term
+        |  CROSS JOIN navg n),
+        |sc AS (SELECT pid, doc_id, sum(c) AS s FROM contrib GROUP BY 1, 2)
+        |SELECT pid, rk, doc_id AS cid, CAST(s AS DOUBLE) / 1e6 AS score6
+        |FROM (SELECT pid, doc_id, s,
+        |        row_number() OVER (PARTITION BY pid
+        |                           ORDER BY s DESC, doc_id) AS rk
+        |      FROM sc)
+        |WHERE rk <= 10 ORDER BY pid, rk""".stripMargin,
+    "q280_winnow_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(ws) - 1, 2)),
+        |      i -> {'pos': i,
+        |            'h': ('0x'||substr(md5(
+        |                   array_to_string(ws[i:i+2], ' ')),1,8))::BIGINT}))
+        |      AS g
+        |  FROM w),
+        |keyed AS (SELECT doc_id, g.pos AS pos,
+        |                 g.h * 1048576 + (1048575 - g.pos) AS k
+        |          FROM grams),
+        |win AS (SELECT doc_id, pos,
+        |          min(k) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
+        |          max(pos) OVER (PARTITION BY doc_id) AS ng
+        |        FROM keyed),
+        |fps AS (SELECT DISTINCT doc_id, mk // 1048576 AS fh
+        |        FROM win WHERE pos <= greatest(ng - 3, 1)),
+        |dfh AS (SELECT fh FROM fps GROUP BY fh
+        |        HAVING count(*) BETWEEN 2 AND 50),
+        |p AS (SELECT f.doc_id, f.fh FROM fps f JOIN dfh USING (fh))
+        |SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
+        |FROM p a JOIN p b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY a, b""".stripMargin,
+
     "q201_tfidf_topterm" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
         |            FROM documents),

@@ -272,6 +272,56 @@ object FormatQueries {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy(col("lang"))
+    }),
+
+    // Two-phase-commit sink RECOVERY oracle-bound (reference
+    // TwoPhaseCommitSinkFunction.java:77 — recoverAndCommit): the
+    // quarter replay streams into the transactional JDBC sink, and a
+    // crash is injected AFTER batch 1's per-partition transactions
+    // commit but BEFORE the engine checkpoint records the batch — the
+    // exact window where an at-least-once sink double-writes. The
+    // restarted query replays batch 1 from the same checkpoint; the
+    // (batch, partition) commit markers skip every already-committed
+    // transaction, so the table holds each input row EXACTLY once.
+    // Oracle = the plain events projection: a double commit, a
+    // dropped partition, or a marker keyed off replay-unstable
+    // partitioning breaks the hash. (Partition-level retry and the
+    // marker-PK race are pinned separately in TxnSinkSpec.)
+    "q281_txn_sink_recovery" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.{Event, Replay, TxnSink}
+      val base = java.nio.file.Files.createTempDirectory("graft-txnrec")
+      val real = Tables.events(s, d).as[Event]
+      val (lo, hi) = StreamParityQueries.spanOf(real)
+      val (inDir, schema) = Replay.fileEpochs(real,
+        StreamParityQueries.quarterChunks(lo, hi), base.toString)
+      val url = s"jdbc:derby:$base/db;create=true"
+      TxnSink.init(url, "SUNK")
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def start() = Replay.streamDf(s, inDir, schema)
+        .select(col("event_id").as("id"),
+          expr("cast(round(value*100) as bigint)").as("v"))
+        .writeStream
+        .option("checkpointLocation", s"$base/ck")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          TxnSink.writeBatch(b, id, url, "SUNK")
+          if (id == 1 && crashed.compareAndSet(false, true))
+            throw new RuntimeException(
+              "injected crash: transactions committed, checkpoint not yet")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      val q1 = start()
+      try q1.awaitTermination()
+      catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+      }
+      val q2 = start() // same checkpoint: batch 1 replays, markers skip
+      q2.awaitTermination()
+      s.read.format("jdbc").option("url", url)
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .option("dbtable", "SUNK").load()
+        .select(col("ID").as("id"), col("V").as("v"))
+        .orderBy(col("id"))
     })
   )
 
@@ -335,6 +385,9 @@ object FormatQueries {
       s"""SELECT event_type, count(*)::BIGINT AS n, $centsSum AS cents_v,
          |  count(DISTINCT user_id)::BIGINT AS users,
          |  min(event_id) AS min_id, max(event_id) AS max_id
-         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q281_txn_sink_recovery" ->
+      """SELECT event_id AS id, CAST(round(value*100) AS BIGINT) AS v
+        |FROM events ORDER BY id""".stripMargin
   )
 }
