@@ -484,10 +484,136 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"),
           max(col("n_tok")).as("tok_max"))
         .orderBy(col("shard"))
+    }),
+
+    // Semantic-cluster-balanced data mixing — the embedding-space
+    // sibling of q206's source mixing and q220's budget select: docs
+    // cluster by their embedding (q146's coarse quantizer, the
+    // deterministic lloydIters=0 seed setting q269 proved SQL-exact),
+    // then each cluster admits docs by content-hash rank until the
+    // per-cluster token budget (corpus_tokens/16) fills — caps any
+    // one semantic mode of the corpus, the cluster-diversity
+    // counterpart of per-source quotas. Scale: one broadcast K×dim
+    // assignment projection, one shuffle on cluster for the running
+    // sum, budget rides as a broadcast 1-row aggregate; trained
+    // centroids drop in without changing the operator.
+    "q282_cluster_mix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 8
+      val emb = Tables.embeddings(s, d)
+      val model = IvfAnn.Model(emb.orderBy(col("vec_id")).limit(K)
+        .select(transform(col("embedding"), x => x.cast("double")).as("e"))
+        .collect().map(_.getSeq[Double](0).toArray))
+      val assigned = IvfAnn.assign(emb, "embedding", model)
+        .select(col("vec_id").as("doc_id"),
+          col("cluster").cast("long").as("cluster"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
+        size(toks(col("text"))).cast("long").as("n_tok"))
+      val budget = docs.agg((sum(col("n_tok")) / (2 * K)).cast("long")
+        .as("budget"))
+      val win = Window.partitionBy(col("cluster"))
+        .orderBy(md5(col("text")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.join(assigned, "doc_id")
+        .crossJoin(broadcast(budget))
+        .withColumn("cum_tok", sum(col("n_tok")).over(win))
+        .select(col("doc_id"), col("cluster"), col("n_tok"),
+          (col("cum_tok") <= col("budget")).as("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact 13-gram train/test contamination report — the GPT-3/PaLM
+    // appendix-style decontamination audit, downstream of q203's
+    // leakage-safe content-hash split: every test doc's 13-gram
+    // positions checked against the DISTINCT train 13-gram set, per-
+    // doc dirty-gram count + permille. (q210's Bloom pass is the
+    // sketch-accelerated form; this is the exact audit you run on the
+    // final candidate set.) Scale: grams shuffle once on their hash;
+    // the train set is distinct-collapsed (vocabulary-bounded) before
+    // the join, so fan-out is 1 per test gram; no doc×doc pairing.
+    "q283_contamination_13gram" -> ((s, d) => {
+      val bucket = pmod(md5i(col("text")), lit(100))
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+      val w0 = toks(col("text"))
+      def grams(dfn: DataFrame) = dfn.select(col("doc_id"),
+        explode(transform(sequence(lit(1), greatest(size(w0) - 12, lit(1))),
+          i => concat_ws(" ", slice(w0, i, lit(13))))).as("g"))
+        .select(col("doc_id"), md5i(col("g")).as("h"))
+      val trainG = grams(base.filter(col("split") === "train"))
+        .select(col("h")).distinct()
+      grams(base.filter(col("split") === "test"))
+        .join(trainG.withColumn("hit", lit(1)), Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_dirty"))
+        .select(col("doc_id"), col("n_grams"), col("n_dirty"),
+          (col("n_dirty") > 0).as("dirty"),
+          expr("(1000 * n_dirty) div n_grams").as("contam_permille"))
+        .orderBy(col("doc_id"))
     })
   )
 
+  // CosineSimilarity's exact three-fold accumulation (q269's cosSql)
+  private def cosFold(a: String, b: String): String = {
+    def f(ex: String): String =
+      s"list_reduce(list_transform(range(1, 65), i -> $ex), (x,y) -> x+y)"
+    s"${f(s"$a[i]*$b[i]")} / (sqrt(${f(s"$a[i]*$a[i]")}) * " +
+      s"sqrt(${f(s"$b[i]*$b[i]")}))"
+  }
+
   val oracle: Map[String, String] = Map(
+    "q282_cluster_mix" ->
+      s"""WITH de AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, dv AS cv
+         |  FROM de ORDER BY vec_id LIMIT 8),
+         |asg AS (
+         |  SELECT d.vec_id, c.j, ${cosFold("d.dv", "c.cv")} AS sim
+         |  FROM de d, cents c),
+         |cl AS (
+         |  SELECT vec_id AS doc_id, j AS cluster FROM (
+         |    SELECT vec_id, j,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY sim DESC, j) AS rn
+         |    FROM asg) WHERE rn = 1),
+         |sc AS (SELECT doc_id, text,
+         |         len(string_split(text,' '))::BIGINT AS n_tok
+         |       FROM documents),
+         |b AS (SELECT sum(n_tok)::BIGINT // 16 AS budget FROM sc),
+         |cum AS (
+         |  SELECT s.doc_id, cl.cluster, s.n_tok,
+         |    sum(s.n_tok) OVER (PARTITION BY cl.cluster
+         |      ORDER BY md5(s.text), s.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |      AS cum_tok
+         |  FROM sc s JOIN cl ON cl.doc_id = s.doc_id)
+         |SELECT doc_id, cluster, n_tok, cum_tok <= b.budget AS kept
+         |FROM cum, b ORDER BY doc_id""".stripMargin,
+    "q283_contamination_13gram" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(text,' ') AS ws,
+         |    CASE WHEN ${md5iSql("text")} % 100 < 80 THEN 'train'
+         |         WHEN ${md5iSql("text")} % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, split,
+         |    unnest(list_transform(range(1, greatest(len(ws) - 11, 2)),
+         |      i -> ('0x'||substr(md5(
+         |             array_to_string(ws[i:i+12], ' ')),1,8))::BIGINT)) AS h
+         |  FROM base),
+         |tr AS (SELECT DISTINCT h FROM g WHERE split = 'train'),
+         |te AS (SELECT doc_id, h FROM g WHERE split = 'test')
+         |SELECT te.doc_id, count(*)::BIGINT AS n_grams,
+         |  count(tr.h)::BIGINT AS n_dirty,
+         |  count(tr.h) > 0 AS dirty,
+         |  (1000 * count(tr.h)) // count(*) AS contam_permille
+         |FROM te LEFT JOIN tr ON te.h = tr.h
+         |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin,
     "q214_surprisal_score" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
         |            FROM documents),
