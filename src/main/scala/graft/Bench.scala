@@ -60,7 +60,9 @@ object Bench {
     "q262_dim_correlation",   // 2016-key centered pair-product rollup
     // round-8 additions (budgets arrive at the next re-baseline)
     "q268_ivfpq_exact",       // composed IVF+PQ ANN through the ML pipeline
-    "q270_fluent_pipeline")   // fluent Table-API string-expression path
+    "q270_fluent_pipeline",   // fluent Table-API string-expression path
+    "q279_bm25_topk",         // BM25 posting-list retrieval
+    "q280_winnow_dedup")      // winnowing fingerprints + df-capped pairs
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

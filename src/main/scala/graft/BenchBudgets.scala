@@ -19,6 +19,11 @@ package graft
   */
 object BenchBudgets {
   val sf01Budgets: Map[String, Double] = Map(
+    // r8 additions, baselined from this round's quiet runs × 1.4
+    "q268_ivfpq_exact" -> 3.93,
+    "q270_fluent_pipeline" -> 1.17,
+    "q279_bm25_topk" -> 2.17,
+    "q280_winnow_dedup" -> 2.92,
     "q01_agg_basic" -> 1.18,
     "q04_grouping_sets" -> 1.25,
     "q100_tpch_q2" -> 1.42,

@@ -277,17 +277,20 @@ object CorpusQueries {
       val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
       val dft = tok.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // alias BOTH qt columns: qt derives from the same tok lineage as
+      // tf, and an unaliased tf("term") === qt("term") hits Spark's
+      // ambiguous-self-join resolution (trivially-true warning)
       val qt = tok.filter(col("doc_id") <= 4)
-        .select(col("doc_id").as("pid"), col("term")).distinct()
+        .select(col("doc_id").as("pid"), col("term").as("qterm")).distinct()
       val idf = log(lit(1.0) +
         (col("n_corpus") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
       val tfn = (col("tf") * lit(2.2)) /
         (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
       val w = Window.partitionBy(col("pid"))
         .orderBy(col("s").desc, col("doc_id"))
-      tf.join(broadcast(qt), tf("term") === qt("term") &&
-          tf("doc_id") =!= qt("pid"))
-        .drop(qt("term"))
+      tf.join(broadcast(qt), col("term") === col("qterm") &&
+          col("doc_id") =!= col("pid"))
+        .drop("qterm")
         .join(dl, "doc_id")
         .join(dft, "term")
         .crossJoin(broadcast(nAvg))

@@ -272,4 +272,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(sorted.queryExecution.executedPlan.toString.contains("rangepartitioning"),
       "repartitionByRange must plan a range exchange")
   }
+
+  test("q279 BM25 probe vocabulary broadcasts; no cartesian pairing") {
+    val plan = formatted("q279_bm25_topk")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"doc-pair cartesian:\n$plan")
+    // N/avgdl must ride as the 1-row broadcast nested loop, nothing
+    // else (count DETAIL lines — formatted explain lists each node in
+    // the tree AND the details section)
+    assert("""\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(plan).size <= 1,
+      s"unexpected nested-loop joins:\n$plan")
+    // the probe-vocabulary join itself must be a hash equi-join
+    assert(plan.contains("BroadcastHashJoin"), s"posting join not hashed:\n$plan")
+  }
+
+  test("q280 winnowing pair generation is an equi-join on the fingerprint") {
+    val plan = formatted("q280_winnow_dedup")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair generation went quadratic:\n$plan")
+    // the window mins are per-doc: every Window partitions by doc_id
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(winLines.forall(_.contains("doc_id")),
+      s"non-doc-partitioned window:\n${winLines.mkString("\n")}")
+  }
+
+  test("q282 cluster assignment is a projection (no join for the argmax)") {
+    val plan = formatted("q282_cluster_mix")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    // literal-argmax assignment: centroids ride the projection, so the
+    // only joins are doc_id equi-join + the 1-row budget broadcast
+    // (count DETAIL lines, not tree + details twice)
+    assert("""\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(plan).size <= 1,
+      s"centroid join crept in:\n$plan")
+  }
+
+  test("q283 contamination join is equi on the gram hash, train side distinct") {
+    val plan = formatted("q283_contamination_13gram")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"gram join went quadratic:\n$plan")
+    assert(plan.contains("HashAggregate"), "train-set distinct collapsed away")
+  }
 }
