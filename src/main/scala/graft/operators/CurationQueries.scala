@@ -551,6 +551,79 @@ object CurationQueries {
           (col("n_dirty") > 0).as("dirty"),
           expr("(1000 * n_dirty) div n_grams").as("contam_permille"))
         .orderBy(col("doc_id"))
+    }),
+
+    // STREAMING winnowing gate at ingestion — q280's fingerprints
+    // recomputed as a PURE PER-ROW PROJECTION (grams → packed keys →
+    // per-window minima → distinct hashes, all inside array
+    // functions; no SQL window → streaming-legal and scan-speed at
+    // ingest): the lower-id half is the frozen corpus fingerprint
+    // set, the upper half arrives in three micro-batches, and a doc
+    // flags when ≥2 of its fingerprints already exist in the corpus
+    // (the q154/q218 snapshot+stream shape; per-batch work is a
+    // stateless stream-static equi-join — the fingerprint set is
+    // corpus-sized, so at 100 TB it stays a distributed join, not a
+    // broadcast). Same key packing as q280, so batch and streaming
+    // legs can never drift.
+    "q284_winnow_stream" -> ((s, d) => {
+      import graft.streaming.Replay
+      val base = java.nio.file.Files.createTempDirectory("graft-winstream2")
+      // TWO projection steps, not one expression: a Column subtree is
+      // DUPLICATED at every reference, so inlining `keys` into the
+      // per-window lambda would re-run every gram md5 once per window
+      // — O(n²·w) per doc (measured: 67 s for 5k docs). Materializing
+      // __keys as its own column evaluates it once per row;
+      // CollapseProject keeps the boundary because the non-cheap HOF
+      // output is referenced more than once downstream.
+      def withFps(df: DataFrame): DataFrame = {
+        val ws = toks(col("text"))
+        val grams = transform(sequence(lit(1), greatest(size(ws) - 2, lit(1))),
+          i => concat_ws(" ", slice(ws, i, lit(3))))
+        df.withColumn("__keys", transform(grams, (g, i0) =>
+            conv(substring(md5(g), 1, 8), 16, 10).cast("long") * lit(1048576L) +
+              (lit(1048575L) - (i0 + 1))))
+          .withColumn("__fps", array_distinct(transform(
+            sequence(lit(1), greatest(size(col("__keys")) - 3, lit(1))),
+            j => floor(array_min(slice(col("__keys"), j, lit(4))) /
+              lit(1048576L)).cast("long"))))
+          .drop("__keys")
+      }
+      val docs = Tables.documents(s, d)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val half = maxId / 2
+      val (c1, c2) = (half + (maxId - half) / 3, half + 2 * ((maxId - half) / 3))
+      // explode_OUTER on purpose: plain explode triggers
+      // InferFiltersFromGenerate, which pushes a `size(fps) > 0`
+      // filter to the scan with the WHOLE fingerprint expression
+      // inlined — the O(n²·w) re-evaluation the __keys column split
+      // exists to avoid (measured 100 s vs 4 s at sf0.1). The arrays
+      // are never empty (≥1 window always), so outer ≡ inner here.
+      val corpusFps = withFps(docs.filter(col("doc_id") < half))
+        .select(explode_outer(col("__fps")).as("fh")).distinct().cache()
+      val chunks = Seq(
+        col("doc_id") >= half && col("doc_id") < c1,
+        col("doc_id") >= c1 && col("doc_id") < c2,
+        col("doc_id") >= c2)
+      val (inDir, schema) =
+        Replay.fileEpochs(docs.filter(col("doc_id") >= half), chunks, base.toString)
+      val out = s"$base/out"
+      val q = Replay.streamDf(s, inDir, schema).writeStream
+        .option("checkpointLocation", s"$base/ck")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val hits = withFps(b)
+            .select(col("doc_id"), explode_outer(col("__fps")).as("fh"))
+            .join(corpusFps, Seq("fh"))
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+          b.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+            .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+            .write.mode("append").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      corpusFps.unpersist()
+      s.read.parquet(out)
+        .withColumn("flagged", col("n_hits") >= 2)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -614,6 +687,29 @@ object CurationQueries {
          |  (1000 * count(tr.h)) // count(*) AS contam_permille
          |FROM te LEFT JOIN tr ON te.h = tr.h
          |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin,
+    "q284_winnow_stream" ->
+      """WITH hf AS (SELECT max(doc_id) // 2 AS half FROM documents),
+        |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |k AS (SELECT doc_id,
+        |        list_transform(range(1, greatest(len(ws) - 1, 2)),
+        |          i -> ('0x'||substr(md5(
+        |                 array_to_string(ws[i:i+2],' ')),1,8))::BIGINT
+        |               * 1048576 + (1048575 - i)) AS keys
+        |      FROM w),
+        |fp AS (SELECT doc_id,
+        |         unnest(list_distinct(list_transform(
+        |           range(1, greatest(len(keys) - 2, 2)),
+        |           j -> list_min(keys[j:j+3]) // 1048576))) AS fh
+        |       FROM k),
+        |corpus AS (SELECT DISTINCT fh FROM fp, hf WHERE doc_id < half),
+        |up AS (SELECT doc_id, fh FROM fp, hf WHERE doc_id >= half),
+        |hits AS (SELECT up.doc_id, count(*) AS n_hits
+        |         FROM up JOIN corpus USING (fh) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+        |  coalesce(h.n_hits, 0) >= 2 AS flagged
+        |FROM (SELECT doc_id FROM documents, hf WHERE doc_id >= half) d
+        |LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q214_surprisal_score" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
         |            FROM documents),
