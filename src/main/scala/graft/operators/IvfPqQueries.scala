@@ -95,6 +95,26 @@ object IvfPqQueries {
         .orderBy(col("pid"), col("rk"))
     }),
 
+    // The FULL production composition — FAISS's "OPQ8,IVF8,PQ8" index
+    // string: signed-permutation rotation (q278's deterministic OPQ
+    // setting) in front of the residual-encoding IVFADC (q277).
+    // Rotation preserves dots and norms exactly, so the residual
+    // decomposition and every ×1e6-scaled integer term carry over
+    // unchanged; the oracle is q277's full relational replication
+    // over SQL-rotated vectors at the approximate nprobe=2 setting.
+    "q285_opq_ivfadc" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val rot = Opq.signedPerm(64)
+      val er = Opq.rotate(e, "embedding", rot, "__rot")
+      val model = IvfPq.fitResidual(er, "__rot", kCoarse = 8,
+        lloydIters = 0, numSub = 8, codesPerSub = 16)
+      val indexed = IvfPq.indexResidual(er, "__rot", model)
+      val probes = er.filter(col("vec_id") <= 20)
+      IvfPq.searchResidual(indexed, probes, "__rot", model,
+        k = 5, nprobe = 2)
+        .orderBy(col("pid"), col("rk"))
+    }),
+
     // the approximate setting itself, oracle-bound: nprobe=2 of 8,
     // deterministic seed centroids (lloydIters=0), recall@5 vs the
     // exact brute-force top-5 as an integer permille per probe.
@@ -198,11 +218,34 @@ object IvfPqQueries {
     // plus residual vectors, residual-seed codebook, per-(cluster,m,k)
     // cross/norm integer terms, per-(probe,cluster) p·c terms, and the
     // decomposed score.
-    "q277_ivfadc_residual" ->
-      s"""WITH de AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
-         |  FROM embeddings),
+    "q277_ivfadc_residual" -> ivfadcSql(
+      """de AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        |  FROM embeddings)""".stripMargin),
+
+    // q277's full relational replication over the signed-permutation-
+    // rotated vectors — the OPQ∘IVFADC composition (rotation preserves
+    // every dot/norm the residual decomposition uses).
+    "q285_opq_ivfadc" -> ivfadcSql(
+      """raw AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
+        |  FROM embeddings),
+        |de AS (
+        |  SELECT vec_id, list_transform(range(0, 64), j ->
+        |    (CASE WHEN j % 3 = 0 THEN -1 ELSE 1 END) *
+        |      rv[((29*j) % 64) + 1]) AS dv
+        |  FROM raw)""".stripMargin),
+
+    "q269_ivfpq_recall" -> q269RecallSql
+  )
+
+  /** The residual-IVFADC relational oracle, parameterized by the
+    * source CTE producing (vec_id, dv) — q277 feeds raw doubles, q285
+    * the rotated vectors. */
+  private def ivfadcSql(deCte: String): String =
+      s"""WITH $deCte,
          |cents AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, dv AS cv
          |  FROM de ORDER BY vec_id LIMIT 8),
@@ -300,13 +343,15 @@ object IvfPqQueries {
          |  JOIN pcd p ON p.pid = s.pid AND p.cluster = s.cluster
          |  JOIN cnorm cn ON cn.cluster = s.cluster)
          |SELECT pid, rk, cid, round(score, 6) AS score6
-         |FROM ranked WHERE rk <= 5 ORDER BY pid, rk""".stripMargin,
+         |FROM ranked WHERE rk <= 5 ORDER BY pid, rk""".stripMargin
 
-    // the composed index replicated relationally: seed centroids →
-    // cluster argmax (tie lowest id) → probe top-2 lists → PQ encode
-    // (q211's fragments) → ADC over probed lists only → top-5 →
-    // recall@5 vs brute-force top-5.
-    "q269_ivfpq_recall" ->
+  // the composed index replicated relationally: seed centroids →
+  // cluster argmax (tie lowest id) → probe top-2 lists → PQ encode
+  // (q211's fragments) → ADC over probed lists only → top-5 →
+  // recall@5 vs brute-force top-5.
+  // def, not val: `oracle` above initializes first and would capture
+  // null from a later val (the round-8 init-order gotcha)
+  private def q269RecallSql: String =
       s"""WITH de AS (
          |  SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
@@ -397,5 +442,4 @@ object IvfPqQueries {
          |FROM (SELECT DISTINCT pid FROM tr) t
          |LEFT JOIN hits h ON t.pid = h.pid
          |ORDER BY t.pid""".stripMargin
-  )
 }
