@@ -553,6 +553,63 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE merge training (Sennrich et al. 2016 — the tokenizer-
+    // training primitive): 3 merge rounds over the corpus vocabulary.
+    // The corpus is touched ONCE (word-frequency count); every
+    // subsequent round works on the DISTINCT-word table — pair counts
+    // are freq-weighted per adjacent position (get_stats semantics,
+    // overlaps included), the best pair wins on (count desc, lhs,
+    // rhs), and re-tokenization is the exact index-scan greedy fusion
+    // (consume both symbols, never rescan the merged output) as an
+    // array fold per word. That is the textbook scalable BPE trainer:
+    // at 100 TB the only corpus-scale work is one explode+count, and
+    // the walk is bounded by |vocabulary| × max word length. The only
+    // driver scalars are the 1-row argmax rule and two totals per
+    // round (metadata-sized, the q218 discipline).
+    "q286_bpe_merges" -> ((s, d) => {
+      import org.apache.spark.sql.Row
+      val chars = (w: Column) =>
+        transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+      var words = Tables.documents(s, d)
+        .select(explode(toks(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .withColumn("toks", chars(col("w")))
+      // exact index-scan greedy fusion: process index i only when the
+      // fold reaches it (nexti), consume i and i+1 on a match
+      def fuse(a: String, b: String): Column = aggregate(
+        sequence(lit(1), size(col("toks"))),
+        struct(array().cast("array<string>").as("out"), lit(1).as("nexti")),
+        (acc, i) =>
+          when(i < acc.getField("nexti"), acc)
+            .when(i < size(col("toks")) &&
+                element_at(col("toks"), i) === a &&
+                element_at(col("toks"), i + 1) === b,
+              struct(array_append(acc.getField("out"), lit(a + b)).as("out"),
+                (i + 2).as("nexti")))
+            .otherwise(
+              struct(array_append(acc.getField("out"),
+                element_at(col("toks"), i)).as("out"), (i + 1).as("nexti"))),
+        acc => acc.getField("out"))
+      val rows = (1 to 3).map { step =>
+        val Row(a: String, b: String, cnt: Long) = words
+          .filter(size(col("toks")) >= 2)
+          .select(col("freq"), explode(transform(
+            sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("a"),
+              element_at(col("toks"), i + 1).as("b")))).as("p"))
+          .groupBy(col("p.a"), col("p.b")).agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).head()
+        words = words.withColumn("toks", fuse(a, b)).localCheckpoint()
+        val after = words.agg(sum(col("freq") * size(col("toks"))))
+          .head().getLong(0)
+        (step, a, b, cnt, after)
+      }
+      import s.implicits._
+      rows.toDF("step", "lhs", "rhs", "pair_count", "tokens_after")
+        .orderBy(col("step"))
+    }),
+
     // STREAMING winnowing gate at ingestion — q280's fingerprints
     // recomputed as a PURE PER-ROW PROJECTION (grams → packed keys →
     // per-window minima → distinct hashes, all inside array
@@ -687,6 +744,77 @@ object CurationQueries {
          |  (1000 * count(tr.h)) // count(*) AS contam_permille
          |FROM te LEFT JOIN tr ON te.h = tr.h
          |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin,
+    "q286_bpe_merges" ->
+      """WITH RECURSIVE
+        |wf AS (SELECT w, count(*)::BIGINT AS freq
+        |       FROM (SELECT unnest(string_split(text,' ')) AS w
+        |             FROM documents)
+        |       WHERE len(w) > 0 GROUP BY w),
+        |m0 AS (SELECT w, freq,
+        |         list_transform(range(1, len(w)+1), i -> w[i:i]) AS toks
+        |       FROM wf),
+        |p1 AS (SELECT t.toks[i] AS a, t.toks[i+1] AS b,
+        |         sum(t.freq)::BIGINT AS cnt
+        |       FROM m0 t, unnest(range(1, len(t.toks))) AS u(i)
+        |       GROUP BY 1, 2),
+        |r1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+        |w1 AS (SELECT m.w, m.freq, m.toks, r.a, r.b, 1 AS i,
+        |         []::VARCHAR[] AS out
+        |       FROM m0 m, r1 r
+        |       UNION ALL
+        |       SELECT w, freq, toks, a, b,
+        |         CASE WHEN i < len(toks) AND toks[i] = a AND toks[i+1] = b
+        |              THEN i + 2 ELSE i + 1 END,
+        |         CASE WHEN i < len(toks) AND toks[i] = a AND toks[i+1] = b
+        |              THEN list_append(out, a || b)
+        |              ELSE list_append(out, toks[i]) END
+        |       FROM w1 WHERE i <= len(toks)),
+        |m1 AS (SELECT w, freq, out AS toks FROM w1 WHERE i = len(toks) + 1),
+        |p2 AS (SELECT t.toks[i] AS a, t.toks[i+1] AS b,
+        |         sum(t.freq)::BIGINT AS cnt
+        |       FROM m1 t, unnest(range(1, len(t.toks))) AS u(i)
+        |       GROUP BY 1, 2),
+        |r2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+        |w2 AS (SELECT m.w, m.freq, m.toks, r.a, r.b, 1 AS i,
+        |         []::VARCHAR[] AS out
+        |       FROM m1 m, r2 r
+        |       UNION ALL
+        |       SELECT w, freq, toks, a, b,
+        |         CASE WHEN i < len(toks) AND toks[i] = a AND toks[i+1] = b
+        |              THEN i + 2 ELSE i + 1 END,
+        |         CASE WHEN i < len(toks) AND toks[i] = a AND toks[i+1] = b
+        |              THEN list_append(out, a || b)
+        |              ELSE list_append(out, toks[i]) END
+        |       FROM w2 WHERE i <= len(toks)),
+        |m2 AS (SELECT w, freq, out AS toks FROM w2 WHERE i = len(toks) + 1),
+        |p3 AS (SELECT t.toks[i] AS a, t.toks[i+1] AS b,
+        |         sum(t.freq)::BIGINT AS cnt
+        |       FROM m2 t, unnest(range(1, len(t.toks))) AS u(i)
+        |       GROUP BY 1, 2),
+        |r3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+        |w3 AS (SELECT m.w, m.freq, m.toks, r.a, r.b, 1 AS i,
+        |         []::VARCHAR[] AS out
+        |       FROM m2 m, r3 r
+        |       UNION ALL
+        |       SELECT w, freq, toks, a, b,
+        |         CASE WHEN i < len(toks) AND toks[i] = a AND toks[i+1] = b
+        |              THEN i + 2 ELSE i + 1 END,
+        |         CASE WHEN i < len(toks) AND toks[i] = a AND toks[i+1] = b
+        |              THEN list_append(out, a || b)
+        |              ELSE list_append(out, toks[i]) END
+        |       FROM w3 WHERE i <= len(toks)),
+        |m3 AS (SELECT w, freq, out AS toks FROM w3 WHERE i = len(toks) + 1),
+        |s1 AS (SELECT sum(freq * len(toks))::BIGINT AS t FROM m1),
+        |s2 AS (SELECT sum(freq * len(toks))::BIGINT AS t FROM m2),
+        |s3 AS (SELECT sum(freq * len(toks))::BIGINT AS t FROM m3)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, r1.a AS lhs, r1.b AS rhs, r1.cnt AS pair_count,
+        |         s1.t AS tokens_after FROM r1, s1
+        |  UNION ALL
+        |  SELECT 2, r2.a, r2.b, r2.cnt, s2.t FROM r2, s2
+        |  UNION ALL
+        |  SELECT 3, r3.a, r3.b, r3.cnt, s3.t FROM r3, s3
+        |) ORDER BY step""".stripMargin,
     "q284_winnow_stream" ->
       """WITH hf AS (SELECT max(doc_id) // 2 AS half FROM documents),
         |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
