@@ -553,6 +553,32 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Dedup-CLUSTER assignment — the step real pipelines run after
+    // candidate mining: q280's winnowing pairs become an undirected
+    // graph, connected components (GraphOps' delta-Pregel min-label
+    // HCC) turn pairwise hits into transitive duplicate clusters, and
+    // the minimum doc_id is the canonical survivor. Every doc is a
+    // vertex, so non-duplicates come out as singleton clusters.
+    // Scale: edges are q280's df-capped posting pairs (linear), CC
+    // shuffles only changed labels per superstep; cluster sizes are
+    // one aggregation. Oracle = q280's pair SQL + the q124 recursive
+    // reachability closure.
+    "q287_dedup_clusters" -> ((s, d) => {
+      val pairs = CorpusQueries.queries("q280_winnow_dedup")(s, d)
+      val docs = Tables.documents(s, d).select(col("doc_id").as("id"))
+      // pointer-jumping CC, not plain min-label: dup chains build
+      // HIGH-DIAMETER components (the soak replica has a 3037-doc
+      // chain, diameter >> any sane superstep budget); the
+      // label(label(v)) doubling converges in O(log diameter)
+      val cc = GraphOps.connectedComponentsJump(docs,
+        pairs.select(col("a").as("src"), col("b").as("dst")), maxIter = 30)
+      val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("n_members"))
+      cc.join(sizes, "component")
+        .select(col("id").as("doc_id"), col("component").as("cluster"),
+          col("n_members"), (col("id") === col("component")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BPE merge training (Sennrich et al. 2016 — the tokenizer-
     // training primitive): 3 merge rounds over the corpus vocabulary.
     // The corpus is touched ONCE (word-frequency count); every
@@ -744,6 +770,46 @@ object CurationQueries {
          |  (1000 * count(tr.h)) // count(*) AS contam_permille
          |FROM te LEFT JOIN tr ON te.h = tr.h
          |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin,
+    "q287_dedup_clusters" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(ws) - 1, 2)),
+        |      i -> {'pos': i,
+        |            'h': ('0x'||substr(md5(
+        |                   array_to_string(ws[i:i+2], ' ')),1,8))::BIGINT}))
+        |      AS g
+        |  FROM w),
+        |keyed AS (SELECT doc_id, g.pos AS pos,
+        |                 g.h * 1048576 + (1048575 - g.pos) AS k
+        |          FROM grams),
+        |win AS (SELECT doc_id, pos,
+        |          min(k) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
+        |          max(pos) OVER (PARTITION BY doc_id) AS ng
+        |        FROM keyed),
+        |fps AS (SELECT DISTINCT doc_id, mk // 1048576 AS fh
+        |        FROM win WHERE pos <= greatest(ng - 3, 1)),
+        |dfh AS (SELECT fh FROM fps GROUP BY fh
+        |        HAVING count(*) BETWEEN 2 AND 50),
+        |p AS (SELECT f.doc_id, f.fh FROM fps f JOIN dfh USING (fh)),
+        |pr AS (SELECT a.doc_id AS src, b.doc_id AS dst
+        |       FROM p a JOIN p b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |bidir AS (SELECT src, dst FROM pr UNION SELECT dst, src FROM pr),
+        |cc AS (
+        |  SELECT id, min(reach) AS component FROM (
+        |    WITH RECURSIVE r(id, reach) AS (
+        |      SELECT doc_id, doc_id FROM documents
+        |      UNION
+        |      SELECT r.id, e.dst FROM r JOIN bidir e ON e.src = r.reach)
+        |    SELECT id, reach FROM r)
+        |  GROUP BY id),
+        |sz AS (SELECT component, count(*) AS n_members FROM cc GROUP BY 1)
+        |SELECT cc.id AS doc_id, cc.component AS cluster, sz.n_members,
+        |       cc.id = cc.component AS is_canonical
+        |FROM cc JOIN sz USING (component) ORDER BY doc_id""".stripMargin,
     "q286_bpe_merges" ->
       """WITH RECURSIVE
         |wf AS (SELECT w, count(*)::BIGINT AS freq

@@ -51,6 +51,68 @@ object GraphOps {
     labels
   }
 
+  /** Connected components with POINTER JUMPING — the high-diameter
+    * form (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014, are the canonical treatment): plain min-label
+    * propagation ([[connectedComponents]]) needs one superstep per
+    * unit of graph DIAMETER, which a near-dup chain breaks (a
+    * 3000-doc dup chain at the soak replica has diameter ≫ 30). Each
+    * round here takes
+    *   label′(v) = min(label(v), min over N(v) of label(u),
+    *               label(label(v)))
+    * — the `label(label(v))` term is the pointer-doubling step, so
+    * label depth roughly halves per round and convergence is
+    * O(log diameter): 30 rounds cover diameters past 10⁹. Early-stops
+    * when no label changed (one metadata-sized count per round).
+    * Same contract as [[connectedComponents]]: (id, component) with
+    * component = min reachable id. */
+  def connectedComponentsJump(vertices: DataFrame, edges: DataFrame,
+                              maxIter: Int = 30): DataFrame = {
+    // localCheckpoint, not persist: the edge input may carry an
+    // arbitrarily deep upstream plan (q287 feeds the whole winnowing
+    // pair pipeline), and re-planning it inside every round's join
+    // lets Catalyst's multiplicative size-only stats estimation blow
+    // past BigInteger's bit range (observed at the soak replica).
+    // The checkpoint replaces the plan with a LogicalRDD carrying
+    // REAL byte sizes — the Iterate lineage-cut rule applied to the
+    // static side too.
+    val bidir = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = vertices.select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      val nbrMin = bidir
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("component")).as("nmin"))
+      val jump = labels.select(col("id").as("jid"), col("component").as("jc"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .join(jump, labels("component") === col("jid"), "left")
+        .select(col("id"),
+          least(col("component"),
+            coalesce(col("nmin"), col("component")),
+            coalesce(col("jc"), col("component"))).as("component"),
+          (least(col("component"),
+            coalesce(col("nmin"), col("component")),
+            coalesce(col("jc"), col("component"))) < col("component"))
+            .as("moved"))
+        .localCheckpoint() // eager + lineage cut per round (Iterate rule)
+      changed = next.filter(col("moved")).count()
+      labels = next.drop("moved")
+      iter += 1
+    }
+    // a silent non-convergence would return PLAUSIBLE-looking but
+    // fragmented components (exactly the under-iteration failure this
+    // variant exists to fix) — fail loudly instead
+    require(changed == 0,
+      s"connectedComponentsJump: not converged after $maxIter rounds " +
+        s"($changed labels still moving) — raise maxIter")
+    labels
+  }
+
   /** PageRank with damping, fixed iteration count.
     * edges: (src, dst) directed. Dangling mass is redistributed
     * uniformly. Returns (id, rank). */
