@@ -92,6 +92,24 @@ object Pipeline {
   private def jsonToMap(s: String): Map[String, String] =
     PairRe.findAllMatchIn(s)
       .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
+
+  /** Explicit registry of restorable stage classes (the
+    * FlinkDdl.functionClasses pattern): pipeline JSON can only name
+    * stages shipped here. No `Class.forName` on the untrusted name —
+    * reflection on an attacker-chosen string runs that class's static
+    * initializer even with `initialize = false` deferred, so the name
+    * never reaches the classloader at all; it is a plain map lookup. */
+  private[ml] val stageRegistry: Map[String, () => PipelineStage] = Map(
+    classOf[Int8Quantizer].getName            -> (() => new Int8Quantizer()),
+    classOf[GaussianOutlierEstimator].getName -> (() => new GaussianOutlierEstimator()),
+    classOf[GaussianOutlierModel].getName     -> (() => new GaussianOutlierModel()),
+    classOf[OutlierFilter].getName            -> (() => new OutlierFilter()),
+    classOf[IvfClusterEstimator].getName      -> (() => new IvfClusterEstimator()),
+    classOf[IvfClusterModel].getName          -> (() => new IvfClusterModel()),
+    classOf[IvfPqEstimator].getName           -> (() => new IvfPqEstimator()),
+    classOf[IvfPqModel].getName               -> (() => new IvfPqModel()),
+    classOf[OpqIvfPqEstimator].getName        -> (() => new OpqIvfPqEstimator()),
+    classOf[OpqIvfPqModel].getName            -> (() => new OpqIvfPqModel()))
 }
 
 /** Reference `Pipeline`: Estimator + Transformer + Model in one. */
@@ -172,20 +190,17 @@ final class Pipeline(initial: Seq[Pipeline.PipelineStage] = Nil)
     // on multi-KB params blobs, plain-greedy runs ReDoS on malformed
     val StageRe = """\{"class":"([^"]+)","params":(\{(?:[^{}]++|\\.)*+\})\}""".r
     StageRe.findAllMatchIn(json).foreach { m =>
-      val cls = Class.forName(m.group(1))
-      // refuse BEFORE instantiation: Class.forName + newInstance on a
-      // name taken from the (possibly untrusted) JSON would run any
-      // no-arg constructor on the classpath before the cast could
-      // reject it — an arbitrary-instantiation vector. Only classes
-      // that are provably PipelineStages get a constructor call.
-      if (!classOf[PipelineStage].isAssignableFrom(cls))
+      // whitelist lookup, not reflection: a class name taken from the
+      // (possibly untrusted) JSON never reaches Class.forName — even a
+      // non-initializing forName would let the JSON pick which static
+      // initializers eventually run, and `isAssignableFrom` would still
+      // admit ANY PipelineStage subclass on the classpath. Only the
+      // stages shipped in `stageRegistry` restore.
+      val make = stageRegistry.getOrElse(m.group(1),
         throw new IllegalArgumentException(
-          s"pipeline JSON stage class ${cls.getName} is not a " +
-            "PipelineStage — refusing to instantiate")
-      val stage = cls.getDeclaredConstructor().newInstance()
-        .asInstanceOf[PipelineStage]
-        .withParams(jsonToMap(m.group(2)))
-      appendStage(stage)
+          s"pipeline JSON stage class ${m.group(1)} is not a " +
+            "registered PipelineStage — refusing to restore"))
+      appendStage(make().withParams(jsonToMap(m.group(2))))
     }
     // fail loudly rather than half-restore: every "class" entry in the
     // input must have parsed into a stage (a malformed params blob —

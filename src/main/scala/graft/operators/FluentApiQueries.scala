@@ -101,6 +101,13 @@ object FluentApiQueries {
           "ts.ceil(MINUTE) as ts_cmin, " +
           "dateFormat(ts, 'yyyy-MM-dd HH:mm') as fmt, " +
           "timestampDiff(MINUTE, ts.floor(HOUR), ts) as min_into_hour, " +
+          // complete 24h units (NOT calendar-date boundaries) and
+          // complete months truncated toward zero — the two semantics
+          // the reference's ScalarFunctionsTest pins and a naive
+          // datediff/floor(months_between) implementation gets wrong.
+          "timestampDiff(DAY, '2024-01-15 06:30:00'.toTimestamp, ts) as d_anchor, " +
+          "timestampDiff(MONTH, '2021-02-15 12:00:00'.toTimestamp, ts) as mo_anchor, " +
+          "timestampDiff(YEAR, ts, '2023-02-15 12:00:00'.toTimestamp) as y_to, " +
           "ts + 10.minutes as ts10")
         .orderBy("event_id")
         .offset(100).fetch(2000)
@@ -173,6 +180,28 @@ object FluentApiQueries {
         |  strftime(ts, '%Y-%m-%d %H:%M') AS fmt,
         |  CAST(date_diff('minute', date_trunc('hour', ts), ts) AS INT)
         |    AS min_into_hour,
+        |  -- complete 24h units truncated toward zero (mixed signs here)
+        |  CAST(trunc((floor(epoch(ts))
+        |       - floor(epoch(TIMESTAMP '2024-01-15 06:30:00'))) / 86400.0)
+        |    AS INT) AS d_anchor,
+        |  -- Spark months_between replica: same day-of-month ignores time;
+        |  -- otherwise months + (day+time delta)/31d, truncated toward zero
+        |  CAST(CASE WHEN datepart('day', ts) = 15
+        |    THEN (datepart('year', ts) - 2021) * 12 + (datepart('month', ts) - 2)
+        |    ELSE trunc(
+        |      (datepart('year', ts) - 2021) * 12 + (datepart('month', ts) - 2)
+        |      + ((datepart('day', ts) - 15) * 86400.0
+        |         + (epoch(ts) - epoch(date_trunc('day', ts))) - 43200.0)
+        |        / 2678400.0)
+        |    END AS INT) AS mo_anchor,
+        |  -- negative interval: truncation toward zero, not floor
+        |  CAST(trunc((CASE WHEN datepart('day', ts) = 15
+        |    THEN (2023 - datepart('year', ts)) * 12 + (2 - datepart('month', ts))
+        |    ELSE (2023 - datepart('year', ts)) * 12 + (2 - datepart('month', ts))
+        |      + ((15 - datepart('day', ts)) * 86400.0
+        |         + 43200.0 - (epoch(ts) - epoch(date_trunc('day', ts))))
+        |        / 2678400.0
+        |    END) / 12.0) AS INT) AS y_to,
         |  ts + INTERVAL 10 MINUTE AS ts10
         |FROM events
         |WHERE value > 10 AND ts IS NOT NULL

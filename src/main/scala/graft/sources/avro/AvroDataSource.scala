@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import java.util.UUID
@@ -68,38 +68,46 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
     // Mixed-generation directories (schema evolution): merge the
     // NEWEST file's schema (lexicographically last — the epoch-named
     // write contract makes that the latest generation) with columns
-    // present only in the OLDEST, appended nullable (the decoder
-    // reads them as null from newer files). Bounded at two header
-    // reads, so inference stays O(1) in file count; generations
-    // BETWEEN first and last are covered because evolution is
-    // append-only here — a column alive mid-history exists in first
-    // or last. Explicit .schema(...) remains the precise control.
-    val newest = schemaOf(files.last)
-    if (files.size == 1) newest
+    // present only in older generations, appended nullable (the
+    // decoder reads them as null from files that lack them). The type
+    // check folds over EVERY file's header — endpoint-only comparison
+    // would let a middle generation whose type differs from both ends
+    // receive the newest type's decoder and fail mid-scan with a raw
+    // ClassCastException. One header read per file (a few KB each,
+    // inference-time only — the same O(files) discipline Spark's own
+    // format inference pays); explicit .schema(...) skips it entirely.
+    if (files.size == 1) schemaOf(files.head)
     else {
-      val oldest = schemaOf(files.head)
-      // any column absent from the OTHER generation must read
-      // nullable — files lacking it decode it as null. A column
-      // present in BOTH generations must agree on type: merging keys
-      // on names, so a type change between generations would hand
-      // older files the newest type's decoder and fail mid-scan with
-      // a raw ClassCastException (or silently mis-time timestamps) —
-      // fail at inference with the column named instead.
+      val schemas = files.map(p => p -> schemaOf(p))
+      val newest = schemas.last._2
+      // first appearance wins the type contract: every later
+      // generation must agree on each column's type, fail at inference
+      // with the column and BOTH files named otherwise
+      val firstSeen = scala.collection.mutable.LinkedHashMap
+        .empty[String, (Path, StructField)]
+      schemas.foreach { case (p, st) =>
+        st.fields.foreach { f =>
+          firstSeen.get(f.name) match {
+            case Some((p0, f0)) if f0.dataType != f.dataType =>
+              throw new IllegalArgumentException(
+                s"graft-avro: column '${f.name}' changed type across " +
+                  s"generations (${f0.dataType.simpleString} in " +
+                  s"${p0.getName} vs ${f.dataType.simpleString} in " +
+                  s"${p.getName}); pass an explicit .schema(...) " +
+                  "to read evolved-type directories")
+            case Some(_) => ()
+            case None    => firstSeen(f.name) = (p, f)
+          }
+        }
+      }
+      // any column absent from ANY generation must read nullable —
+      // files lacking it decode it as null
+      val inAll = schemas.map(_._2.fieldNames.toSet).reduce(_ intersect _)
       val widened = newest.fields.map(f =>
-        oldest.fields.find(_.name == f.name) match {
-          case Some(o) if o.dataType != f.dataType =>
-            throw new IllegalArgumentException(
-              s"graft-avro: column '${f.name}' changed type across " +
-                s"generations (${o.dataType.simpleString} in " +
-                s"${files.head.getName} vs ${f.dataType.simpleString} in " +
-                s"${files.last.getName}); pass an explicit .schema(...) " +
-                "to read evolved-type directories")
-          case Some(_) => f
-          case None    => f.copy(nullable = true)
-        })
-      val extra = oldest.fields
-        .filterNot(f => newest.fieldNames.contains(f.name))
-        .map(_.copy(nullable = true))
+        if (inAll(f.name)) f else f.copy(nullable = true))
+      val extra = firstSeen.keysIterator
+        .filterNot(newest.fieldNames.contains)
+        .map(n => firstSeen(n)._2.copy(nullable = true)).toSeq
       StructType(widened ++ extra)
     }
   }

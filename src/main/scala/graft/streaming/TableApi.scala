@@ -659,14 +659,17 @@ object TableApi {
     }
 
     private def timestampDiff(unit: String, a: Column, b: Column): Column = unit match {
-      // Flink TIMESTAMPDIFF(unit, t1, t2) = count of complete units
-      // from t1 to t2
-      case "DAY" => F.datediff(b.cast("date"), a.cast("date"))
+      // Flink TIMESTAMPDIFF(unit, t1, t2) = count of COMPLETE units from
+      // t1 to t2, truncated toward zero (ScalarFunctionsTest: DAY between
+      // '2016-06-15 11:00' and '2016-06-19 00:00' is 3, not the 4 calendar
+      // boundaries datediff would count). MONTH/YEAR likewise truncate the
+      // fractional months_between toward zero, not toward -inf.
+      case "DAY" => ((b.cast("long") - a.cast("long")) / 86400L).cast("int")
       case "HOUR" => ((b.cast("long") - a.cast("long")) / 3600L).cast("int")
       case "MINUTE" => ((b.cast("long") - a.cast("long")) / 60L).cast("int")
       case "SECOND" => (b.cast("long") - a.cast("long")).cast("int")
-      case "MONTH" => F.floor(F.months_between(b, a)).cast("int")
-      case "YEAR" => (F.floor(F.months_between(b, a)) / 12).cast("int")
+      case "MONTH" => F.months_between(b, a).cast("int")
+      case "YEAR" => (F.months_between(b, a) / 12).cast("int")
       case u => fail(s"timestampDiff unit $u unsupported (YEAR/MONTH/DAY/HOUR/MINUTE/SECOND)")
     }
   }
@@ -901,20 +904,31 @@ final class GroupedFluentTable(df: DataFrame,
     throw new IllegalArgumentException(s"Table API: $msg")
 
   /** GroupedTable.select: key references pass through, aggregates
-    * compute — one groupBy().agg() plan in the select list's order. */
+    * compute — one groupBy().agg() plan in the select list's order.
+    * Every aggregate lands in a UNIQUE internal slot and the
+    * user-facing name is applied afterwards by position — re-resolving
+    * by the user's alias would silently send two same-aliased
+    * aggregates to the first one's value, and unaliased aggregates
+    * would leak the internal slot name. Unaliased aggregates surface
+    * as EXPR$<select-position>, the reference's spelling for unnamed
+    * select items. */
   def select(fields: String): FluentTable = {
     val items = TableApi.parseList(fields)
     val aggs = items.filter(_.agg)
     if (aggs.isEmpty) fail("grouped select needs at least one aggregate")
+    val dup = aggs.flatMap(_.alias).groupBy(identity)
+      .collect { case (a, vs) if vs.size > 1 => a }
+    if (dup.nonEmpty)
+      fail(s"duplicate aggregate alias(es) in grouped select: ${dup.mkString(", ")}")
     val keyCols = keys.map(_.named)
-    val aggCols = aggs.zipWithIndex.map { case (p, i) =>
-      p.col.as(p.alias.getOrElse(s"__agg$i"))
-    }
+    val aggCols = aggs.zipWithIndex.map { case (p, i) => p.col.as(s"__agg$i") }
     val agged = df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
     var ai = -1
-    val out = items.map { p =>
-      if (p.agg) { ai += 1; F.col(aggs(ai).alias.getOrElse(s"__agg$ai")) }
-      else p.named
+    val out = items.zipWithIndex.map { case (p, i) =>
+      if (p.agg) {
+        ai += 1
+        F.col(s"__agg$ai").as(p.alias.getOrElse(s"EXPR$$$i"))
+      } else p.named
     }
     new FluentTable(agged.select(out: _*))
   }

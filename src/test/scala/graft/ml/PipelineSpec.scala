@@ -98,14 +98,23 @@ class PipelineSpec extends SparkSpec {
     assert((System.nanoTime() - t0) / 1e9 < 5.0, "parse did not fail fast")
   }
 
-  test("loadJson refuses non-PipelineStage classes before instantiating") {
-    // a class name smuggled into the JSON must be rejected BEFORE its
-    // no-arg constructor runs — otherwise pipeline JSON is an
-    // arbitrary-instantiation vector for anything on the classpath
+  test("loadJson restores only whitelisted stage classes (no reflection)") {
+    // a class name smuggled into the JSON must never reach the
+    // classloader — not a PipelineStage at all:
     val e = intercept[IllegalArgumentException] {
       new Pipeline("""[{"class":"java.util.ArrayList","params":{}}]""")
     }
-    assert(e.getMessage.contains("not a PipelineStage"))
+    assert(e.getMessage.contains("not a registered PipelineStage"))
+    // ...and crucially, a PERFECTLY VALID PipelineStage subclass that
+    // merely isn't in the shipped registry is refused too — the
+    // isAssignableFrom form this replaced would have admitted it (and
+    // Class.forName would have run its static initializer even with
+    // deferred init once instantiation followed)
+    val e2 = intercept[IllegalArgumentException] {
+      new Pipeline(s"""[{"class":"${classOf[RogueStage].getName}","params":{}}]""")
+    }
+    assert(e2.getMessage.contains("not a registered PipelineStage"))
+    assert(!RogueStage.constructed, "rogue stage constructor ran")
   }
 
   test("IvfClusterEstimator round-trips and matches the engine's assign") {
@@ -136,3 +145,15 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("LogicalRDD") || plan.split("LogicalRDD").length <= 2)
   }
 }
+
+/** A legitimate PipelineStage subclass that is deliberately NOT in the
+  * shipped registry — restore-by-name must refuse it without ever
+  * running this constructor. */
+final class RogueStage extends graft.ml.Pipeline.Transformer {
+  RogueStage.constructed = true
+  def transform(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
+  def params: Map[String, String] = Map.empty
+  def withParams(p: Map[String, String]): graft.ml.Pipeline.PipelineStage = this
+}
+
+object RogueStage { @volatile var constructed = false }

@@ -154,6 +154,17 @@ class AvroSpec extends SparkSpec {
     val explicit = spark.read.format("graft-avro")
       .schema("k LONG").load(dir.toString)
     assert(explicit.collect().map(_.getLong(0)).toSeq == Seq(1L, 1L))
+
+    // three generations, MIDDLE one conflicting while the endpoints
+    // agree — an oldest-vs-newest-only comparison sails past this and
+    // the middle file dies mid-scan with a ClassCastException; the
+    // per-generation fold must refuse up front
+    writeOne("gen-c-00000.avro", vAsDouble = false) // newest: back to STRING
+    val e3 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-avro").load(dir.toString).schema
+    }
+    assert(e3.getMessage.contains("'v'") &&
+      e3.getMessage.contains("gen-b"), e3.getMessage)
   }
 
   test("staged leftovers from a crashed commit stay invisible and replay clean") {

@@ -33,6 +33,26 @@ class FluentTableSpec extends SparkSpec {
     assert(fluent == hand)
   }
 
+  test("grouped select: unaliased aggregates get EXPR$n; duplicate aliases refuse") {
+    // unaliased aggregate output names are the reference's EXPR$<pos>,
+    // never the internal agg-slot placeholders
+    val out = t("customer").groupBy("c_mktsegment")
+      .select("c_mktsegment, c_custkey.count, c_acctbal.min as lo, c_acctbal.max")
+      .toDF
+    assert(out.columns.toSeq == Seq("c_mktsegment", "EXPR$1", "lo", "EXPR$3"))
+    assert(out.columns.forall(!_.startsWith("__agg")))
+    // two aggregates under ONE alias must refuse — alias re-resolution
+    // would silently hand both the first aggregate's value
+    assert(err(t("customer").groupBy("c_mktsegment")
+      .select("c_mktsegment, c_acctbal.min as x, c_acctbal.max as x"))
+      .contains("duplicate aggregate alias"))
+    // and the values still land in the right slots in list order
+    val r = t("customer").groupBy("c_mktsegment")
+      .select("c_mktsegment, c_custkey.max, c_custkey.min")
+      .orderBy("c_mktsegment").toDF.head()
+    assert(r.getLong(1) >= r.getLong(2))
+  }
+
   test("global aggregate select (no groupBy) and mixed-select rejection") {
     val r = t("customer").select("c_custkey.count as n, c_acctbal.min as lo")
       .toDF.head()
