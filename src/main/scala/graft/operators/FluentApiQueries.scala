@@ -87,6 +87,53 @@ object FluentApiQueries {
         .toDF
     }),
 
+    // the fluent OVER-window surface (reference Over.java builders +
+    // Table.window(OverWindow)): three chained windows — a ROWS
+    // 3-preceding frame (ordered by the unique event_id, so the frame
+    // content is deterministic at every scale incl. replicated soak
+    // data), a RANGE 10-minute time frame (microsecond-exact via
+    // unix_micros ordering; peer-inclusive so tie-safe), and the
+    // default UNBOUNDED_RANGE running frame. The final unaliased
+    // aggregate pins the EXPR$n output-naming contract.
+    "q288_fluent_over" -> ((s, d) => {
+      import graft.streaming.OverWindows.Over
+      new FluentTable(Tables.events(s, d))
+        .filter("ts.isNotNull")
+        .select("event_id, user_id, ts, (value * 100).round(0).cast(LONG) as cents")
+        .window(Over.partitionBy("user_id").orderBy("event_id")
+          .preceding("3.rows").as("w"))
+        .select("event_id, user_id, ts, cents, " +
+          "cents.sum over w as roll4, cents.count over w as n4, " +
+          "cents.max over w as max4")
+        .window(Over.partitionBy("user_id").orderBy("ts")
+          .preceding("10.minutes").as("v"))
+        .select("event_id, user_id, ts, cents, roll4, n4, max4, " +
+          "cents.sum over v as sum10m, cents.count over v as n10m")
+        .window(Over.partitionBy("user_id").orderBy("ts").as("u"))
+        .select("event_id, user_id, roll4, n4, max4, sum10m, n10m, " +
+          "cents.sum over u as run_cents, cents.count over u")
+        .orderBy("event_id")
+        .toDF
+    }),
+
+    // composite-type access through the fluent grammar (reference
+    // BuiltInFunctionDefinitions GET / FLATTEN): a Tumble group window
+    // leaves its struct key in the output; the following select reads
+    // one field via get("start") and expands the whole struct via
+    // flatten() into the reference's s$field-named columns.
+    "q289_fluent_composite" -> ((s, d) => {
+      import graft.streaming.GroupWindows.Tumble
+      new FluentTable(Tables.events(s, d))
+        .filter("ts.isNotNull")
+        .select("ts, event_type, (value * 100).round(0).cast(LONG) as cents")
+        .window(Tumble.over("1.hours").on("ts").as("w"))
+        .groupBy("w, event_type")
+        .select("w, event_type, event_type.count as n, cents.sum as cents_sum")
+        .select("w.get('start') as ws, w.flatten, event_type, n, cents_sum")
+        .orderBy("ws, event_type")
+        .toDF
+    }),
+
     // temporal battery incl. the rowtime attribute reference:
     // extract units, floor/ceil to unit, dateFormat, timestampDiff,
     // interval-literal arithmetic (10.minutes), offset/fetch tail.
@@ -167,6 +214,40 @@ object FluentApiQueries {
         |    AS cents_sum
         |FROM events WHERE ts IS NOT NULL
         |GROUP BY 1, 2, 3
+        |ORDER BY ws, event_type""".stripMargin,
+
+    "q288_fluent_over" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE ts IS NOT NULL)
+        |SELECT event_id, user_id,
+        |  CAST(sum(cents) OVER w3 AS BIGINT) AS roll4,
+        |  count(cents) OVER w3 AS n4,
+        |  max(cents) OVER w3 AS max4,
+        |  CAST(sum(cents) OVER v10 AS BIGINT) AS sum10m,
+        |  count(cents) OVER v10 AS n10m,
+        |  CAST(sum(cents) OVER u AS BIGINT) AS run_cents,
+        |  count(cents) OVER u AS "EXPR$8"
+        |FROM base
+        |WINDOW
+        |  w3 AS (PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+        |  v10 AS (PARTITION BY user_id ORDER BY ts
+        |          RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW),
+        |  u AS (PARTITION BY user_id ORDER BY ts
+        |        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q289_fluent_composite" ->
+      """SELECT date_trunc('hour', ts) AS ws,
+        |  date_trunc('hour', ts) AS "w$start",
+        |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS "w$end",
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2, 3, 4
         |ORDER BY ws, event_type""".stripMargin,
 
     "q272_fluent_temporal" ->

@@ -95,11 +95,15 @@ object TableApi {
     * aggregate, a sort marker (.asc/.desc applied), the literal value
     * when the whole item is one literal (interval suffixes need it),
     * the underlying aggregate call (for `.distinct`), an `as` alias,
-    * and the bare field name when the item is a plain reference. */
+    * the bare field name when the item is a plain reference, the
+    * over-window alias when the item is `agg over w`, and the struct
+    * column name when the item is `s.flatten` (expanded at select
+    * time, where the schema is known). */
   private[streaming] case class Px(col: Column, agg: Boolean = false,
       sort: Boolean = false, litVal: Option[Any] = None,
       aggCall: Option[(String, Column)] = None,
-      alias: Option[String] = None, fieldName: Option[String] = None) {
+      alias: Option[String] = None, fieldName: Option[String] = None,
+      overRef: Option[String] = None, flattenOf: Option[String] = None) {
     def named: Column = alias.map(col.as).getOrElse(col)
     def outName: Option[String] = alias.orElse(fieldName)
   }
@@ -246,10 +250,7 @@ object TableApi {
       F.when(c(0), c(1)).otherwise(c(2)) }))
 
   private val rejected: Map[String, String] = Map(
-    "over" -> "OVER windows live in SQL text / WindowQueries (q30-q34); the fluent over() surface is out of scope",
-    "rows" -> "row intervals parameterize group windows — use GroupWindowSql (q208/q241)",
-    "get" -> "composite-type field access is out of the fluent scope; project nested fields with SQL text",
-    "flatten" -> "composite-type flattening is out of the fluent scope; project nested fields with SQL text",
+    "rows" -> "row intervals parameterize group windows (GroupWindowSql q208/q241) and Over.preceding(\"N.rows\") bounds",
     "totime" -> "the TIME type has no Spark analog (engine-wide; see COVERAGE.md)")
 
   // ---- the parser --------------------------------------------------
@@ -356,8 +357,19 @@ object TableApi {
     private def composite(): Px = {
       var e = atomOrPrefix()
       while (peekIs(".")) { next(); e = suffix(e) }
-      // the reference's infix `agg over windowRef` form
-      if (peekIdent("over")) fail(rejected("over"))
+      // the reference's infix `agg over windowRef` form — resolved to
+      // a WindowSpec by OverFluentTable.select, where the window
+      // definition lives
+      if (peekIdent("over")) {
+        next()
+        val w = next() match {
+          case TIdent(n) => n
+          case t => fail(s"'over' takes a window alias, found '${t.text}'")
+        }
+        if (!e.agg)
+          fail("'over' applies to an aggregate (a.sum over w)")
+        e = e.copy(overRef = Some(w))
+      }
       e
     }
 
@@ -393,6 +405,35 @@ object TableApi {
           optEmptyParens()
           Px(F.col(s"${operand.fieldName.get}.$lower"))
         case "proctime" => Px(F.current_timestamp())
+        case "get" =>
+          // reference BuiltInFunctionDefinitions GET — composite-field
+          // access by NAME ('s.get("field")' → Catalyst getField; the
+          // reference's by-position GET(f, 0) depends on planner type
+          // info the string grammar doesn't carry, so it's refused)
+          val args = parenArgs()
+          args match {
+            case Seq(n) => n.litVal match {
+              case Some(f: String) =>
+                Px(operand.col.getField(f), operand.agg)
+              case Some(_: Int) | Some(_: Long) =>
+                fail("get() supports field NAMES; by-position composite " +
+                  "access needs planner type info the string grammar " +
+                  "doesn't carry — use get(\"fieldName\")")
+              case _ => fail("get() takes one string literal field name")
+            }
+            case _ => fail("get() takes one string literal field name")
+          }
+        case "flatten" =>
+          // reference FLATTEN — expands a struct column into one
+          // output column per field. The expansion needs the schema,
+          // so the marker resolves inside select(); anywhere else it
+          // rejects loudly.
+          optEmptyParens()
+          operand.fieldName match {
+            case Some(n) => operand.copy(flattenOf = Some(n))
+            case None => fail("flatten() applies to a named struct column " +
+              "(alias the expression first)")
+          }
         case "cast" => castCall(operand)
         case "trim" => trimCall(Some(operand))
         case "extract" => Px(extractCall(unitArg("extract"), operand.col), operand.agg)
@@ -704,15 +745,36 @@ final class FluentTable(private val df: DataFrame) {
   def toDF: DataFrame = df
 
   /** Table.java:104 — projection; aggregate-only lists run a global
-    * aggregate (GroupedTable-less `select("a.sum")`). */
+    * aggregate (GroupedTable-less `select("a.sum")`); `s.flatten`
+    * items expand here, where the schema is known, into one column per
+    * struct field named `s$field` (the reference FLATTEN spelling). */
   def select(fields: String): FluentTable = {
     val items = parseList(fields)
+    items.flatMap(_.overRef).headOption.foreach(w => fail(
+      s"'over $w' needs a window definition — go through " +
+        "table.window(Over.partitionBy(...).orderBy(...).as(\"" + w + "\")).select(...)"))
     if (items.exists(_.agg)) {
       if (!items.forall(_.agg))
         fail("select mixes aggregates and non-aggregates; groupBy first")
+      if (items.exists(_.flattenOf.isDefined))
+        fail("flatten() cannot ride an aggregate-only select")
       val named = items.map(_.named)
       new FluentTable(df.agg(named.head, named.tail: _*))
-    } else new FluentTable(df.select(items.map(_.named): _*))
+    } else {
+      val out = items.flatMap { p =>
+        p.flattenOf match {
+          case Some(s) => df.schema.find(_.name == s).map(_.dataType) match {
+            case Some(st: org.apache.spark.sql.types.StructType) =>
+              st.fieldNames.toSeq.map(f => F.col(s"$s.$f").as(s"$s$$$f"))
+            case Some(other) => fail(
+              s"$s.flatten needs a struct column, found ${other.simpleString}")
+            case None => fail(s"$s.flatten: unknown column $s")
+          }
+          case None => Seq(p.named)
+        }
+      }
+      new FluentTable(df.select(out: _*))
+    }
   }
 
   /** Table.java:174 — positional rename of every column. */
@@ -745,6 +807,18 @@ final class FluentTable(private val df: DataFrame) {
     * w.start / w.end for the select. */
   def window(w: GroupWindows.GroupWindow): WindowedFluentTable =
     new WindowedFluentTable(df, w)
+
+  /** Table.java `window(OverWindow...)` (reference OverWindowedTable):
+    * the select's aggregates must be spelled `agg over w`. The
+    * reference supports exactly one over window per call — same here,
+    * with the same loud refusal. */
+  def window(w: OverWindows.OverWindow, rest: OverWindows.OverWindow*): OverFluentTable = {
+    if (rest.nonEmpty)
+      fail("over windows: only one window per window() call is supported " +
+        "(the reference OverWindowedTable has the same restriction); " +
+        "chain .window(...).select(...) steps instead")
+    new OverFluentTable(df, w)
+  }
 
   /** Table.java:285. */
   def distinct(): FluentTable = new FluentTable(df.distinct())
@@ -895,6 +969,42 @@ final class WindowedFluentTable(df: DataFrame,
   }
 }
 
+/** Reference `OverWindowedTable` — the post-window(Over...) select:
+  * every aggregate must reference the window (`cents.sum over w`);
+  * non-aggregates pass through. Each `agg over w` becomes
+  * `agg.over(spec)` on the ONE WindowSpec the window denotes, so the
+  * whole select is a single Window operator over one partitioning —
+  * exactly the plan hand-written `F.sum(c).over(Window...)` code
+  * produces (q30-family machinery). */
+final class OverFluentTable(df: DataFrame, w: OverWindows.OverWindow) {
+  import TableApi.Px
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"Table API: $msg")
+
+  def select(fields: String): FluentTable = {
+    val items = TableApi.parseList(fields)
+    if (!items.exists(_.overRef.isDefined))
+      fail(s"windowed select needs at least one 'agg over ${w.alias}' item")
+    val spec = w.spec
+    val out = items.zipWithIndex.map { case (p, i) =>
+      p.overRef match {
+        case Some(a) if a == w.alias =>
+          p.col.over(spec).as(p.alias.getOrElse(s"EXPR$$$i"))
+        case Some(a) =>
+          fail(s"unknown over-window '$a' (this window() defined '${w.alias}')")
+        case None if p.agg =>
+          fail(s"aggregates in a windowed select must be 'agg over ${w.alias}'")
+        case None if p.flattenOf.isDefined =>
+          fail("flatten() is not supported in an over-windowed select; " +
+            "flatten in a following select step")
+        case None => p.named
+      }
+    }
+    new FluentTable(df.select(out: _*))
+  }
+}
+
 /** Reference `GroupedTable` — the post-groupBy select. */
 final class GroupedFluentTable(df: DataFrame,
                                keys: Seq[TableApi.Px]) {
@@ -914,6 +1024,11 @@ final class GroupedFluentTable(df: DataFrame,
     * select items. */
   def select(fields: String): FluentTable = {
     val items = TableApi.parseList(fields)
+    items.flatMap(_.overRef).headOption.foreach(a => fail(
+      s"'over $a' belongs to window(Over...).select, not a grouped select"))
+    if (items.exists(_.flattenOf.isDefined))
+      fail("flatten() is not supported in a grouped select; " +
+        "flatten in a following select step")
     val aggs = items.filter(_.agg)
     if (aggs.isEmpty) fail("grouped select needs at least one aggregate")
     val dup = aggs.flatMap(_.alias).groupBy(identity)

@@ -314,4 +314,16 @@ class PlanShapeSpec extends SparkSpec {
       s"gram join went quadratic:\n$plan")
     assert(plan.contains("HashAggregate"), "train-set distinct collapsed away")
   }
+
+  test("q288 fluent over-windows share ONE user_id exchange, no extra shuffle") {
+    val plan = formatted("q288_fluent_over")
+    // three chained over windows all partition by user_id — the plan
+    // must hash-exchange on user_id once and run every Window operator
+    // on that partitioning (plus the one final orderBy range exchange)
+    val exchanges = """\(\d+\) Exchange """.r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <=2 exchanges (1 hash + 1 sort):\n$plan")
+    val windows = """\(\d+\) (Window|RunningWindowFunction)""".r.findAllIn(plan).size
+    assert(windows >= 3, s"expected >=3 window operators:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
 }

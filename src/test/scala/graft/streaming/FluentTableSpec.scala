@@ -113,10 +113,9 @@ class FluentTableSpec extends SparkSpec {
 
   test("out-of-scope constructs reject loudly with a pointer") {
     assert(err(t("nation").select("n_nationkey.sum over w"))
-      .contains("WindowQueries"))
-    assert(err(t("nation").select("5.rows")).contains("GroupWindowSql"))
-    assert(err(t("nation").select("n_name.get(0)")).contains("out of the fluent scope"))
-    assert(err(t("nation").select("n_name.flatten")).contains("out of the fluent scope"))
+      .contains("window(Over"))
+    assert(err(t("nation").select("5.rows")).contains("Over.preceding"))
+    assert(err(t("nation").select("n_name.get(0)")).contains("fieldName"))
     assert(err(t("nation").select("n_name.cast(SQL_TIME)")).contains("TIME"))
     assert(err(t("nation").select("n_name.noSuchFn"))
       .contains("unknown function"))
@@ -129,6 +128,108 @@ class FluentTableSpec extends SparkSpec {
       .contains("distinct"))
     assert(err(t("nation").select("3.minutes.minutes"))
       .contains("numeric literal"))
+  }
+
+  test("fluent over windows are plan-equivalent to hand-written WindowSpecs") {
+    import OverWindows.Over
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+    // ROWS frame — the q30-family machinery through the fluent spelling
+    val fluent = new FluentTable(cust)
+      .window(Over.partitionBy("c_nationkey").orderBy("c_custkey")
+        .preceding("2.rows").as("w"))
+      .select("c_custkey, cents.sum over w as s3, cents.count over w as n3")
+      .orderBy("c_custkey").toDF.collect().toSeq
+    val spec = Window.partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+      .rowsBetween(-2, Window.currentRow)
+    val hand = cust.select(col("c_custkey"),
+        sum(col("cents")).over(spec).as("s3"),
+        count(col("cents")).over(spec).as("n3"))
+      .orderBy("c_custkey").collect().toSeq
+    assert(fluent == hand && fluent.nonEmpty)
+    // default frame = UNBOUNDED_RANGE .. CURRENT_RANGE (peer-inclusive)
+    val runFluent = new FluentTable(cust)
+      .window(Over.partitionBy("c_nationkey").orderBy("c_custkey").as("u"))
+      .select("c_custkey, cents.sum over u as run")
+      .orderBy("c_custkey").toDF.collect().toSeq
+    val runSpec = Window.partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val runHand = cust.select(col("c_custkey"),
+        sum(col("cents")).over(runSpec).as("run"))
+      .orderBy("c_custkey").collect().toSeq
+    assert(runFluent == runHand)
+    // bounded FOLLOWING row frames work too (batch OVER supports them)
+    val fwd = new FluentTable(cust)
+      .window(Over.partitionBy("c_nationkey").orderBy("c_custkey")
+        .preceding("1.rows").following("1.rows").as("w"))
+      .select("c_custkey, cents.sum over w as s")
+      .orderBy("c_custkey").toDF.collect().toSeq
+    val fwdSpec = Window.partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+      .rowsBetween(-1, 1)
+    val fwdHand = cust.select(col("c_custkey"),
+        sum(col("cents")).over(fwdSpec).as("s"))
+      .orderBy("c_custkey").collect().toSeq
+    assert(fwd == fwdHand)
+  }
+
+  test("over windows: the unsupported forms reject loudly") {
+    import OverWindows.Over
+    def overT(sel: String, w: OverWindows.OverWindow = Over
+        .partitionBy("c_nationkey").orderBy("c_custkey")
+        .preceding("2.rows").as("w")) =
+      t("customer").window(w).select(sel).toDF
+    // UNBOUNDED following — the reference's OverWindow validation
+    assert(err(overT("cents.sum over w as s",
+      Over.partitionBy("c_nationkey").orderBy("c_custkey")
+        .preceding("2.rows").following("unbounded_row").as("w")))
+      .contains("UNBOUNDED following"))
+    // mixed ROWS/RANGE frame kinds
+    assert(err(overT("c_acctbal.sum over w as s",
+      Over.partitionBy("c_nationkey").orderBy("c_custkey")
+        .preceding("2.rows").following("current_range").as("w")))
+      .contains("mixes ROWS and RANGE"))
+    // a bare aggregate inside a windowed select must name the window
+    assert(err(overT("c_acctbal.sum as s")).contains("over w"))
+    // referencing an undefined window alias
+    assert(err(overT("c_acctbal.sum over zzz as s")).contains("unknown over-window"))
+    // over is only legal through window(Over...)
+    assert(err(t("customer").select("c_acctbal.sum over w"))
+      .contains("window(Over"))
+    assert(err(t("customer").groupBy("c_nationkey")
+      .select("c_nationkey, c_acctbal.sum over w")).contains("grouped select"))
+    // one window per window() call, like the reference
+    val w1 = Over.partitionBy("c_nationkey").orderBy("c_custkey").as("a")
+    val w2 = Over.partitionBy("c_nationkey").orderBy("c_custkey").as("b")
+    assert(err(t("customer").window(w1, w2)).contains("one window"))
+    // malformed bound strings name the accepted grammar
+    assert(err(Over.partitionBy("k").orderBy("o").preceding("sideways"))
+      .contains("N.rows"))
+    // 'over' on a non-aggregate
+    assert(err(overT("c_acctbal over w")).contains("applies to an aggregate"))
+  }
+
+  test("get/flatten read struct columns; misuse rejects loudly") {
+    import spark.implicits._
+    val df = Seq((1L, ("x", 10.0)), (2L, ("y", 20.0)))
+      .toDF("id", "s")
+    val got = new FluentTable(df)
+      .select("id, s.get('_1') as tag, s.get('_2') as v")
+      .orderBy("id").toDF.collect().toSeq
+    assert(got.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))) ==
+      Seq((1L, "x", 10.0), (2L, "y", 20.0)))
+    val flat = new FluentTable(df).select("id, s.flatten").toDF
+    assert(flat.columns.toSeq == Seq("id", "s$_1", "s$_2"))
+    // flatten needs a struct
+    assert(err(new FluentTable(df).select("id.flatten, id"))
+      .contains("struct"))
+    // flatten of an unnamed expression
+    assert(err(new FluentTable(df).select("(id + 1).flatten"))
+      .contains("named struct column"))
+    // get by position is refused with the reason
+    assert(err(new FluentTable(df).select("s.get(0)"))
+      .contains("fieldName"))
   }
 
   test("Slide/Session fluent windows match the native Spark operators") {
