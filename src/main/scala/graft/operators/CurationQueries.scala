@@ -41,6 +41,62 @@ object CurationQueries {
 
   private def toks(c: Column) = split(c, " ")
 
+  // ---- shared BPE machinery (q286 trainer / q290 encoder) ------------
+
+  /** A word as its character-token array. */
+  private def bpeChars(w: Column): Column =
+    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+
+  /** Exact index-scan greedy fusion of the (a, b) merge over a token
+    * array: process index i only when the fold reaches it (nexti),
+    * consume i and i+1 on a match, never rescan the merged output —
+    * Sennrich et al.'s re-tokenization step as an array fold. */
+  private def bpeFuse(toksCol: Column, a: String, b: String): Column =
+    aggregate(
+      sequence(lit(1), size(toksCol)),
+      struct(array().cast("array<string>").as("out"), lit(1).as("nexti")),
+      (acc, i) =>
+        when(i < acc.getField("nexti"), acc)
+          .when(i < size(toksCol) &&
+              element_at(toksCol, i) === a &&
+              element_at(toksCol, i + 1) === b,
+            struct(array_append(acc.getField("out"), lit(a + b)).as("out"),
+              (i + 2).as("nexti")))
+          .otherwise(
+            struct(array_append(acc.getField("out"),
+              element_at(toksCol, i)).as("out"), (i + 1).as("nexti"))),
+      acc => acc.getField("out"))
+
+  /** The q286 trainer: one corpus pass (word-frequency count), then
+    * `rounds` merge rounds on the DISTINCT-word table. Returns
+    * (step, lhs, rhs, pair_count, tokens_after) per round — the only
+    * driver scalars are the 1-row argmax rule and one total per round
+    * (metadata-sized, the q218 discipline). */
+  private def trainBpeMerges(s: org.apache.spark.sql.SparkSession, d: String,
+                             rounds: Int): Seq[(Int, String, String, Long, Long)] = {
+    import org.apache.spark.sql.Row
+    var words = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("toks", bpeChars(col("w")))
+    (1 to rounds).map { step =>
+      val Row(a: String, b: String, cnt: Long) = words
+        .filter(size(col("toks")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("a"),
+            element_at(col("toks"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a"), col("p.b")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).head()
+      words = words.withColumn("toks", bpeFuse(col("toks"), a, b))
+        .localCheckpoint()
+      val after = words.agg(sum(col("freq") * size(col("toks"))))
+        .head().getLong(0)
+      (step, a, b, cnt, after)
+    }
+  }
+
   /** floor(log2(k)) for a positive integer column, integer-exact in
     * both engines: the bit width of k minus one. bin(0) = "0" in both,
     * so k = 0 maps to 0 (used by the smoothed streaming scorer when a
@@ -593,47 +649,56 @@ object CurationQueries {
     // driver scalars are the 1-row argmax rule and two totals per
     // round (metadata-sized, the q218 discipline).
     "q286_bpe_merges" -> ((s, d) => {
-      import org.apache.spark.sql.Row
-      val chars = (w: Column) =>
-        transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
-      var words = Tables.documents(s, d)
-        .select(explode(toks(col("text"))).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-        .withColumn("toks", chars(col("w")))
-      // exact index-scan greedy fusion: process index i only when the
-      // fold reaches it (nexti), consume i and i+1 on a match
-      def fuse(a: String, b: String): Column = aggregate(
-        sequence(lit(1), size(col("toks"))),
-        struct(array().cast("array<string>").as("out"), lit(1).as("nexti")),
-        (acc, i) =>
-          when(i < acc.getField("nexti"), acc)
-            .when(i < size(col("toks")) &&
-                element_at(col("toks"), i) === a &&
-                element_at(col("toks"), i + 1) === b,
-              struct(array_append(acc.getField("out"), lit(a + b)).as("out"),
-                (i + 2).as("nexti")))
-            .otherwise(
-              struct(array_append(acc.getField("out"),
-                element_at(col("toks"), i)).as("out"), (i + 1).as("nexti"))),
-        acc => acc.getField("out"))
-      val rows = (1 to 3).map { step =>
-        val Row(a: String, b: String, cnt: Long) = words
-          .filter(size(col("toks")) >= 2)
-          .select(col("freq"), explode(transform(
-            sequence(lit(1), size(col("toks")) - 1),
-            i => struct(element_at(col("toks"), i).as("a"),
-              element_at(col("toks"), i + 1).as("b")))).as("p"))
-          .groupBy(col("p.a"), col("p.b")).agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).head()
-        words = words.withColumn("toks", fuse(a, b)).localCheckpoint()
-        val after = words.agg(sum(col("freq") * size(col("toks"))))
-          .head().getLong(0)
-        (step, a, b, cnt, after)
-      }
       import s.implicits._
-      rows.toDF("step", "lhs", "rhs", "pair_count", "tokens_after")
+      trainBpeMerges(s, d, 3)
+        .toDF("step", "lhs", "rhs", "pair_count", "tokens_after")
         .orderBy(col("step"))
+    }),
+
+    // BPE ENCODE at corpus scale (the production tokenization pass —
+    // the second half of the q286 tokenizer-fitting story): train the
+    // 3-round merge table, then tokenize the WHOLE corpus with it.
+    // Applying the merges in rank order with the same exact index-scan
+    // fusion IS correct BPE encoding for any word (each training round
+    // applies its merge everywhere before the next is chosen), so the
+    // encoder is merge-table-driven and works on unseen words too.
+    // Scale: each DISTINCT word is encoded ONCE (the walk is bounded
+    // by |vocabulary| × rank count × max word length), then joined
+    // back to the exploded corpus — at 100 TB the corpus-scale work is
+    // one explode + one vocabulary equi-join + per-doc aggregation;
+    // the encoded vocabulary is a bounded table (natural-language
+    // vocabularies saturate), so the join broadcasts or hash-joins at
+    // any corpus size. Output = per-doc exact token totals plus each
+    // doc's head-word encoding, so the oracle verifies both the counts
+    // and the token CONTENT for thousands of sampled words.
+    "q290_bpe_encode" -> ((s, d) => {
+      val merges = trainBpeMerges(s, d, 3).map(r => (r._2, r._3))
+      val docs = Tables.documents(s, d)
+      val vocab = docs.select(explode(toks(col("text"))).as("w"))
+        .filter(length(col("w")) > 0).distinct()
+        .withColumn("toks", bpeChars(col("w")))
+      val encoded = merges.foldLeft(vocab) { case (df, (a, b)) =>
+        df.withColumn("toks", bpeFuse(col("toks"), a, b))
+      }.select(col("w"), size(col("toks")).as("n"),
+          concat_ws("|", col("toks")).as("enc"))
+        // encode each distinct word once; both joins below reuse it
+        .localCheckpoint()
+      val words = docs
+        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+      val perDoc = words.join(encoded, "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n")).cast("long").as("n_tokens"))
+      val head = docs
+        .select(col("doc_id"), element_at(toks(col("text")), 1).as("w"))
+        .join(encoded.select(col("w"), col("enc").as("head_enc")),
+          Seq("w"), "left")
+        .select(col("doc_id"), col("head_enc"))
+      perDoc.join(head, "doc_id")
+        .select(col("doc_id"), col("n_words"), col("n_tokens"),
+          col("head_enc"))
+        .orderBy(col("doc_id"))
     }),
 
     // STREAMING winnowing gate at ingestion — q280's fingerprints
@@ -717,6 +782,73 @@ object CurationQueries {
     s"${f(s"$a[i]*$b[i]")} / (sqrt(${f(s"$a[i]*$a[i]")}) * " +
       s"sqrt(${f(s"$b[i]*$b[i]")}))"
   }
+
+  /** Shared q286/q290 oracle prefix: 3-round BPE training as
+    * recursive CTEs — wf (corpus word frequencies), m0 (char tokens),
+    * p_k/r_k (pair counts + 1-row argmax rule), w_k (the index-walk
+    * re-tokenization), m_k (the round's merged vocabulary); ends at
+    * m3, the fully merged vocabulary the encoder oracle reads. */
+  private val bpeTrainCte: String =
+    """WITH RECURSIVE
+      |wf AS (SELECT w, count(*)::BIGINT AS freq
+      |       FROM (SELECT unnest(string_split(text,' ')) AS w
+      |             FROM documents)
+      |       WHERE len(w) > 0 GROUP BY w),
+      |m0 AS (SELECT w, freq,
+      |         list_transform(range(1, len(w)+1), i -> w[i:i]) AS toks
+      |       FROM wf),
+      |p1 AS (SELECT t.toks[i] AS a, t.toks[i+1] AS b,
+      |         sum(t.freq)::BIGINT AS cnt
+      |       FROM m0 t, unnest(range(1, len(t.toks))) AS u(i)
+      |       GROUP BY 1, 2),
+      |r1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+      |w1 AS (SELECT m.w, m.freq, m.toks, r.a, r.b, 1 AS i,
+      |         []::VARCHAR[] AS out
+      |       FROM m0 m, r1 r
+      |       UNION ALL
+      |       SELECT w, freq, toks, a, b,
+      |         CASE WHEN i < len(toks) AND toks[i] = a AND toks[i+1] = b
+      |              THEN i + 2 ELSE i + 1 END,
+      |         CASE WHEN i < len(toks) AND toks[i] = a AND toks[i+1] = b
+      |              THEN list_append(out, a || b)
+      |              ELSE list_append(out, toks[i]) END
+      |       FROM w1 WHERE i <= len(toks)),
+      |m1 AS (SELECT w, freq, out AS toks FROM w1 WHERE i = len(toks) + 1),
+      |p2 AS (SELECT t.toks[i] AS a, t.toks[i+1] AS b,
+      |         sum(t.freq)::BIGINT AS cnt
+      |       FROM m1 t, unnest(range(1, len(t.toks))) AS u(i)
+      |       GROUP BY 1, 2),
+      |r2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+      |w2 AS (SELECT m.w, m.freq, m.toks, r.a, r.b, 1 AS i,
+      |         []::VARCHAR[] AS out
+      |       FROM m1 m, r2 r
+      |       UNION ALL
+      |       SELECT w, freq, toks, a, b,
+      |         CASE WHEN i < len(toks) AND toks[i] = a AND toks[i+1] = b
+      |              THEN i + 2 ELSE i + 1 END,
+      |         CASE WHEN i < len(toks) AND toks[i] = a AND toks[i+1] = b
+      |              THEN list_append(out, a || b)
+      |              ELSE list_append(out, toks[i]) END
+      |       FROM w2 WHERE i <= len(toks)),
+      |m2 AS (SELECT w, freq, out AS toks FROM w2 WHERE i = len(toks) + 1),
+      |p3 AS (SELECT t.toks[i] AS a, t.toks[i+1] AS b,
+      |         sum(t.freq)::BIGINT AS cnt
+      |       FROM m2 t, unnest(range(1, len(t.toks))) AS u(i)
+      |       GROUP BY 1, 2),
+      |r3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+      |w3 AS (SELECT m.w, m.freq, m.toks, r.a, r.b, 1 AS i,
+      |         []::VARCHAR[] AS out
+      |       FROM m2 m, r3 r
+      |       UNION ALL
+      |       SELECT w, freq, toks, a, b,
+      |         CASE WHEN i < len(toks) AND toks[i] = a AND toks[i+1] = b
+      |              THEN i + 2 ELSE i + 1 END,
+      |         CASE WHEN i < len(toks) AND toks[i] = a AND toks[i+1] = b
+      |              THEN list_append(out, a || b)
+      |              ELSE list_append(out, toks[i]) END
+      |       FROM w3 WHERE i <= len(toks)),
+      |m3 AS (SELECT w, freq, out AS toks FROM w3 WHERE i = len(toks) + 1),
+      |""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q282_cluster_mix" ->
@@ -810,67 +942,8 @@ object CurationQueries {
         |SELECT cc.id AS doc_id, cc.component AS cluster, sz.n_members,
         |       cc.id = cc.component AS is_canonical
         |FROM cc JOIN sz USING (component) ORDER BY doc_id""".stripMargin,
-    "q286_bpe_merges" ->
-      """WITH RECURSIVE
-        |wf AS (SELECT w, count(*)::BIGINT AS freq
-        |       FROM (SELECT unnest(string_split(text,' ')) AS w
-        |             FROM documents)
-        |       WHERE len(w) > 0 GROUP BY w),
-        |m0 AS (SELECT w, freq,
-        |         list_transform(range(1, len(w)+1), i -> w[i:i]) AS toks
-        |       FROM wf),
-        |p1 AS (SELECT t.toks[i] AS a, t.toks[i+1] AS b,
-        |         sum(t.freq)::BIGINT AS cnt
-        |       FROM m0 t, unnest(range(1, len(t.toks))) AS u(i)
-        |       GROUP BY 1, 2),
-        |r1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
-        |w1 AS (SELECT m.w, m.freq, m.toks, r.a, r.b, 1 AS i,
-        |         []::VARCHAR[] AS out
-        |       FROM m0 m, r1 r
-        |       UNION ALL
-        |       SELECT w, freq, toks, a, b,
-        |         CASE WHEN i < len(toks) AND toks[i] = a AND toks[i+1] = b
-        |              THEN i + 2 ELSE i + 1 END,
-        |         CASE WHEN i < len(toks) AND toks[i] = a AND toks[i+1] = b
-        |              THEN list_append(out, a || b)
-        |              ELSE list_append(out, toks[i]) END
-        |       FROM w1 WHERE i <= len(toks)),
-        |m1 AS (SELECT w, freq, out AS toks FROM w1 WHERE i = len(toks) + 1),
-        |p2 AS (SELECT t.toks[i] AS a, t.toks[i+1] AS b,
-        |         sum(t.freq)::BIGINT AS cnt
-        |       FROM m1 t, unnest(range(1, len(t.toks))) AS u(i)
-        |       GROUP BY 1, 2),
-        |r2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
-        |w2 AS (SELECT m.w, m.freq, m.toks, r.a, r.b, 1 AS i,
-        |         []::VARCHAR[] AS out
-        |       FROM m1 m, r2 r
-        |       UNION ALL
-        |       SELECT w, freq, toks, a, b,
-        |         CASE WHEN i < len(toks) AND toks[i] = a AND toks[i+1] = b
-        |              THEN i + 2 ELSE i + 1 END,
-        |         CASE WHEN i < len(toks) AND toks[i] = a AND toks[i+1] = b
-        |              THEN list_append(out, a || b)
-        |              ELSE list_append(out, toks[i]) END
-        |       FROM w2 WHERE i <= len(toks)),
-        |m2 AS (SELECT w, freq, out AS toks FROM w2 WHERE i = len(toks) + 1),
-        |p3 AS (SELECT t.toks[i] AS a, t.toks[i+1] AS b,
-        |         sum(t.freq)::BIGINT AS cnt
-        |       FROM m2 t, unnest(range(1, len(t.toks))) AS u(i)
-        |       GROUP BY 1, 2),
-        |r3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
-        |w3 AS (SELECT m.w, m.freq, m.toks, r.a, r.b, 1 AS i,
-        |         []::VARCHAR[] AS out
-        |       FROM m2 m, r3 r
-        |       UNION ALL
-        |       SELECT w, freq, toks, a, b,
-        |         CASE WHEN i < len(toks) AND toks[i] = a AND toks[i+1] = b
-        |              THEN i + 2 ELSE i + 1 END,
-        |         CASE WHEN i < len(toks) AND toks[i] = a AND toks[i+1] = b
-        |              THEN list_append(out, a || b)
-        |              ELSE list_append(out, toks[i]) END
-        |       FROM w3 WHERE i <= len(toks)),
-        |m3 AS (SELECT w, freq, out AS toks FROM w3 WHERE i = len(toks) + 1),
-        |s1 AS (SELECT sum(freq * len(toks))::BIGINT AS t FROM m1),
+    "q286_bpe_merges" -> (bpeTrainCte +
+      """s1 AS (SELECT sum(freq * len(toks))::BIGINT AS t FROM m1),
         |s2 AS (SELECT sum(freq * len(toks))::BIGINT AS t FROM m2),
         |s3 AS (SELECT sum(freq * len(toks))::BIGINT AS t FROM m3)
         |SELECT * FROM (
@@ -880,7 +953,20 @@ object CurationQueries {
         |  SELECT 2, r2.a, r2.b, r2.cnt, s2.t FROM r2, s2
         |  UNION ALL
         |  SELECT 3, r3.a, r3.b, r3.cnt, s3.t FROM r3, s3
-        |) ORDER BY step""".stripMargin,
+        |) ORDER BY step""".stripMargin),
+
+    "q290_bpe_encode" -> (bpeTrainCte +
+      """dw AS (SELECT d.doc_id, u.w
+        |       FROM documents d, unnest(string_split(d.text, ' ')) AS u(w)
+        |       WHERE len(u.w) > 0),
+        |pd AS (SELECT dw.doc_id, count(*)::BIGINT AS n_words,
+        |              sum(len(e.toks))::BIGINT AS n_tokens
+        |       FROM dw JOIN m3 e ON e.w = dw.w GROUP BY 1),
+        |he AS (SELECT d.doc_id, array_to_string(e.toks, '|') AS head_enc
+        |       FROM documents d
+        |       LEFT JOIN m3 e ON e.w = string_split(d.text, ' ')[1])
+        |SELECT pd.doc_id, pd.n_words, pd.n_tokens, he.head_enc
+        |FROM pd JOIN he USING (doc_id) ORDER BY pd.doc_id""".stripMargin),
     "q284_winnow_stream" ->
       """WITH hf AS (SELECT max(doc_id) // 2 AS half FROM documents),
         |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
