@@ -513,6 +513,59 @@ object CurationQueries {
         .orderBy(col("doc_id"), col("start_tok"))
     }),
 
+    // Cross-doc maximal-span WITNESS pairs — the suffix-follow of
+    // q231 (Lee et al. 2022): the paper's actionable unit is not just
+    // "this span is duplicated" but WHICH OTHER DOC shares it, so
+    // excision can be directional (keep-first). Each duplicated anchor
+    // position picks its minimum other-doc witness through a DF-CAPPED
+    // posting join (q280's discipline: shingles living in more than
+    // dfCap docs never fan out — a boilerplate shingle in half the
+    // corpus would otherwise explode the pair space); the island merge
+    // then carries min(witness) per span. Spans whose shingles are all
+    // same-doc repeats (or all above the cap) get a null witness and
+    // are never excised. Scale: posting fanout ≤ dfCap per position
+    // (linear), two key-bounded shuffles + the per-doc window — no
+    // doc×doc path exists.
+    "q291_dup_span_witness" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dfCap = 16
+      val docs = Tables.documents(s, d)
+      val pos = docs.select(col("doc_id"),
+        posexplode(TextQueries.shingles4(col("text"))))
+        .toDF("doc_id", "pos0", "sh")
+        .withColumn("pos", col("pos0") + 1).drop("pos0")
+      val occ = pos.groupBy(col("sh")).agg(count(lit(1)).as("occ"),
+        count_distinct(col("doc_id")).as("df"))
+      // q231's anchor rule: positions whose shingle occurs ≥ 2× in the
+      // corpus (same-doc repeats included)
+      val dup = pos.join(occ, "sh").filter(col("occ") >= 2)
+        .select(col("doc_id"), col("pos"), col("sh"))
+      // df-capped witness postings (distinct docs per shingle)
+      val post = pos.join(occ.filter(col("df").between(2, dfCap)), "sh")
+        .select(col("sh").as("psh"), col("doc_id").as("wit")).distinct()
+      val wmin = dup
+        .join(post, col("sh") === col("psh") && col("wit") =!= col("doc_id"),
+          "left")
+        .groupBy(col("doc_id"), col("pos"))
+        .agg(min(col("wit")).as("wmin"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      wmin.withColumn("island", col("pos") - row_number().over(w))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("pos")).as("start_tok"), max(col("pos")).as("last_sh"),
+          min(col("wmin")).as("witness_doc"))
+        .withColumn("end_tok", col("last_sh") + 3)
+        .withColumn("span_tokens", col("end_tok") - col("start_tok") + 1)
+        .filter(col("span_tokens") >= 8)
+        .select(col("doc_id"),
+          col("start_tok").cast("long").as("start_tok"),
+          col("end_tok").cast("long").as("end_tok"),
+          col("span_tokens").cast("long").as("span_tokens"),
+          col("witness_doc"),
+          (col("witness_doc").isNotNull &&
+            col("witness_doc") < col("doc_id")).as("excise"))
+        .orderBy(col("doc_id"), col("start_tok"))
+    }),
+
     // Balanced training-shard assignment: docs ranked by size (n_tok
     // desc, doc_id) round-robin into 8 shards — the LPT-flavored
     // static balancer — with the audit (docs, token total, heaviest
@@ -1181,6 +1234,39 @@ object CurationQueries {
          |  (max(pos) + 3)::BIGINT AS end_tok,
          |  (max(pos) + 3 - min(pos) + 1)::BIGINT AS span_tokens
          |FROM dup GROUP BY doc_id, island
+         |HAVING max(pos) + 3 - min(pos) + 1 >= 8
+         |ORDER BY doc_id, start_tok""".stripMargin,
+    "q291_dup_span_witness" ->
+      s"""WITH pos AS (
+         |  SELECT doc_id, s.pos AS pos, s.sh AS sh FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(
+         |        range(1, greatest(len(string_split(text,' ')) - 2, 2)),
+         |        i -> struct_pack(pos := i,
+         |          sh := array_to_string(string_split(text,' ')[i:i+3], ' '))))
+         |        AS s
+         |    FROM documents)),
+         |occ AS (SELECT sh, count(*) AS occ, count(DISTINCT doc_id) AS df
+         |        FROM pos GROUP BY 1),
+         |post AS (SELECT DISTINCT p.sh, p.doc_id AS wit
+         |         FROM pos p JOIN occ o USING (sh)
+         |         WHERE o.df BETWEEN 2 AND 16),
+         |dup AS (SELECT p.doc_id, p.pos, p.sh
+         |        FROM pos p JOIN occ o USING (sh) WHERE o.occ >= 2),
+         |wmin AS (SELECT d.doc_id, d.pos, min(po.wit) AS wmin
+         |         FROM dup d LEFT JOIN post po
+         |           ON po.sh = d.sh AND po.wit <> d.doc_id
+         |         GROUP BY 1, 2),
+         |isl AS (SELECT doc_id, pos, wmin,
+         |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |            AS island
+         |        FROM wmin)
+         |SELECT doc_id, min(pos)::BIGINT AS start_tok,
+         |  (max(pos) + 3)::BIGINT AS end_tok,
+         |  (max(pos) + 3 - min(pos) + 1)::BIGINT AS span_tokens,
+         |  min(wmin) AS witness_doc,
+         |  (min(wmin) IS NOT NULL AND min(wmin) < doc_id) AS excise
+         |FROM isl GROUP BY doc_id, island
          |HAVING max(pos) + 3 - min(pos) + 1 >= 8
          |ORDER BY doc_id, start_tok""".stripMargin,
     "q221_balanced_shards" ->

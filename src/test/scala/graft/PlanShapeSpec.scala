@@ -315,6 +315,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), "train-set distinct collapsed away")
   }
 
+  test("q291 span witnesses come from df-capped posting equi-joins (no doc×doc)") {
+    val plan = formatted("q291_dup_span_witness")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"witness join went quadratic:\n$plan")
+    // the witness side must carry the df cap BEFORE the posting join
+    assert(plan.contains("df#") || plan.contains("between"),
+      "df cap filter missing from the posting side")
+  }
+
   test("q288 fluent over-windows share ONE user_id exchange, no extra shuffle") {
     val plan = formatted("q288_fluent_over")
     // three chained over windows all partition by user_id — the plan
