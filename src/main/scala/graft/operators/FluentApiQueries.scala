@@ -134,6 +134,63 @@ object FluentApiQueries {
         .toDF
     }),
 
+    // the STREAMING leg of the fluent Table API: the q274 pipeline
+    // text — select → Tumble window → windowed groupBy → property
+    // select — run UNCHANGED as a watermarked streaming query over the
+    // four-epoch quarter replay (q129's harness: windows close
+    // incrementally across micro-batches in append mode; two
+    // far-future flush sentinels advance the watermark past the last
+    // real window and are filtered from the SINK output, never inside
+    // the plan — a pushed filter would starve the watermark node).
+    // Proves the fluent facade preserves streaming-ness: every step is
+    // a pure Column/groupBy construction, so Catalyst sees the exact
+    // plan hand-written streaming code produces. Hashed against the
+    // q274 batch oracle.
+    "q292_fluent_window_stream" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.{Event, Replay}
+      import graft.streaming.GroupWindows.Tumble
+      import org.apache.spark.sql.functions.{col, lit, min, max}
+      import org.apache.spark.sql.streaming.Trigger
+      val base = java.nio.file.Files.createTempDirectory("graft-fluentstream")
+      val (out, ck) = (s"$base/out", s"$base/ck")
+      val real = Tables.events(s, d).as[Event]
+      val (loUs, hiUs) = {
+        val r = real.agg(min(col("ts")), max(col("ts"))).head()
+        (Event.micros(r.getTimestamp(0)), Event.micros(r.getTimestamp(1)))
+      }
+      def tsOf(us: Long) = new java.sql.Timestamp(us / 1000)
+      val cut = (q: Long) => lit(tsOf(loUs + (hiUs - loUs) * q / 4))
+      def flush(id: Long, offDays: Long) = Event(id,
+        tsOf(hiUs + offDays * 86400L * 1000000L), -1L, "flush", 0.0, "{}")
+      val ev = real.union(Seq(flush(-1L, 1), flush(-2L, 2)).toDS())
+      val fcol = col("event_type") === "flush"
+      val chunks = Seq(
+        col("ts") < cut(1) && !fcol,
+        col("ts") >= cut(1) && col("ts") < cut(2) && !fcol,
+        col("ts") >= cut(2) && col("ts") < cut(3) && !fcol,
+        col("ts") >= cut(3) && !fcol,
+        col("event_id") === -1L && fcol,
+        col("event_id") === -2L && fcol)
+      val (inDir, schema) = Replay.fileEpochs(ev, chunks, base.toString)
+      val agg = new FluentTable(
+          Replay.stream(s, inDir, schema).toDF()
+            .withWatermark("ts", "1 minute"))
+        .select("ts, event_type, (value * 100).round(0).cast(LONG) as cents")
+        .window(Tumble.over("1.hours").on("ts").as("w"))
+        .groupBy("w, event_type")
+        .select("w.start as ws, w.end as we, event_type, " +
+          "event_type.count as n, cents.sum as cents_sum")
+        .toDF
+      val q = agg.writeStream
+        .option("checkpointLocation", ck)
+        .outputMode("append").format("parquet").option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out).filter(col("event_type") =!= "flush")
+        .orderBy(col("ws"), col("event_type"))
+    }),
+
     // temporal battery incl. the rowtime attribute reference:
     // extract units, floor/ceil to unit, dateFormat, timestampDiff,
     // interval-literal arithmetic (10.minutes), offset/fetch tail.
@@ -207,6 +264,16 @@ object FluentApiQueries {
         |ORDER BY c_custkey""".stripMargin,
 
     "q274_fluent_window" ->
+      """SELECT date_trunc('hour', ts) AS ws,
+        |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS we,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY ws, event_type""".stripMargin,
+
+    "q292_fluent_window_stream" ->
       """SELECT date_trunc('hour', ts) AS ws,
         |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS we,
         |  event_type, count(*) AS n,
