@@ -77,58 +77,80 @@ object Multimodal {
     }
   }
 
-  /** Real netpbm PGM (P5, binary grayscale) encode/parse — a genuine
-    * image format with a pure-JVM codec, so the decode step of the
-    * multimodal path is REAL for this format (StubCodec remains the
-    * labeled stand-in for formats that need native libraries). The
-    * parser handles the full header grammar: magic, `#` comments
-    * anywhere between tokens, arbitrary whitespace, maxval ≤ 255. */
-  object Pgm {
-    def encode(pixels: Array[Int], w: Int, h: Int): Array[Byte] = {
-      require(pixels.length == w * h, s"${pixels.length} px for ${w}x$h")
-      val header = s"P5\n# graft synthetic media\n$w $h\n255\n"
-        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-      val out = new Array[Byte](header.length + pixels.length)
-      System.arraycopy(header, 0, out, 0, header.length)
-      var i = 0
-      while (i < pixels.length) {
-        out(header.length + i) = pixels(i).toByte
-        i += 1
-      }
-      out
+  /** Shared netpbm binary-container machinery (P5 grayscale / P6
+    * color) — genuine image formats with a pure-JVM codec, so the
+    * decode step of the multimodal path is REAL for these formats
+    * (StubCodec remains the labeled stand-in for formats that need
+    * native libraries). The parser handles the full header grammar:
+    * magic, `#` comments anywhere between tokens, arbitrary
+    * whitespace, maxval ≤ 255. */
+  private def encodeNetpbm(magic: String, channels: Int,
+                           pixels: Array[Int], w: Int, h: Int): Array[Byte] = {
+    require(pixels.length == channels.toLong * w * h,
+      s"${pixels.length} values for ${w}x$h x$channels")
+    val header = s"$magic\n# graft synthetic media\n$w $h\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + pixels.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < pixels.length) {
+      out(header.length + i) = pixels(i).toByte
+      i += 1
     }
+    out
+  }
 
-    /** Parse → (width, height, raw pixel ints 0..maxval). */
-    def decodeRaw(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
-      var pos = 0
-      def skipToToken(): Unit = {
-        var in = true
-        while (in && pos < bytes.length) {
-          val c = bytes(pos).toChar
-          if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
-          else if (c.isWhitespace) pos += 1
-          else in = false
-        }
+  /** Parse → (width, height, raw channel-interleaved ints 0..maxval). */
+  private def decodeNetpbm(magic: String, channels: Int,
+                           bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    var pos = 0
+    def skipToToken(): Unit = {
+      var in = true
+      while (in && pos < bytes.length) {
+        val c = bytes(pos).toChar
+        if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+        else if (c.isWhitespace) pos += 1
+        else in = false
       }
-      def token(): String = {
-        skipToToken()
-        val start = pos
-        while (pos < bytes.length && !bytes(pos).toChar.isWhitespace) pos += 1
-        new String(bytes, start, pos - start,
-          java.nio.charset.StandardCharsets.US_ASCII)
-      }
-      val magic = token()
-      require(magic == "P5", s"not a binary PGM (magic '$magic')")
-      val (w, h, maxval) = (token().toInt, token().toInt, token().toInt)
-      require(maxval > 0 && maxval <= 255, s"unsupported maxval $maxval")
-      pos += 1 // exactly ONE whitespace byte separates header and payload
-      require(bytes.length - pos == w * h,
-        s"payload ${bytes.length - pos} bytes for ${w}x$h")
-      val px = new Array[Int](w * h)
-      var i = 0
-      while (i < px.length) { px(i) = bytes(pos + i) & 0xff; i += 1 }
-      (w, h, px)
     }
+    def token(): String = {
+      skipToToken()
+      val start = pos
+      while (pos < bytes.length && !bytes(pos).toChar.isWhitespace) pos += 1
+      new String(bytes, start, pos - start,
+        java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    val m = token()
+    require(m == magic, s"not a binary $magic netpbm (magic '$m')")
+    val (w, h, maxval) = (token().toInt, token().toInt, token().toInt)
+    require(maxval > 0 && maxval <= 255, s"unsupported maxval $maxval")
+    pos += 1 // exactly ONE whitespace byte separates header and payload
+    require(bytes.length - pos == channels.toLong * w * h,
+      s"payload ${bytes.length - pos} bytes for ${w}x$h x$channels")
+    val px = new Array[Int](channels * w * h)
+    var i = 0
+    while (i < px.length) { px(i) = bytes(pos + i) & 0xff; i += 1 }
+    (w, h, px)
+  }
+
+  /** netpbm P5 — binary grayscale, one byte per pixel. */
+  object Pgm {
+    def encode(pixels: Array[Int], w: Int, h: Int): Array[Byte] =
+      encodeNetpbm("P5", 1, pixels, w, h)
+    /** Parse → (width, height, raw pixel ints 0..maxval). */
+    def decodeRaw(bytes: Array[Byte]): (Int, Int, Array[Int]) =
+      decodeNetpbm("P5", 1, bytes)
+  }
+
+  /** netpbm P6 — binary color, three RGB-interleaved bytes per pixel
+    * (the 3-channel sibling; same header grammar, same pure-JVM
+    * parse). */
+  object Ppm {
+    def encode(rgb: Array[Int], w: Int, h: Int): Array[Byte] =
+      encodeNetpbm("P6", 3, rgb, w, h)
+    /** Parse → (width, height, RGB-interleaved ints 0..maxval). */
+    def decodeRaw(bytes: Array[Byte]): (Int, Int, Array[Int]) =
+      decodeNetpbm("P6", 3, bytes)
   }
 
   /** REAL codec for PGM blobs: parses the container, normalizes to
@@ -137,6 +159,14 @@ object Multimodal {
   object PgmCodec extends MediaCodec {
     override def decode(bytes: Array[Byte], meta: MediaMeta): Array[Float] = {
       val (_, _, px) = Pgm.decodeRaw(bytes)
+      px.map(_ / 255.0f)
+    }
+  }
+
+  /** REAL codec for PPM blobs: 3 floats per pixel, RGB-interleaved. */
+  object PpmCodec extends MediaCodec {
+    override def decode(bytes: Array[Byte], meta: MediaMeta): Array[Float] = {
+      val (_, _, px) = Ppm.decodeRaw(bytes)
       px.map(_ / 255.0f)
     }
   }

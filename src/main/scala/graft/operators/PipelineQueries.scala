@@ -360,6 +360,50 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL color-image decode (netpbm P6/PPM — the 3-channel sibling
+    // of q247, same pure-JVM header grammar, RGB-interleaved payload):
+    // deterministic patterns encode into real P6 containers, decode
+    // back partition-parallel, and the per-CHANNEL integer aggregates
+    // face the oracle's closed-form recomputation. A channel-
+    // interleave slip (reading RGBRGB as RRGGBB), payload offset
+    // error, or signed-byte slip changes r/g/b sums independently and
+    // breaks the row. Every 10th doc (offset 5, disjoint from q247's
+    // sample); no shuffle — encode/decode are map work.
+    "q293_media_ppm_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 5)
+        .select(col("doc_id"), (col("n_chars") % 64 + 16).cast("int").as("w"),
+          (col("n_chars") % 48 + 16).cast("int").as("h"))
+        .as[(Long, Int, Int)]
+        .map { case (id, w, h) =>
+          val rgb = Array.tabulate(3 * w * h)(i => ((id * 31 + i) % 256).toInt)
+          (id, Multimodal.Ppm.encode(rgb, w, h))
+        }
+      media.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, px) = Multimodal.Ppm.decodeRaw(bytes)
+          var (rs, gs, bs) = (0L, 0L, 0L)
+          var mn = 255L; var mx = 0L
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            (i % 3: @annotation.switch) match {
+              case 0 => rs += p
+              case 1 => gs += p
+              case 2 => bs += p
+            }
+            if (p < mn) mn = p.toLong
+            if (p > mx) mx = p.toLong
+            i += 1
+          }
+          (id, w, h, (px.length / 3).toLong, rs, gs, bs, mn, mx)
+        }
+      }.toDF("media_id", "w", "h", "n_px", "r_sum", "g_sum", "b_sum",
+          "px_min", "px_max")
+        .orderBy(col("media_id"))
+    }),
+
     // Vocabulary building: corpus-wide token frequency + document
     // frequency, top 100 by tf (ties → lexicographic). One shuffle on
     // token with map-side partial agg; the global rank runs over the
@@ -561,6 +605,19 @@ object PipelineQueries {
         |SELECT doc_id AS media_id, w, h, count(*)::BIGINT AS n_px,
         |  sum(p)::BIGINT AS px_sum, min(p)::BIGINT AS px_min,
         |  max(p)::BIGINT AS px_max
+        |FROM px GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "q293_media_ppm_decode" ->
+      """WITH m AS (SELECT doc_id, (n_chars % 64 + 16)::INT AS w,
+        |             (n_chars % 48 + 16)::INT AS h
+        |           FROM documents WHERE doc_id % 10 = 5),
+        |px AS (SELECT m.doc_id, m.w, m.h, t.i % 3 AS ch,
+        |         ((m.doc_id*31 + t.i) % 256) AS p
+        |       FROM m, LATERAL (SELECT unnest(range(0, 3*m.w*m.h)) AS i) t)
+        |SELECT doc_id AS media_id, w, h, (count(*) / 3)::BIGINT AS n_px,
+        |  sum(CASE WHEN ch = 0 THEN p ELSE 0 END)::BIGINT AS r_sum,
+        |  sum(CASE WHEN ch = 1 THEN p ELSE 0 END)::BIGINT AS g_sum,
+        |  sum(CASE WHEN ch = 2 THEN p ELSE 0 END)::BIGINT AS b_sum,
+        |  min(p)::BIGINT AS px_min, max(p)::BIGINT AS px_max
         |FROM px GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
   )
 }

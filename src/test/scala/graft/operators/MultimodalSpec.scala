@@ -108,6 +108,52 @@ class MultimodalSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("PPM (P6) encode/decode round-trips RGB-interleaved, magic enforced") {
+    val (w, h) = (9, 5)
+    val rgb = Array.tabulate(3 * w * h)(i => (i * 29 + 11) % 256)
+    val blob = Multimodal.Ppm.encode(rgb, w, h)
+    assert(new String(blob.take(2), "US-ASCII") == "P6")
+    val (dw, dh, back) = Multimodal.Ppm.decodeRaw(blob)
+    assert((dw, dh) == (w, h) && back.toSeq == rgb.toSeq)
+    // magic cross-rejection both ways: a P5 blob is not a P6 and
+    // vice versa
+    intercept[IllegalArgumentException](
+      Multimodal.Ppm.decodeRaw(Multimodal.Pgm.encode(Array.fill(w * h)(7), w, h)))
+    intercept[IllegalArgumentException](
+      Multimodal.Pgm.decodeRaw(blob))
+    // truncated color payload (w*h bytes instead of 3*w*h) fails loudly
+    intercept[IllegalArgumentException](
+      Multimodal.Ppm.decodeRaw("P6\n2 2\n255\nabcd".getBytes("US-ASCII")))
+  }
+
+  test("PPM round-trip holds for randomized dimensions and channels") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genCase = for {
+      w <- Gen.chooseNum(1, 30)
+      h <- Gen.chooseNum(1, 20)
+      px <- Gen.listOfN(3 * w * h, Gen.chooseNum(0, 255))
+    } yield (w, h, px.toArray)
+    val prop = Prop.forAll(genCase) { case (w, h, px) =>
+      val (dw, dh, back) = Multimodal.Ppm.decodeRaw(Multimodal.Ppm.encode(px, w, h))
+      dw == w && dh == h && back.toSeq == px.toSeq
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("PpmCodec plugs into the decode pipeline (3 floats per pixel)") {
+    val spark2 = spark; import spark2.implicits._
+    val rgb = Array.tabulate(3 * 8 * 8)(i => (i * 7) % 256)
+    val blob = Multimodal.Ppm.encode(rgb, 8, 8)
+    val meta = Multimodal.MediaMeta("image", 8, 8, 0, 1)
+    val m = Seq(Multimodal.MediaRow(1L, blob, meta)).toDS()
+    val frames = Multimodal.decodeFrames(m, stride = 1,
+      codec = Multimodal.PpmCodec).collect()
+    assert(frames.length == 1)
+    assert(frames.head.pixels.length == 3 * 8 * 8)
+    assert(frames.head.pixels.toSeq == rgb.map(_ / 255.0f).toSeq)
+  }
+
   test("PgmCodec plugs into the decode pipeline with real parsing") {
     val spark2 = spark; import spark2.implicits._
     val px = Array.tabulate(16 * 16)(i => i % 256)
