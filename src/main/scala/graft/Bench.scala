@@ -58,11 +58,15 @@ object Bench {
     // round-7 Gaussian statistics family
     "q261_gaussian_outliers", // moments fit + scan-speed Mahalanobis tail
     "q262_dim_correlation",   // 2016-key centered pair-product rollup
-    // round-8 additions (budgets arrive at the next re-baseline)
+    // round-8 additions
     "q268_ivfpq_exact",       // composed IVF+PQ ANN through the ML pipeline
     "q270_fluent_pipeline",   // fluent Table-API string-expression path
     "q279_bm25_topk",         // BM25 posting-list retrieval
-    "q280_winnow_dedup")      // winnowing fingerprints + df-capped pairs
+    "q280_winnow_dedup",      // winnowing fingerprints + df-capped pairs
+    // round-9 additions
+    "q288_fluent_over",       // chained fluent OVER windows, one exchange
+    "q290_bpe_encode",        // BPE corpus tokenization (train + encode + join back)
+    "q291_dup_span_witness")  // maximal dup spans with df-capped witnesses
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

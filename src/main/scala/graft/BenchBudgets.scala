@@ -1,10 +1,16 @@
 package graft
 
-/** Per-query wall-time budgets for the bench regression gate — the
-  * round-7 driver-run times (BENCH_r07.json, sf0.1, local[32]) plus
+/** Per-query wall-time budgets for the bench regression gate —
+  * re-baselined ROUND 9 from one quiet-host session (min of 3
+  * back-to-back sf0.1 local[32] runs, 2026-08-15, load ≈ 1.6) plus
   * 40% headroom (the documented host-variance envelope is 10-15%, so
   * a breach is a real plan/operator regression, not noise), floored
-  * at 0.5 s so sub-second queries cannot flake the gate.
+  * at 0.5 s so sub-second queries cannot flake the gate. Every one of
+  * the 47 headline queries now carries a budget from the SAME session
+  * — the r8 mix of r7-derived and r8-quiet numbers is gone, so the
+  * next uniform-drift round is separable from plan regressions by
+  * construction. The raw mins live in the r9 bench notes; BENCH_r09
+  * is the comparison floor.
   *
   * Two consumers:
   *  - [[Bench]] always compares its timed results against these and
@@ -14,56 +20,58 @@ package graft
   *    GRAFT_BENCH_GATE=1 (opt-in: wall-time tests on a loaded shared
   *    host would flake the correctness suite otherwise).
   *
-  * Queries added after r7 get budgets on the next re-baseline; absent
+  * Queries added after r9 get budgets on the next re-baseline; absent
   * names are exempt by design.
   */
 object BenchBudgets {
   val sf01Budgets: Map[String, Double] = Map(
-    // r8 additions, baselined from this round's quiet runs × 1.4
-    "q268_ivfpq_exact" -> 3.93,
-    "q270_fluent_pipeline" -> 1.17,
-    "q279_bm25_topk" -> 2.17,
-    "q280_winnow_dedup" -> 2.92,
     "q01_agg_basic" -> 1.18,
-    "q04_grouping_sets" -> 1.25,
-    "q100_tpch_q2" -> 1.42,
-    "q103_tpch_q9" -> 2.1,
-    "q107_tpch_q21" -> 2.16,
+    "q04_grouping_sets" -> 1.29,
+    "q100_tpch_q2" -> 1.17,
+    "q103_tpch_q9" -> 1.83,
+    "q107_tpch_q21" -> 2.04,
     "q108_dup_span" -> 2.04,
-    "q10_join_star" -> 1.26,
-    "q111_ds_union_rollup" -> 1.49,
-    "q112_ds_yoy_selfjoin" -> 1.33,
-    "q116_ds_rollup_rank" -> 1.86,
-    "q11_join_left" -> 0.66,
-    "q210_bloom_decontaminate" -> 1.58,
-    "q211_pq_ann" -> 2.27,
-    "q214_surprisal_score" -> 0.91,
-    "q21_setop_all" -> 1.55,
-    "q220_token_budget_select" -> 1.04,
-    "q231_dup_spans_maximal" -> 1.71,
-    "q242_avro_roundtrip" -> 0.78,
-    "q261_gaussian_outliers" -> 0.81,
-    "q262_dim_correlation" -> 1.25,
-    "q27_tpch_q5" -> 1.57,
-    "q29_tpch_q18" -> 1.66,
-    "q30_over_rank" -> 1.26,
-    "q35_topn_per_key" -> 0.96,
-    "q46_unnest_words" -> 0.63,
-    "q52_window_session" -> 1.27,
-    "q54_asof_join" -> 0.94,
-    "q59_asof_exec" -> 1.01,
-    "q64_minhash_sig" -> 0.89,
-    "q66_ngram_jaccard" -> 1.55,
-    "q70_knn_brute" -> 0.78,
-    "q72_lsh_ann" -> 0.54,
-    "q73_embed_neardup" -> 1.02,
-    "q76_repetition" -> 1.33,
-    "q78_curate" -> 0.98,
-    "q79_simhash_neardup" -> 0.94,
-    "q85_tpch_q7" -> 1.49,
-    "q88_cep_nofollow" -> 0.99,
-    "q89_tpch_q4" -> 1.89,
-    "q91_tpch_q19" -> 0.81)
+    "q10_join_star" -> 1.43,
+    "q111_ds_union_rollup" -> 1.57,
+    "q112_ds_yoy_selfjoin" -> 1.23,
+    "q116_ds_rollup_rank" -> 1.69,
+    "q11_join_left" -> 0.74,
+    "q210_bloom_decontaminate" -> 1.35,
+    "q211_pq_ann" -> 2.35,
+    "q214_surprisal_score" -> 0.99,
+    "q21_setop_all" -> 1.69,
+    "q220_token_budget_select" -> 0.82,
+    "q231_dup_spans_maximal" -> 1.76,
+    "q242_avro_roundtrip" -> 0.81,
+    "q261_gaussian_outliers" -> 0.74,
+    "q262_dim_correlation" -> 1.14,
+    "q268_ivfpq_exact" -> 3.71,
+    "q270_fluent_pipeline" -> 1.12,
+    "q279_bm25_topk" -> 1.96,
+    "q27_tpch_q5" -> 1.65,
+    "q280_winnow_dedup" -> 2.87,
+    "q288_fluent_over" -> 1.43,
+    "q290_bpe_encode" -> 2.63,
+    "q291_dup_span_witness" -> 2.94,
+    "q29_tpch_q18" -> 1.58,
+    "q30_over_rank" -> 1.3,
+    "q35_topn_per_key" -> 0.91,
+    "q46_unnest_words" -> 0.56,
+    "q52_window_session" -> 1.23,
+    "q54_asof_join" -> 0.88,
+    "q59_asof_exec" -> 0.81,
+    "q64_minhash_sig" -> 0.73,
+    "q66_ngram_jaccard" -> 1.45,
+    "q70_knn_brute" -> 0.64,
+    "q72_lsh_ann" -> 0.5,
+    "q73_embed_neardup" -> 0.96,
+    "q76_repetition" -> 1.29,
+    "q78_curate" -> 0.82,
+    "q79_simhash_neardup" -> 0.98,
+    "q85_tpch_q7" -> 1.56,
+    "q88_cep_nofollow" -> 0.79,
+    "q89_tpch_q4" -> 1.59,
+    "q91_tpch_q19" -> 0.75)
 
   /** Names whose measured min exceeds budget (only at the sf0.1 scale
     * the budgets were taken at). */
