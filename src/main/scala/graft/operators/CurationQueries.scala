@@ -595,6 +595,38 @@ object CurationQueries {
         .orderBy(col("shard"))
     }),
 
+    // GPT-style training-sequence packing: the corpus is concatenated
+    // in deterministic doc_id order and split into fixed 2048-token
+    // sequences (the standard pretraining packing pass — documents
+    // straddle sequence boundaries). A doc's sequence is
+    // prefix/2048 where prefix = tokens strictly before it, so the
+    // whole assignment needs exactly ONE exact prefix sum — computed
+    // by [[DatasetUtils.prefixSum]]'s two-pass partial-sums design
+    // (numPartitions longs through the driver, never a
+    // single-partition window: q221's discipline applied to running
+    // sums). Per-sequence audit: docs starting there, their token
+    // mass, boundary straddlers, heaviest doc. At 100 TB the packing
+    // is a scan + one metadata-sized collect + one group-by.
+    "q295_seq_packing" -> ((s, d) => {
+      val B = 2048L
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tok"))
+      val sorted = docs
+        .repartitionByRange(32, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+      DatasetUtils.prefixSum(sorted, "n_tok")
+        .withColumn("seq_id", floor(col("prefix") / B).cast("long"))
+        .withColumn("straddles",
+          floor((col("prefix") + col("n_tok") - 1) / B).cast("long")
+            =!= col("seq_id"))
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tok_sum"),
+          sum(col("straddles").cast("long")).as("n_straddlers"),
+          max(col("n_tok")).as("max_tok"))
+        .orderBy(col("seq_id"))
+    }),
+
     // Semantic-cluster-balanced data mixing — the embedding-space
     // sibling of q206's source mixing and q220's budget select: docs
     // cluster by their embedding (q146's coarse quantizer, the
@@ -752,6 +784,67 @@ object CurationQueries {
         .select(col("doc_id"), col("n_words"), col("n_tokens"),
           col("head_enc"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Unigram-LM Viterbi segmentation (Kudo 2018 — the SentencePiece
+    // tokenizer family, the q286/q290 BPE story's sibling): a seed
+    // piece vocabulary (every corpus character + the 256 most frequent
+    // 2-3-char substrings, frequency-weighted) gets integer costs
+    // cost = flog2(total) − flog2(cnt) + 1 (the engine's exact-log2
+    // discipline), and each word is segmented by Viterbi DP minimizing
+    // (total cost, piece count) lexicographically — encoded as ONE
+    // long (cost·256 + pieces) so the DP is a plain running `least`.
+    // The DP rides the plan as a codegen'd array fold; the bounded
+    // vocabulary (chars + 256 grams) rides it as a MAP LITERAL — the
+    // q282 "centroids ride the projection" shape, so segmentation is
+    // scan-speed at any corpus size and the only collected state is
+    // the vocabulary itself (guarded). Oracle: the DP unrolled as 16
+    // chained CTE rounds (the q125/q127 discipline), min(enc) per
+    // position.
+    "q294_unigram_segment" -> ((s, d) => {
+      val wf = Tables.documents(s, d)
+        .select(explode(toks(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      def gramsOf(l: Int) = wf.select(col("freq"),
+        explode(when(length(col("w")) >= l,
+          transform(sequence(lit(1), length(col("w")) - (l - 1)),
+            i => col("w").substr(i, lit(l))))
+          .otherwise(array().cast("array<string>"))).as("piece"))
+      val sub = (1 to 3).map(gramsOf).reduce(_ union _)
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      val total = sub.agg(sum(col("cnt"))).head().getLong(0)
+      val charRows = sub.filter(length(col("piece")) === 1).collect()
+      require(charRows.length <= 4096,
+        s"unigram seed: ${charRows.length} distinct chars — not a " +
+          "natural-language alphabet; refusing the driver collect")
+      val gramRows = sub.filter(length(col("piece")) >= 2)
+        .orderBy(col("cnt").desc, col("piece")).limit(256).collect()
+      def fl2(x: Long) = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      val costMap: Map[String, Long] = (charRows ++ gramRows).map { r =>
+        r.getString(0) -> (fl2(total) - fl2(r.getLong(1)) + 1L)
+      }.toMap
+      val vocabLit = typedLit(costMap)
+      val sentinel = lit(Long.MaxValue / 4)
+      val enc = aggregate(
+        sequence(lit(1), length(col("w"))),
+        array(lit(0L)),
+        (acc, i) => {
+          def cand(l: Int): Column = {
+            val c = element_at(vocabLit, col("w").substr(i - (l - 1), lit(l)))
+            when(i >= l && c.isNotNull,
+              element_at(acc, i - l + 1) + c * 256L + 1L).otherwise(sentinel)
+          }
+          array_append(acc, least(cand(1), cand(2), cand(3)))
+        },
+        acc => element_at(acc, -1))
+      wf.filter(length(col("w")).between(2, 16))
+        .orderBy(col("freq").desc, col("w")).limit(200)
+        .withColumn("enc", enc)
+        .select(col("w"), col("freq"),
+          floor(col("enc") / 256).cast("long").as("cost"),
+          pmod(col("enc"), lit(256L)).cast("long").as("n_pieces"))
+        .orderBy(col("freq").desc, col("w"))
     }),
 
     // STREAMING winnowing gate at ingestion — q280's fingerprints
@@ -1269,6 +1362,76 @@ object CurationQueries {
          |FROM isl GROUP BY doc_id, island
          |HAVING max(pos) + 3 - min(pos) + 1 >= 8
          |ORDER BY doc_id, start_tok""".stripMargin,
+    "q294_unigram_segment" -> {
+      // the Viterbi DP unrolled as 16 chained CTE rounds: d_k holds
+      // min-encoded (cost·256 + pieces) per word at position k; the
+      // single-char vocab leg guarantees every word survives each
+      // round, so the round where k = len(w) carries the answer
+      val steps = (1 to 16).map { k =>
+        val legs = (1 to 3).filter(_ <= k).map { l =>
+          s"""  SELECT p.w, p.enc + v.cost*256 + 1 AS enc
+             |  FROM d${k - l} p JOIN vocab v
+             |    ON v.piece = substr(p.w, ${k - l + 1}, $l)
+             |  WHERE len(p.w) >= $k""".stripMargin
+        }.mkString("\n  UNION ALL\n")
+        // MATERIALIZED everywhere (the q127 discipline): plain CTEs
+        // re-inline — 48 legs each re-scanning documents exhausts
+        // file handles and re-runs the vocab build per leg
+        s"d$k AS MATERIALIZED (SELECT w, min(enc) AS enc FROM (\n$legs\n) GROUP BY w)"
+      }.mkString(",\n")
+      val fin = (2 to 16)
+        .map(k => s"  SELECT w, enc FROM d$k WHERE len(w) = $k")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH wf AS MATERIALIZED (SELECT w, count(*)::BIGINT AS freq
+         |       FROM (SELECT unnest(string_split(text,' ')) AS w
+         |             FROM documents)
+         |       WHERE len(w) > 0 GROUP BY w),
+         |sub AS MATERIALIZED (
+         |        SELECT substr(w, i, L) AS piece, sum(freq)::BIGINT AS cnt
+         |        FROM wf, LATERAL unnest(range(1, len(w)+1)) AS t(i),
+         |             (VALUES (1),(2),(3)) AS ll(L)
+         |        WHERE i + L - 1 <= len(w)
+         |        GROUP BY 1),
+         |tot AS MATERIALIZED (SELECT sum(cnt)::BIGINT AS t FROM sub),
+         |vocab AS MATERIALIZED (
+         |  SELECT piece,
+         |    (len(bin(tot.t)) - len(bin(s.cnt)) + 1)::BIGINT AS cost
+         |  FROM (
+         |    SELECT piece, cnt FROM sub WHERE len(piece) = 1
+         |    UNION ALL
+         |    SELECT piece, cnt FROM (
+         |      SELECT piece, cnt FROM sub WHERE len(piece) >= 2
+         |      ORDER BY cnt DESC, piece LIMIT 256)
+         |  ) s, tot),
+         |words200 AS MATERIALIZED (
+         |             SELECT w, freq FROM wf WHERE len(w) BETWEEN 2 AND 16
+         |             ORDER BY freq DESC, w LIMIT 200),
+         |d0 AS MATERIALIZED (SELECT w, 0::BIGINT AS enc FROM words200),
+         |$steps,
+         |fin AS (
+         |$fin)
+         |SELECT w2.w, w2.freq, (fin.enc // 256)::BIGINT AS cost,
+         |  (fin.enc % 256)::BIGINT AS n_pieces
+         |FROM words200 w2 JOIN fin ON fin.w = w2.w
+         |ORDER BY w2.freq DESC, w2.w""".stripMargin
+    },
+
+    "q295_seq_packing" ->
+      """WITH sc AS (
+        |  SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tok
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_tok,
+        |        coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS prefix
+        |      FROM sc)
+        |SELECT (prefix // 2048)::BIGINT AS seq_id,
+        |  count(*)::BIGINT AS n_docs,
+        |  sum(n_tok)::BIGINT AS tok_sum,
+        |  sum(CASE WHEN (prefix + n_tok - 1) // 2048 <> prefix // 2048
+        |           THEN 1 ELSE 0 END)::BIGINT AS n_straddlers,
+        |  max(n_tok)::BIGINT AS max_tok
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q221_balanced_shards" ->
       """WITH sc AS (
         |  SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tok

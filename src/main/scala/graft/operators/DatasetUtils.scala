@@ -42,6 +42,37 @@ object DatasetUtils {
         df.rdd.takeSample(withReplacement = false, n, seed).toSeq),
       df.schema)
 
+  /** Exact running prefix sum of a long column in the frame's current
+    * order, WITHOUT a single-partition window: the zipWithIndex
+    * two-pass design applied to sums — pass 1 collects one partial
+    * sum per partition (numPartitions longs, metadata-sized), pass 2
+    * adds the broadcast offsets to a local running sum. Prepends
+    * `prefix` = sum of values STRICTLY BEFORE the row. Sort first (or
+    * repartitionByRange + sortWithinPartitions) to make the order
+    * deterministic — both passes re-evaluate the same lineage, so the
+    * order must be stable. */
+  def prefixSum(df: DataFrame, valueCol: String): DataFrame = {
+    val idx = df.schema.fieldIndex(valueCol)
+    val rdd = df.rdd
+    require(rdd.getNumPartitions <= 65536,
+      s"prefixSum: ${rdd.getNumPartitions} partitions — the per-partition " +
+        "sums pass would stop being metadata-sized; coalesce first")
+    val partSums = rdd.mapPartitionsWithIndex { (p, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(idx)); Iterator((p, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val out = rdd.mapPartitionsWithIndex { (p, it) =>
+      var run = offsets(p)
+      it.map { r =>
+        val v = r.getLong(idx); val pre = run; run += v
+        Row.fromSeq(pre +: r.toSeq)
+      }
+    }
+    df.sparkSession.createDataFrame(out,
+      StructType(StructField("prefix", LongType, nullable = false)
+        +: df.schema.fields))
+  }
+
   /** Order-independent checksum: count + sum of Java hashCodes of the
     * given string column (the reference's Utils.ChecksumHashCode). */
   def checksumHashCode(df: DataFrame, colName: String): DataFrame = {
