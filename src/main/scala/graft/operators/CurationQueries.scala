@@ -530,24 +530,48 @@ object CurationQueries {
       import org.apache.spark.sql.expressions.Window
       val dfCap = 16
       val docs = Tables.documents(s, d)
+      // shingles shuffle three times (occurrence count, postings,
+      // anchor join) — key them as 60-bit md5 hashes instead of
+      // strings (the q280 discipline; the oracle keys on the SAME
+      // hash, so both engines agree by construction even in the
+      // astronomically-unlikely collision)
+      // materialize the hashed positions ONCE: occ, postings and the
+      // anchor join all consume this table, and re-deriving the
+      // shingle strings (split + slice + concat + md5) per consumer
+      // costs three corpus CPU passes — the dominant term at ≈sf10.
+      // localCheckpoint stores (doc_id, pos, sh) longs
+      // partition-local; at cluster scale this is the standard
+      // persist-a-projection, ~20 bytes/shingle
       val pos = docs.select(col("doc_id"),
         posexplode(TextQueries.shingles4(col("text"))))
-        .toDF("doc_id", "pos0", "sh")
-        .withColumn("pos", col("pos0") + 1).drop("pos0")
+        .toDF("doc_id", "pos0", "shs")
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+          conv(substring(md5(col("shs")), 1, 15), 16, 10)
+            .cast("long").as("sh"))
+        .localCheckpoint()
       val occ = pos.groupBy(col("sh")).agg(count(lit(1)).as("occ"),
         count_distinct(col("doc_id")).as("df"))
       // q231's anchor rule: positions whose shingle occurs ≥ 2× in the
       // corpus (same-doc repeats included)
       val dup = pos.join(occ, "sh").filter(col("occ") >= 2)
         .select(col("doc_id"), col("pos"), col("sh"))
-      // df-capped witness postings (distinct docs per shingle)
+      // df-capped witness postings, PRE-AGGREGATED to (min, second-min)
+      // doc per shingle: "my minimum OTHER doc" is ws[1] unless ws[1]
+      // is me, then ws[2] — so the witness join is one row per
+      // shingle and the per-position (doc, pos) re-aggregation
+      // shuffle disappears entirely (measured 54 s → the join+window
+      // only at ≈sf10). collect_set is bounded by the df cap.
       val post = pos.join(occ.filter(col("df").between(2, dfCap)), "sh")
-        .select(col("sh").as("psh"), col("doc_id").as("wit")).distinct()
+        .groupBy(col("sh"))
+        .agg(slice(sort_array(collect_set(col("doc_id"))), 1, 2).as("ws"))
+        .withColumnRenamed("sh", "psh")
       val wmin = dup
-        .join(post, col("sh") === col("psh") && col("wit") =!= col("doc_id"),
-          "left")
-        .groupBy(col("doc_id"), col("pos"))
-        .agg(min(col("wit")).as("wmin"))
+        .join(post, col("sh") === col("psh"), "left")
+        .withColumn("wmin",
+          when(element_at(col("ws"), 1) =!= col("doc_id"),
+            element_at(col("ws"), 1))
+            .otherwise(element_at(col("ws"), 2)))
+        .select(col("doc_id"), col("pos"), col("wmin"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       wmin.withColumn("island", col("pos") - row_number().over(w))
         .groupBy(col("doc_id"), col("island"))
@@ -1331,7 +1355,8 @@ object CurationQueries {
          |ORDER BY doc_id, start_tok""".stripMargin,
     "q291_dup_span_witness" ->
       s"""WITH pos AS (
-         |  SELECT doc_id, s.pos AS pos, s.sh AS sh FROM (
+         |  SELECT doc_id, s.pos AS pos,
+         |    ('0x'||substr(md5(s.sh),1,15))::BIGINT AS sh FROM (
          |    SELECT doc_id,
          |      unnest(list_transform(
          |        range(1, greatest(len(string_split(text,' ')) - 2, 2)),
