@@ -619,6 +619,49 @@ object CurationQueries {
         .orderBy(col("shard"))
     }),
 
+    // Exact directional CONTAINMENT (Broder's containment coefficient
+    // — the asymmetric sibling of q66's Jaccard): C(A→B) =
+    // |A∩B| / |A| over 4-shingles, the doc-in-doc / quote-detection
+    // measure (near-dup misses a short doc fully embedded in a long
+    // one because the union washes it out; containment catches it).
+    // Shingle universe is DF-CAPPED (2..16 docs — q280/q291's posting
+    // discipline): boilerplate shingles in half the corpus carry no
+    // containment signal and would explode the pair space. Exact
+    // integer permille, both directions from one ordered pair row;
+    // pairs need ≥ 8 shared shingles to emit. Scale: fanout ≤ cap²
+    // per shingle, two bounded shuffles, no doc×doc path.
+    "q296_containment" -> ((s, d) => {
+      val dfCap = 16
+      val pos = Tables.documents(s, d).select(col("doc_id"),
+        explode(TextQueries.shingles4(col("text"))).as("shs"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("shs")), 1, 15), 16, 10)
+            .cast("long").as("sh"))
+        .distinct()
+      val capped = pos.join(
+        pos.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df").between(2, dfCap)),
+        "sh")
+        .select(col("sh"), col("doc_id"))
+      val a = capped.select(col("sh").as("sha"), col("doc_id").as("doc_a"))
+      val b = capped.select(col("sh").as("shb"), col("doc_id").as("doc_b"))
+      val inter = a.join(b, col("sha") === col("shb") &&
+          col("doc_a") =!= col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .filter(col("inter") >= 8)
+      val n = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      inter
+        .join(n.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+        .join(n.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          col("n_a"), col("n_b"),
+          floor(col("inter") * 1000 / col("n_a")).cast("long")
+            .as("permille_a_in_b"),
+          (col("inter") * 1000 >= col("n_a") * 800).as("a_contained"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // GPT-style training-sequence packing: the corpus is concatenated
     // in deterministic doc_id order and split into fixed 2048-token
     // sequences (the standard pretraining packing pass — documents
@@ -1441,6 +1484,34 @@ object CurationQueries {
          |ORDER BY w2.freq DESC, w2.w""".stripMargin
     },
 
+    "q296_containment" ->
+      """WITH sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x'||substr(md5(s),1,15))::BIGINT AS sh FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(
+        |        range(1, greatest(len(string_split(text,' ')) - 2, 2)),
+        |        i -> array_to_string(string_split(text,' ')[i:i+3], ' ')))
+        |        AS s
+        |    FROM documents)),
+        |capped AS (
+        |  SELECT sh0.sh, sh0.doc_id FROM sh0
+        |  JOIN (SELECT sh FROM sh0 GROUP BY sh
+        |        HAVING count(*) BETWEEN 2 AND 16) k USING (sh)),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*)::BIGINT AS inter
+        |  FROM capped a JOIN capped b
+        |    ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 8),
+        |n AS (SELECT doc_id, count(*)::BIGINT AS n FROM capped GROUP BY 1)
+        |SELECT i.doc_a, i.doc_b, i.inter, na.n AS n_a, nb.n AS n_b,
+        |  (i.inter * 1000 // na.n)::BIGINT AS permille_a_in_b,
+        |  i.inter * 1000 >= na.n * 800 AS a_contained
+        |FROM inter i
+        |JOIN n na ON na.doc_id = i.doc_a
+        |JOIN n nb ON nb.doc_id = i.doc_b
+        |ORDER BY i.doc_a, i.doc_b""".stripMargin,
     "q295_seq_packing" ->
       """WITH sc AS (
         |  SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tok
