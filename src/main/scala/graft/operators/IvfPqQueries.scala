@@ -115,6 +115,54 @@ object IvfPqQueries {
         .orderBy(col("pid"), col("rk"))
     }),
 
+    // STREAMING vector ingestion into the cluster-partitioned index —
+    // the production serving update path: the model trains ONCE on
+    // the existing corpus half (models don't refit per batch), new
+    // vectors arrive in three micro-batches, and each batch runs the
+    // index projection (coarse argmax + PQ codes — pure per-row work,
+    // streaming-legal) and appends partitionBy(cluster), so fresh
+    // vectors land in exactly the lists probes prune to. Afterwards a
+    // search over the read-back index at nprobe=K must equal the flat
+    // ADC scan over the WHOLE corpus — q211's oracle verbatim (the
+    // codebook seeds are the first 16 vectors by vec_id, all inside
+    // the trained half, so the half-fit model IS the full-fit model;
+    // nprobe=K makes the result centroid-independent). A dropped
+    // batch, a mis-partitioned append, or a schema drift in the
+    // read-back breaks the hash.
+    "q297_ivfpq_stream_ingest" -> ((s, d) => {
+      import graft.streaming.Replay
+      import org.apache.spark.sql.streaming.Trigger
+      val base = java.nio.file.Files.createTempDirectory("graft-ivfingest")
+      val idx = s"$base/index"
+      val e = Tables.embeddings(s, d)
+      val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+      val half = maxId / 2
+      val trained = e.filter(col("vec_id") < half)
+      val model = IvfPq.fit(trained, "embedding", kCoarse = 8,
+        lloydIters = 2, numSub = 8, codesPerSub = 16)
+      IvfPq.index(trained, "embedding", model)
+        .write.partitionBy("cluster").parquet(idx)
+      val (c1, c2) = (half + (maxId - half) / 3, half + 2 * ((maxId - half) / 3))
+      val chunks = Seq(
+        col("vec_id") >= half && col("vec_id") < c1,
+        col("vec_id") >= c1 && col("vec_id") < c2,
+        col("vec_id") >= c2)
+      val (inDir, schema) = Replay.fileEpochs(
+        e.filter(col("vec_id") >= half), chunks, base.toString)
+      val q = Replay.streamDf(s, inDir, schema).writeStream
+        .option("checkpointLocation", s"$base/ck")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          IvfPq.index(b, "embedding", model)
+            .write.mode("append").partitionBy("cluster").parquet(idx)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val indexed = s.read.parquet(idx)
+      IvfPq.search(indexed, e.filter(col("vec_id") <= 20), "embedding",
+        model, k = 5, nprobe = 8)
+        .orderBy(col("pid"), col("rk"))
+    }),
+
     // the approximate setting itself, oracle-bound: nprobe=2 of 8,
     // deterministic seed centroids (lloydIters=0), recall@5 vs the
     // exact brute-force top-5 as an integer permille per probe.
@@ -152,6 +200,10 @@ object IvfPqQueries {
 
     // nprobe=K ≡ the flat ADC scan: q211's oracle, verbatim.
     "q268_ivfpq_exact" -> VectorQueries.oracle("q211_pq_ann"),
+
+    // streamed-in vectors at nprobe=K ≡ the same flat ADC scan over
+    // the whole corpus (ingestion must be lossless and list-correct).
+    "q297_ivfpq_stream_ingest" -> VectorQueries.oracle("q211_pq_ann"),
 
     // OPQ at the deterministic setting: q211's flat-ADC oracle body
     // over the signed-permutation-rotated vectors (rotation preserves
