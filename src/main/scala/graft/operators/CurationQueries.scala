@@ -632,17 +632,22 @@ object CurationQueries {
     // per shingle, two bounded shuffles, no doc×doc path.
     "q296_containment" -> ((s, d) => {
       val dfCap = 16
+      // materialize once (the q291 lesson): pos feeds two consumers
+      // and capped three — un-checkpointed, the documents scan +
+      // shingle build + distinct re-runs EIGHT times (plan-audited)
       val pos = Tables.documents(s, d).select(col("doc_id"),
         explode(TextQueries.shingles4(col("text"))).as("shs"))
         .select(col("doc_id"),
           conv(substring(md5(col("shs")), 1, 15), 16, 10)
             .cast("long").as("sh"))
         .distinct()
+        .localCheckpoint()
       val capped = pos.join(
         pos.groupBy(col("sh")).agg(count(lit(1)).as("df"))
           .filter(col("df").between(2, dfCap)),
         "sh")
         .select(col("sh"), col("doc_id"))
+        .localCheckpoint()
       val a = capped.select(col("sh").as("sha"), col("doc_id").as("doc_a"))
       val b = capped.select(col("sh").as("shb"), col("doc_id").as("doc_b"))
       val inter = a.join(b, col("sha") === col("shb") &&
