@@ -983,6 +983,10 @@ final class OverFluentTable(df: DataFrame, w: OverWindows.OverWindow) {
     throw new IllegalArgumentException(s"Table API: $msg")
 
   def select(fields: String): FluentTable = {
+    if (df.isStreaming)
+      fail("OVER windows on a streaming table: Spark has no streaming " +
+        "window-function operator — use the engine's stateful forms " +
+        "(StatefulOps.boundedRowsOver / boundedRangeOver, q134/q143)")
     val items = TableApi.parseList(fields)
     if (!items.exists(_.overRef.isDefined))
       fail(s"windowed select needs at least one 'agg over ${w.alias}' item")

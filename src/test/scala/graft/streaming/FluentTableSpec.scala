@@ -208,6 +208,13 @@ class FluentTableSpec extends SparkSpec {
       .contains("N.rows"))
     // 'over' on a non-aggregate
     assert(err(overT("c_acctbal over w")).contains("applies to an aggregate"))
+    // streaming tables reject with a pointer to the stateful forms
+    val stream = spark.readStream.format("rate").load()
+    assert(err(new FluentTable(stream)
+      .window(Over.partitionBy("value").orderBy("timestamp")
+        .preceding("2.rows").as("w"))
+      .select("value.sum over w as s"))
+      .contains("boundedRowsOver"))
   }
 
   test("get/flatten read struct columns; misuse rejects loudly") {
