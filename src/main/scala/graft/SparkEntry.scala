@@ -23,7 +23,8 @@ object SparkEntry {
     SourceQueries.queries ++ CorpusQueries.queries ++
     StreamParityQueries4.queries ++ SqlFrontendQueries.queries ++
     CurationQueries.queries ++ StreamParityQueries5.queries ++
-    IvfPqQueries.queries ++ FluentApiQueries.queries
+    IvfPqQueries.queries ++ FluentApiQueries.queries ++
+    SketchQueries.queries ++ LayoutQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
     SourceQueries.oracle ++ CorpusQueries.oracle ++
     StreamParityQueries4.oracle ++ SqlFrontendQueries.oracle ++
     CurationQueries.oracle ++ StreamParityQueries5.oracle ++
-    IvfPqQueries.oracle ++ FluentApiQueries.oracle
+    IvfPqQueries.oracle ++ FluentApiQueries.oracle ++
+    SketchQueries.oracle ++ LayoutQueries.oracle
 }

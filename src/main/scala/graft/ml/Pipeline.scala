@@ -109,7 +109,9 @@ object Pipeline {
     classOf[IvfPqEstimator].getName           -> (() => new IvfPqEstimator()),
     classOf[IvfPqModel].getName               -> (() => new IvfPqModel()),
     classOf[OpqIvfPqEstimator].getName        -> (() => new OpqIvfPqEstimator()),
-    classOf[OpqIvfPqModel].getName            -> (() => new OpqIvfPqModel()))
+    classOf[OpqIvfPqModel].getName            -> (() => new OpqIvfPqModel()),
+    classOf[PcaEstimator].getName             -> (() => new PcaEstimator()),
+    classOf[PcaModel].getName                 -> (() => new PcaModel()))
 }
 
 /** Reference `Pipeline`: Estimator + Transformer + Model in one. */
@@ -427,4 +429,40 @@ final class IvfClusterModel(embCol: String,
   def withParams(p: Map[String, String]): Pipeline.PipelineStage =
     new IvfClusterModel(p("embCol"),
       p("centroids").split(';').map(_.split(',').map(_.toDouble)))
+}
+
+/** Estimator: PCA basis over `embCol` (Pca.fit — distributed moments,
+  * driver d×d Jacobi); `k` principal axes. */
+final class PcaEstimator(embCol: String, k: Int) extends Pipeline.Estimator {
+  def this() = this("embedding", 4)
+  def fit(df: DataFrame): Pipeline.Model = {
+    val m = graft.operators.Pca.fit(df, embCol, k)
+    new PcaModel(embCol, m.mu, m.comps, m.eigs)
+  }
+  def params: Map[String, String] = Map("embCol" -> embCol, "k" -> k.toString)
+  def withParams(p: Map[String, String]): Pipeline.PipelineStage =
+    new PcaEstimator(p("embCol"), p("k").toInt)
+}
+
+/** Fitted PCA basis: appends the k-dim `pca` projection as literal-
+  * coefficient codegen chains (zero shuffle — streaming-safe). The
+  * basis persists, so a reloaded pipeline projects identically. */
+final class PcaModel(embCol: String, mu: Array[Double],
+                     comps: Array[Array[Double]], eigs: Array[Double])
+    extends Pipeline.Model {
+  def this() = this("embedding", Array(0.0), Array(Array(1.0)), Array(1.0))
+  def model: graft.operators.Pca.Model =
+    graft.operators.Pca.Model(mu, comps, eigs)
+  def transform(df: DataFrame): DataFrame =
+    graft.operators.Pca.transform(df, model, embCol, "pca")
+  def params: Map[String, String] = Map(
+    "embCol" -> embCol,
+    "mu" -> mu.mkString(","),
+    "comps" -> comps.map(_.mkString(",")).mkString(";"),
+    "eigs" -> eigs.mkString(","))
+  def withParams(p: Map[String, String]): Pipeline.PipelineStage =
+    new PcaModel(p("embCol"),
+      p("mu").split(',').map(_.toDouble),
+      p("comps").split(';').map(_.split(',').map(_.toDouble)),
+      p("eigs").split(',').map(_.toDouble))
 }

@@ -322,12 +322,98 @@ object FormatQueries {
         .option("dbtable", "SUNK").load()
         .select(col("ID").as("id"), col("V").as("v"))
         .orderBy(col("id"))
+    }),
+
+    // CDC changelog ingestion, batch leg: events encoded as Debezium-
+    // style JSON envelopes (insert/update/delete ops + before/after
+    // images), decoded with one from_json, materialized to current
+    // state — last op per key by (source ts, source pos) with delete
+    // tombstones dropping the key. The JSON encode→decode round trip
+    // is part of the verified path: a field lost or coerced anywhere
+    // in the envelope breaks the oracle, which computes the same
+    // materialization from the ORIGINAL events rows. One shuffle on
+    // the primary key; per-op work is a pure projection.
+    "q302_cdc_materialize" -> ((s, d) => {
+      import graft.streaming.Cdc
+      val wire = Cdc.envelope(Tables.events(s, d))
+      val chg = Cdc.parse(wire, col("json"))
+      val ops = chg.groupBy(col("user_id")).agg(count(lit(1)).as("n_ops"))
+      Cdc.materialize(chg)
+        .join(ops, "user_id")
+        .select(col("user_id"), col("value"), col("k"),
+          col("ts_us").as("last_ts_us"), col("n_ops"))
+        .orderBy(col("user_id"))
+    }),
+
+    // CDC streaming leg: the same wire replayed as four micro-batches
+    // through a file stream; each batch is reduced to latest-op-per-
+    // key and MERGEd into a keyed JDBC state table (upsert for c/u,
+    // DELETE for tombstones, guarded by a (ts_us, pos) version check
+    // so replays are idempotent — the production CDC-MERGE recipe).
+    // Cross-batch correctness is load-bearing: most keys' final ops
+    // arrive in the last quarter and must overwrite state merged by
+    // earlier batches; deleted keys must STAY deleted. Final state ≡
+    // the q302 batch materialization (same oracle, minus n_ops).
+    "q303_cdc_stream_merge" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.{Cdc, Event, Replay}
+      val base = java.nio.file.Files.createTempDirectory("graft-cdcstream")
+      val real = Tables.events(s, d)
+      val (lo, hi) = StreamParityQueries.spanOf(real.as[Event])
+      val (inDir, schema) = Replay.fileEpochs(Cdc.envelope(real),
+        StreamParityQueries.quarterChunks(lo, hi), base.toString)
+      val url = s"jdbc:derby:$base/db;create=true"
+      Cdc.initStateTable(url)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_us").desc, col("pos").desc)
+      val q = Cdc.parse(Replay.streamDf(s, inDir, schema), col("json"))
+        .writeStream
+        .option("checkpointLocation", s"$base/ck")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          Cdc.mergeBatch(
+            b.withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1).drop("__rn"), url)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.format("jdbc").option("url", url)
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .option("dbtable", "CDC_STATE").load()
+        .filter(col("DELETED") === 0) // live rows; tombstones retained
+        .select(col("USER_ID").as("user_id"), col("VAL").as("value"),
+          col("K").as("k"), col("TS_US").as("last_ts_us"))
+        .orderBy(col("user_id"))
     })
   )
 
   private val centsSum = "sum(CAST(round(value*100) AS BIGINT))::BIGINT"
 
+  /** The CDC changelog re-derived from the original events rows —
+    * shared by the q302 (batch) and q303 (streaming MERGE) oracles. */
+  private val cdcCtes =
+    """WITH ch AS (
+      |  SELECT user_id,
+      |    CASE event_type WHEN 'signup' THEN 'c'
+      |                    WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+      |    epoch_us(ts) AS ts_us, event_id AS pos, value,
+      |    CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+      |  FROM events),
+      |latest AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |             ORDER BY ts_us DESC, pos DESC) AS rn
+      |  FROM ch)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q302_cdc_materialize" -> (cdcCtes + """,
+      |ops AS (SELECT user_id, count(*) AS n_ops FROM ch GROUP BY 1)
+      |SELECT l.user_id, l.value, l.k, l.ts_us AS last_ts_us, o.n_ops
+      |FROM latest l JOIN ops o USING (user_id)
+      |WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin),
+    "q303_cdc_stream_merge" -> (cdcCtes + """
+      |SELECT user_id, value, k, ts_us AS last_ts_us
+      |FROM latest WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin),
     "q167_csv_roundtrip" ->
       s"""SELECT event_type, count(*)::BIGINT AS n, $centsSum AS cents_v,
          |  count(DISTINCT user_id)::BIGINT AS users,

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-layout operators: Z-ORDER (Morton-curve) clustering keys — the
+  * multi-dimensional file-clustering technique lakehouse tables run at
+  * rewrite time (`OPTIMIZE ... ZORDER BY (a, b)`) so that min/max file
+  * statistics prune scans on EITHER predicate column.
+  *
+  * The key is computed exactly like production z-ordering: each
+  * dimension is min/max-normalized onto a 16-bit integer domain
+  * (integer `div` — exact in both engines), then the two 16-bit words
+  * are bit-interleaved into one 32-bit Morton key. Everything is a
+  * pure per-row projection over a broadcast 1-row stats aggregate; at
+  * 100 TB the write path is `repartitionByRange($"zkey")` +
+  * `sortWithinPartitions` and the planner prunes files from their
+  * min/max footers — here the same effect is made measurable by
+  * hashing rows into 32 key-range buckets and emitting each bucket's
+  * bounding box vs a probe rectangle.
+  *
+  * Reference anchor: the reference's range-partitioner + sort-based
+  * clustering (flink-runtime sort/partition operators) is the 1-D
+  * special case; the Morton key generalizes it to 2-D pruning.
+  */
+object LayoutQueries {
+
+  private val bits = 16
+
+  /** Morton interleave of two `bits`-bit non-negative ints:
+    * even bit positions take x, odd take y. */
+  private def interleave(x: Column, y: Column): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  private def interleaveSql(x: String, y: String): String =
+    (0 until bits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", ") | (", ")")
+
+  val queries: Map[String, Q] = Map(
+    // Z-order vs natural (orderkey-range) layout: bucket lineitem 32
+    // ways under each layout, emit per-bucket (l_partkey, l_suppkey)
+    // bounding boxes and whether each bucket's box intersects the
+    // probe rectangle — the exact computation a file-skipping planner
+    // does against parquet footers. The probe is the middle fifth of
+    // each key domain (data-relative, so it stays meaningful at every
+    // scale factor). Under z-order most buckets miss the rectangle
+    // (tight boxes); under the natural layout every bucket spans the
+    // full key domain and nothing prunes.
+    "q300_zorder_layout" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val g = li.agg(
+        min(col("l_partkey")).as("pkmin"), max(col("l_partkey")).as("pkmax"),
+        min(col("l_suppkey")).as("skmin"), max(col("l_suppkey")).as("skmax"),
+        max(col("l_orderkey")).as("okmax"))
+      val nrm = li.crossJoin(broadcast(g)).select(
+        col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+        expr("((l_partkey - pkmin) * 65535) div (pkmax - pkmin + 1)").as("xn"),
+        expr("((l_suppkey - skmin) * 65535) div (skmax - skmin + 1)").as("yn"),
+        expr("(l_orderkey * 32) div (okmax + 1)").as("nbucket"))
+      val zed = nrm.withColumn("zbucket",
+        shiftright(interleave(col("xn"), col("yn")), 2 * bits - 5))
+      val probe = g.select(
+        expr("pkmin + ((pkmax - pkmin) * 2) div 5").as("plo"),
+        expr("pkmin + ((pkmax - pkmin) * 3) div 5").as("phi"),
+        expr("skmin + ((skmax - skmin) * 2) div 5").as("slo"),
+        expr("skmin + ((skmax - skmin) * 3) div 5").as("shi"))
+      def boxes(name: String, bucket: Column): DataFrame =
+        zed.groupBy(bucket.as("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("pk")).as("pk_lo"), max(col("pk")).as("pk_hi"),
+            min(col("sk")).as("sk_lo"), max(col("sk")).as("sk_hi"))
+          .crossJoin(broadcast(probe))
+          .select(lit(name).as("layout"), col("bucket"), col("n_rows"),
+            col("pk_lo"), col("pk_hi"), col("sk_lo"), col("sk_hi"),
+            (!(col("pk_hi") < col("plo") || col("pk_lo") > col("phi") ||
+               col("sk_hi") < col("slo") || col("sk_lo") > col("shi")))
+              .as("probe_overlap"))
+      boxes("natural", col("nbucket"))
+        .unionAll(boxes("zorder", col("zbucket")))
+        .orderBy(col("layout"), col("bucket"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q300_zorder_layout" ->
+      s"""WITH g AS (
+        |  SELECT min(l_partkey) AS pkmin, max(l_partkey) AS pkmax,
+        |         min(l_suppkey) AS skmin, max(l_suppkey) AS skmax,
+        |         max(l_orderkey) AS okmax
+        |  FROM lineitem),
+        |nrm AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |    ((l_partkey - pkmin) * 65535) // (pkmax - pkmin + 1) AS xn,
+        |    ((l_suppkey - skmin) * 65535) // (skmax - skmin + 1) AS yn,
+        |    (l_orderkey * 32) // (okmax + 1) AS nbucket
+        |  FROM lineitem CROSS JOIN g),
+        |zed AS (
+        |  SELECT pk, sk, nbucket,
+        |    (${interleaveSql("xn", "yn")}) >> ${2 * bits - 5} AS zbucket
+        |  FROM nrm),
+        |probe AS (
+        |  SELECT pkmin + ((pkmax - pkmin) * 2) // 5 AS plo,
+        |         pkmin + ((pkmax - pkmin) * 3) // 5 AS phi,
+        |         skmin + ((skmax - skmin) * 2) // 5 AS slo,
+        |         skmin + ((skmax - skmin) * 3) // 5 AS shi
+        |  FROM g),
+        |boxed AS (
+        |  SELECT 'natural' AS layout, nbucket AS bucket, count(*) AS n_rows,
+        |         min(pk) AS pk_lo, max(pk) AS pk_hi,
+        |         min(sk) AS sk_lo, max(sk) AS sk_hi
+        |  FROM zed GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'zorder', zbucket, count(*),
+        |         min(pk), max(pk), min(sk), max(sk)
+        |  FROM zed GROUP BY 2)
+        |SELECT layout, bucket, n_rows, pk_lo, pk_hi, sk_lo, sk_hi,
+        |       NOT (pk_hi < plo OR pk_lo > phi OR
+        |            sk_hi < slo OR sk_lo > shi) AS probe_overlap
+        |FROM boxed CROSS JOIN probe ORDER BY layout, bucket""".stripMargin)
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -214,6 +215,45 @@ object TextQueries {
         .distinct()
         .filter(col("hamming") <= 3)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Shannon-entropy quality gate (char- and word-level) — the
+    // low-entropy filter (keyboard mashing, repeated boilerplate,
+    // binary junk) every corpus-quality stack runs next to the q61
+    // ratio stats. Per-(doc, symbol) contributions are rounded to
+    // integer micro-nats BEFORE the per-doc sum (the q279 discipline:
+    // integer sums are order-independent, so engines can aggregate in
+    // any order). Scale: two explode→groupBy passes, both partial-agg
+    // collapsible map-side; entropy is a per-doc key-local aggregate —
+    // no cross-doc traffic at any corpus size.
+    "q299_entropy_gate" -> ((s, d) => {
+      def entropyMicro(sym: Column): org.apache.spark.sql.DataFrame = {
+        // symbol counts per doc, then Σ round(1e6·(c/n)·ln(n/c))
+        val counted = Tables.documents(s, d)
+          .select(col("doc_id"), explode(sym).as("sym"))
+          .groupBy(col("doc_id"), col("sym"))
+          .agg(count(lit(1)).as("c"))
+        val n = sum(col("c")).over(Window.partitionBy(col("doc_id")))
+        counted
+          .withColumn("contrib",
+            round(lit(1e6) * (col("c") / n) * log(n / col("c"))).cast("long"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("contrib")).as("h_micro"),
+               count(lit(1)).as("n_distinct"))
+      }
+      val ch = entropyMicro(split(col("text"), ""))
+        .select(col("doc_id"), col("h_micro").as("char_h_micro"),
+          col("n_distinct").as("n_distinct_chars"))
+      val wd = entropyMicro(filter(split(col("text"), " "),
+          w => length(w) > 0))
+        .select(col("doc_id"), col("h_micro").as("word_h_micro"),
+          col("n_distinct").as("n_distinct_words"))
+      ch.join(wd, "doc_id")
+        .select(col("doc_id"), col("char_h_micro"), col("n_distinct_chars"),
+          col("word_h_micro"), col("n_distinct_words"),
+          (col("char_h_micro") < 2500000L ||
+           col("word_h_micro") < 3000000L).as("low_entropy"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -356,6 +396,36 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q299_entropy_gate" ->
+      """WITH chc AS (
+        |  SELECT doc_id, sym, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS sym
+        |        FROM documents) GROUP BY 1, 2),
+        |che AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CAST(round(1e6 * (c / n) * ln(n / c)) AS BIGINT))
+        |         AS BIGINT) AS char_h_micro,
+        |    count(*) AS n_distinct_chars
+        |  FROM (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n
+        |        FROM chc) GROUP BY 1),
+        |wdc AS (
+        |  SELECT doc_id, sym, count(*) AS c
+        |  FROM (SELECT doc_id, t.sym FROM
+        |          (SELECT doc_id, unnest(string_split(text, ' ')) AS sym
+        |           FROM documents) t
+        |        WHERE len(t.sym) > 0) GROUP BY 1, 2),
+        |wde AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CAST(round(1e6 * (c / n) * ln(n / c)) AS BIGINT))
+        |         AS BIGINT) AS word_h_micro,
+        |    count(*) AS n_distinct_words
+        |  FROM (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n
+        |        FROM wdc) GROUP BY 1)
+        |SELECT doc_id, char_h_micro, n_distinct_chars,
+        |       word_h_micro, n_distinct_words,
+        |       char_h_micro < 2500000 OR word_h_micro < 3000000
+        |         AS low_entropy
+        |FROM che JOIN wde USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q60_dedup_exact" ->
       """SELECT doc_id, keep_id, n_copies, doc_id = keep_id AS is_keeper
         |FROM (SELECT doc_id, md5(text) AS h FROM documents) d

@@ -303,6 +303,52 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // PCA dimensionality reduction (q262's "before whitening/PCA"
+    // follow-through): fit the full-rank basis once (distributed
+    // moments + driver Jacobi — the Opq cost shape), run the top-4
+    // REDUCTION through the complete pipeline persistence loop
+    // (PcaEstimator → toJson → reload → transform), and verify the
+    // linear algebra per vector: an orthonormal change of basis
+    // preserves the centered norm (full-rank projection), and any
+    // k-dim projection can only shrink it. The SQL-replicable anchor
+    // is the exact-integer centered norm on the grid-code domain
+    // (rounded mean, the q261 Moments discipline) — the oracle
+    // recomputes it and pins the invariants as constants, the learned
+    // path (eigenvalue order, trace, brute-force agreement) is
+    // property-bound in PcaSpec.
+    "q301_pca_reduce" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dims = e.select(size(col("embedding"))).head().getInt(0)
+      val mFull = Pca.fit(e, "embedding", dims)
+      val fitted = new graft.ml.Pipeline()
+        .appendStage(new graft.ml.PcaEstimator("embedding", 4))
+        .fit(e)
+      val reloaded = new graft.ml.Pipeline(fitted.toJson)
+      val probe = reloaded.transform(
+        Pca.transform(e.filter(col("vec_id") < 50), mFull,
+          "embedding", "pca_full"))
+      val xs = transform(col("embedding"), gridCode _)
+      val muqLit = array(gaussianMoments(gridCodes(e)).mu
+        .toIndexedSeq.map(lit(_)): _*)
+      val cnorm2 = aggregate(
+        zip_with(xs, muqLit, (x, mu) => (x - mu) * (x - mu)),
+        lit(0L), (acc, t) => acc + t)
+      val muLit = array(mFull.mu.toIndexedSeq.map(lit(_)): _*)
+      val cn2d = aggregate(
+        zip_with(transform(xs, x => x.cast("double")), muLit,
+          (x, mu) => (x - mu) * (x - mu)),
+        lit(0.0), (acc, t) => acc + t)
+      def norm2(c: org.apache.spark.sql.Column) =
+        aggregate(c, lit(0.0), (acc, y) => acc + y * y)
+      probe
+        .select(col("vec_id"), col("label"), cnorm2.as("cnorm2"),
+          (abs(norm2(col("pca_full")) - cn2d) <=
+            lit(1e-6) * (lit(1.0) + cn2d)).as("norm_preserved"),
+          (norm2(col("pca")) <= cn2d * lit(1.0 + 1e-9) + lit(1e-6))
+            .as("reduction_bounded"))
+        .orderBy(col("vec_id"))
+    }),
+
     // The covariance half of the reference's MultivariateGaussian
     // surface (flink-ml-lib/.../basicstatistic/MultivariateGaussian
     // .java:52 holds mean + FULL covariance): the pairwise Pearson
@@ -867,6 +913,33 @@ object VectorQueries {
         |SELECT sc.vec_id, sc.label, sc.score
         |FROM sc, gate WHERE sc.score > g
         |ORDER BY sc.vec_id""".stripMargin,
+
+    // Exact-integer centered norm on the grid-code domain (rounded
+    // mean) + the linear-algebra invariants pinned as constants —
+    // Spark computes them from the fitted basis, so a wrong basis,
+    // lost centering, or non-orthonormal components flips a boolean.
+    "q301_pca_reduce" ->
+      """WITH c AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x ->
+        |      CAST(least(greatest(round(CAST(x AS DOUBLE) * 1000), -8000),
+        |                 8000) AS BIGINT) + 8000) AS xs
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, label, generate_subscripts(xs, 1) AS d,
+        |         unnest(xs) AS x
+        |  FROM c),
+        |mv AS (
+        |  SELECT d, (2*CAST(sum(x) AS BIGINT) + count(*)) //
+        |             (2*count(*)) AS mu
+        |  FROM e GROUP BY d),
+        |sc AS (
+        |  SELECT e.vec_id, e.label,
+        |    CAST(sum((e.x - mv.mu) * (e.x - mv.mu)) AS BIGINT) AS cnorm2
+        |  FROM e JOIN mv USING (d) GROUP BY 1, 2)
+        |SELECT vec_id, label, cnorm2,
+        |       true AS norm_preserved, true AS reduction_bounded
+        |FROM sc WHERE vec_id < 50 ORDER BY vec_id""".stripMargin,
 
     // Centered pair products relationally: grid codes, per-dim rounded
     // mean, centered values self-joined on (vec_id, d_i < d_j) — the

@@ -1,0 +1,161 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CDC changelog-format ingestion: a Debezium-style JSON envelope
+  * (`op` c/u/d + `before`/`after` images + source position) parsed into
+  * typed changelog rows and materialized into current table state —
+  * the reference's changelog-source story (its JSON debezium/canal
+  * format decoders feeding retract streams; see
+  * flink-formats/flink-json for the format family and the Retract
+  * pipeline here for the downstream semantics).
+  *
+  * Spark-first shape: the wire is a STRING column; `from_json` with an
+  * explicit envelope schema does the decode (codegen'd, no UDF);
+  * materialization is last-writer-wins per key ordered by (source ts,
+  * source position) with delete tombstones dropping the key — a window
+  * rank in batch, a per-micro-batch MERGE upsert in streaming (the
+  * foreachBatch pattern of Retract.upsertUserCounts). At 100 TB the
+  * changelog shuffles once on the primary key; state per key is one
+  * row.
+  */
+object Cdc {
+
+  /** Envelope payload schema: op, exact source timestamp (µs — keeps
+    * ordering exact where debezium's ts_ms would tie), a monotone
+    * source position for same-timestamp ties, and row images. */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("op", StringType),
+    StructField("ts_us", LongType),
+    StructField("pos", LongType),
+    StructField("before", StructType(Seq(
+      StructField("user_id", LongType)))),
+    StructField("after", StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("value", DoubleType),
+      StructField("k", LongType))))))
+
+  /** Encode the events table as a CDC wire stream: signup → insert,
+    * click/view/purchase → update, error → delete (tombstone with only
+    * the before-image key, the debezium delete shape). Keeps `ts` next
+    * to the JSON so replay harnesses can chunk on event time. */
+  def envelope(events: DataFrame): DataFrame = {
+    val op = when(col("event_type") === "signup", "c")
+      .when(col("event_type") === "error", "d")
+      .otherwise("u")
+    val after = when(op =!= "d", struct(
+      col("user_id"),
+      col("value"),
+      get_json_object(col("props"), "$.k").cast("long").as("k")))
+    val before = when(op === "d", struct(col("user_id")))
+    events.select(col("ts"),
+      to_json(struct(
+        op.as("op"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id").as("pos"),
+        before.as("before"),
+        after.as("after"))).as("json"))
+  }
+
+  /** Decode the wire: one from_json + key coalesced across images
+    * (deletes carry it in `before`). Pure projection — streaming-legal
+    * and scan-speed. */
+  def parse(wire: DataFrame, jsonCol: Column): DataFrame =
+    wire.select(from_json(jsonCol, envelopeSchema).as("e"))
+      .select(col("e.op").as("op"), col("e.ts_us").as("ts_us"),
+        col("e.pos").as("pos"),
+        coalesce(col("e.after.user_id"), col("e.before.user_id"))
+          .as("user_id"),
+        col("e.after.value").as("value"), col("e.after.k").as("k"))
+
+  /** Batch materialization: last op per key by (ts_us, pos), delete
+    * tombstones drop the key. One shuffle on the key. */
+  def materialize(changelog: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("pos").desc)
+    changelog.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("op") =!= "d")
+      .drop("__rn")
+  }
+
+  /** Keyed current-state table for the streaming MERGE path
+    * (idempotent create). Deletes are RETAINED as tombstone rows
+    * (DELETED = 1, null images): physically removing the row would
+    * erase the key's version watermark, and a late-arriving older
+    * update could then resurrect a deleted key — the classic CDC
+    * anti-pattern. Production compacts tombstones after a retention
+    * window; readers filter DELETED = 0. */
+  def initStateTable(url: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        "CREATE TABLE CDC_STATE (USER_ID BIGINT PRIMARY KEY, " +
+          "VAL DOUBLE, K BIGINT, TS_US BIGINT, POS BIGINT, " +
+          "DELETED SMALLINT NOT NULL)")
+      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+      st.close()
+    } finally conn.close()
+  }
+
+  /** Per-micro-batch CDC MERGE (runs inside foreachBatch): apply an op
+    * only if its (ts_us, pos) is newer than the stored version — c/u
+    * upsert the after-image, tombstones upsert a DELETED marker. The
+    * version guard makes the merge idempotent under micro-batch
+    * replay (at-least-once → effectively-once state) AND order-safe
+    * for late data (an op older than the stored version — deleted or
+    * not — is refused). Executor-side per partition, like
+    * Retract.upsertUserCounts. */
+  def mergeBatch(batch: DataFrame, url: String): Unit = {
+    batch.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        conn.setAutoCommit(false)
+        val sel = conn.prepareStatement(
+          "SELECT TS_US, POS FROM CDC_STATE WHERE USER_ID = ?")
+        val ins = conn.prepareStatement(
+          "INSERT INTO CDC_STATE (USER_ID, VAL, K, TS_US, POS, DELETED) " +
+            "VALUES (?, ?, ?, ?, ?, ?)")
+        val upd = conn.prepareStatement(
+          "UPDATE CDC_STATE SET VAL = ?, K = ?, TS_US = ?, POS = ?, " +
+            "DELETED = ? WHERE USER_ID = ?")
+        rows.foreach { r =>
+          val key = r.getAs[Number]("user_id").longValue()
+          val ts = r.getAs[Number]("ts_us").longValue()
+          val pos = r.getAs[Number]("pos").longValue()
+          val dead = r.getAs[String]("op") == "d"
+          sel.setLong(1, key)
+          val rs = sel.executeQuery()
+          val current =
+            if (rs.next()) Some((rs.getLong(1), rs.getLong(2))) else None
+          rs.close()
+          val newer = current.forall { case (cts, cpos) =>
+            ts > cts || (ts == cts && pos > cpos) }
+          if (newer) {
+            // param layouts: INSERT (key, val, k, ts, pos, deleted);
+            // UPDATE (val, k, ts, pos, deleted, key)
+            val exists = current.isDefined
+            val st = if (exists) upd else ins
+            val i = if (exists) 0 else 1
+            if (!exists) st.setLong(1, key) else st.setLong(6, key)
+            if (dead) {
+              st.setNull(i + 1, java.sql.Types.DOUBLE)
+              st.setNull(i + 2, java.sql.Types.BIGINT)
+            } else {
+              st.setDouble(i + 1, r.getAs[Number]("value").doubleValue())
+              st.setLong(i + 2, r.getAs[Number]("k").longValue())
+            }
+            st.setLong(i + 3, ts); st.setLong(i + 4, pos)
+            st.setShort(i + 5, if (dead) 1 else 0)
+            st.executeUpdate()
+          }
+        }
+        conn.commit()
+        sel.close(); ins.close(); upd.close()
+      } finally conn.close()
+    }
+  }
+}

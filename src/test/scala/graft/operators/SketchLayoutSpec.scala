@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Count-Min (SketchQueries) and Z-order (LayoutQueries) properties
+  * beyond their exact-match oracle rows. */
+class SketchLayoutSpec extends SparkSpec {
+
+  test("count-min never underestimates, for EVERY term, even when squeezed") {
+    // a deliberately tiny sketch (width 8) forces collisions: the
+    // never-under guarantee must hold while overcounts appear
+    val tok = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val depth = 3; val width = 8
+    def md5i(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    val keyed = tok.select(col("term"),
+      explode(array((0 until depth).map { r =>
+        struct(lit(r).as("r"),
+          pmod(md5i(concat(lit(s"$r|"), col("term"))), lit(width)).as("b"))
+      }: _*)).as("rb"))
+      .select(col("term"), col("rb.r").as("r"), col("rb.b").as("b"))
+    val cells = keyed.groupBy(col("r"), col("b")).agg(count(lit(1)).as("cnt"))
+    val est = keyed.distinct().join(cells, Seq("r", "b"))
+      .groupBy(col("term")).agg(min(col("cnt")).as("est"))
+    val exact = tok.groupBy(col("term")).agg(count(lit(1)).as("exact"))
+    val joined = est.join(exact, "term")
+    assert(joined.filter(col("est") < col("exact")).count() == 0,
+      "CMS must never underestimate")
+    assert(joined.filter(col("est") > col("exact")).count() > 0,
+      "width 8 over a real vocabulary must collide somewhere")
+  }
+
+  test("morton interleave matches a driver-local bit mirror") {
+    def mortonLocal(x: Long, y: Long): Long = {
+      var z = 0L
+      var i = 0
+      while (i < 16) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      z
+    }
+    import spark.implicits._
+    val probe = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 0L),
+      (0L, 65535L), (65535L, 65535L), (12345L, 54321L), (40000L, 1L))
+      .toDF("x", "y")
+    // same fold LayoutQueries builds (private there; reproduced here
+    // to pin the bit order contract: even bits = x, odd bits = y)
+    val z = (0 until 16).map { i =>
+      shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+    probe.withColumn("z", z).collect().foreach { r =>
+      assert(r.getAs[Long]("z") ==
+        mortonLocal(r.getAs[Long]("x"), r.getAs[Long]("y")))
+    }
+  }
+
+  test("z-order buckets prune the probe rectangle; natural buckets cannot") {
+    val out = LayoutQueries.queries("q300_zorder_layout")(spark, sf)
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("buckets"),
+        sum(when(col("probe_overlap"), 1L).otherwise(0L)).as("hit"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (nb, nh) = out("natural")
+    val (zb, zh) = out("zorder")
+    assert(nh == nb, "orderkey layout leaves every bucket full-range")
+    assert(zh < zb / 2, s"z-order must prune over half the buckets ($zh/$zb)")
+  }
+
+  test("entropy gate: repeated text scores below varied text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a a a a a a a a a a a a a"),
+      (2L, "the quick brown fox jumps over lazy dogs tonight"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("__ent_docs")
+    val counted = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("sym"))
+      .groupBy(col("doc_id"), col("sym")).agg(count(lit(1)).as("c"))
+    val n = sum(col("c")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id")))
+    val h = counted
+      .withColumn("contrib",
+        round(lit(1e6) * (col("c") / n) * log(n / col("c"))).cast("long"))
+      .groupBy(col("doc_id")).agg(sum(col("contrib")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) < h(2L), s"repetition must score lower: $h")
+    assert(h(1L) < 1000000L, "near-degenerate text is below 1 nat")
+  }
+}
