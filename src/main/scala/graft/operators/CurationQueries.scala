@@ -101,6 +101,42 @@ object CurationQueries {
     * both engines: the bit width of k minus one. bin(0) = "0" in both,
     * so k = 0 maps to 0 (used by the smoothed streaming scorer when a
     * token outnumbers the corpus). */
+  /** Corpus word-frequency table (w, freq) — the shared input of the
+    * unigram-LM family (q294 segmentation, q304 EM training). */
+  private def wordFreqs(s: org.apache.spark.sql.SparkSession,
+                        d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  private def fl2(x: Long): Long =
+    63L - java.lang.Long.numberOfLeadingZeros(x)
+
+  /** q294's seed piece vocabulary with initial integer costs: every
+    * corpus character + the 256 most frequent 2–3-char substrings
+    * (frequency-weighted), cost = flog2(total) − flog2(cnt) + 1. The
+    * only driver state is the vocabulary itself (guarded collect). */
+  private def unigramSeedCosts(wf: DataFrame): Map[String, Long] = {
+    def gramsOf(l: Int) = wf.select(col("freq"),
+      explode(when(length(col("w")) >= l,
+        transform(sequence(lit(1), length(col("w")) - (l - 1)),
+          i => col("w").substr(i, lit(l))))
+        .otherwise(array().cast("array<string>"))).as("piece"))
+    val sub = (1 to 3).map(gramsOf).reduce(_ union _)
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+    val total = sub.agg(sum(col("cnt"))).head().getLong(0)
+    val charRows = sub.filter(length(col("piece")) === 1).collect()
+    require(charRows.length <= 4096,
+      s"unigram seed: ${charRows.length} distinct chars — not a " +
+        "natural-language alphabet; refusing the driver collect")
+    val gramRows = sub.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece")).limit(256).collect()
+    (charRows ++ gramRows).map { r =>
+      r.getString(0) -> (fl2(total) - fl2(r.getLong(1)) + 1L)
+    }.toMap
+  }
+
   private def blog2(k: Column): Column =
     (length(bin(k)) - 1).cast("long")
 
@@ -874,28 +910,8 @@ object CurationQueries {
     // chained CTE rounds (the q125/q127 discipline), min(enc) per
     // position.
     "q294_unigram_segment" -> ((s, d) => {
-      val wf = Tables.documents(s, d)
-        .select(explode(toks(col("text"))).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      def gramsOf(l: Int) = wf.select(col("freq"),
-        explode(when(length(col("w")) >= l,
-          transform(sequence(lit(1), length(col("w")) - (l - 1)),
-            i => col("w").substr(i, lit(l))))
-          .otherwise(array().cast("array<string>"))).as("piece"))
-      val sub = (1 to 3).map(gramsOf).reduce(_ union _)
-        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
-      val total = sub.agg(sum(col("cnt"))).head().getLong(0)
-      val charRows = sub.filter(length(col("piece")) === 1).collect()
-      require(charRows.length <= 4096,
-        s"unigram seed: ${charRows.length} distinct chars — not a " +
-          "natural-language alphabet; refusing the driver collect")
-      val gramRows = sub.filter(length(col("piece")) >= 2)
-        .orderBy(col("cnt").desc, col("piece")).limit(256).collect()
-      def fl2(x: Long) = 63 - java.lang.Long.numberOfLeadingZeros(x)
-      val costMap: Map[String, Long] = (charRows ++ gramRows).map { r =>
-        r.getString(0) -> (fl2(total) - fl2(r.getLong(1)) + 1L)
-      }.toMap
+      val wf = wordFreqs(s, d)
+      val costMap = unigramSeedCosts(wf)
       val vocabLit = typedLit(costMap)
       val sentinel = lit(Long.MaxValue / 4)
       val enc = aggregate(
@@ -917,6 +933,90 @@ object CurationQueries {
           floor(col("enc") / 256).cast("long").as("cost"),
           pmod(col("enc"), lit(256L)).cast("long").as("n_pieces"))
         .orderBy(col("freq").desc, col("w"))
+    }),
+
+    // Unigram-LM EM TRAINING (Kudo 2018 §3.2, hard-EM variant — the
+    // trainer behind q294's fixed-vocabulary inference, completing the
+    // SentencePiece story the way q290 completed BPE): two EM rounds
+    // over the q294 seed vocabulary. E-step = Viterbi-segment every
+    // DISTINCT word (≤16 chars) under the current integer costs — the
+    // forward DP packs (cost·4 + 3−chosenLen) per position so ONE
+    // array fold yields both the optimum and its backtrace, and a
+    // second fold walks pos ← pos − len emitting the winning pieces;
+    // M-step = freq-weighted piece usage → cost = flog2(totalUse) −
+    // flog2(cnt) + 1 (unused candidates keep a finite flog2(total)+2
+    // penalty so coverage never breaks). All integer arithmetic
+    // (shifts, not division) — bit-identical across engines, no float
+    // likelihoods. Scale: the corpus is touched once (word-frequency
+    // count); every EM round works on the vocabulary-bounded DISTINCT
+    // word table with the cost table riding the plan as a map literal
+    // (the q282/q294 shape); driver state per round = the
+    // vocabulary-bounded usage table (guarded) + two scalars. Oracle:
+    // both rounds replayed as unrolled DP + backtrace-walk CTE chains.
+    "q304_unigram_em" -> ((s, d) => {
+      val wf = wordFreqs(s, d)
+      val wf16 = wf.filter(length(col("w")).between(1, 16)).localCheckpoint()
+      var costs = unigramSeedCosts(wf)
+      val rounds = (1 to 2).map { step =>
+        val vocabLit = typedLit(costs)
+        val sentinel = lit(Long.MaxValue / 8)
+        val dpArr = aggregate(
+          sequence(lit(1), length(col("w"))),
+          array(lit(3L)), // position 0: cost 0, len-marker 0 (=3−3)
+          (acc, i) => {
+            def cand(l: Int): Column = {
+              val c = element_at(vocabLit,
+                col("w").substr(i - (l - 1), lit(l)))
+              when(i >= l && c.isNotNull,
+                shiftleft(shiftright(element_at(acc, i - l + 1), 2) + c, 2)
+                  + lit(3L - l))
+                .otherwise(sentinel)
+            }
+            array_append(acc, least(cand(1), cand(2), cand(3)))
+          })
+        val withDp = wf16.withColumn("dp", dpArr)
+        val pieces = aggregate(
+          sequence(lit(1), length(col("w"))),
+          struct(length(col("w")).as("pos"),
+            array().cast("array<string>").as("ps")),
+          (acc, _) => {
+            val pos = acc.getField("pos")
+            val packed = element_at(col("dp"), pos + 1)
+            val len = lit(3L) - packed.bitwiseAND(lit(3L))
+            when(pos > 0, struct(
+              (pos - len).cast("int").as("pos"),
+              array_append(acc.getField("ps"),
+                col("w").substr((pos - len + lit(1)).cast("int"),
+                  len.cast("int"))).as("ps")))
+              .otherwise(acc)
+          },
+          acc => acc.getField("ps"))
+        val usage = withDp
+          .select(col("freq"), explode(pieces).as("piece"))
+          .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+          .localCheckpoint() // consumed by the collect AND the output
+        val corpusCost = withDp
+          .agg(sum(col("freq") *
+            shiftright(element_at(col("dp"), length(col("w")) + 1), 2)))
+          .head().getLong(0)
+        val used = usage.collect()
+        require(used.length <= 8192,
+          s"unigram EM: ${used.length} used pieces exceeds the " +
+            "vocabulary bound; refusing the driver collect")
+        val usedMap = used.map(r => r.getString(0) -> r.getLong(1)).toMap
+        val totUse = usedMap.values.sum
+        costs = costs.map { case (p, _) =>
+          p -> usedMap.get(p).map(c => fl2(totUse) - fl2(c) + 1L)
+            .getOrElse(fl2(totUse) + 2L)
+        }
+        val costLit = typedLit(costs)
+        usage.orderBy(col("cnt").desc, col("piece")).limit(40)
+          .select(lit(step).as("step"), col("piece"), col("cnt"),
+            element_at(costLit, col("piece")).as("new_cost"),
+            lit(corpusCost).as("corpus_cost"))
+      }
+      rounds.reduce(_ union _)
+        .orderBy(col("step"), col("cnt").desc, col("piece"))
     }),
 
     // STREAMING winnowing gate at ingestion — q280's fingerprints
@@ -1487,6 +1587,101 @@ object CurationQueries {
          |  (fin.enc % 256)::BIGINT AS n_pieces
          |FROM words200 w2 JOIN fin ON fin.w = w2.w
          |ORDER BY w2.freq DESC, w2.w""".stripMargin
+    },
+
+    // Both EM rounds replayed: per round, the forward DP unrolled as
+    // 16 chained CTE steps over packed (cost·4 + 3−len) values, then
+    // the backtrace unrolled as 16 walk steps (pos ← pos − len,
+    // emitting each winning piece), usage → flog2 re-estimation —
+    // all-integer, so the replay is exact. MATERIALIZED throughout
+    // (the q294/q127 discipline).
+    "q304_unigram_em" -> {
+      def dpBlock(r: Int, vocab: String): String = {
+        val steps = (1 to 16).map { k =>
+          val legs = (1 to 3).filter(_ <= k).map { l =>
+            s"""  SELECT p.w, ((p.packed // 4 + v.cost) * 4 + ${3 - l}) AS cand
+               |  FROM d${r}_${k - l} p JOIN $vocab v
+               |    ON v.piece = substr(p.w, ${k - l + 1}, $l)
+               |  WHERE len(p.w) >= $k""".stripMargin
+          }.mkString("\n  UNION ALL\n")
+          s"d${r}_$k AS MATERIALIZED (SELECT w, min(cand) AS packed " +
+            s"FROM (\n$legs\n) GROUP BY w)"
+        }.mkString(",\n")
+        val dpUnion = (0 to 16).map {
+          case 0 => "  SELECT w, 0 AS pos, 3::BIGINT AS packed FROM wf16"
+          case k => s"  SELECT w, $k, packed FROM d${r}_$k"
+        }.mkString("\n  UNION ALL\n")
+        val walk = (1 to 16).map { j =>
+          s"""s${r}_$j AS MATERIALIZED (
+             |  SELECT b.w, b.pos, (3 - (d.packed % 4)) AS l
+             |  FROM b${r}_${j - 1} b JOIN dp$r d
+             |    ON d.w = b.w AND d.pos = b.pos
+             |  WHERE b.pos > 0),
+             |p${r}_$j AS (SELECT w, substr(w, pos - l + 1, l) AS piece
+             |             FROM s${r}_$j),
+             |b${r}_$j AS (SELECT w, pos - l AS pos FROM s${r}_$j)""".stripMargin
+        }.mkString(",\n")
+        val pUnion = (1 to 16)
+          .map(j => s"  SELECT w, piece FROM p${r}_$j")
+          .mkString("\n  UNION ALL\n")
+        s"""d${r}_0 AS (SELECT w, 3::BIGINT AS packed FROM wf16),
+           |$steps,
+           |dp$r AS MATERIALIZED (
+           |$dpUnion),
+           |b${r}_0 AS (SELECT w, len(w) AS pos FROM wf16),
+           |$walk,
+           |pieces$r AS (
+           |$pUnion),
+           |usage$r AS MATERIALIZED (
+           |  SELECT piece, sum(f.freq)::BIGINT AS cnt
+           |  FROM pieces$r pc JOIN wf16 f ON f.w = pc.w GROUP BY 1),
+           |tot$r AS (SELECT sum(cnt)::BIGINT AS t FROM usage$r),
+           |cost$r AS (SELECT sum(f.freq * (d.packed // 4))::BIGINT AS c
+           |           FROM wf16 f JOIN dp$r d
+           |             ON d.w = f.w AND d.pos = len(f.w)),
+           |v$r AS MATERIALIZED (
+           |  SELECT v.piece,
+           |    (CASE WHEN u.cnt IS NULL THEN (len(bin(t.t)) - 1) + 2
+           |          ELSE len(bin(t.t)) - len(bin(u.cnt)) + 1
+           |     END)::BIGINT AS cost
+           |  FROM v0 v LEFT JOIN usage$r u ON u.piece = v.piece
+           |  CROSS JOIN tot$r t)""".stripMargin
+      }
+      s"""WITH wf AS MATERIALIZED (SELECT w, count(*)::BIGINT AS freq
+         |       FROM (SELECT unnest(string_split(text,' ')) AS w
+         |             FROM documents)
+         |       WHERE len(w) > 0 GROUP BY w),
+         |sub AS MATERIALIZED (
+         |        SELECT substr(w, i, L) AS piece, sum(freq)::BIGINT AS cnt
+         |        FROM wf, LATERAL unnest(range(1, len(w)+1)) AS t(i),
+         |             (VALUES (1),(2),(3)) AS ll(L)
+         |        WHERE i + L - 1 <= len(w)
+         |        GROUP BY 1),
+         |sdtot AS MATERIALIZED (SELECT sum(cnt)::BIGINT AS t FROM sub),
+         |v0 AS MATERIALIZED (
+         |  SELECT piece,
+         |    (len(bin(sdtot.t)) - len(bin(s.cnt)) + 1)::BIGINT AS cost
+         |  FROM (
+         |    SELECT piece, cnt FROM sub WHERE len(piece) = 1
+         |    UNION ALL
+         |    SELECT piece, cnt FROM (
+         |      SELECT piece, cnt FROM sub WHERE len(piece) >= 2
+         |      ORDER BY cnt DESC, piece LIMIT 256)
+         |  ) s, sdtot),
+         |wf16 AS MATERIALIZED (
+         |  SELECT w, freq FROM wf WHERE len(w) BETWEEN 1 AND 16),
+         |${dpBlock(1, "v0")},
+         |${dpBlock(2, "v1")}
+         |SELECT step, piece, cnt, new_cost, corpus_cost FROM (
+         |  SELECT 1 AS step, u.piece, u.cnt, v.cost AS new_cost,
+         |         c.c AS corpus_cost,
+         |         row_number() OVER (ORDER BY u.cnt DESC, u.piece) AS rk
+         |  FROM usage1 u JOIN v1 v ON v.piece = u.piece CROSS JOIN cost1 c
+         |  UNION ALL
+         |  SELECT 2, u.piece, u.cnt, v.cost, c.c,
+         |         row_number() OVER (ORDER BY u.cnt DESC, u.piece)
+         |  FROM usage2 u JOIN v2 v ON v.piece = u.piece CROSS JOIN cost2 c)
+         |WHERE rk <= 40 ORDER BY step, cnt DESC, piece""".stripMargin
     },
 
     "q296_containment" ->

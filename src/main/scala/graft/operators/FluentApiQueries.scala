@@ -191,6 +191,61 @@ object FluentApiQueries {
         .orderBy(col("ws"), col("event_type"))
     }),
 
+    // the fluent SESSION-window streaming leg (q292's sibling —
+    // Session.java:36 through Table.window on an unbounded stream):
+    // 30-minute-gap sessions per user, driven entirely through the
+    // fluent string-expression API over the quarter replay. Session
+    // merging across micro-batches is load-bearing: a session open at
+    // a batch boundary must absorb next-batch events into ONE row.
+    // The flush events push the final watermark past every real
+    // session's close (the q292 trick); session end = last event +
+    // gap (the engine's session_window contract), which the oracle
+    // reproduces as max(ts) + 30 minutes over gap-split groups.
+    "q305_fluent_session_stream" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.{Event, Replay}
+      import graft.streaming.GroupWindows.Session
+      import org.apache.spark.sql.functions.{col, lit, min, max}
+      import org.apache.spark.sql.streaming.Trigger
+      val base = java.nio.file.Files.createTempDirectory("graft-fluentsess")
+      val (out, ck) = (s"$base/out", s"$base/ck")
+      val real = Tables.events(s, d).as[Event]
+      val (loUs, hiUs) = {
+        val r = real.agg(min(col("ts")), max(col("ts"))).head()
+        (Event.micros(r.getTimestamp(0)), Event.micros(r.getTimestamp(1)))
+      }
+      def tsOf(us: Long) = new java.sql.Timestamp(us / 1000)
+      val cut = (q: Long) => lit(tsOf(loUs + (hiUs - loUs) * q / 4))
+      def flush(id: Long, offDays: Long) = Event(id,
+        tsOf(hiUs + offDays * 86400L * 1000000L), -1L, "flush", 0.0, "{}")
+      val ev = real.union(Seq(flush(-1L, 1), flush(-2L, 2)).toDS())
+      val fcol = col("event_type") === "flush"
+      val chunks = Seq(
+        col("ts") < cut(1) && !fcol,
+        col("ts") >= cut(1) && col("ts") < cut(2) && !fcol,
+        col("ts") >= cut(2) && col("ts") < cut(3) && !fcol,
+        col("ts") >= cut(3) && !fcol,
+        col("event_id") === -1L && fcol,
+        col("event_id") === -2L && fcol)
+      val (inDir, schema) = Replay.fileEpochs(ev, chunks, base.toString)
+      val agg = new FluentTable(
+          Replay.stream(s, inDir, schema).toDF()
+            .withWatermark("ts", "1 minute"))
+        .select("ts, user_id, (value * 100).round(0).cast(LONG) as cents")
+        .window(Session.withGap("30.minutes").on("ts").as("w"))
+        .groupBy("w, user_id")
+        .select("w.start as ss, w.end as se, user_id, " +
+          "user_id.count as n_events, cents.sum as cents_v")
+        .toDF
+      val q = agg.writeStream
+        .option("checkpointLocation", ck)
+        .outputMode("append").format("parquet").option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out).filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("ss"))
+    }),
+
     // temporal battery incl. the rowtime attribute reference:
     // extract units, floor/ceil to unit, dateFormat, timestampDiff,
     // interval-literal arithmetic (10.minutes), offset/fetch tail.
@@ -272,6 +327,27 @@ object FluentApiQueries {
         |FROM events WHERE ts IS NOT NULL
         |GROUP BY 1, 2, 3
         |ORDER BY ws, event_type""".stripMargin,
+
+    "q305_fluent_session_stream" ->
+      """WITH sess AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WHERE ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT *, (sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS sess_id
+        |  FROM sess)
+        |SELECT min(ts) AS ss, max(ts) + INTERVAL 30 MINUTE AS se, user_id,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_v
+        |FROM numbered GROUP BY user_id, sess_id
+        |ORDER BY user_id, ss""".stripMargin,
 
     "q292_fluent_window_stream" ->
       """SELECT date_trunc('hour', ts) AS ws,
