@@ -66,7 +66,11 @@ object Bench {
     // round-9 additions
     "q288_fluent_over",       // chained fluent OVER windows, one exchange
     "q290_bpe_encode",        // BPE corpus tokenization (train + encode + join back)
-    "q291_dup_span_witness")  // maximal dup spans with df-capped witnesses
+    "q291_dup_span_witness",  // maximal dup spans with df-capped witnesses
+    "q298_cms_heavy_hitters", // relational count-min sketch + probe join
+    "q299_entropy_gate",      // char+word Shannon-entropy quality gates
+    "q300_zorder_layout",     // Morton-key clustering + bbox pruning
+    "q304_unigram_em")        // unigram-LM hard-EM trainer (2 rounds)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

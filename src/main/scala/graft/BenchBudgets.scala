@@ -6,11 +6,13 @@ package graft
   * 40% headroom (the documented host-variance envelope is 10-15%, so
   * a breach is a real plan/operator regression, not noise), floored
   * at 0.5 s so sub-second queries cannot flake the gate. Every one of
-  * the 47 headline queries now carries a budget from the SAME session
-  * — the r8 mix of r7-derived and r8-quiet numbers is gone, so the
-  * next uniform-drift round is separable from plan regressions by
-  * construction. The raw mins live in the r9 bench notes; BENCH_r09
-  * is the comparison floor.
+  * the first 47 headline queries carries a budget from the SAME
+  * session — the r8 mix of r7-derived and r8-quiet numbers is gone,
+  * so the next uniform-drift round is separable from plan regressions
+  * by construction; the 4 r9-second-wave additions (q298/q299/q300/
+  * q304) are baselined from their own min-of-3 session a day later.
+  * The raw mins live in the r9 bench notes; BENCH_r09 is the
+  * comparison floor.
   *
   * Two consumers:
   *  - [[Bench]] always compares its timed results against these and
@@ -53,6 +55,11 @@ object BenchBudgets {
     "q288_fluent_over" -> 1.43,
     "q290_bpe_encode" -> 2.63,
     "q291_dup_span_witness" -> 2.94,
+    // r9 second wave: min-of-3 sf0.1 runs (2026-08-16, load ≈ 2.5) × 1.4
+    "q298_cms_heavy_hitters" -> 1.54,
+    "q299_entropy_gate" -> 2.27,
+    "q300_zorder_layout" -> 2.68,
+    "q304_unigram_em" -> 2.25,
     "q29_tpch_q18" -> 1.58,
     "q30_over_rank" -> 1.3,
     "q35_topn_per_key" -> 0.91,

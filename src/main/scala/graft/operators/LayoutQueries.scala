@@ -54,36 +54,87 @@ object LayoutQueries {
     // full key domain and nothing prunes.
     "q300_zorder_layout" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
+      // the 5 domain stats are ONE bounded row — ride the projection
+      // as literals (the centroids-ride-the-plan discipline) instead
+      // of re-deriving the aggregate on every consumer branch
       val g = li.agg(
-        min(col("l_partkey")).as("pkmin"), max(col("l_partkey")).as("pkmax"),
-        min(col("l_suppkey")).as("skmin"), max(col("l_suppkey")).as("skmax"),
-        max(col("l_orderkey")).as("okmax"))
-      val nrm = li.crossJoin(broadcast(g)).select(
+        min(col("l_partkey")), max(col("l_partkey")),
+        min(col("l_suppkey")), max(col("l_suppkey")),
+        max(col("l_orderkey"))).head()
+      val (pkmin, pkmax, skmin, skmax, okmax) =
+        (g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3), g.getLong(4))
+      val nrm = li.select(
         col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
-        expr("((l_partkey - pkmin) * 65535) div (pkmax - pkmin + 1)").as("xn"),
-        expr("((l_suppkey - skmin) * 65535) div (skmax - skmin + 1)").as("yn"),
-        expr("(l_orderkey * 32) div (okmax + 1)").as("nbucket"))
+        expr(s"((l_partkey - $pkmin) * 65535) div ${pkmax - pkmin + 1}")
+          .as("xn"),
+        expr(s"((l_suppkey - $skmin) * 65535) div ${skmax - skmin + 1}")
+          .as("yn"),
+        expr(s"(l_orderkey * 32) div ${okmax + 1}").as("nbucket"))
       val zed = nrm.withColumn("zbucket",
         shiftright(interleave(col("xn"), col("yn")), 2 * bits - 5))
-      val probe = g.select(
-        expr("pkmin + ((pkmax - pkmin) * 2) div 5").as("plo"),
-        expr("pkmin + ((pkmax - pkmin) * 3) div 5").as("phi"),
-        expr("skmin + ((skmax - skmin) * 2) div 5").as("slo"),
-        expr("skmin + ((skmax - skmin) * 3) div 5").as("shi"))
+      val (plo, phi) = (pkmin + (pkmax - pkmin) * 2 / 5,
+                        pkmin + (pkmax - pkmin) * 3 / 5)
+      val (slo, shi) = (skmin + (skmax - skmin) * 2 / 5,
+                        skmin + (skmax - skmin) * 3 / 5)
+      // both layouts from ONE corpus pass: aggregate once to the
+      // ≤32×32 (nbucket, zbucket) CELL table (plain long keys, fully
+      // codegen'd, partial agg collapses each task to ≤1024 cells),
+      // checkpoint the tiny result, then each layout re-aggregates
+      // those 1024 rows — the corpus is never touched again
+      val cells = zed.groupBy(col("nbucket"), col("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("pk")).as("pk_lo"), max(col("pk")).as("pk_hi"),
+          min(col("sk")).as("sk_lo"), max(col("sk")).as("sk_hi"))
+        .localCheckpoint() // consumed by both layout rollups
       def boxes(name: String, bucket: Column): DataFrame =
-        zed.groupBy(bucket.as("bucket"))
-          .agg(count(lit(1)).as("n_rows"),
-            min(col("pk")).as("pk_lo"), max(col("pk")).as("pk_hi"),
-            min(col("sk")).as("sk_lo"), max(col("sk")).as("sk_hi"))
-          .crossJoin(broadcast(probe))
+        cells.groupBy(bucket.as("bucket"))
+          .agg(sum(col("n")).as("n_rows"),
+            min(col("pk_lo")).as("pk_lo"), max(col("pk_hi")).as("pk_hi"),
+            min(col("sk_lo")).as("sk_lo"), max(col("sk_hi")).as("sk_hi"))
           .select(lit(name).as("layout"), col("bucket"), col("n_rows"),
             col("pk_lo"), col("pk_hi"), col("sk_lo"), col("sk_hi"),
-            (!(col("pk_hi") < col("plo") || col("pk_lo") > col("phi") ||
-               col("sk_hi") < col("slo") || col("sk_lo") > col("shi")))
+            (!(col("pk_hi") < plo || col("pk_lo") > phi ||
+               col("sk_hi") < slo || col("sk_lo") > shi))
               .as("probe_overlap"))
       boxes("natural", col("nbucket"))
         .unionAll(boxes("zorder", col("zbucket")))
         .orderBy(col("layout"), col("bucket"))
+    }),
+
+    // BUCKETED co-located join — the other half of the data-layout
+    // story (the reference's pre-partitioned inputs / Spark's
+    // bucketBy): both fact tables written bucketed+sorted on the join
+    // key with the same bucket count, so the sort-merge join reads
+    // bucket i against bucket i directly and the per-join shuffle
+    // DISAPPEARS — at 100 TB this is the difference between
+    // re-shuffling both fact tables on every join and none at all
+    // (the plan carries exactly ONE exchange: the post-join
+    // reaggregation; asserted in SketchLayoutSpec). The merge hint
+    // keeps the demonstration honest at test scale where orders
+    // would otherwise broadcast.
+    "q306_bucketed_join" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-buck")
+      s.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+      s.sql("DROP TABLE IF EXISTS graft_b_orders")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .write.mode("overwrite").option("path", s"$wh/li")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_b_lineitem")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").option("path", s"$wh/or")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_b_orders")
+      s.table("graft_b_lineitem").hint("merge")
+        .join(s.table("graft_b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr(
+            "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+            .as("net_cents"))
+        .orderBy(col("o_orderpriority"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -121,5 +172,12 @@ object LayoutQueries {
         |SELECT layout, bucket, n_rows, pk_lo, pk_hi, sk_lo, sk_hi,
         |       NOT (pk_hi < plo OR pk_lo > phi OR
         |            sk_hi < slo OR sk_lo > shi) AS probe_overlap
-        |FROM boxed CROSS JOIN probe ORDER BY layout, bucket""".stripMargin)
+        |FROM boxed CROSS JOIN probe ORDER BY layout, bucket""".stripMargin,
+
+    "q306_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |                AS BIGINT)) AS BIGINT) AS net_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -71,18 +70,66 @@ object SketchQueries {
       val est = probes.join(broadcast(cells), Seq("r", "b"))
         .groupBy(col("term")).agg(min(col("cnt")).as("est"))
       val exact = tok.groupBy(col("term")).agg(count(lit(1)).as("exact"))
-      val w = Window.orderBy(col("est").desc, col("term"))
+      // top-20 via orderBy+limit (TakeOrderedAndProject — partial
+      // top-k per partition, no single-partition window)
       est.join(exact, "term")
         .crossJoin(broadcast(nTotal))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 20)
-        .select(col("rk"), col("term"), col("est"), col("exact"),
+        .orderBy(col("est").desc, col("term"))
+        .limit(20)
+        .select(col("term"), col("est"), col("exact"),
           (col("est") - col("exact")).as("overcount"),
           (col("est") >= col("exact")).as("never_under"),
           (col("est") - col("exact") <=
             ceil(lit(2.0) * col("n_total") / lit(width)).cast("long"))
             .as("bound_ok"))
-        .orderBy(col("rk"))
+        .orderBy(col("est").desc, col("term"))
+    }),
+
+    // HLL SKETCH-CUBE rollup — the OLAP-at-scale pattern for distinct
+    // counts: ONE corpus pass builds a per-(source, lang) cell table
+    // of HLL sketches (bounded by the dimension cardinalities), and
+    // every coarser grain — per source, per lang, grand total — is a
+    // MERGE of cell sketches (hll_union_agg), never a rescan. At
+    // 100 TB this is the difference between re-scanning the corpus
+    // per grain and rolling up a few-KB sketch table; exactly the
+    // datasketches mergeability q275 binds, promoted to the cube
+    // shape. HLL merge is a per-bucket max → order-independent, so
+    // the estimates are deterministic and the ±5% audit booleans are
+    // stable; the exact side rides Spark's cube() grouping sets and
+    // is what the oracle recomputes.
+    "q307_hll_cube" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val cells = tok.groupBy(col("source"), col("lang"))
+        .agg(expr("hll_sketch_agg(w)").as("sk"))
+        .localCheckpoint() // the few-KB cell table feeds 4 rollups
+      val merged = expr("hll_sketch_estimate(hll_union_agg(sk))")
+      val g2 = cells.select(col("source"), col("lang"),
+        expr("hll_sketch_estimate(sk)").as("est"))
+      val gs = cells.groupBy(col("source"))
+        .agg(merged.as("est"))
+        .select(col("source"), lit(null).cast("string").as("lang"),
+          col("est"))
+      val gl = cells.groupBy(col("lang"))
+        .agg(merged.as("est"))
+        .select(lit(null).cast("string").as("source"), col("lang"),
+          col("est"))
+      val g0 = cells.agg(merged.as("est"))
+        .select(lit(null).cast("string").as("source"),
+          lit(null).cast("string").as("lang"), col("est"))
+      val ests = g2.unionAll(gs).unionAll(gl).unionAll(g0)
+      val exact = tok.cube(col("source"), col("lang"))
+        .agg(countDistinct(col("w")).as("exact"))
+      exact.join(ests,
+          exact("source") <=> ests("source") &&
+            exact("lang") <=> ests("lang"))
+        .select(exact("source"), exact("lang"), col("exact"),
+          (abs(col("est") - col("exact")) <=
+            lit(0.05) * col("exact") + lit(8.0)).as("est_ok"))
+        .orderBy(exact("source").asc_nulls_first,
+          exact("lang").asc_nulls_first)
     }))
 
   val oracle: Map[String, String] = Map(
@@ -102,13 +149,21 @@ object SketchQueries {
         |        FROM probes p JOIN cells c USING (r, b) GROUP BY 1),
         |exact AS (SELECT term, count(*) AS exact FROM tok GROUP BY 1),
         |n AS (SELECT count(*) AS n_total FROM tok)
-        |SELECT rk, term, est, exact, est - exact AS overcount,
+        |SELECT term, est, exact, est - exact AS overcount,
         |       est >= exact AS never_under,
         |       est - exact <= CAST(ceil(2.0 * n_total / $width) AS BIGINT)
         |         AS bound_ok
-        |FROM (SELECT e.term, e.est, x.exact, n.n_total,
-        |        row_number() OVER (ORDER BY e.est DESC, e.term) AS rk
-        |      FROM est e JOIN exact x ON e.term = x.term CROSS JOIN n)
-        |WHERE rk <= 20 ORDER BY rk""".stripMargin
-    })
+        |FROM est JOIN exact USING (term) CROSS JOIN n
+        |ORDER BY est DESC, term LIMIT 20""".stripMargin
+    },
+    "q307_hll_cube" ->
+      """SELECT source, lang, count(DISTINCT w) AS exact,
+        |       true AS est_ok
+        |FROM (SELECT source, lang, t.w FROM
+        |        (SELECT source, lang,
+        |                unnest(string_split(text, ' ')) AS w
+        |         FROM documents) t
+        |      WHERE len(t.w) > 0)
+        |GROUP BY CUBE (source, lang)
+        |ORDER BY source, lang""".stripMargin)
 }

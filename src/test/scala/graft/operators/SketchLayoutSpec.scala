@@ -73,6 +73,37 @@ class SketchLayoutSpec extends SparkSpec {
     assert(zh < zb / 2, s"z-order must prune over half the buckets ($zh/$zb)")
   }
 
+  test("bucketed join: the join itself carries no exchange") {
+    val df = LayoutQueries.queries("q306_bucketed_join")(spark, sf)
+    df.collect() // run so AQE finalizes the executed plan
+    // final AQE plan only (toString repeats the pre-AQE initial plan)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("SortMergeJoin"), "must sort-merge, not broadcast")
+    assert("Bucketed: true".r.findAllIn(plan).length == 2,
+      "both scans must read their buckets directly")
+    // exactly two exchanges: post-join reaggregation + final orderBy;
+    // the join itself reads bucket i vs bucket i with NO shuffle
+    val exchanges = "(?<!Reused)Exchange".r.findAllIn(plan).length
+    assert(exchanges == 2,
+      s"expected 2 exchanges (agg + sort only), got $exchanges:\n$plan")
+  }
+
+  test("hll cube: merged rollup equals the direct whole-corpus sketch") {
+    import org.apache.spark.sql.functions.expr
+    val tok = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val direct = tok.agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(w))")).head().getLong(0)
+    val merged = tok.groupBy(col("source"), col("lang"))
+      .agg(expr("hll_sketch_agg(w)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).head().getLong(0)
+    assert(direct == merged,
+      "sketch union must be lossless vs the one-shot sketch")
+  }
+
   test("entropy gate: repeated text scores below varied text") {
     import spark.implicits._
     val docs = Seq(
