@@ -818,9 +818,14 @@ object CurationQueries {
       // pointer-jumping CC, not plain min-label: dup chains build
       // HIGH-DIAMETER components (the soak replica has a 3037-doc
       // chain, diameter >> any sane superstep budget); the
-      // label(label(v)) doubling converges in O(log diameter)
+      // label(label(v)) doubling shortcuts pointer depth per round,
+      // but a fresh minimum discovered via a NEIGHBOR edge mid-run
+      // still re-propagates, so the bound is closer to
+      // O(log² diameter) than O(log diameter) — 30 rounds left 536
+      // labels moving at the ≈sf1 replica; 64 covers it with the
+      // same early-stop (each settled round costs one metadata count)
       val cc = GraphOps.connectedComponentsJump(docs,
-        pairs.select(col("a").as("src"), col("b").as("dst")), maxIter = 30)
+        pairs.select(col("a").as("src"), col("b").as("dst")), maxIter = 64)
       val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("n_members"))
       cc.join(sizes, "component")
         .select(col("id").as("doc_id"), col("component").as("cluster"),

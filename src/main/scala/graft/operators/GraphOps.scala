@@ -68,19 +68,23 @@ object GraphOps {
     * component = min reachable id. */
   def connectedComponentsJump(vertices: DataFrame, edges: DataFrame,
                               maxIter: Int = 30): DataFrame = {
-    // localCheckpoint, not persist: the edge input may carry an
-    // arbitrarily deep upstream plan (q287 feeds the whole winnowing
-    // pair pipeline), and re-planning it inside every round's join
-    // lets Catalyst's multiplicative size-only stats estimation blow
-    // past BigInteger's bit range (observed at the soak replica).
-    // The checkpoint replaces the plan with a LogicalRDD carrying
-    // REAL byte sizes — the Iterate lineage-cut rule applied to the
-    // static side too.
-    val bidir = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    var labels = vertices.select(col("id"), col("id").as("component"))
-      .localCheckpoint()
+    // localCheckpoint CUTS LINEAGE but (Spark 4) REWRITES the origin
+    // plan's estimated stats into the LogicalRDD — and size-only
+    // stats MULTIPLY across joins, so round k's label table carries
+    // sizeInBytes ≈ (round k−1)³: the BigInt doubles its BIT LENGTH
+    // every round and by round ~25 the planner sits in
+    // million-digit Toom-Cook multiplications for minutes (observed
+    // live at the ≈sf1 replica — the driver "hang" was
+    // SizeInBytesOnlyStatsPlanVisitor, not the job). statsCut
+    // rebuilds the frame from the checkpointed RDD, which drops the
+    // origin stats and resets every round to the default estimate.
+    def statsCut(df: DataFrame): DataFrame = {
+      val cp = df.localCheckpoint()
+      cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
+    val bidir = statsCut(edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    var labels = statsCut(vertices.select(col("id"), col("id").as("component")))
     var iter = 0
     var changed = 1L
     while (iter < maxIter && changed > 0) {
@@ -99,9 +103,9 @@ object GraphOps {
             coalesce(col("nmin"), col("component")),
             coalesce(col("jc"), col("component"))) < col("component"))
             .as("moved"))
-        .localCheckpoint() // eager + lineage cut per round (Iterate rule)
-      changed = next.filter(col("moved")).count()
-      labels = next.drop("moved")
+      val cut = statsCut(next) // eager lineage + stats cut per round
+      changed = cut.filter(col("moved")).count()
+      labels = cut.drop("moved")
       iter += 1
     }
     // a silent non-convergence would return PLAUSIBLE-looking but

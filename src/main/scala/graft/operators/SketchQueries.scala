@@ -130,6 +130,42 @@ object SketchQueries {
             lit(0.05) * col("exact") + lit(8.0)).as("est_ok"))
         .orderBy(exact("source").asc_nulls_first,
           exact("lang").asc_nulls_first)
+    }),
+
+    // STREAMING distinct-count maintenance: the per-source HLL sketch
+    // as STREAMING AGGREGATION STATE — each micro-batch folds its
+    // tokens into the per-key sketch (KB-scale state per key, never a
+    // distinct-set), update mode emits the refreshed estimate per
+    // batch, and the FINAL estimate must match the whole-corpus
+    // audit. HLL state is a per-bucket max, so batch boundaries
+    // cannot change the result — the q154/q218 streaming-parity
+    // discipline applied to sketch state. This is how a 100 TB
+    // ingest pipeline keeps live cardinality dashboards without ever
+    // re-scanning: the q307 cube's cells maintained incrementally.
+    "q308_hll_stream" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-hllstream")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+      val chunks = (0 until 4).map(i => pmod(col("doc_id"), lit(4)) === i)
+      val (inDir, schema) = graft.streaming.Replay
+        .fileEpochs(docs, chunks, base.toString)
+      val agg = graft.streaming.Replay.streamDf(s, inDir, schema)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("source"))
+        .agg(expr("hll_sketch_agg(w)").as("sk"))
+        .select(col("source"), expr("hll_sketch_estimate(sk)").as("est"))
+      val fin = StreamParityQueries.latestPerKey(
+        StreamParityQueries.runUpdate(agg, base.toString, s), col("source"))
+      val exact = docs
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("source")).agg(countDistinct(col("w")).as("exact"))
+      fin.join(exact, "source")
+        .select(col("source"), col("exact"),
+          (abs(col("est") - col("exact")) <=
+            lit(0.05) * col("exact") + lit(8.0)).as("est_ok"))
+        .orderBy(col("source"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -165,5 +201,11 @@ object SketchQueries {
         |         FROM documents) t
         |      WHERE len(t.w) > 0)
         |GROUP BY CUBE (source, lang)
-        |ORDER BY source, lang""".stripMargin)
+        |ORDER BY source, lang""".stripMargin,
+    "q308_hll_stream" ->
+      """SELECT source, count(DISTINCT t.w) AS exact, true AS est_ok
+        |FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |      FROM documents) t
+        |WHERE len(t.w) > 0
+        |GROUP BY source ORDER BY source""".stripMargin)
 }
