@@ -137,6 +137,142 @@ object CurationQueries {
     }.toMap
   }
 
+  /** The unigram-EM forward DP (q304/q309): per position the packed
+    * (cost·4 + 3−chosenLen) optimum as ONE array fold over the word,
+    * with the piece-cost table riding the plan as a map literal. */
+  private def emViterbiDp(vocabLit: Column): Column = {
+    val sentinel = lit(Long.MaxValue / 8)
+    aggregate(
+      sequence(lit(1), length(col("w"))),
+      array(lit(3L)), // position 0: cost 0, len-marker 0 (=3−3)
+      (acc, i) => {
+        def cand(l: Int): Column = {
+          val c = element_at(vocabLit,
+            col("w").substr(i - (l - 1), lit(l)))
+          when(i >= l && c.isNotNull,
+            shiftleft(shiftright(element_at(acc, i - l + 1), 2) + c, 2)
+              + lit(3L - l))
+            .otherwise(sentinel)
+        }
+        array_append(acc, least(cand(1), cand(2), cand(3)))
+      })
+  }
+
+  /** The matching backtrace walk over a materialized `dp` column:
+    * pos ← pos − len, emitting each winning piece. */
+  private def emBacktrace(): Column =
+    aggregate(
+      sequence(lit(1), length(col("w"))),
+      struct(length(col("w")).as("pos"),
+        array().cast("array<string>").as("ps")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val packed = element_at(col("dp"), pos + 1)
+        val len = lit(3L) - packed.bitwiseAND(lit(3L))
+        when(pos > 0, struct(
+          (pos - len).cast("int").as("pos"),
+          array_append(acc.getField("ps"),
+            col("w").substr((pos - len + lit(1)).cast("int"),
+              len.cast("int"))).as("ps")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("ps"))
+
+  /** One EM-round oracle block (q304/q309): the forward DP unrolled
+    * as 16 chained CTE steps over packed (cost·4 + 3−len) values
+    * under cost table `vocab`, the backtrace unrolled as 16 walk
+    * steps, usage → flog2 re-estimation over `domain`'s piece set
+    * (v0 for the fixed-vocabulary trainer, the pruned table for the
+    * pruning trainer). Defines d{r}_*, dp{r}, pieces{r}, usage{r},
+    * tot{r}, cost{r}, v{r}. MATERIALIZED throughout (the q294/q127
+    * discipline: plain CTEs re-inline). */
+  private def emDpBlock(r: Int, vocab: String, domain: String): String = {
+    val walk = (1 to 16).map { j =>
+      s"""s${r}_$j AS MATERIALIZED (
+         |  SELECT b.w, b.pos, (3 - (d.packed % 4)) AS l
+         |  FROM b${r}_${j - 1} b JOIN dp$r d
+         |    ON d.w = b.w AND d.pos = b.pos
+         |  WHERE b.pos > 0),
+         |p${r}_$j AS (SELECT w, substr(w, pos - l + 1, l) AS piece
+         |             FROM s${r}_$j),
+         |b${r}_$j AS (SELECT w, pos - l AS pos FROM s${r}_$j)""".stripMargin
+    }.mkString(",\n")
+    val pUnion = (1 to 16)
+      .map(j => s"  SELECT w, piece FROM p${r}_$j")
+      .mkString("\n  UNION ALL\n")
+    s"""${emDpSteps(r, vocab)},
+       |b${r}_0 AS (SELECT w, len(w) AS pos FROM wf16),
+       |$walk,
+       |pieces$r AS (
+       |$pUnion),
+       |usage$r AS MATERIALIZED (
+       |  SELECT piece, sum(f.freq)::BIGINT AS cnt
+       |  FROM pieces$r pc JOIN wf16 f ON f.w = pc.w GROUP BY 1),
+       |tot$r AS (SELECT sum(cnt)::BIGINT AS t FROM usage$r),
+       |v$r AS MATERIALIZED (
+       |  SELECT v.piece,
+       |    (CASE WHEN u.cnt IS NULL THEN (len(bin(t.t)) - 1) + 2
+       |          ELSE len(bin(t.t)) - len(bin(u.cnt)) + 1
+       |     END)::BIGINT AS cost
+       |  FROM $domain v LEFT JOIN usage$r u ON u.piece = v.piece
+       |  CROSS JOIN tot$r t)""".stripMargin
+  }
+
+  /** Just the forward-DP chain + per-round corpus cost (the pruning
+    * trainer's final evaluation pass needs no backtrace/M-step).
+    * Defines d{r}_*, dp{r}, cost{r}. */
+  private def emDpSteps(r: Int, vocab: String): String = {
+    val steps = (1 to 16).map { k =>
+      val legs = (1 to 3).filter(_ <= k).map { l =>
+        s"""  SELECT p.w, ((p.packed // 4 + v.cost) * 4 + ${3 - l}) AS cand
+           |  FROM d${r}_${k - l} p JOIN $vocab v
+           |    ON v.piece = substr(p.w, ${k - l + 1}, $l)
+           |  WHERE len(p.w) >= $k""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"d${r}_$k AS MATERIALIZED (SELECT w, min(cand) AS packed " +
+        s"FROM (\n$legs\n) GROUP BY w)"
+    }.mkString(",\n")
+    val dpUnion = (0 to 16).map {
+      case 0 => "  SELECT w, 0 AS pos, 3::BIGINT AS packed FROM wf16"
+      case k => s"  SELECT w, $k, packed FROM d${r}_$k"
+    }.mkString("\n  UNION ALL\n")
+    s"""d${r}_0 AS (SELECT w, 3::BIGINT AS packed FROM wf16),
+       |$steps,
+       |dp$r AS MATERIALIZED (
+       |$dpUnion),
+       |cost$r AS (SELECT sum(f.freq * (d.packed // 4))::BIGINT AS c
+       |           FROM wf16 f JOIN dp$r d
+       |             ON d.w = f.w AND d.pos = len(f.w))""".stripMargin
+  }
+
+  /** The shared seed-vocabulary CTE prefix of the unigram-EM oracles:
+    * word frequencies, 1–3-char substring counts, seed costs v0
+    * (every char + top-256 grams), and the ≤16-char word table. */
+  private val emSeedCtes: String =
+    """wf AS MATERIALIZED (SELECT w, count(*)::BIGINT AS freq
+      |       FROM (SELECT unnest(string_split(text,' ')) AS w
+      |             FROM documents)
+      |       WHERE len(w) > 0 GROUP BY w),
+      |sub AS MATERIALIZED (
+      |        SELECT substr(w, i, L) AS piece, sum(freq)::BIGINT AS cnt
+      |        FROM wf, LATERAL unnest(range(1, len(w)+1)) AS t(i),
+      |             (VALUES (1),(2),(3)) AS ll(L)
+      |        WHERE i + L - 1 <= len(w)
+      |        GROUP BY 1),
+      |sdtot AS MATERIALIZED (SELECT sum(cnt)::BIGINT AS t FROM sub),
+      |v0 AS MATERIALIZED (
+      |  SELECT piece,
+      |    (len(bin(sdtot.t)) - len(bin(s.cnt)) + 1)::BIGINT AS cost
+      |  FROM (
+      |    SELECT piece, cnt FROM sub WHERE len(piece) = 1
+      |    UNION ALL
+      |    SELECT piece, cnt FROM (
+      |      SELECT piece, cnt FROM sub WHERE len(piece) >= 2
+      |      ORDER BY cnt DESC, piece LIMIT 256)
+      |  ) s, sdtot),
+      |wf16 AS MATERIALIZED (
+      |  SELECT w, freq FROM wf WHERE len(w) BETWEEN 1 AND 16)""".stripMargin
+
   private def blog2(k: Column): Column =
     (length(bin(k)) - 1).cast("long")
 
@@ -963,39 +1099,8 @@ object CurationQueries {
       val wf16 = wf.filter(length(col("w")).between(1, 16)).localCheckpoint()
       var costs = unigramSeedCosts(wf)
       val rounds = (1 to 2).map { step =>
-        val vocabLit = typedLit(costs)
-        val sentinel = lit(Long.MaxValue / 8)
-        val dpArr = aggregate(
-          sequence(lit(1), length(col("w"))),
-          array(lit(3L)), // position 0: cost 0, len-marker 0 (=3−3)
-          (acc, i) => {
-            def cand(l: Int): Column = {
-              val c = element_at(vocabLit,
-                col("w").substr(i - (l - 1), lit(l)))
-              when(i >= l && c.isNotNull,
-                shiftleft(shiftright(element_at(acc, i - l + 1), 2) + c, 2)
-                  + lit(3L - l))
-                .otherwise(sentinel)
-            }
-            array_append(acc, least(cand(1), cand(2), cand(3)))
-          })
-        val withDp = wf16.withColumn("dp", dpArr)
-        val pieces = aggregate(
-          sequence(lit(1), length(col("w"))),
-          struct(length(col("w")).as("pos"),
-            array().cast("array<string>").as("ps")),
-          (acc, _) => {
-            val pos = acc.getField("pos")
-            val packed = element_at(col("dp"), pos + 1)
-            val len = lit(3L) - packed.bitwiseAND(lit(3L))
-            when(pos > 0, struct(
-              (pos - len).cast("int").as("pos"),
-              array_append(acc.getField("ps"),
-                col("w").substr((pos - len + lit(1)).cast("int"),
-                  len.cast("int"))).as("ps")))
-              .otherwise(acc)
-          },
-          acc => acc.getField("ps"))
+        val withDp = wf16.withColumn("dp", emViterbiDp(typedLit(costs)))
+        val pieces = emBacktrace()
         val usage = withDp
           .select(col("freq"), explode(pieces).as("piece"))
           .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
@@ -1022,6 +1127,83 @@ object CurationQueries {
       }
       rounds.reduce(_ union _)
         .orderBy(col("step"), col("cnt").desc, col("piece"))
+    }),
+
+    // Unigram-LM VOCABULARY PRUNING to a target size (Kudo 2018 §3.2's
+    // full trainer loop, completing q304): EM rounds alternate with
+    // pruning the lowest-contribution pieces — after each round's
+    // usage-weighted re-estimation, single-character pieces ALWAYS
+    // survive (character coverage: any word stays segmentable) while
+    // multi-character pieces keep only the top-K by corpus usage
+    // (seed ≈ chars+256 → chars+128 → chars+64). A final evaluation
+    // pass segments the corpus under the surviving vocabulary, so the
+    // output pins the whole trajectory: the surviving pieces with
+    // their final costs AND the per-round corpus cost (decreasing —
+    // re-estimation concentrates probability mass faster than pruning
+    // rare pieces loses it). Scale: identical to q304 — the corpus is
+    // touched once (word frequencies); every round is vocabulary-
+    // bounded work over the distinct-word table with the cost table
+    // riding the plan as a map literal; driver state = the bounded
+    // usage table (guarded) per round.
+    "q309_unigram_prune" -> ((s, d) => {
+      val wf = wordFreqs(s, d)
+      val wf16 = wf.filter(length(col("w")).between(1, 16)).localCheckpoint()
+      var costs = unigramSeedCosts(wf)
+      val keepTargets = Seq(128, 64) // multi-char pieces kept per round
+      var lastUsage: Map[String, Long] = Map.empty
+      val roundCosts = keepTargets.map { keep =>
+        val withDp = wf16.withColumn("dp", emViterbiDp(typedLit(costs)))
+        val usage = withDp
+          .select(col("freq"), explode(emBacktrace()).as("piece"))
+          .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+        val corpusCost = withDp
+          .agg(sum(col("freq") *
+            shiftright(element_at(col("dp"), length(col("w")) + 1), 2)))
+          .head().getLong(0)
+        val used = usage.collect()
+        require(used.length <= 8192,
+          s"unigram prune: ${used.length} used pieces exceeds the " +
+            "vocabulary bound; refusing the driver collect")
+        val usedMap = used.map(r => r.getString(0) -> r.getLong(1)).toMap
+        val totUse = usedMap.values.sum
+        // M-step over the current vocabulary, then prune: chars stay,
+        // multi-char pieces keep the top-`keep` by usage (ties by
+        // piece — same total order as the oracle's ORDER BY)
+        val reEst = costs.map { case (p, _) =>
+          p -> usedMap.get(p).map(c => fl2(totUse) - fl2(c) + 1L)
+            .getOrElse(fl2(totUse) + 2L)
+        }
+        val keptMulti = usedMap.toSeq
+          .filter { case (p, _) => p.codePointCount(0, p.length) >= 2 }
+          .sortBy { case (p, c) => (-c, p) }.take(keep).map(_._1).toSet
+        costs = reEst.filter { case (p, _) =>
+          p.codePointCount(0, p.length) == 1 || keptMulti(p) }
+        lastUsage = usedMap
+        corpusCost
+      }
+      // final evaluation pass under the surviving vocabulary
+      val finalCost = wf16
+        .withColumn("dp", emViterbiDp(typedLit(costs)))
+        .agg(sum(col("freq") *
+          shiftright(element_at(col("dp"), length(col("w")) + 1), 2)))
+        .head().getLong(0)
+      val usageLit = typedLit(lastUsage)
+      val costLit = typedLit(costs)
+      wf16.sparkSession.createDataFrame(
+          java.util.Arrays.asList(costs.keys.toSeq.sorted.map(
+            org.apache.spark.sql.Row(_)): _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("piece",
+              org.apache.spark.sql.types.StringType, nullable = false))))
+        .select(col("piece"),
+          length(col("piece")).cast("long").as("piece_len"),
+          coalesce(element_at(usageLit, col("piece")), lit(0L)).as("cnt"),
+          element_at(costLit, col("piece")).as("cost"),
+          lit(roundCosts.head).as("cost_round1"),
+          lit(roundCosts(1)).as("cost_round2"),
+          lit(finalCost).as("cost_final"),
+          lit(costs.size.toLong).as("vocab_size"))
+        .orderBy(col("cnt").desc, col("piece"))
     }),
 
     // STREAMING winnowing gate at ingestion — q280's fingerprints
@@ -1600,83 +1782,10 @@ object CurationQueries {
     // emitting each winning piece), usage → flog2 re-estimation —
     // all-integer, so the replay is exact. MATERIALIZED throughout
     // (the q294/q127 discipline).
-    "q304_unigram_em" -> {
-      def dpBlock(r: Int, vocab: String): String = {
-        val steps = (1 to 16).map { k =>
-          val legs = (1 to 3).filter(_ <= k).map { l =>
-            s"""  SELECT p.w, ((p.packed // 4 + v.cost) * 4 + ${3 - l}) AS cand
-               |  FROM d${r}_${k - l} p JOIN $vocab v
-               |    ON v.piece = substr(p.w, ${k - l + 1}, $l)
-               |  WHERE len(p.w) >= $k""".stripMargin
-          }.mkString("\n  UNION ALL\n")
-          s"d${r}_$k AS MATERIALIZED (SELECT w, min(cand) AS packed " +
-            s"FROM (\n$legs\n) GROUP BY w)"
-        }.mkString(",\n")
-        val dpUnion = (0 to 16).map {
-          case 0 => "  SELECT w, 0 AS pos, 3::BIGINT AS packed FROM wf16"
-          case k => s"  SELECT w, $k, packed FROM d${r}_$k"
-        }.mkString("\n  UNION ALL\n")
-        val walk = (1 to 16).map { j =>
-          s"""s${r}_$j AS MATERIALIZED (
-             |  SELECT b.w, b.pos, (3 - (d.packed % 4)) AS l
-             |  FROM b${r}_${j - 1} b JOIN dp$r d
-             |    ON d.w = b.w AND d.pos = b.pos
-             |  WHERE b.pos > 0),
-             |p${r}_$j AS (SELECT w, substr(w, pos - l + 1, l) AS piece
-             |             FROM s${r}_$j),
-             |b${r}_$j AS (SELECT w, pos - l AS pos FROM s${r}_$j)""".stripMargin
-        }.mkString(",\n")
-        val pUnion = (1 to 16)
-          .map(j => s"  SELECT w, piece FROM p${r}_$j")
-          .mkString("\n  UNION ALL\n")
-        s"""d${r}_0 AS (SELECT w, 3::BIGINT AS packed FROM wf16),
-           |$steps,
-           |dp$r AS MATERIALIZED (
-           |$dpUnion),
-           |b${r}_0 AS (SELECT w, len(w) AS pos FROM wf16),
-           |$walk,
-           |pieces$r AS (
-           |$pUnion),
-           |usage$r AS MATERIALIZED (
-           |  SELECT piece, sum(f.freq)::BIGINT AS cnt
-           |  FROM pieces$r pc JOIN wf16 f ON f.w = pc.w GROUP BY 1),
-           |tot$r AS (SELECT sum(cnt)::BIGINT AS t FROM usage$r),
-           |cost$r AS (SELECT sum(f.freq * (d.packed // 4))::BIGINT AS c
-           |           FROM wf16 f JOIN dp$r d
-           |             ON d.w = f.w AND d.pos = len(f.w)),
-           |v$r AS MATERIALIZED (
-           |  SELECT v.piece,
-           |    (CASE WHEN u.cnt IS NULL THEN (len(bin(t.t)) - 1) + 2
-           |          ELSE len(bin(t.t)) - len(bin(u.cnt)) + 1
-           |     END)::BIGINT AS cost
-           |  FROM v0 v LEFT JOIN usage$r u ON u.piece = v.piece
-           |  CROSS JOIN tot$r t)""".stripMargin
-      }
-      s"""WITH wf AS MATERIALIZED (SELECT w, count(*)::BIGINT AS freq
-         |       FROM (SELECT unnest(string_split(text,' ')) AS w
-         |             FROM documents)
-         |       WHERE len(w) > 0 GROUP BY w),
-         |sub AS MATERIALIZED (
-         |        SELECT substr(w, i, L) AS piece, sum(freq)::BIGINT AS cnt
-         |        FROM wf, LATERAL unnest(range(1, len(w)+1)) AS t(i),
-         |             (VALUES (1),(2),(3)) AS ll(L)
-         |        WHERE i + L - 1 <= len(w)
-         |        GROUP BY 1),
-         |sdtot AS MATERIALIZED (SELECT sum(cnt)::BIGINT AS t FROM sub),
-         |v0 AS MATERIALIZED (
-         |  SELECT piece,
-         |    (len(bin(sdtot.t)) - len(bin(s.cnt)) + 1)::BIGINT AS cost
-         |  FROM (
-         |    SELECT piece, cnt FROM sub WHERE len(piece) = 1
-         |    UNION ALL
-         |    SELECT piece, cnt FROM (
-         |      SELECT piece, cnt FROM sub WHERE len(piece) >= 2
-         |      ORDER BY cnt DESC, piece LIMIT 256)
-         |  ) s, sdtot),
-         |wf16 AS MATERIALIZED (
-         |  SELECT w, freq FROM wf WHERE len(w) BETWEEN 1 AND 16),
-         |${dpBlock(1, "v0")},
-         |${dpBlock(2, "v1")}
+    "q304_unigram_em" ->
+      s"""WITH $emSeedCtes,
+         |${emDpBlock(1, "v0", "v0")},
+         |${emDpBlock(2, "v1", "v0")}
          |SELECT step, piece, cnt, new_cost, corpus_cost FROM (
          |  SELECT 1 AS step, u.piece, u.cnt, v.cost AS new_cost,
          |         c.c AS corpus_cost,
@@ -1686,8 +1795,39 @@ object CurationQueries {
          |  SELECT 2, u.piece, u.cnt, v.cost, c.c,
          |         row_number() OVER (ORDER BY u.cnt DESC, u.piece)
          |  FROM usage2 u JOIN v2 v ON v.piece = u.piece CROSS JOIN cost2 c)
-         |WHERE rk <= 40 ORDER BY step, cnt DESC, piece""".stripMargin
-    },
+         |WHERE rk <= 40 ORDER BY step, cnt DESC, piece""".stripMargin,
+
+    // The pruning trainer replayed: round 1 under the seed vocabulary,
+    // prune v1 to chars + top-128 multi-char pieces by usage, round 2
+    // under the pruned table re-estimated over ITS OWN domain, prune
+    // to chars + top-64, then one DP-only evaluation pass under the
+    // final vocabulary. All-integer, MATERIALIZED throughout.
+    "q309_unigram_prune" ->
+      s"""WITH $emSeedCtes,
+         |${emDpBlock(1, "v0", "v0")},
+         |vp1 AS MATERIALIZED (
+         |  SELECT piece, cost FROM v1 WHERE len(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cost FROM (
+         |    SELECT v.piece, v.cost FROM v1 v JOIN usage1 u USING (piece)
+         |    WHERE len(v.piece) >= 2
+         |    ORDER BY u.cnt DESC, v.piece LIMIT 128)),
+         |${emDpBlock(2, "vp1", "vp1")},
+         |vp2 AS MATERIALIZED (
+         |  SELECT piece, cost FROM v2 WHERE len(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cost FROM (
+         |    SELECT v.piece, v.cost FROM v2 v JOIN usage2 u USING (piece)
+         |    WHERE len(v.piece) >= 2
+         |    ORDER BY u.cnt DESC, v.piece LIMIT 64)),
+         |${emDpSteps(3, "vp2")}
+         |SELECT p.piece, len(p.piece)::BIGINT AS piece_len,
+         |  coalesce(u.cnt, 0)::BIGINT AS cnt, p.cost,
+         |  c1.c AS cost_round1, c2.c AS cost_round2, c3.c AS cost_final,
+         |  (SELECT count(*) FROM vp2)::BIGINT AS vocab_size
+         |FROM vp2 p LEFT JOIN usage2 u USING (piece)
+         |CROSS JOIN cost1 c1 CROSS JOIN cost2 c2 CROSS JOIN cost3 c3
+         |ORDER BY cnt DESC, p.piece""".stripMargin,
 
     "q296_containment" ->
       """WITH sh0 AS (

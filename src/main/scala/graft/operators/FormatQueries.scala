@@ -398,7 +398,7 @@ object FormatQueries {
       |    CASE event_type WHEN 'signup' THEN 'c'
       |                    WHEN 'error' THEN 'd' ELSE 'u' END AS op,
       |    epoch_us(ts) AS ts_us, event_id AS pos, value,
-      |    CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+      |    CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k
       |  FROM events),
       |latest AS (
       |  SELECT *, row_number() OVER (PARTITION BY user_id

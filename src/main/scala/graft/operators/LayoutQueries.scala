@@ -42,7 +42,82 @@ object LayoutQueries {
       s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})"
     }.mkString("(", ") | (", ")")
 
+  /** Stats + probe rectangle shared by q300/q310: min/max of both key
+    * domains and the middle fifth of each (data-relative, so the probe
+    * stays meaningful at every scale factor). */
+  private[operators] def keyStats(s: org.apache.spark.sql.SparkSession,
+                                  d: String): (Long, Long, Long, Long) = {
+    val g = Tables.lineitem(s, d).agg(
+      min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    (g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3))
+  }
+
+  /** Write lineitem to parquet under BOTH layouts — natural
+    * (range-partitioned + sorted on l_orderkey, the incoming
+    * clustering) and z-ordered (`repartitionByRange(zkey)` +
+    * `sortWithinPartitions(zkey)` — the production `OPTIMIZE …
+    * ZORDER BY` write shape). 32 output files each, so min/max
+    * footer statistics give the reader 32 prunable row groups.
+    * Returns (naturalDir, zorderDir, plo, phi, slo, shi) with the
+    * probe rectangle = the middle fifth of each key domain. */
+  private[operators] def writeZorderLayouts(
+      s: org.apache.spark.sql.SparkSession, d: String, base: String)
+      : (String, String, Long, Long, Long, Long) = {
+    val (pkmin, pkmax, skmin, skmax) = keyStats(s, d)
+    val keyed = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"))
+      .withColumn("zkey", interleave(
+        expr(s"((l_partkey - $pkmin) * 65535) div ${pkmax - pkmin + 1}"),
+        expr(s"((l_suppkey - $skmin) * 65535) div ${skmax - skmin + 1}")))
+    val (natDir, zDir) = (s"$base/natural", s"$base/zorder")
+    keyed.repartitionByRange(32, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(natDir)
+    keyed.repartitionByRange(32, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .write.mode("overwrite").parquet(zDir)
+    (natDir, zDir,
+      pkmin + (pkmax - pkmin) * 2 / 5, pkmin + (pkmax - pkmin) * 3 / 5,
+      skmin + (skmax - skmin) * 2 / 5, skmin + (skmax - skmin) * 3 / 5)
+  }
+
+  /** The probe-rectangle aggregate over one written layout. */
+  private[operators] def probeRect(s: org.apache.spark.sql.SparkSession,
+      path: String, name: String,
+      plo: Long, phi: Long, slo: Long, shi: Long): DataFrame =
+    s.read.parquet(path)
+      .filter(col("l_partkey").between(plo, phi) &&
+              col("l_suppkey").between(slo, shi))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+          .as("cents"))
+      .select(lit(name).as("layout"), col("n_rows"), col("n_orders"),
+        col("cents"))
+
   val queries: Map[String, Q] = Map(
+
+    // Z-order → REAL parquet pruning (q300's bounding-box simulation
+    // completed with the production payoff): lineitem written under
+    // both layouts, the same probe-rectangle aggregate run against
+    // each. The VALUES must be layout-independent — the oracle pins
+    // them against the source table — while the z-ordered scan READS
+    // a fraction of the rows: the pushed l_partkey/l_suppkey min/max
+    // predicates skip whole row groups whose footer boxes miss the
+    // rectangle (SketchLayoutSpec asserts strictly-fewer scan-output
+    // rows + the pushed filters). At 100 TB this is the difference
+    // between scanning every file and only the rectangle's files for
+    // any 2-D range predicate.
+    "q310_zorder_prune" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-zprune")
+      val (natDir, zDir, plo, phi, slo, shi) =
+        writeZorderLayouts(s, d, base.toString)
+      probeRect(s, natDir, "natural", plo, phi, slo, shi)
+        .unionAll(probeRect(s, zDir, "zorder", plo, phi, slo, shi))
+        .orderBy(col("layout"))
+    }),
     // Z-order vs natural (orderkey-range) layout: bucket lineitem 32
     // ways under each layout, emit per-bucket (l_partkey, l_suppkey)
     // bounding boxes and whether each bucket's box intersects the
@@ -114,20 +189,46 @@ object LayoutQueries {
     // would otherwise broadcast.
     "q306_bucketed_join" -> ((s, d) => {
       val wh = java.nio.file.Files.createTempDirectory("graft-buck")
-      s.sql("DROP TABLE IF EXISTS graft_b_lineitem")
-      s.sql("DROP TABLE IF EXISTS graft_b_orders")
+      // Per-run table names (suffixed with the temp-dir token): the
+      // fixed global names would race across sessions sharing a
+      // metastore, and DROP TABLE on a path-based (external) table
+      // never deletes its files — so before registering this run's
+      // tables, delete every previous graft_b_* table's whole temp
+      // dir, then drop it from the catalog.
+      s.catalog.listTables().collect()
+        .filter(_.name.startsWith("graft_b_")).foreach { t =>
+          try {
+            val loc = s.sessionState.catalog.getTableMetadata(
+              org.apache.spark.sql.catalyst.TableIdentifier(t.name)).location
+            var dir = java.nio.file.Paths.get(loc)
+            if (dir.getParent != null &&
+                dir.getParent.getFileName.toString.startsWith("graft-buck"))
+              dir = dir.getParent
+            if (java.nio.file.Files.exists(dir)) {
+              val walk = java.nio.file.Files.walk(dir)
+              try walk.sorted(java.util.Comparator.reverseOrder())
+                .forEach(p => java.nio.file.Files.deleteIfExists(p))
+              finally walk.close()
+            }
+          } catch { case _: Exception => () }
+          s.sql(s"DROP TABLE IF EXISTS ${t.name}")
+        }
+      val token = wh.getFileName.toString
+        .replaceAll("[^A-Za-z0-9]", "").toLowerCase
+      val liName = s"graft_b_lineitem_$token"
+      val orName = s"graft_b_orders_$token"
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
         .write.mode("overwrite").option("path", s"$wh/li")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("graft_b_lineitem")
+        .saveAsTable(liName)
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority"))
         .write.mode("overwrite").option("path", s"$wh/or")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("graft_b_orders")
-      s.table("graft_b_lineitem").hint("merge")
-        .join(s.table("graft_b_orders"),
+        .saveAsTable(orName)
+      s.table(liName).hint("merge")
+        .join(s.table(orName),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
@@ -138,6 +239,31 @@ object LayoutQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    // layout-independent: both rows must equal the source-table
+    // rectangle aggregate
+    "q310_zorder_prune" ->
+      """WITH g AS (
+        |  SELECT min(l_partkey) AS pkmin, max(l_partkey) AS pkmax,
+        |         min(l_suppkey) AS skmin, max(l_suppkey) AS skmax
+        |  FROM lineitem),
+        |probe AS (
+        |  SELECT pkmin + ((pkmax - pkmin) * 2) // 5 AS plo,
+        |         pkmin + ((pkmax - pkmin) * 3) // 5 AS phi,
+        |         skmin + ((skmax - skmin) * 2) // 5 AS slo,
+        |         skmin + ((skmax - skmin) * 3) // 5 AS shi
+        |  FROM g),
+        |agg AS (
+        |  SELECT count(*)::BIGINT AS n_rows,
+        |         count(DISTINCT l_orderkey)::BIGINT AS n_orders,
+        |         sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+        |           AS cents
+        |  FROM lineitem, probe
+        |  WHERE l_partkey BETWEEN plo AND phi
+        |    AND l_suppkey BETWEEN slo AND shi)
+        |SELECT l.layout, a.n_rows, a.n_orders, a.cents
+        |FROM (VALUES ('natural'), ('zorder')) l(layout) CROSS JOIN agg a
+        |ORDER BY l.layout""".stripMargin,
+
     "q300_zorder_layout" ->
       s"""WITH g AS (
         |  SELECT min(l_partkey) AS pkmin, max(l_partkey) AS pkmax,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -35,6 +35,42 @@ object SketchQueries {
   private val depth = 4   // independent hash rows (error prob 2^-4)
   private val width = 512 // buckets per row (overcount ≤ 2N/512 w.h.p.)
 
+  /** A token's `depth` (row, bucket) sketch cells — shared by the
+    * batch build, the streaming build, and the probe side, so the
+    * three can never drift. */
+  private def cellArr(term: Column): Column =
+    array((0 until depth).map { r =>
+      struct(lit(r).as("r"),
+        pmod(md5i(concat(lit(s"$r|"), term)), lit(width)).as("b"))
+    }: _*)
+
+  /** q298's probe + audit tail over a finished (r, b, cnt) cell table:
+    * estimate every distinct term (min over its depth cells against
+    * the broadcast sketch), rank, audit the top 20 against exact
+    * counts with the never-under and 2N/width-bound invariants. */
+  private def heavyHitters(cells: DataFrame, tok: DataFrame): DataFrame = {
+    val nTotal = tok.agg(count(lit(1)).as("n_total"))
+    val vocab = tok.distinct()
+    val probes = vocab.select(col("term"), explode(cellArr(col("term"))).as("rb"))
+      .select(col("term"), col("rb.r").as("r"), col("rb.b").as("b"))
+    val est = probes.join(broadcast(cells), Seq("r", "b"))
+      .groupBy(col("term")).agg(min(col("cnt")).as("est"))
+    val exact = tok.groupBy(col("term")).agg(count(lit(1)).as("exact"))
+    // top-20 via orderBy+limit (TakeOrderedAndProject — partial
+    // top-k per partition, no single-partition window)
+    est.join(exact, "term")
+      .crossJoin(broadcast(nTotal))
+      .orderBy(col("est").desc, col("term"))
+      .limit(20)
+      .select(col("term"), col("est"), col("exact"),
+        (col("est") - col("exact")).as("overcount"),
+        (col("est") >= col("exact")).as("never_under"),
+        (col("est") - col("exact") <=
+          ceil(lit(2.0) * col("n_total") / lit(width)).cast("long"))
+          .as("bound_ok"))
+      .orderBy(col("est").desc, col("term"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Count-Min heavy hitters: build the depth×width sketch over every
     // corpus token, estimate EVERY distinct term from the sketch
@@ -52,37 +88,40 @@ object SketchQueries {
       // one pass, depth cells per token; partial agg collapses each
       // map task to ≤ depth×width rows before the shuffle
       val cells = tok
-        .select(explode(array((0 until depth).map { r =>
-          struct(lit(r).as("r"),
-            pmod(md5i(concat(lit(s"$r|"), col("term"))), lit(width)).as("b"))
-        }: _*)).as("rb"))
+        .select(explode(cellArr(col("term"))).as("rb"))
         .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
         .agg(count(lit(1)).as("cnt"))
-      val nTotal = tok.agg(count(lit(1)).as("n_total"))
-      val vocab = tok.distinct()
-      // depth probes per term against the broadcast cell table
-      val probes = vocab.select(col("term"),
-        explode(array((0 until depth).map { r =>
-          struct(lit(r).as("r"),
-            pmod(md5i(concat(lit(s"$r|"), col("term"))), lit(width)).as("b"))
-        }: _*)).as("rb"))
-        .select(col("term"), col("rb.r").as("r"), col("rb.b").as("b"))
-      val est = probes.join(broadcast(cells), Seq("r", "b"))
-        .groupBy(col("term")).agg(min(col("cnt")).as("est"))
-      val exact = tok.groupBy(col("term")).agg(count(lit(1)).as("exact"))
-      // top-20 via orderBy+limit (TakeOrderedAndProject — partial
-      // top-k per partition, no single-partition window)
-      est.join(exact, "term")
-        .crossJoin(broadcast(nTotal))
-        .orderBy(col("est").desc, col("term"))
-        .limit(20)
-        .select(col("term"), col("est"), col("exact"),
-          (col("est") - col("exact")).as("overcount"),
-          (col("est") >= col("exact")).as("never_under"),
-          (col("est") - col("exact") <=
-            ceil(lit(2.0) * col("n_total") / lit(width)).cast("long"))
-            .as("bound_ok"))
-        .orderBy(col("est").desc, col("term"))
+      heavyHitters(cells, tok)
+    }),
+
+    // STREAMING Count-Min maintenance — q298's sketch as update-mode
+    // STREAMING AGGREGATION STATE (the q308 HLL pattern verbatim,
+    // closing the batch/stream symmetry for both sketch families):
+    // each micro-batch folds its tokens' (r, b) cell increments into
+    // the per-cell running count — a plain order-independent SUM over
+    // ≤ depth×width keys, so state is 2 K cells at ANY corpus size
+    // and batch boundaries cannot change the final sketch. The final
+    // cell table (newest emission per cell) then answers the q298
+    // heavy-hitter audit bit-for-bit — same oracle.
+    "q313_cms_stream" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-cmsstream")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val chunks = (0 until 4).map(i => pmod(col("doc_id"), lit(4)) === i)
+      val (inDir, schema) = graft.streaming.Replay
+        .fileEpochs(docs, chunks, base.toString)
+      val liveCells = graft.streaming.Replay.streamDf(s, inDir, schema)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .select(explode(cellArr(col("term"))).as("rb"))
+        .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val cells = StreamParityQueries.latestPerKey(
+        StreamParityQueries.runUpdate(liveCells, base.toString, s),
+        col("r"), col("b"))
+      val tok = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      heavyHitters(cells, tok)
     }),
 
     // HLL SKETCH-CUBE rollup — the OLAP-at-scale pattern for distinct
@@ -168,30 +207,36 @@ object SketchQueries {
         .orderBy(col("source"))
     }))
 
+  /** CMS heavy hitters replicated relationally in DuckDB — shared by
+    * the batch (q298) and streaming (q313) legs: the streamed sketch
+    * must equal the batch sketch (order-independent cell sums). */
+  private val cmsSql: String = {
+    val salted = (0 until depth).map { r =>
+      s"SELECT term, $r AS r, ${md5iSql(s"'$r|' || term")} % $width AS b FROM tok"
+    }.mkString("\n        UNION ALL ")
+    s"""WITH tok AS (
+      |  SELECT t.term FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
+      |  WHERE len(t.term) > 0),
+      |keyed AS (
+      |        $salted),
+      |cells AS (SELECT r, b, count(*) AS cnt FROM keyed GROUP BY 1, 2),
+      |probes AS (SELECT DISTINCT term, r, b FROM keyed),
+      |est AS (SELECT p.term, min(c.cnt) AS est
+      |        FROM probes p JOIN cells c USING (r, b) GROUP BY 1),
+      |exact AS (SELECT term, count(*) AS exact FROM tok GROUP BY 1),
+      |n AS (SELECT count(*) AS n_total FROM tok)
+      |SELECT term, est, exact, est - exact AS overcount,
+      |       est >= exact AS never_under,
+      |       est - exact <= CAST(ceil(2.0 * n_total / $width) AS BIGINT)
+      |         AS bound_ok
+      |FROM est JOIN exact USING (term) CROSS JOIN n
+      |ORDER BY est DESC, term LIMIT 20""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
-    "q298_cms_heavy_hitters" -> {
-      val salted = (0 until depth).map { r =>
-        s"SELECT term, $r AS r, ${md5iSql(s"'$r|' || term")} % $width AS b FROM tok"
-      }.mkString("\n        UNION ALL ")
-      s"""WITH tok AS (
-        |  SELECT t.term FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
-        |  WHERE len(t.term) > 0),
-        |keyed AS (
-        |        $salted),
-        |cells AS (SELECT r, b, count(*) AS cnt FROM keyed GROUP BY 1, 2),
-        |probes AS (SELECT DISTINCT term, r, b FROM keyed),
-        |est AS (SELECT p.term, min(c.cnt) AS est
-        |        FROM probes p JOIN cells c USING (r, b) GROUP BY 1),
-        |exact AS (SELECT term, count(*) AS exact FROM tok GROUP BY 1),
-        |n AS (SELECT count(*) AS n_total FROM tok)
-        |SELECT term, est, exact, est - exact AS overcount,
-        |       est >= exact AS never_under,
-        |       est - exact <= CAST(ceil(2.0 * n_total / $width) AS BIGINT)
-        |         AS bound_ok
-        |FROM est JOIN exact USING (term) CROSS JOIN n
-        |ORDER BY est DESC, term LIMIT 20""".stripMargin
-    },
+    "q313_cms_stream" -> cmsSql,
+    "q298_cms_heavy_hitters" -> cmsSql,
     "q307_hll_cube" ->
       """SELECT source, lang, count(DISTINCT w) AS exact,
         |       true AS est_ok

@@ -107,55 +107,84 @@ object Cdc {
     * version guard makes the merge idempotent under micro-batch
     * replay (at-least-once → effectively-once state) AND order-safe
     * for late data (an op older than the stored version — deleted or
-    * not — is refused). Executor-side per partition, like
-    * Retract.upsertUserCounts. */
+    * not — is refused).
+    *
+    * BATCHED JDBC (not row-at-a-time): the caller reduces the
+    * micro-batch to last-op-per-key first (the q302 window), which
+    * also hash-partitions it by user_id — each partition owns its
+    * keys exclusively. Per `chunk` of 256 keys this issues ONE
+    * chunked `SELECT … WHERE USER_ID IN (…)` to load stored versions,
+    * then one `executeBatch` of version-guarded UPDATEs and one of
+    * INSERTs — O(rows/256) round trips instead of O(2·rows). The
+    * (ts_us, pos) guard ALSO rides the UPDATE's WHERE clause (the
+    * MERGE-with-version-predicate shape), so even a replayed task
+    * attempt racing this one can never regress a newer stored
+    * version. */
   def mergeBatch(batch: DataFrame, url: String): Unit = {
+    val chunk = 256
     batch.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-      val conn = java.sql.DriverManager.getConnection(url)
-      try {
-        conn.setAutoCommit(false)
-        val sel = conn.prepareStatement(
-          "SELECT TS_US, POS FROM CDC_STATE WHERE USER_ID = ?")
-        val ins = conn.prepareStatement(
-          "INSERT INTO CDC_STATE (USER_ID, VAL, K, TS_US, POS, DELETED) " +
-            "VALUES (?, ?, ?, ?, ?, ?)")
-        val upd = conn.prepareStatement(
-          "UPDATE CDC_STATE SET VAL = ?, K = ?, TS_US = ?, POS = ?, " +
-            "DELETED = ? WHERE USER_ID = ?")
-        rows.foreach { r =>
-          val key = r.getAs[Number]("user_id").longValue()
-          val ts = r.getAs[Number]("ts_us").longValue()
-          val pos = r.getAs[Number]("pos").longValue()
-          val dead = r.getAs[String]("op") == "d"
-          sel.setLong(1, key)
-          val rs = sel.executeQuery()
-          val current =
-            if (rs.next()) Some((rs.getLong(1), rs.getLong(2))) else None
-          rs.close()
-          val newer = current.forall { case (cts, cpos) =>
-            ts > cts || (ts == cts && pos > cpos) }
-          if (newer) {
-            // param layouts: INSERT (key, val, k, ts, pos, deleted);
-            // UPDATE (val, k, ts, pos, deleted, key)
-            val exists = current.isDefined
-            val st = if (exists) upd else ins
-            val i = if (exists) 0 else 1
-            if (!exists) st.setLong(1, key) else st.setLong(6, key)
-            if (dead) {
-              st.setNull(i + 1, java.sql.Types.DOUBLE)
-              st.setNull(i + 2, java.sql.Types.BIGINT)
-            } else {
-              st.setDouble(i + 1, r.getAs[Number]("value").doubleValue())
-              st.setLong(i + 2, r.getAs[Number]("k").longValue())
+      if (rows.hasNext) {
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val ins = conn.prepareStatement(
+            "INSERT INTO CDC_STATE (USER_ID, VAL, K, TS_US, POS, DELETED) " +
+              "VALUES (?, ?, ?, ?, ?, ?)")
+          val upd = conn.prepareStatement(
+            "UPDATE CDC_STATE SET VAL = ?, K = ?, TS_US = ?, POS = ?, " +
+              "DELETED = ? WHERE USER_ID = ? " +
+              "AND (TS_US < ? OR (TS_US = ? AND POS < ?))")
+          rows.grouped(chunk).foreach { grp =>
+            // one round trip: stored versions for this chunk's keys
+            val sel = conn.prepareStatement(
+              "SELECT USER_ID, TS_US, POS FROM CDC_STATE WHERE USER_ID IN (" +
+                Seq.fill(grp.size)("?").mkString(", ") + ")")
+            grp.zipWithIndex.foreach { case (r, i) =>
+              sel.setLong(i + 1, r.getAs[Number]("user_id").longValue()) }
+            val rs = sel.executeQuery()
+            val current = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+            while (rs.next()) current(rs.getLong(1)) = (rs.getLong(2), rs.getLong(3))
+            rs.close(); sel.close()
+            var nUpd = 0; var nIns = 0
+            grp.foreach { r =>
+              val key = r.getAs[Number]("user_id").longValue()
+              val ts = r.getAs[Number]("ts_us").longValue()
+              val pos = r.getAs[Number]("pos").longValue()
+              val dead = r.getAs[String]("op") == "d"
+              val stored = current.get(key)
+              val newer = stored.forall { case (cts, cpos) =>
+                ts > cts || (ts == cts && pos > cpos) }
+              if (newer) {
+                // param layouts: INSERT (key, val, k, ts, pos, deleted);
+                // UPDATE (val, k, ts, pos, deleted, key, ts, ts, pos)
+                val exists = stored.isDefined
+                val st = if (exists) upd else ins
+                val i = if (exists) 0 else 1
+                if (!exists) st.setLong(1, key)
+                else {
+                  st.setLong(6, key)
+                  st.setLong(7, ts); st.setLong(8, ts); st.setLong(9, pos)
+                }
+                if (dead) {
+                  st.setNull(i + 1, java.sql.Types.DOUBLE)
+                  st.setNull(i + 2, java.sql.Types.BIGINT)
+                } else {
+                  st.setDouble(i + 1, r.getAs[Number]("value").doubleValue())
+                  st.setLong(i + 2, r.getAs[Number]("k").longValue())
+                }
+                st.setLong(i + 3, ts); st.setLong(i + 4, pos)
+                st.setShort(i + 5, if (dead) 1 else 0)
+                st.addBatch()
+                if (exists) nUpd += 1 else nIns += 1
+              }
             }
-            st.setLong(i + 3, ts); st.setLong(i + 4, pos)
-            st.setShort(i + 5, if (dead) 1 else 0)
-            st.executeUpdate()
+            if (nUpd > 0) upd.executeBatch()
+            if (nIns > 0) ins.executeBatch()
           }
-        }
-        conn.commit()
-        sel.close(); ins.close(); upd.close()
-      } finally conn.close()
+          conn.commit()
+          ins.close(); upd.close()
+        } finally conn.close()
+      }
     }
   }
 }

@@ -12,21 +12,39 @@ package graft
 class BenchGateSpec extends SparkSpec {
 
   test("breach detection flags over-budget queries and only at sf0.1") {
-    val fake = Seq("q01_agg_basic" -> 100.0, "q04_grouping_sets" -> 0.01,
-      "q_unknown" -> 999.0)
+    // rest of the catalog at baseline (drift scale 1), one outlier,
+    // one unknown name: only the outlier breaches
+    val fake = BenchBudgets.sf01QuietMin.toSeq.map { case (n, q) =>
+      n -> (if (n == "q01_agg_basic") 100.0 else q) } :+ ("q_unknown" -> 999.0)
     val b = BenchBudgets.breaches("/root/testdata/sf0.1", fake)
     assert(b.map(_._1) == Seq("q01_agg_basic")) // unknown names exempt
     assert(BenchBudgets.breaches("/root/testdata/sf0.01", fake).isEmpty)
   }
 
-  test("budgets cover the whole r7 headline set") {
-    val missing = Bench.headline.filterNot(BenchBudgets.sf01Budgets.contains)
-    // ONLY post-r7 additions may lack budgets — a silently dropped or
-    // misspelled r7 budget would exempt that query from the gate
-    val exemptUntilRebaseline = Set("q268_ivfpq_exact", "q270_fluent_pipeline")
+  test("uniform host-load drift is normalized out; a lone regression is not") {
+    // every query 2x its quiet min = pure load: zero breaches
+    val uniform = BenchBudgets.sf01QuietMin.toSeq.map {
+      case (n, q) => n -> q * 2.0 }
+    assert(math.abs(BenchBudgets.driftScale(uniform) - 2.0) < 1e-9)
+    assert(BenchBudgets.breaches("/root/testdata/sf0.1", uniform).isEmpty)
+    // one query 4x while the rest sit at baseline: only it breaches
+    val lone = BenchBudgets.sf01QuietMin.toSeq.map { case (n, q) =>
+      n -> (if (n == "q10_join_star") q * 4.0 else q) }
+    assert(BenchBudgets.breaches("/root/testdata/sf0.1", lone)
+      .map(_._1) == Seq("q10_join_star"))
+    // a faster-than-baseline host must not mask a regression
+    assert(BenchBudgets.driftScale(
+      BenchBudgets.sf01QuietMin.toSeq.map { case (n, q) => n -> q * 0.5 }) == 1.0)
+  }
+
+  test("budgets cover the whole headline set") {
+    val missing = Bench.headline.filterNot(BenchBudgets.sf01QuietMin.contains)
+    // ONLY post-baseline additions may lack budgets — a silently
+    // dropped or misspelled budget would exempt that query from the gate
+    val exemptUntilRebaseline = Set.empty[String]
     assert(missing.toSet.subsetOf(exemptUntilRebaseline),
-      s"r7 headliners without budgets: ${missing.filterNot(exemptUntilRebaseline)}")
-    assert(BenchBudgets.sf01Budgets.size >= 39, "budget table truncated")
+      s"headliners without budgets: ${missing.filterNot(exemptUntilRebaseline)}")
+    assert(BenchBudgets.sf01QuietMin.size >= 50, "budget table truncated")
   }
 
   test("wall-time gate: headline set stays inside budget (GRAFT_BENCH_GATE=1)") {
@@ -43,7 +61,7 @@ class BenchGateSpec extends SparkSpec {
     def run(name: String): Unit =
       SparkEntry.queries(name)(benchSpark, sfDir)
         .write.format("noop").mode("overwrite").save()
-    val names = Bench.headline.filter(BenchBudgets.sf01Budgets.contains)
+    val names = Bench.headline.filter(BenchBudgets.sf01QuietMin.contains)
     names.foreach(run) // warm-up
     def timed(n: String): Double = {
       val t0 = System.nanoTime(); run(n); (System.nanoTime() - t0) / 1e9

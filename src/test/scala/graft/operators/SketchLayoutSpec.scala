@@ -73,6 +73,43 @@ class SketchLayoutSpec extends SparkSpec {
     assert(zh < zb / 2, s"z-order must prune over half the buckets ($zh/$zb)")
   }
 
+  test("z-order parquet layout: the scan itself reads strictly fewer rows") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zprunespec")
+    val (natDir, zDir, plo, phi, slo, shi) =
+      LayoutQueries.writeZorderLayouts(spark, sf, base.toString)
+    // AQE off so executedPlan is the static plan the scan lives in
+    val wasAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def scanStats(path: String): (Long, String) = {
+        val df = spark.read.parquet(path)
+          .filter(col("l_partkey").between(plo, phi) &&
+                  col("l_suppkey").between(slo, shi))
+        df.collect()
+        val scan = df.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.head
+        (scan.metrics("numOutputRows").value,
+          scan.metadata.getOrElse("PushedFilters", ""))
+      }
+      val (natRows, natPushed) = scanStats(natDir)
+      val (zRows, zPushed) = scanStats(zDir)
+      // the rectangle predicates must reach the parquet reader —
+      // that's what lets footer min/max stats skip row groups
+      Seq(natPushed, zPushed).foreach { p =>
+        assert(p.contains("GreaterThanOrEqual(l_partkey") &&
+               p.contains("LessThanOrEqual(l_suppkey"),
+          s"rectangle must be pushed to the scan: $p")
+      }
+      assert(zRows > 0, "probe rectangle must be non-empty")
+      // natural layout: every file spans the full key domain, nothing
+      // prunes; z-order: only row groups whose footer box overlaps
+      // the rectangle are read at all
+      assert(zRows * 2 < natRows,
+        s"z-ordered scan must read under half the rows: z=$zRows nat=$natRows")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", wasAqe)
+  }
+
   test("bucketed join: the join itself carries no exchange") {
     val df = LayoutQueries.queries("q306_bucketed_join")(spark, sf)
     df.collect() // run so AQE finalizes the executed plan
