@@ -70,7 +70,13 @@ object Bench {
     "q298_cms_heavy_hitters", // relational count-min sketch + probe join
     "q299_entropy_gate",      // char+word Shannon-entropy quality gates
     "q300_zorder_layout",     // Morton-key clustering + bbox pruning
-    "q304_unigram_em")        // unigram-LM hard-EM trainer (2 rounds)
+    "q304_unigram_em",        // unigram-LM hard-EM trainer (2 rounds)
+    // round-10 additions
+    "q309_unigram_prune",     // EM + vocab pruning to target size
+    "q310_zorder_prune",      // z-order written layout, real scan pruning
+    "q311_scd2_asof",         // CDC changelog → SCD2 dim → as-of probes
+    "q312_ivfpq_delete",      // tombstoned deletes + list compaction
+    "q313_cms_stream")        // count-min sketch as streaming state
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -49,11 +49,20 @@ object SoakData {
     spark.sparkContext.setLogLevel("WARN")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    // Big (replicated) tables are written as 32 files: the source SF
+    // is a single small parquet file, so without the repartition the
+    // replica inherits its 1-3-partition layout and EVERY full-table
+    // soak pass caps at 3-way parallelism — the scan ceiling would
+    // then dominate the measurements instead of the operators
+    // (SCALING.md §soak documents the before/after).
     def write(df: DataFrame, t: String): Unit =
+      df.repartition(32).write.mode("overwrite").parquet(s"$out/$t.parquet")
+    // dimensions stay single-file: they broadcast, never table-scan
+    def writeDim(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
 
     Seq("region", "nation", "customer", "supplier", "part")
-      .foreach(t => write(read(t), t))
+      .foreach(t => writeDim(read(t), t))
 
     val repCol = explode(sequence(lit(0L), lit(reps - 1L))).as("rep")
 

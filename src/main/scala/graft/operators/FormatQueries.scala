@@ -385,6 +385,50 @@ object FormatQueries {
         .select(col("USER_ID").as("user_id"), col("VAL").as("value"),
           col("K").as("k"), col("TS_US").as("last_ts_us"))
         .orderBy(col("user_id"))
+    }),
+
+    // SCD2 (slowly-changing-dimension type 2) history table built from
+    // the CDC changelog, probed by the custom as-of merge exec — the
+    // reference's temporal-table story
+    // (TemporalRowTimeJoinOperator.java:71) composed from this round's
+    // CDC decode: ONE window pass per key orders the versions and
+    // closes each interval at the next version's start
+    // (valid_from/valid_to/version/is_current; tombstones close out
+    // history without a live row), then three data-relative probe
+    // times drive the q59-family AsOfJoinExec — each (probe, user)
+    // pair gets the latest version at-or-before the probe instant
+    // (one merge per key partition, O(1) state). At 100 TB: one key
+    // shuffle to build the dimension, one co-partitioned merge per
+    // probe set — never a per-probe rescan.
+    "q311_scd2_asof" -> ((s, d) => {
+      import graft.streaming.Cdc
+      val chg = Cdc.parse(Cdc.envelope(Tables.events(s, d)), col("json"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("pos"))
+      val scd2 = chg
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+        .withColumn("is_current",
+          col("valid_to_us").isNull && col("op") =!= "d")
+        .select(col("user_id").as("r_user"), col("ts_us").as("valid_from_us"),
+          col("pos"), col("op"), col("value"), col("k"),
+          col("version"), col("is_current"))
+      val span = chg.agg(min(col("ts_us")), max(col("ts_us"))).head()
+      val (lo, hi) = (span.getLong(0), span.getLong(1))
+      val probes = s.range(1, 4).select(col("id").as("probe_no"),
+        expr(s"$lo + (($hi - $lo) * id) div 4").as("probe_ts_us"))
+      val left = chg.select(col("user_id")).distinct()
+        .crossJoin(broadcast(probes))
+      graft.plans.AsOfJoin(left, scd2,
+          left("user_id"), scd2("r_user"),
+          left("probe_ts_us"), scd2("valid_from_us"),
+          rightTie = Some(scd2("pos")))
+        // no version at-or-before the probe → user not yet born;
+        // tombstone as latest version → deleted at that instant
+        .filter(col("version").isNotNull && col("op") =!= "d")
+        .select(col("probe_no"), col("user_id"), col("value"), col("k"),
+          col("version"), col("is_current"))
+        .orderBy(col("probe_no"), col("user_id"))
     })
   )
 
@@ -414,6 +458,29 @@ object FormatQueries {
     "q303_cdc_stream_merge" -> (cdcCtes + """
       |SELECT user_id, value, k, ts_us AS last_ts_us
       |FROM latest WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin),
+    // the SCD2 intervals replayed as a window pass; the as-of probe is
+    // the half-open interval join (valid_from <= t < valid_to) —
+    // zero-length intervals from same-microsecond version ties can
+    // never match, which is exactly the exec's highest-pos tie rule
+    "q311_scd2_asof" -> (cdcCtes + """,
+      |v AS (
+      |  SELECT user_id, op, ts_us, pos, value, k,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts_us, pos) AS version,
+      |    lead(ts_us) OVER (PARTITION BY user_id
+      |                      ORDER BY ts_us, pos) AS valid_to
+      |  FROM ch),
+      |span AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM ch),
+      |probes AS (
+      |  SELECT p AS probe_no, lo + ((hi - lo) * p) // 4 AS pts
+      |  FROM span, (VALUES (1), (2), (3)) t(p))
+      |SELECT p.probe_no::BIGINT AS probe_no, v.user_id, v.value, v.k,
+      |  v.version::BIGINT AS version,
+      |  (v.valid_to IS NULL AND v.op <> 'd') AS is_current
+      |FROM probes p JOIN v
+      |  ON v.ts_us <= p.pts AND (v.valid_to IS NULL OR p.pts < v.valid_to)
+      |WHERE v.op <> 'd'
+      |ORDER BY probe_no, v.user_id""".stripMargin),
     "q167_csv_roundtrip" ->
       s"""SELECT event_type, count(*)::BIGINT AS n, $centsSum AS cents_v,
          |  count(DISTINCT user_id)::BIGINT AS users,

@@ -163,6 +163,63 @@ object IvfPqQueries {
         .orderBy(col("pid"), col("rk"))
     }),
 
+    // IVF+PQ DELETES — the serving index's other mutation (q297
+    // covers inserts): deletes arrive as TOMBSTONED vec_ids in a side
+    // table (the Cdc tombstone discipline — never rewrite the index
+    // per delete); searches anti-join the tombstone set so a deleted
+    // vector can never surface; and when a list's tombstone ratio
+    // crosses 10% that cluster PARTITION is compacted — a
+    // partition-local dynamic-overwrite of just the hot cluster
+    // directories (never a global rebuild; at 100 TB each compaction
+    // touches one inverted list). Model and codebook stay trained on
+    // the full corpus (production never refits on delete — the seeds
+    // are the first 16 vectors, deleted or not), so the post-delete
+    // search at nprobe=K must equal the flat ADC scan over exactly
+    // the SURVIVING vectors — q211's oracle with the tombstoned ids
+    // filtered from the corpus side. A tombstone leaking through the
+    // anti-join, a compaction dropping a live row, or an overwrite
+    // clobbering a cold partition all break the hash.
+    "q312_ivfpq_delete" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-ivfdel")
+      val idx = s"$base/index"
+      val e = Tables.embeddings(s, d)
+      val model = IvfPq.fit(e, "embedding", kCoarse = 8, lloydIters = 2,
+        numSub = 8, codesPerSub = 16)
+      IvfPq.index(e, "embedding", model)
+        .write.partitionBy("cluster").parquet(idx)
+      // deterministic delete set: every 7th vector, as a side table
+      e.filter(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id"))
+        .write.mode("overwrite").parquet(s"$base/tombstones")
+      val tomb = s.read.parquet(s"$base/tombstones")
+      // tombstone ratio per inverted list (vector-level, so the M
+      // code rows per vector cancel out of the ratio)
+      val idxDf = s.read.parquet(idx)
+      val perList = idxDf.join(tomb, idxDf("cid") === tomb("vec_id"),
+          "left_outer")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          count(col("vec_id")).as("n_dead"))
+      val hot = perList.filter(col("n_dead") * 10 >= col("n"))
+        .select(col("cluster")).collect().map(_.get(0))
+      if (hot.nonEmpty) {
+        // partition-local compaction: rewrite ONLY the hot clusters'
+        // directories with their dead rows dropped
+        idxDf.filter(col("cluster").isin(hot.toIndexedSeq: _*))
+          .join(tomb, idxDf("cid") === tomb("vec_id"), "left_anti")
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cluster").parquet(idx)
+      }
+      // search = anti-join the (remaining) tombstones, then the
+      // standard cluster-pruned ADC scan
+      val reRead = s.read.parquet(idx)
+      val live = reRead.join(tomb, reRead("cid") === tomb("vec_id"),
+        "left_anti")
+      IvfPq.search(live, e.filter(col("vec_id") <= 20), "embedding",
+        model, k = 5, nprobe = 8)
+        .orderBy(col("pid"), col("rk"))
+    }),
+
     // the approximate setting itself, oracle-bound: nprobe=2 of 8,
     // deterministic seed centroids (lloydIters=0), recall@5 vs the
     // exact brute-force top-5 as an integer permille per probe.
@@ -204,6 +261,65 @@ object IvfPqQueries {
     // streamed-in vectors at nprobe=K ≡ the same flat ADC scan over
     // the whole corpus (ingestion must be lossless and list-correct).
     "q297_ivfpq_stream_ingest" -> VectorQueries.oracle("q211_pq_ann"),
+
+    // post-delete search at nprobe=K ≡ the flat ADC scan over the
+    // SURVIVORS only (codebook seeds stay the first 16 vectors of the
+    // full corpus — the model does not refit on delete): q211's
+    // oracle with the tombstoned ids (vec_id % 7 = 3) filtered from
+    // the encoded corpus side; probes keep all ids ≤ 20.
+    "q312_ivfpq_delete" ->
+      s"""WITH de AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+         |  FROM embeddings),
+         |ms AS (SELECT unnest(range(0, 8)) AS m),
+         |seeds AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, dv AS sv
+         |  FROM de ORDER BY vec_id LIMIT 16),
+         |cb AS (
+         |  SELECT seeds.k, ms.m,
+         |    list_transform(range(1, 9), i -> sv[ms.m*8 + i]) AS cw
+         |  FROM seeds, ms),
+         |cbn AS (
+         |  SELECT k, m, cw,
+         |    CAST(round(list_reduce(list_transform(range(1, 9),
+         |      i -> cw[i]*cw[i]), (x,y) -> x+y) * 1e6) AS BIGINT) AS cn
+         |  FROM cb),
+         |subs AS (
+         |  SELECT vec_id, ms.m,
+         |    list_transform(range(1, 9), i -> dv[ms.m*8 + i]) AS sub
+         |  FROM de, ms),
+         |enc AS (
+         |  SELECT vec_id AS cid, m, k AS code FROM (
+         |    SELECT s.vec_id, s.m, c.k,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |        list_reduce(list_transform(range(1, 9),
+         |          i -> (s.sub[i]-c.cw[i])*(s.sub[i]-c.cw[i])),
+         |          (x,y) -> x+y), c.k) AS rn
+         |    FROM subs s JOIN cbn c ON s.m = c.m)
+         |  WHERE rn = 1 AND vec_id % 7 <> 3),
+         |lut AS (
+         |  SELECT s.vec_id AS pid, s.m, c.k,
+         |    CAST(round(list_reduce(list_transform(range(1, 9),
+         |      i -> s.sub[i]*c.cw[i]), (x,y) -> x+y) * 1e6) AS BIGINT)
+         |      AS pdot,
+         |    c.cn
+         |  FROM subs s JOIN cbn c ON s.m = c.m WHERE s.vec_id <= 20),
+         |sc AS (
+         |  SELECT l.pid, e.cid, sum(l.pdot) AS idot, sum(l.cn) AS rn
+         |  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.k
+         |  WHERE e.cid <> l.pid
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT pid, cid,
+         |    CAST(idot AS DOUBLE) /
+         |      greatest(sqrt(CAST(rn AS DOUBLE)), 1e-30) AS score,
+         |    row_number() OVER (PARTITION BY pid
+         |                       ORDER BY CAST(idot AS DOUBLE) /
+         |      greatest(sqrt(CAST(rn AS DOUBLE)), 1e-30) DESC, cid) AS rk
+         |  FROM sc)
+         |SELECT pid, rk, cid, round(score, 6) AS score6
+         |FROM ranked WHERE rk <= 5 ORDER BY pid, rk""".stripMargin,
 
     // OPQ at the deterministic setting: q211's flat-ADC oracle body
     // over the signed-permutation-rotated vectors (rotation preserves

@@ -122,6 +122,43 @@ class IvfPqSpec extends SparkSpec {
     assert(pruned.count() == expect && expect > 0)
   }
 
+  test("deletes: tombstones never surface, compaction is partition-local and lossless") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfdelspec")
+    val idx = s"$base/index"
+    IvfPq.index(emb, "embedding", model)
+      .write.partitionBy("cluster").parquet(idx)
+    val tomb = emb.filter(pmod(col("vec_id"), lit(7)) === 3)
+      .select(col("vec_id"))
+    val idxDf = spark.read.parquet(idx)
+    val probes = emb.filter(col("vec_id") <= 20)
+    def results(index: org.apache.spark.sql.DataFrame) = IvfPq.search(
+      index.join(tomb, index("cid") === tomb("vec_id"), "left_anti"),
+      probes, "embedding", model, k = 5, nprobe = 8)
+      .orderBy(col("pid"), col("rk"))
+    val before = results(idxDf).collect()
+    assert(before.nonEmpty &&
+      before.forall(r => r.getAs[Long]("cid") % 7 != 3),
+      "a tombstoned vector surfaced in search results")
+    // compact ONE list (threshold chosen to hit exactly its ratio)
+    val victim = idxDf.select(col("cluster")).head().get(0)
+    idxDf.filter(col("cluster") === victim)
+      .join(tomb, idxDf("cid") === tomb("vec_id"), "left_anti")
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cluster").parquet(idx)
+    val after = spark.read.parquet(idx)
+    // the compacted list physically dropped its dead rows; a cold
+    // list still carries them (tombstone-filtered at search time)
+    assert(after.filter(col("cluster") === victim)
+      .join(tomb, after("cid") === tomb("vec_id"), "left_semi").isEmpty,
+      "compaction must drop the dead rows of its list")
+    assert(after.filter(col("cluster") =!= victim).count() ==
+      idxDf.filter(col("cluster") =!= victim).count(),
+      "dynamic overwrite must not touch cold partitions")
+    // and the search result is byte-identical before/after compaction
+    assert(results(after).collect().sameElements(before),
+      "compaction changed search results")
+  }
+
   test("guards: bad nprobe / indivisible dims / oversized K fail loudly") {
     intercept[IllegalArgumentException] {
       IvfPq.search(IvfPq.index(emb, "embedding", model),
