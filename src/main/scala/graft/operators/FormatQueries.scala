@@ -360,24 +360,39 @@ object FormatQueries {
       val base = java.nio.file.Files.createTempDirectory("graft-cdcstream")
       val real = Tables.events(s, d)
       val (lo, hi) = StreamParityQueries.spanOf(real.as[Event])
-      val (inDir, schema) = Replay.fileEpochs(Cdc.envelope(real),
+      // checkpoint the wire BEFORE the replay prep: fileEpochs writes
+      // each chunk through coalesce(1), which would otherwise run the
+      // whole 1-task-serial JSON encode once PER chunk — materialized
+      // once here, the encode is parallel and the chunk writes are
+      // pure IO
+      val wire = Cdc.envelope(real).localCheckpoint()
+      val (inDir, schema) = Replay.fileEpochs(wire,
         StreamParityQueries.quarterChunks(lo, hi), base.toString)
       val url = s"jdbc:derby:$base/db;create=true"
       Cdc.initStateTable(url)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id"))
         .orderBy(col("ts_us").desc, col("pos").desc)
-      val q = Cdc.parse(Replay.streamDf(s, inDir, schema), col("json"))
-        .writeStream
-        .option("checkpointLocation", s"$base/ck")
-        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          Cdc.mergeBatch(
-            b.withColumn("__rn", row_number().over(w))
-              .filter(col("__rn") === 1).drop("__rn"), url)
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // each replay epoch is ONE ~chunk-sized file; at the default
+      // 128 MB split size its JSON decode runs ~2-way — shrink the
+      // split for the replay so every micro-batch decodes wide
+      // (restored after: a session conf, scoped to the stream run)
+      val mpbKey = "spark.sql.files.maxPartitionBytes"
+      val prevMpb = s.conf.get(mpbKey)
+      s.conf.set(mpbKey, "8m")
+      try {
+        val q = Cdc.parse(Replay.streamDf(s, inDir, schema), col("json"))
+          .writeStream
+          .option("checkpointLocation", s"$base/ck")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            Cdc.mergeBatch(
+              b.withColumn("__rn", row_number().over(w))
+                .filter(col("__rn") === 1).drop("__rn"), url)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set(mpbKey, prevMpb)
       s.read.format("jdbc").option("url", url)
         .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
         .option("dbtable", "CDC_STATE").load()

@@ -112,16 +112,28 @@ object Cdc {
     * BATCHED JDBC (not row-at-a-time): the caller reduces the
     * micro-batch to last-op-per-key first (the q302 window), which
     * also hash-partitions it by user_id — each partition owns its
-    * keys exclusively. Per `chunk` of 256 keys this issues ONE
-    * chunked `SELECT … WHERE USER_ID IN (…)` to load stored versions,
-    * then one `executeBatch` of version-guarded UPDATEs and one of
-    * INSERTs — O(rows/256) round trips instead of O(2·rows). The
-    * (ts_us, pos) guard ALSO rides the UPDATE's WHERE clause (the
-    * MERGE-with-version-predicate shape), so even a replayed task
-    * attempt racing this one can never regress a newer stored
-    * version. */
+    * keys exclusively, so partitions write disjoint key sets in
+    * parallel. Per 1024-key chunk, UPDATE-FIRST merge semantics:
+    *  1. one `executeBatch` of version-guarded UPDATEs (the
+    *     (ts_us, pos) predicate rides the WHERE clause — the
+    *     MERGE-with-version-predicate shape, so a replayed task
+    *     attempt can never regress a newer stored version);
+    *  2. rows whose update count is 0 are either absent or
+    *     stored-newer: a primary-key POINT lookup per miss
+    *     distinguishes them (index lookups only — a set-oriented
+    *     IN-list probe here plans as a table scan whose read locks
+    *     drag across other writers' uncommitted rows and deadlocks
+    *     the embedded store; measured, not theory);
+    *  3. one `executeBatch` of INSERTs for the absent keys.
+    * In steady state almost every row is an update → ~2 batch calls
+    * per 1024 rows; the first batch is inserts → point lookups once.
+    * Commit per chunk (short transactions, bounded lock footprint,
+    * log-fsync amortized 1024×); chunks sort ascending by key so
+    * concurrent writers acquire page locks monotonically. Deadlock
+    * victims roll back and replay the chunk — safe, every write is
+    * version-guarded. */
   def mergeBatch(batch: DataFrame, url: String): Unit = {
-    val chunk = 256
+    val chunk = 1024
     batch.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.hasNext) {
         val conn = java.sql.DriverManager.getConnection(url)
@@ -134,55 +146,76 @@ object Cdc {
             "UPDATE CDC_STATE SET VAL = ?, K = ?, TS_US = ?, POS = ?, " +
               "DELETED = ? WHERE USER_ID = ? " +
               "AND (TS_US < ? OR (TS_US = ? AND POS < ?))")
-          rows.grouped(chunk).foreach { grp =>
-            // one round trip: stored versions for this chunk's keys
-            val sel = conn.prepareStatement(
-              "SELECT USER_ID, TS_US, POS FROM CDC_STATE WHERE USER_ID IN (" +
-                Seq.fill(grp.size)("?").mkString(", ") + ")")
-            grp.zipWithIndex.foreach { case (r, i) =>
-              sel.setLong(i + 1, r.getAs[Number]("user_id").longValue()) }
-            val rs = sel.executeQuery()
-            val current = scala.collection.mutable.Map.empty[Long, (Long, Long)]
-            while (rs.next()) current(rs.getLong(1)) = (rs.getLong(2), rs.getLong(3))
-            rs.close(); sel.close()
-            var nUpd = 0; var nIns = 0
-            grp.foreach { r =>
-              val key = r.getAs[Number]("user_id").longValue()
-              val ts = r.getAs[Number]("ts_us").longValue()
-              val pos = r.getAs[Number]("pos").longValue()
-              val dead = r.getAs[String]("op") == "d"
-              val stored = current.get(key)
-              val newer = stored.forall { case (cts, cpos) =>
-                ts > cts || (ts == cts && pos > cpos) }
-              if (newer) {
-                // param layouts: INSERT (key, val, k, ts, pos, deleted);
-                // UPDATE (val, k, ts, pos, deleted, key, ts, ts, pos)
-                val exists = stored.isDefined
-                val st = if (exists) upd else ins
-                val i = if (exists) 0 else 1
-                if (!exists) st.setLong(1, key)
-                else {
-                  st.setLong(6, key)
-                  st.setLong(7, ts); st.setLong(8, ts); st.setLong(9, pos)
+          val sel = conn.prepareStatement(
+            "SELECT 1 FROM CDC_STATE WHERE USER_ID = ?")
+          def imageParams(st: java.sql.PreparedStatement, i: Int,
+                          r: org.apache.spark.sql.Row, dead: Boolean,
+                          ts: Long, pos: Long): Unit = {
+            if (dead) {
+              st.setNull(i + 1, java.sql.Types.DOUBLE)
+              st.setNull(i + 2, java.sql.Types.BIGINT)
+            } else {
+              st.setDouble(i + 1, r.getAs[Number]("value").doubleValue())
+              st.setLong(i + 2, r.getAs[Number]("k").longValue())
+            }
+            st.setLong(i + 3, ts); st.setLong(i + 4, pos)
+            st.setShort(i + 5, if (dead) 1 else 0)
+          }
+          rows.grouped(chunk).foreach { grpUnsorted =>
+            val grp = grpUnsorted
+              .sortBy(_.getAs[Number]("user_id").longValue())
+            var attempt = 0
+            var done = false
+            while (!done) {
+              try {
+                // phase 1: guarded UPDATE for every row
+                // (params: val, k, ts, pos, deleted, key, ts, ts, pos)
+                grp.foreach { r =>
+                  val key = r.getAs[Number]("user_id").longValue()
+                  val ts = r.getAs[Number]("ts_us").longValue()
+                  val pos = r.getAs[Number]("pos").longValue()
+                  imageParams(upd, 0, r, r.getAs[String]("op") == "d", ts, pos)
+                  upd.setLong(6, key)
+                  upd.setLong(7, ts); upd.setLong(8, ts); upd.setLong(9, pos)
+                  upd.addBatch()
                 }
-                if (dead) {
-                  st.setNull(i + 1, java.sql.Types.DOUBLE)
-                  st.setNull(i + 2, java.sql.Types.BIGINT)
-                } else {
-                  st.setDouble(i + 1, r.getAs[Number]("value").doubleValue())
-                  st.setLong(i + 2, r.getAs[Number]("k").longValue())
+                val counts = upd.executeBatch()
+                // phases 2+3: distinguish each miss (absent vs
+                // stored-newer) by PK point lookup; INSERT the absent
+                var nIns = 0
+                grp.zip(counts.toIndexedSeq).foreach { case (r, c) =>
+                  if (c == 0) {
+                    val key = r.getAs[Number]("user_id").longValue()
+                    sel.setLong(1, key)
+                    val rs = sel.executeQuery()
+                    val exists = rs.next(); rs.close()
+                    if (!exists) {
+                      val ts = r.getAs[Number]("ts_us").longValue()
+                      val pos = r.getAs[Number]("pos").longValue()
+                      ins.setLong(1, key)
+                      imageParams(ins, 1, r, r.getAs[String]("op") == "d", ts, pos)
+                      ins.addBatch()
+                      nIns += 1
+                    }
+                  }
                 }
-                st.setLong(i + 3, ts); st.setLong(i + 4, pos)
-                st.setShort(i + 5, if (dead) 1 else 0)
-                st.addBatch()
-                if (exists) nUpd += 1 else nIns += 1
+                if (nIns > 0) ins.executeBatch()
+                conn.commit()
+                done = true
+              } catch {
+                // deadlock victim: roll back, clear the half-built
+                // batches, replay the chunk (version guards make the
+                // replay a no-op where it already applied)
+                case _: java.sql.SQLTransactionRollbackException
+                    if attempt < 6 =>
+                  conn.rollback()
+                  upd.clearBatch(); ins.clearBatch()
+                  attempt += 1
+                  Thread.sleep(25L << attempt)
               }
             }
-            if (nUpd > 0) upd.executeBatch()
-            if (nIns > 0) ins.executeBatch()
           }
-          conn.commit()
-          ins.close(); upd.close()
+          sel.close(); ins.close(); upd.close()
         } finally conn.close()
       }
     }

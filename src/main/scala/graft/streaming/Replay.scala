@@ -22,8 +22,19 @@ object Replay {
       : (String, StructType) = {
     val in = s"$base/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
-    conds.zipWithIndex.foreach { case (cond, i) =>
+    // chunks are independent single-task write jobs — run them
+    // CONCURRENTLY (each job still writes one file; at a 10 M-row
+    // replay the 4 serial writes were most of the prep wall time)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val jobs = conds.zipWithIndex.map { case (cond, i) => Future {
+      // small row groups: a chunk is ONE file (the epoch contract),
+      // and parquet assigns a row group to the byte-range split
+      // holding its midpoint — one default-sized row group would make
+      // every micro-batch read effectively serial no matter how many
+      // splits the scan planner creates
       ds.filter(cond).coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (4 * 1024 * 1024).toString)
         .parquet(s"$base/stage_$i")
       val listing = java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/stage_$i"))
       val part =
@@ -41,7 +52,8 @@ object Replay {
         java.nio.file.Files.setLastModifiedTime(dst,
           java.nio.file.attribute.FileTime.fromMillis(1_000_000_000_000L + i * 60_000L))
       }
-    }
+    } }
+    jobs.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
     (in, ds.sparkSession.read.parquet(in).schema)
   }
 
