@@ -76,7 +76,9 @@ object Bench {
     "q310_zorder_prune",      // z-order written layout, real scan pruning
     "q311_scd2_asof",         // CDC changelog → SCD2 dim → as-of probes
     "q312_ivfpq_delete",      // tombstoned deletes + list compaction
-    "q313_cms_stream")        // count-min sketch as streaming state
+    "q313_cms_stream",        // count-min sketch as streaming state
+    "q314_zorder_optimize",   // incremental OPTIMIZE of appended deltas
+    "q315_backoff_lm")        // stupid-backoff bigram LM, held-out scored
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -36,57 +36,64 @@ object BenchBudgets {
 
   /** min-of-3 from one quiet sf0.1 session (re-baselined r10). */
   val sf01QuietMin: Map[String, Double] = Map(
-    "q01_agg_basic" -> 0.843,
-    "q04_grouping_sets" -> 0.921,
-    "q100_tpch_q2" -> 0.836,
-    "q103_tpch_q9" -> 1.307,
-    "q107_tpch_q21" -> 1.457,
-    "q108_dup_span" -> 1.457,
-    "q10_join_star" -> 1.021,
-    "q111_ds_union_rollup" -> 1.121,
-    "q112_ds_yoy_selfjoin" -> 0.879,
-    "q116_ds_rollup_rank" -> 1.207,
-    "q11_join_left" -> 0.529,
-    "q210_bloom_decontaminate" -> 0.964,
-    "q211_pq_ann" -> 1.679,
-    "q214_surprisal_score" -> 0.707,
-    "q21_setop_all" -> 1.207,
-    "q220_token_budget_select" -> 0.586,
-    "q231_dup_spans_maximal" -> 1.257,
-    "q242_avro_roundtrip" -> 0.579,
-    "q261_gaussian_outliers" -> 0.529,
-    "q262_dim_correlation" -> 0.814,
-    "q268_ivfpq_exact" -> 2.650,
-    "q270_fluent_pipeline" -> 0.800,
-    "q279_bm25_topk" -> 1.400,
-    "q27_tpch_q5" -> 1.179,
-    "q280_winnow_dedup" -> 2.050,
-    "q288_fluent_over" -> 1.021,
-    "q290_bpe_encode" -> 1.879,
-    "q291_dup_span_witness" -> 2.100,
-    "q298_cms_heavy_hitters" -> 1.100,
-    "q299_entropy_gate" -> 1.621,
-    "q300_zorder_layout" -> 1.914,
-    "q304_unigram_em" -> 1.607,
-    "q29_tpch_q18" -> 1.129,
-    "q30_over_rank" -> 0.929,
-    "q35_topn_per_key" -> 0.650,
-    "q46_unnest_words" -> 0.400,
-    "q52_window_session" -> 0.879,
-    "q54_asof_join" -> 0.629,
-    "q59_asof_exec" -> 0.579,
-    "q64_minhash_sig" -> 0.521,
-    "q66_ngram_jaccard" -> 1.036,
-    "q70_knn_brute" -> 0.457,
-    "q72_lsh_ann" -> 0.357,
-    "q73_embed_neardup" -> 0.686,
-    "q76_repetition" -> 0.921,
-    "q78_curate" -> 0.586,
-    "q79_simhash_neardup" -> 0.700,
-    "q85_tpch_q7" -> 1.114,
-    "q88_cep_nofollow" -> 0.564,
-    "q89_tpch_q4" -> 1.136,
-    "q91_tpch_q19" -> 0.536)
+    "q01_agg_basic" -> 1.12,
+    "q04_grouping_sets" -> 1.378,
+    "q100_tpch_q2" -> 1.112,
+    "q103_tpch_q9" -> 1.647,
+    "q107_tpch_q21" -> 1.79,
+    "q108_dup_span" -> 1.744,
+    "q10_join_star" -> 1.259,
+    "q111_ds_union_rollup" -> 1.296,
+    "q112_ds_yoy_selfjoin" -> 1.06,
+    "q116_ds_rollup_rank" -> 1.533,
+    "q11_join_left" -> 0.614,
+    "q210_bloom_decontaminate" -> 1.227,
+    "q211_pq_ann" -> 2.074,
+    "q214_surprisal_score" -> 0.912,
+    "q21_setop_all" -> 1.358,
+    "q220_token_budget_select" -> 0.743,
+    "q231_dup_spans_maximal" -> 1.516,
+    "q242_avro_roundtrip" -> 0.756,
+    "q261_gaussian_outliers" -> 0.657,
+    "q262_dim_correlation" -> 0.99,
+    "q268_ivfpq_exact" -> 3.339,
+    "q270_fluent_pipeline" -> 0.977,
+    "q279_bm25_topk" -> 1.959,
+    "q27_tpch_q5" -> 1.238,
+    "q280_winnow_dedup" -> 2.616,
+    "q288_fluent_over" -> 1.424,
+    "q290_bpe_encode" -> 2.475,
+    "q291_dup_span_witness" -> 2.53,
+    "q298_cms_heavy_hitters" -> 1.203,
+    "q299_entropy_gate" -> 1.866,
+    "q29_tpch_q18" -> 1.332,
+    "q300_zorder_layout" -> 2.154,
+    "q304_unigram_em" -> 2.069,
+    "q309_unigram_prune" -> 1.374,
+    "q30_over_rank" -> 1.069,
+    "q310_zorder_prune" -> 3.79,
+    "q311_scd2_asof" -> 1.479,
+    "q312_ivfpq_delete" -> 4.866,
+    "q313_cms_stream" -> 5.749,
+    "q314_zorder_optimize" -> 3.583,
+    "q315_backoff_lm" -> 1.202,
+    "q35_topn_per_key" -> 0.711,
+    "q46_unnest_words" -> 0.433,
+    "q52_window_session" -> 1.043,
+    "q54_asof_join" -> 0.8,
+    "q59_asof_exec" -> 0.719,
+    "q64_minhash_sig" -> 0.688,
+    "q66_ngram_jaccard" -> 1.273,
+    "q70_knn_brute" -> 0.658,
+    "q72_lsh_ann" -> 0.457,
+    "q73_embed_neardup" -> 0.873,
+    "q76_repetition" -> 1.279,
+    "q78_curate" -> 0.904,
+    "q79_simhash_neardup" -> 0.823,
+    "q85_tpch_q7" -> 1.362,
+    "q88_cep_nofollow" -> 0.835,
+    "q89_tpch_q4" -> 1.604,
+    "q91_tpch_q19" -> 0.713)
 
   /** Budget before drift scaling: quiet min × headroom, ≥ 0.5 s. */
   def budget(n: String): Option[Double] =

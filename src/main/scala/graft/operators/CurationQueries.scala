@@ -1206,6 +1206,62 @@ object CurationQueries {
         .orderBy(col("cnt").desc, col("piece"))
     }),
 
+    // Stupid-Backoff bigram LM surprisal (Brants et al. 2007, "Large
+    // Language Models in Machine Translation" — the web-scale LM
+    // scoring recipe: score backs off to the unigram with a fixed
+    // factor, no normalization, which is what makes it exactly
+    // integer-quantizable). Completes the LM-quality family: q214 is
+    // the unigram scorer; this is the conditional bigram scorer with
+    // real out-of-vocabulary handling. The LM trains on the EVEN-
+    // doc_id half (bigram+unigram counts) and scores the ODD half —
+    // the q235/q236 held-out discipline, so unseen bigrams AND unseen
+    // words genuinely exercise both backoff tiers. Per position i≥2:
+    //   seen bigram            → flog2(c(prev) div c(prev,cur))
+    //   unseen bigram, seen w  → flog2(N div c(cur)) + 1  (0.4 ≈ 1 bit)
+    //   unseen word            → flog2(N) + 2
+    // All integer (the q214 flog2 discipline). Scale: count tables
+    // are corpus-bounded aggregates; scoring = one explode + three
+    // equi-joins + a per-doc rollup — no per-row UDF, no driver state.
+    "q315_backoff_lm" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ws = toks(col("text"))
+      def pairs(df: DataFrame): DataFrame = df.select(col("doc_id"),
+        explode(when(size(ws) >= 2,
+          transform(sequence(lit(2), size(ws)),
+            i => struct(element_at(ws, i - 1).as("prev"),
+                        element_at(ws, i).as("cur"))))
+          .otherwise(array().cast("array<struct<prev:string,cur:string>>")))
+          .as("bg"))
+        .select(col("doc_id"), col("bg.prev").as("prev"),
+          col("bg.cur").as("cur"))
+      val train = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val held = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      val cb = pairs(train).groupBy(col("prev"), col("cur"))
+        .agg(count(lit(1)).as("cb"))
+      val cu = train.select(explode(ws).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      val nTot = cu.agg(sum(col("cu")).as("n_tot"))
+      pairs(held)
+        .join(cb, Seq("prev", "cur"), "left")
+        .join(cu.select(col("w").as("prev"), col("cu").as("cprev")),
+          Seq("prev"), "left")
+        .join(cu.select(col("w").as("cur"), col("cu").as("ccur")),
+          Seq("cur"), "left")
+        .crossJoin(broadcast(nTot))
+        .withColumn("s",
+          when(col("cb").isNotNull, blog2(expr("cprev div cb")))
+          .when(col("ccur").isNotNull, blog2(expr("n_tot div ccur")) + 1)
+          .otherwise(blog2(col("n_tot")) + 2))
+        .withColumn("backoff", col("cb").isNull.cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("s")).as("surprisal"),
+          sum(col("backoff")).as("n_backoff"))
+        .withColumn("milli_bits_per_bigram",
+          expr("(1000 * surprisal) div n_bigrams"))
+        .orderBy(col("doc_id"))
+    }),
+
     // STREAMING winnowing gate at ingestion — q280's fingerprints
     // recomputed as a PURE PER-ROW PROJECTION (grams → packed keys →
     // per-window minima → distinct hashes, all inside array
@@ -1828,6 +1884,39 @@ object CurationQueries {
          |FROM vp2 p LEFT JOIN usage2 u USING (piece)
          |CROSS JOIN cost1 c1 CROSS JOIN cost2 c2 CROSS JOIN cost3 c3
          |ORDER BY cnt DESC, p.piece""".stripMargin,
+
+    // Stupid Backoff replayed: counts from the even half, every held-
+    // out position classified into its tier — integer-exact.
+    "q315_backoff_lm" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |hd AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |       FROM documents WHERE doc_id % 2 = 1),
+        |cb AS (SELECT prev, cur, count(*)::BIGINT AS cb FROM (
+        |         SELECT ws[i-1] AS prev, ws[i] AS cur
+        |         FROM tr, LATERAL unnest(range(2, len(ws)+1)) AS t(i))
+        |       GROUP BY 1, 2),
+        |cu AS (SELECT w, count(*)::BIGINT AS cu FROM (
+        |         SELECT unnest(ws) AS w FROM tr) GROUP BY 1),
+        |n AS (SELECT sum(cu)::BIGINT AS n_tot FROM cu),
+        |hdbg AS (SELECT doc_id, ws[i-1] AS prev, ws[i] AS cur
+        |         FROM hd, LATERAL unnest(range(2, len(ws)+1)) AS t(i)),
+        |sc AS (SELECT h.doc_id,
+        |         CASE WHEN cb.cb IS NOT NULL
+        |                THEN len(bin(cp.cu // cb.cb)) - 1
+        |              WHEN cc.cu IS NOT NULL
+        |                THEN len(bin(n.n_tot // cc.cu))
+        |              ELSE len(bin(n.n_tot)) + 1 END AS s,
+        |         CASE WHEN cb.cb IS NULL THEN 1 ELSE 0 END AS backoff
+        |       FROM hdbg h
+        |       LEFT JOIN cb ON cb.prev = h.prev AND cb.cur = h.cur
+        |       LEFT JOIN cu cp ON cp.w = h.prev
+        |       LEFT JOIN cu cc ON cc.w = h.cur
+        |       CROSS JOIN n)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  sum(s)::BIGINT AS surprisal, sum(backoff)::BIGINT AS n_backoff,
+        |  ((1000 * sum(s)) // count(*))::BIGINT AS milli_bits_per_bigram
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q296_containment" ->
       """WITH sh0 AS (

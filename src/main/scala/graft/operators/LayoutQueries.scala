@@ -61,9 +61,11 @@ object LayoutQueries {
     * footer statistics give the reader 32 prunable row groups.
     * Returns (naturalDir, zorderDir, plo, phi, slo, shi) with the
     * probe rectangle = the middle fifth of each key domain. */
-  private[operators] def writeZorderLayouts(
-      s: org.apache.spark.sql.SparkSession, d: String, base: String)
-      : (String, String, Long, Long, Long, Long) = {
+  /** lineitem with its Morton key as a pure projection, plus the
+    * probe rectangle (middle fifth of each key domain). */
+  private[operators] def zkeyed(s: org.apache.spark.sql.SparkSession,
+                                d: String)
+      : (DataFrame, Long, Long, Long, Long) = {
     val (pkmin, pkmax, skmin, skmax) = keyStats(s, d)
     val keyed = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
@@ -71,6 +73,15 @@ object LayoutQueries {
       .withColumn("zkey", interleave(
         expr(s"((l_partkey - $pkmin) * 65535) div ${pkmax - pkmin + 1}"),
         expr(s"((l_suppkey - $skmin) * 65535) div ${skmax - skmin + 1}")))
+    (keyed,
+      pkmin + (pkmax - pkmin) * 2 / 5, pkmin + (pkmax - pkmin) * 3 / 5,
+      skmin + (skmax - skmin) * 2 / 5, skmin + (skmax - skmin) * 3 / 5)
+  }
+
+  private[operators] def writeZorderLayouts(
+      s: org.apache.spark.sql.SparkSession, d: String, base: String)
+      : (String, String, Long, Long, Long, Long) = {
+    val (keyed, plo, phi, slo, shi) = zkeyed(s, d)
     val (natDir, zDir) = (s"$base/natural", s"$base/zorder")
     keyed.repartitionByRange(32, col("l_orderkey"))
       .sortWithinPartitions(col("l_orderkey"))
@@ -78,9 +89,56 @@ object LayoutQueries {
     keyed.repartitionByRange(32, col("zkey"))
       .sortWithinPartitions(col("zkey"))
       .write.mode("overwrite").parquet(zDir)
-    (natDir, zDir,
-      pkmin + (pkmax - pkmin) * 2 / 5, pkmin + (pkmax - pkmin) * 3 / 5,
-      skmin + (skmax - skmin) * 2 / 5, skmin + (skmax - skmin) * 3 / 5)
+    (natDir, zDir, plo, phi, slo, shi)
+  }
+
+  private def partFiles(dir: String): Set[String] = {
+    val p = java.nio.file.Paths.get(dir)
+    val walk = java.nio.file.Files.list(p)
+    try walk.filter(_.getFileName.toString.endsWith(".parquet"))
+      .map[String](_.getFileName.toString)
+      .collect(java.util.stream.Collectors.toSet[String])
+      .asInstanceOf[java.util.Set[String]]
+      .toArray(Array.empty[String]).toSet
+    finally walk.close()
+  }
+
+  /** q314's table: a z-ordered BASE (90% of lineitem) that then
+    * receives an UNSORTED natural-order delta append (the other 10%)
+    * — the state every lakehouse table is in between OPTIMIZE runs.
+    * Returns (tableDir, baseFiles, deltaFiles, probe bounds). */
+  private[operators] def writeOptimizeTable(
+      s: org.apache.spark.sql.SparkSession, d: String, base: String)
+      : (String, Set[String], Set[String], Long, Long, Long, Long) = {
+    val (keyed, plo, phi, slo, shi) = zkeyed(s, d)
+    val dir = s"$base/table"
+    keyed.filter(pmod(col("l_orderkey"), lit(10)) =!= 0)
+      .repartitionByRange(32, col("zkey")).sortWithinPartitions(col("zkey"))
+      .write.parquet(dir)
+    val baseFiles = partFiles(dir)
+    keyed.filter(pmod(col("l_orderkey"), lit(10)) === 0)
+      .repartitionByRange(4, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("append").parquet(dir)
+    (dir, baseFiles, partFiles(dir) -- baseFiles, plo, phi, slo, shi)
+  }
+
+  /** Incremental OPTIMIZE: rewrite ONLY the delta files into z-order
+    * — staged write, move in, drop the unsorted originals; the base
+    * files are never read or touched (the q312 partition-local
+    * compaction discipline applied to layout maintenance). */
+  private[operators] def optimizeDelta(s: org.apache.spark.sql.SparkSession,
+      dir: String, deltaFiles: Set[String], staging: String): Unit = {
+    s.read.parquet(deltaFiles.map(n => s"$dir/$n").toSeq: _*)
+      .repartitionByRange(4, col("zkey")).sortWithinPartitions(col("zkey"))
+      .write.parquet(staging)
+    partFiles(staging).foreach { n =>
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(staging, n),
+        java.nio.file.Paths.get(dir, n))
+    }
+    deltaFiles.foreach { n =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(dir, n)) }
   }
 
   /** The probe-rectangle aggregate over one written layout. */
@@ -116,6 +174,29 @@ object LayoutQueries {
         writeZorderLayouts(s, d, base.toString)
       probeRect(s, natDir, "natural", plo, phi, slo, shi)
         .unionAll(probeRect(s, zDir, "zorder", plo, phi, slo, shi))
+        .orderBy(col("layout"))
+    }),
+
+    // INCREMENTAL OPTIMIZE — the lakehouse maintenance loop on top of
+    // q310: a z-ordered base receives an unsorted natural-order delta
+    // append (the state every table is in between OPTIMIZE runs); the
+    // probe aggregate must be IDENTICAL before and after compaction
+    // (the oracle pins both phases against the source table), and the
+    // OPTIMIZE step rewrites ONLY the delta files into z-order — the
+    // base files are never read or touched, so at 100 TB the
+    // maintenance cost tracks the APPEND rate, not the table size.
+    // SketchLayoutSpec asserts base-file immutability and that the
+    // post-OPTIMIZE probe scan reads strictly fewer rows.
+    "q314_zorder_optimize" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-zopt")
+      val (dir, _, deltaFiles, plo, phi, slo, shi) =
+        writeOptimizeTable(s, d, tmp.toString)
+      // materialize the pre-OPTIMIZE probe BEFORE compaction mutates
+      // the directory (the read is lazy)
+      val pre = probeRect(s, dir, "pre_optimize", plo, phi, slo, shi)
+        .localCheckpoint()
+      optimizeDelta(s, dir, deltaFiles, s"$tmp/staging")
+      pre.unionAll(probeRect(s, dir, "post_optimize", plo, phi, slo, shi))
         .orderBy(col("layout"))
     }),
     // Z-order vs natural (orderkey-range) layout: bucket lineitem 32
@@ -239,6 +320,30 @@ object LayoutQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    // phase-independent: compaction must not change a single value
+    "q314_zorder_optimize" ->
+      """WITH g AS (
+        |  SELECT min(l_partkey) AS pkmin, max(l_partkey) AS pkmax,
+        |         min(l_suppkey) AS skmin, max(l_suppkey) AS skmax
+        |  FROM lineitem),
+        |probe AS (
+        |  SELECT pkmin + ((pkmax - pkmin) * 2) // 5 AS plo,
+        |         pkmin + ((pkmax - pkmin) * 3) // 5 AS phi,
+        |         skmin + ((skmax - skmin) * 2) // 5 AS slo,
+        |         skmin + ((skmax - skmin) * 3) // 5 AS shi
+        |  FROM g),
+        |agg AS (
+        |  SELECT count(*)::BIGINT AS n_rows,
+        |         count(DISTINCT l_orderkey)::BIGINT AS n_orders,
+        |         sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+        |           AS cents
+        |  FROM lineitem, probe
+        |  WHERE l_partkey BETWEEN plo AND phi
+        |    AND l_suppkey BETWEEN slo AND shi)
+        |SELECT l.layout, a.n_rows, a.n_orders, a.cents
+        |FROM (VALUES ('post_optimize'), ('pre_optimize')) l(layout)
+        |CROSS JOIN agg a ORDER BY l.layout""".stripMargin,
+
     // layout-independent: both rows must equal the source-table
     // rectangle aggregate
     "q310_zorder_prune" ->

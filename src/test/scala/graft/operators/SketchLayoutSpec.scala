@@ -110,6 +110,43 @@ class SketchLayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", wasAqe)
   }
 
+  test("incremental OPTIMIZE: base files untouched, delta pruned after") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zoptspec")
+    val (dir, baseFiles, deltaFiles, plo, phi, slo, shi) =
+      LayoutQueries.writeOptimizeTable(spark, sf, tmp.toString)
+    assert(deltaFiles.nonEmpty && baseFiles.nonEmpty)
+    def sizes(names: Set[String]): Map[String, Long] = names.map { n =>
+      n -> java.nio.file.Files.size(java.nio.file.Paths.get(dir, n)) }.toMap
+    val baseSizesBefore = sizes(baseFiles)
+    val wasAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def scanRows(): Long = {
+        val df = spark.read.parquet(dir)
+          .filter(col("l_partkey").between(plo, phi) &&
+                  col("l_suppkey").between(slo, shi))
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.head.metrics("numOutputRows").value
+      }
+      val preRows = scanRows()
+      LayoutQueries.optimizeDelta(spark, dir, deltaFiles, s"$tmp/staging")
+      // compaction is incremental: every base file byte-identical in
+      // place, every unsorted delta file gone
+      assert(sizes(baseFiles) == baseSizesBefore,
+        "OPTIMIZE must not rewrite base files")
+      assert(deltaFiles.forall(n =>
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(dir, n))),
+        "unsorted delta files must be gone")
+      // and the same probe now reads strictly fewer rows: the delta's
+      // row groups carry tight footer boxes after the rewrite
+      val postRows = scanRows()
+      assert(postRows < preRows,
+        s"post-OPTIMIZE scan must prune the delta: pre=$preRows post=$postRows")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", wasAqe)
+  }
+
   test("bucketed join: the join itself carries no exchange") {
     val df = LayoutQueries.queries("q306_bucketed_join")(spark, sf)
     df.collect() // run so AQE finalizes the executed plan
