@@ -444,6 +444,55 @@ object FormatQueries {
         .select(col("probe_no"), col("user_id"), col("value"), col("k"),
           col("version"), col("is_current"))
         .orderBy(col("probe_no"), col("user_id"))
+    }),
+
+    // STREAMING SCD2 maintenance — q311's history dimension kept
+    // incrementally (the q303 discipline applied to the TYPE-2 shape):
+    // the changelog replays in four micro-batches and each batch
+    // closes open intervals + inserts new versions into a keyed
+    // history table; intermediate versions inside a batch get their
+    // VALID_TO_US at insert time (sorted per-key runs + lookahead), so
+    // only the pre-existing open row per key is ever UPDATEd. The
+    // final table must equal the one-shot window-built SCD2 — every
+    // version, interval bound, and tombstone (same oracle CTE as
+    // q311, minus the probes). A 2%-of-keys slice keeps the
+    // full-history output bounded; the per-key maintenance cost is
+    // identical at any corpus size.
+    "q317_scd2_stream" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.{Cdc, Event, Replay}
+      val base = java.nio.file.Files.createTempDirectory("graft-scd2stream")
+      val real = Tables.events(s, d).filter(pmod(col("user_id"), lit(50)) === 0)
+      val (lo, hi) = StreamParityQueries.spanOf(
+        Tables.events(s, d).as[Event])
+      val wire = Cdc.envelope(real).localCheckpoint()
+      val (inDir, schema) = Replay.fileEpochs(wire,
+        StreamParityQueries.quarterChunks(lo, hi), base.toString)
+      val url = s"jdbc:derby:$base/db;create=true"
+      Cdc.initScd2Table(url)
+      val q = Cdc.parse(Replay.streamDf(s, inDir, schema), col("json"))
+        .writeStream
+        .option("checkpointLocation", s"$base/ck")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          Cdc.scd2Batch(b, url)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val hist = s.read.format("jdbc").option("url", url)
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .option("dbtable", "SCD2_HIST").load()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("USER_ID"))
+        .orderBy(col("VALID_FROM_US"), col("POS"))
+      hist.select(col("USER_ID").as("user_id"),
+          col("VALID_FROM_US").as("valid_from_us"), col("POS").as("pos"),
+          col("OP").as("op"), col("VAL").as("value"), col("K").as("k"),
+          col("VALID_TO_US").as("valid_to_us"))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("is_current",
+          col("valid_to_us").isNull && col("op") =!= "d")
+        .orderBy(col("user_id"), col("valid_from_us"), col("pos"))
     })
   )
 
@@ -473,6 +522,30 @@ object FormatQueries {
     "q303_cdc_stream_merge" -> (cdcCtes + """
       |SELECT user_id, value, k, ts_us AS last_ts_us
       |FROM latest WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin),
+    // the streamed history table must equal the one-shot window-built
+    // SCD2 on the same key slice: every version, bound, tombstone
+    "q317_scd2_stream" ->
+      """WITH ch AS (
+        |  SELECT user_id,
+        |    CASE event_type WHEN 'signup' THEN 'c'
+        |                    WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+        |    epoch_us(ts) AS ts_us, event_id AS pos, value,
+        |    CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k
+        |  FROM events WHERE user_id % 50 = 0),
+        |v AS (
+        |  SELECT user_id, op, ts_us, pos,
+        |    CASE WHEN op = 'd' THEN NULL ELSE value END AS value,
+        |    CASE WHEN op = 'd' THEN NULL ELSE k END AS k,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts_us, pos) AS version,
+        |    lead(ts_us) OVER (PARTITION BY user_id
+        |                      ORDER BY ts_us, pos) AS valid_to
+        |  FROM ch)
+        |SELECT user_id, ts_us AS valid_from_us, pos, op, value, k,
+        |  valid_to AS valid_to_us, version::BIGINT AS version,
+        |  (valid_to IS NULL AND op <> 'd') AS is_current
+        |FROM v ORDER BY user_id, valid_from_us, pos""".stripMargin,
+
     // the SCD2 intervals replayed as a window pass; the as-of probe is
     // the half-open interval join (valid_from <= t < valid_to) —
     // zero-length intervals from same-microsecond version ties can

@@ -153,6 +153,80 @@ object Multimodal {
       decodeNetpbm("P6", 3, bytes)
   }
 
+  /** WAV/RIFF PCM — the audio sibling of the netpbm codecs: a genuine
+    * container format with a pure-JVM codec, so the AUDIO leg of the
+    * multimodal path is real too. The writer emits the full RIFF
+    * grammar (RIFF/WAVE wrapper, `fmt ` PCM chunk, a LIST chunk of
+    * ODD size between fmt and data — real parsers must skip unknown
+    * chunks AND honor RIFF's word alignment — then the `data` chunk
+    * of 16-bit signed little-endian samples); the reader walks chunks
+    * by the grammar, never by fixed offsets. */
+  object Wav {
+    private def le16(out: Array[Byte], pos: Int, v: Int): Unit = {
+      out(pos) = (v & 0xff).toByte; out(pos + 1) = ((v >> 8) & 0xff).toByte
+    }
+    private def le32(out: Array[Byte], pos: Int, v: Int): Unit = {
+      le16(out, pos, v & 0xffff); le16(out, pos + 2, (v >>> 16) & 0xffff)
+    }
+    private def cc(out: Array[Byte], pos: Int, s: String): Unit =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        .copyToArray(out, pos)
+
+    /** Mono 16-bit PCM; samples in [-32768, 32767]. */
+    def encode(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+      val junk = Array[Byte]('I', 'N', 'F', 'O', 'x') // 5 bytes: ODD
+      val junkPadded = junk.length + (junk.length & 1)
+      val dataBytes = 2 * samples.length
+      val riffSize = 4 + (8 + 16) + (8 + junkPadded) + (8 + dataBytes)
+      val out = new Array[Byte](8 + riffSize)
+      var p = 0
+      cc(out, p, "RIFF"); le32(out, p + 4, riffSize); p += 8
+      cc(out, p, "WAVE"); p += 4
+      cc(out, p, "fmt "); le32(out, p + 4, 16); p += 8
+      le16(out, p, 1); le16(out, p + 2, 1) // PCM, mono
+      le32(out, p + 4, sampleRate)
+      le32(out, p + 8, sampleRate * 2) // byte rate
+      le16(out, p + 12, 2); le16(out, p + 14, 16) // block align, bits
+      p += 16
+      cc(out, p, "LIST"); le32(out, p + 4, junk.length); p += 8
+      junk.copyToArray(out, p); p += junkPadded // pad byte stays 0
+      cc(out, p, "data"); le32(out, p + 4, dataBytes); p += 8
+      samples.foreach { s => le16(out, p, s & 0xffff); p += 2 }
+      out
+    }
+
+    /** Parse → (sampleRate, signed samples). Walks the chunk grammar;
+      * unknown chunks are skipped with word alignment. */
+    def decodeRaw(bytes: Array[Byte]): (Int, Array[Int]) = {
+      def u16(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+      def u32(p: Int): Int = u16(p) | (u16(p + 2) << 16)
+      def cc4(p: Int): String = new String(bytes, p, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      require(cc4(0) == "RIFF" && cc4(8) == "WAVE",
+        s"not a RIFF/WAVE container (${cc4(0)}/${cc4(8)})")
+      var p = 12
+      var rate = -1
+      var samples: Array[Int] = null
+      while (p + 8 <= bytes.length && (rate < 0 || samples == null)) {
+        val id = cc4(p); val size = u32(p + 4); p += 8
+        id match {
+          case "fmt " =>
+            require(u16(p) == 1 && u16(p + 2) == 1 && u16(p + 14) == 16,
+              "only mono 16-bit PCM supported")
+            rate = u32(p + 4)
+          case "data" =>
+            require(size % 2 == 0, s"odd data size $size")
+            samples = Array.tabulate(size / 2)(i => u16(p + 2 * i).toShort.toInt)
+          case _ => () // unknown chunk: skip
+        }
+        p += size + (size & 1) // RIFF chunks are word-aligned
+      }
+      require(rate > 0, "missing fmt chunk")
+      require(samples != null, "missing data chunk")
+      (rate, samples)
+    }
+  }
+
   /** REAL codec for PGM blobs: parses the container, normalizes to
     * [0,1] floats. Dimensions come from the parsed header, not the
     * metadata — a corrupt blob fails loudly instead of shearing. */

@@ -404,6 +404,47 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // REAL audio decode (WAV/RIFF 16-bit PCM — the audio modality's
+    // q247/q293 sibling, completing image+audio with genuine pure-JVM
+    // container codecs): deterministic PCM waveforms encode into real
+    // RIFF/WAVE containers — including an odd-sized unknown LIST
+    // chunk between fmt and data, so the reader MUST walk the chunk
+    // grammar with word alignment, not fixed offsets — then decode
+    // back partition-parallel; the signed-sample integer aggregates
+    // (sum, sum of squares, min/max) face the oracle's closed-form
+    // recomputation. A little-endian slip, a signed-16-bit slip, a
+    // chunk-skip or pad-byte bug each shifts the sums and breaks the
+    // row. Every 10th doc (offset 3, disjoint from q247/q293); no
+    // shuffle — encode/decode are map work.
+    "q316_media_wav_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"),
+          (col("n_chars") % 1024 + 256).cast("int").as("n"))
+        .as[(Long, Int)]
+        .map { case (id, n) =>
+          val samples = Array.tabulate(n)(i =>
+            (((id * 37 + i.toLong * 11) % 65536) - 32768).toInt)
+          (id, Multimodal.Wav.encode(samples, 16000))
+        }
+      media.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (rate, sm) = Multimodal.Wav.decodeRaw(bytes)
+          var sum = 0L; var sq = 0L
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          sm.foreach { v =>
+            sum += v; sq += v.toLong * v
+            if (v < mn) mn = v.toLong
+            if (v > mx) mx = v.toLong
+          }
+          (id, rate, sm.length.toLong, sum, sq, mn, mx)
+        }
+      }.toDF("media_id", "sample_rate", "n_samples", "amp_sum",
+          "amp_sq_sum", "amp_min", "amp_max")
+        .orderBy(col("media_id"))
+    }),
+
     // Vocabulary building: corpus-wide token frequency + document
     // frequency, top 100 by tf (ties → lexicographic). One shuffle on
     // token with map-side partial agg; the global rank runs over the
@@ -606,6 +647,17 @@ object PipelineQueries {
         |  sum(p)::BIGINT AS px_sum, min(p)::BIGINT AS px_min,
         |  max(p)::BIGINT AS px_max
         |FROM px GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "q316_media_wav_decode" ->
+      """WITH m AS (SELECT doc_id, (n_chars % 1024 + 256)::INT AS n
+        |           FROM documents WHERE doc_id % 10 = 3),
+        |sm AS (SELECT m.doc_id,
+        |         ((m.doc_id*37 + t.i*11) % 65536) - 32768 AS v
+        |       FROM m, LATERAL (SELECT unnest(range(0, m.n)) AS i) t)
+        |SELECT doc_id AS media_id, 16000 AS sample_rate,
+        |  count(*)::BIGINT AS n_samples, sum(v)::BIGINT AS amp_sum,
+        |  sum(v*v)::BIGINT AS amp_sq_sum, min(v)::BIGINT AS amp_min,
+        |  max(v)::BIGINT AS amp_max
+        |FROM sm GROUP BY 1 ORDER BY 1""".stripMargin,
     "q293_media_ppm_decode" ->
       """WITH m AS (SELECT doc_id, (n_chars % 64 + 16)::INT AS w,
         |             (n_chars % 48 + 16)::INT AS h

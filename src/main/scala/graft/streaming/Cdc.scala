@@ -101,6 +101,126 @@ object Cdc {
     } finally conn.close()
   }
 
+  /** SCD2 history table for the streaming maintenance path (q317):
+    * one row per key VERSION, half-open validity intervals; the open
+    * version has VALID_TO_US NULL. Tombstones are versions like any
+    * other (they close the prior interval and stay open until
+    * superseded) — exactly the batch SCD2 (q311) shape. */
+  def initScd2Table(url: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        "CREATE TABLE SCD2_HIST (USER_ID BIGINT, VALID_FROM_US BIGINT, " +
+          "POS BIGINT, OP CHAR(1), VAL DOUBLE, K BIGINT, " +
+          "VALID_TO_US BIGINT, " +
+          "PRIMARY KEY (USER_ID, VALID_FROM_US, POS))")
+      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+      st.close()
+    } finally conn.close()
+  }
+
+  /** Per-micro-batch SCD2 maintenance (foreachBatch): every incoming
+    * version closes the key's open interval and becomes the new open
+    * version. The batch is repartitioned by key and sorted by
+    * (key, ts_us, pos), so each partition applies its keys' versions
+    * in ORDER with no cross-writer races — which lets the writer
+    * compute each intermediate version's VALID_TO_US at INSERT time
+    * from the NEXT version in the sorted run (lookahead); only the
+    * key's PRE-EXISTING open row needs an UPDATE, once, when its
+    * first newer version arrives. A version at-or-before the stored
+    * open one is SKIPPED, so replayed batches are no-ops (idempotent)
+    * and a crash-mid-partition replay resumes exactly where the last
+    * commit left the open row. Per-key arrival is monotone by
+    * construction (event-time-ordered replay) — the temporal-table
+    * contract; out-of-order history REPAIR is a per-key rebuild in
+    * production. Writes are addBatch/executeBatch with chunked
+    * commits (the q303 batching discipline). */
+  def scd2Batch(batch: DataFrame, url: String): Unit = {
+    batch.repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_us"), col("pos"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.hasNext) {
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val selOpen = conn.prepareStatement(
+            "SELECT VALID_FROM_US, POS FROM SCD2_HIST " +
+              "WHERE USER_ID = ? AND VALID_TO_US IS NULL")
+          val close = conn.prepareStatement(
+            "UPDATE SCD2_HIST SET VALID_TO_US = ? WHERE USER_ID = ? " +
+              "AND VALID_FROM_US = ? AND POS = ? AND VALID_TO_US IS NULL")
+          val ins = conn.prepareStatement(
+            "INSERT INTO SCD2_HIST (USER_ID, VALID_FROM_US, POS, OP, " +
+              "VAL, K, VALID_TO_US) VALUES (?, ?, ?, ?, ?, ?, ?)")
+          val it = rows.buffered
+          var curKey = Long.MinValue
+          var open: Option[(Long, Long)] = None
+          var closedDbOpen = false
+          var pending = 0
+          while (it.hasNext) {
+            val r = it.next()
+            val key = r.getAs[Number]("user_id").longValue()
+            val ts = r.getAs[Number]("ts_us").longValue()
+            val pos = r.getAs[Number]("pos").longValue()
+            if (key != curKey) {
+              curKey = key
+              selOpen.setLong(1, key)
+              val rs = selOpen.executeQuery()
+              open = if (rs.next()) Some((rs.getLong(1), rs.getLong(2)))
+                     else None
+              rs.close()
+              closedDbOpen = false
+            }
+            val newer = open.forall { case (of, op_) =>
+              ts > of || (ts == of && pos > op_) }
+            if (newer) {
+              if (!closedDbOpen) {
+                open.foreach { case (of, op_) =>
+                  close.setLong(1, ts); close.setLong(2, key)
+                  close.setLong(3, of); close.setLong(4, op_)
+                  close.addBatch()
+                }
+                closedDbOpen = true
+              }
+              // lookahead: a same-key successor in this sorted run is
+              // strictly newer, so it fixes this version's VALID_TO_US
+              val nextTs: Option[Long] =
+                if (it.hasNext &&
+                    it.head.getAs[Number]("user_id").longValue() == key)
+                  Some(it.head.getAs[Number]("ts_us").longValue())
+                else None
+              ins.setLong(1, key); ins.setLong(2, ts); ins.setLong(3, pos)
+              ins.setString(4, r.getAs[String]("op"))
+              if (r.isNullAt(r.fieldIndex("value"))) {
+                ins.setNull(5, java.sql.Types.DOUBLE)
+                ins.setNull(6, java.sql.Types.BIGINT)
+              } else {
+                ins.setDouble(5, r.getAs[Number]("value").doubleValue())
+                ins.setLong(6, r.getAs[Number]("k").longValue())
+              }
+              nextTs match {
+                case Some(t) => ins.setLong(7, t)
+                case None => ins.setNull(7, java.sql.Types.BIGINT)
+              }
+              ins.addBatch()
+              open = Some((ts, pos))
+              pending += 1
+              if (pending >= 1024) {
+                close.executeBatch(); ins.executeBatch(); conn.commit()
+                pending = 0
+              }
+            }
+          }
+          if (pending > 0) {
+            close.executeBatch(); ins.executeBatch(); conn.commit()
+          }
+          selOpen.close(); close.close(); ins.close()
+        } finally conn.close()
+      }
+    }
+  }
+
   /** Per-micro-batch CDC MERGE (runs inside foreachBatch): apply an op
     * only if its (ts_us, pos) is newer than the stored version — c/u
     * upsert the after-image, tombstones upsert a DELETED marker. The

@@ -154,6 +154,31 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.head.pixels.toSeq == rgb.map(_ / 255.0f).toSeq)
   }
 
+  test("Wav codec round-trips signed 16-bit PCM through the RIFF grammar") {
+    val samples = Array(-32768, -1, 0, 1, 32767, 12345, -12345, 255, -256)
+    val blob = Multimodal.Wav.encode(samples, 16000)
+    val (rate, back) = Multimodal.Wav.decodeRaw(blob)
+    assert(rate == 16000)
+    assert(back.toSeq == samples.toSeq,
+      "signed LE round-trip must be exact at both extremes")
+    // the encoder plants an ODD-sized unknown chunk between fmt and
+    // data: a reader that ignores RIFF word alignment lands mid-chunk
+    // and must NOT have parsed this correctly by accident
+    val listAt = blob.indexOfSlice("LIST".getBytes)
+    assert(listAt > 0 && listAt < blob.indexOfSlice("data".getBytes),
+      "unknown chunk must precede data")
+  }
+
+  test("Wav decode guards: wrong magic / stereo / missing chunks fail loudly") {
+    val ok = Multimodal.Wav.encode(Array(1, 2, 3), 8000)
+    val bad = ok.clone(); bad(0) = 'X'
+    intercept[IllegalArgumentException](Multimodal.Wav.decodeRaw(bad))
+    val stereo = ok.clone()
+    // fmt chunk starts at offset 12+8; channel count is its 3rd/4th byte
+    stereo(12 + 8 + 2) = 2
+    intercept[IllegalArgumentException](Multimodal.Wav.decodeRaw(stereo))
+  }
+
   test("PgmCodec plugs into the decode pipeline with real parsing") {
     val spark2 = spark; import spark2.implicits._
     val px = Array.tabulate(16 * 16)(i => i % 256)
