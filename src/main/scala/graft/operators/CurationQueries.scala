@@ -245,6 +245,72 @@ object CurationQueries {
        |             ON d.w = f.w AND d.pos = len(f.w))""".stripMargin
   }
 
+  /** The q309/q318 EM+prune trainer: EM rounds alternate with pruning
+    * multi-char pieces to the round's top-K by usage (single chars
+    * always survive — character coverage). Returns the ≤16-char
+    * word-frequency table (checkpointed), the final pruned cost
+    * table, per-round corpus costs, and the last round's usage. */
+  private def emTrainPrune(s: org.apache.spark.sql.SparkSession, d: String,
+                           keeps: Seq[Int])
+      : (DataFrame, Map[String, Long], Seq[Long], Map[String, Long]) = {
+    val wf = wordFreqs(s, d)
+    val wf16 = wf.filter(length(col("w")).between(1, 16)).localCheckpoint()
+    var costs = unigramSeedCosts(wf)
+    var lastUsage: Map[String, Long] = Map.empty
+    val roundCosts = keeps.map { keep =>
+      val withDp = wf16.withColumn("dp", emViterbiDp(typedLit(costs)))
+      val usage = withDp
+        .select(col("freq"), explode(emBacktrace()).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      val corpusCost = withDp
+        .agg(sum(col("freq") *
+          shiftright(element_at(col("dp"), length(col("w")) + 1), 2)))
+        .head().getLong(0)
+      val used = usage.collect()
+      require(used.length <= 8192,
+        s"unigram prune: ${used.length} used pieces exceeds the " +
+          "vocabulary bound; refusing the driver collect")
+      val usedMap = used.map(r => r.getString(0) -> r.getLong(1)).toMap
+      val totUse = usedMap.values.sum
+      // M-step over the current vocabulary, then prune: chars stay,
+      // multi-char pieces keep the top-`keep` by usage (ties by
+      // piece — same total order as the oracle's ORDER BY)
+      val reEst = costs.map { case (p, _) =>
+        p -> usedMap.get(p).map(c => fl2(totUse) - fl2(c) + 1L)
+          .getOrElse(fl2(totUse) + 2L)
+      }
+      val keptMulti = usedMap.toSeq
+        .filter { case (p, _) => p.codePointCount(0, p.length) >= 2 }
+        .sortBy { case (p, c) => (-c, p) }.take(keep).map(_._1).toSet
+      costs = reEst.filter { case (p, _) =>
+        p.codePointCount(0, p.length) == 1 || keptMulti(p) }
+      lastUsage = usedMap
+      corpusCost
+    }
+    (wf16, costs, roundCosts, lastUsage)
+  }
+
+  /** One prune step of the q309/q318 oracles: chars always survive,
+    * multi-char pieces keep round r's top-`keep` by usage. */
+  private def emPruneCte(r: Int, keep: Int): String =
+    s"""vp$r AS MATERIALIZED (
+       |  SELECT piece, cost FROM v$r WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cost FROM (
+       |    SELECT v.piece, v.cost FROM v$r v JOIN usage$r u USING (piece)
+       |    WHERE len(v.piece) >= 2
+       |    ORDER BY u.cnt DESC, v.piece LIMIT $keep))""".stripMargin
+
+  /** The full seed → EM+prune(128) → EM+prune(64) trainer replay —
+    * shared prefix of the q309 (pruning) and q318 (encoding) oracles;
+    * leaves the final vocabulary in vp2. */
+  private def emPrunedVocabCtes: String =
+    s"""$emSeedCtes,
+       |${emDpBlock(1, "v0", "v0")},
+       |${emPruneCte(1, 128)},
+       |${emDpBlock(2, "vp1", "vp1")},
+       |${emPruneCte(2, 64)}""".stripMargin
+
   /** The shared seed-vocabulary CTE prefix of the unigram-EM oracles:
     * word frequencies, 1–3-char substring counts, seed costs v0
     * (every char + top-256 grams), and the ≤16-char word table. */
@@ -1146,41 +1212,8 @@ object CurationQueries {
     // riding the plan as a map literal; driver state = the bounded
     // usage table (guarded) per round.
     "q309_unigram_prune" -> ((s, d) => {
-      val wf = wordFreqs(s, d)
-      val wf16 = wf.filter(length(col("w")).between(1, 16)).localCheckpoint()
-      var costs = unigramSeedCosts(wf)
-      val keepTargets = Seq(128, 64) // multi-char pieces kept per round
-      var lastUsage: Map[String, Long] = Map.empty
-      val roundCosts = keepTargets.map { keep =>
-        val withDp = wf16.withColumn("dp", emViterbiDp(typedLit(costs)))
-        val usage = withDp
-          .select(col("freq"), explode(emBacktrace()).as("piece"))
-          .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
-        val corpusCost = withDp
-          .agg(sum(col("freq") *
-            shiftright(element_at(col("dp"), length(col("w")) + 1), 2)))
-          .head().getLong(0)
-        val used = usage.collect()
-        require(used.length <= 8192,
-          s"unigram prune: ${used.length} used pieces exceeds the " +
-            "vocabulary bound; refusing the driver collect")
-        val usedMap = used.map(r => r.getString(0) -> r.getLong(1)).toMap
-        val totUse = usedMap.values.sum
-        // M-step over the current vocabulary, then prune: chars stay,
-        // multi-char pieces keep the top-`keep` by usage (ties by
-        // piece — same total order as the oracle's ORDER BY)
-        val reEst = costs.map { case (p, _) =>
-          p -> usedMap.get(p).map(c => fl2(totUse) - fl2(c) + 1L)
-            .getOrElse(fl2(totUse) + 2L)
-        }
-        val keptMulti = usedMap.toSeq
-          .filter { case (p, _) => p.codePointCount(0, p.length) >= 2 }
-          .sortBy { case (p, c) => (-c, p) }.take(keep).map(_._1).toSet
-        costs = reEst.filter { case (p, _) =>
-          p.codePointCount(0, p.length) == 1 || keptMulti(p) }
-        lastUsage = usedMap
-        corpusCost
-      }
+      val (wf16, costs, roundCosts, lastUsage) =
+        emTrainPrune(s, d, Seq(128, 64))
       // final evaluation pass under the surviving vocabulary
       val finalCost = wf16
         .withColumn("dp", emViterbiDp(typedLit(costs)))
@@ -1204,6 +1237,45 @@ object CurationQueries {
           lit(finalCost).as("cost_final"),
           lit(costs.size.toLong).as("vocab_size"))
         .orderBy(col("cnt").desc, col("piece"))
+    }),
+
+    // Unigram-LM CORPUS ENCODING under the pruned vocabulary — the
+    // q290 (BPE-encode) shape for the unigram family, completing the
+    // tokenizer symmetry train→prune→ENCODE: q309's trainer produces
+    // the final cost table, each DISTINCT word is Viterbi-segmented
+    // ONCE (the DP + backtrace as codegen'd array folds, costs riding
+    // as a map literal), and the encoded vocabulary joins back onto
+    // the exploded corpus. Output = per-doc exact piece totals plus
+    // each doc's head-word segmentation string, so the oracle
+    // verifies counts AND piece CONTENT/ORDER. At 100 TB the
+    // corpus-scale work is one explode + one vocabulary equi-join +
+    // per-doc aggregation — segmentation cost is vocabulary-bounded.
+    "q318_unigram_encode" -> ((s, d) => {
+      val (wf16, costs, _, _) = emTrainPrune(s, d, Seq(128, 64))
+      // emBacktrace emits pieces END→START; reverse for reading order
+      val encoded = wf16
+        .withColumn("dp", emViterbiDp(typedLit(costs)))
+        .withColumn("pieces", reverse(emBacktrace()))
+        .select(col("w"), size(col("pieces")).cast("long").as("n"),
+          concat_ws("|", col("pieces")).as("enc"))
+        .localCheckpoint() // each distinct word encoded once
+      val docs = Tables.documents(s, d)
+      val words = docs
+        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+      val perDoc = words.join(encoded, "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n")).cast("long").as("n_pieces"))
+      val head = docs
+        .select(col("doc_id"), element_at(toks(col("text")), 1).as("w"))
+        .join(encoded.select(col("w"), col("enc").as("head_enc")),
+          Seq("w"), "left")
+        .select(col("doc_id"), col("head_enc"))
+      perDoc.join(head, "doc_id")
+        .select(col("doc_id"), col("n_words"), col("n_pieces"),
+          col("head_enc"))
+        .orderBy(col("doc_id"))
     }),
 
     // Stupid-Backoff bigram LM surprisal (Brants et al. 2007, "Large
@@ -1859,23 +1931,7 @@ object CurationQueries {
     // to chars + top-64, then one DP-only evaluation pass under the
     // final vocabulary. All-integer, MATERIALIZED throughout.
     "q309_unigram_prune" ->
-      s"""WITH $emSeedCtes,
-         |${emDpBlock(1, "v0", "v0")},
-         |vp1 AS MATERIALIZED (
-         |  SELECT piece, cost FROM v1 WHERE len(piece) = 1
-         |  UNION ALL
-         |  SELECT piece, cost FROM (
-         |    SELECT v.piece, v.cost FROM v1 v JOIN usage1 u USING (piece)
-         |    WHERE len(v.piece) >= 2
-         |    ORDER BY u.cnt DESC, v.piece LIMIT 128)),
-         |${emDpBlock(2, "vp1", "vp1")},
-         |vp2 AS MATERIALIZED (
-         |  SELECT piece, cost FROM v2 WHERE len(piece) = 1
-         |  UNION ALL
-         |  SELECT piece, cost FROM (
-         |    SELECT v.piece, v.cost FROM v2 v JOIN usage2 u USING (piece)
-         |    WHERE len(v.piece) >= 2
-         |    ORDER BY u.cnt DESC, v.piece LIMIT 64)),
+      s"""WITH $emPrunedVocabCtes,
          |${emDpSteps(3, "vp2")}
          |SELECT p.piece, len(p.piece)::BIGINT AS piece_len,
          |  coalesce(u.cnt, 0)::BIGINT AS cnt, p.cost,
@@ -1884,6 +1940,46 @@ object CurationQueries {
          |FROM vp2 p LEFT JOIN usage2 u USING (piece)
          |CROSS JOIN cost1 c1 CROSS JOIN cost2 c2 CROSS JOIN cost3 c3
          |ORDER BY cnt DESC, p.piece""".stripMargin,
+
+    // The encoder replayed: the trained+pruned vocabulary (the q309
+    // prefix), one more DP over every ≤16-char word, a TAGGED
+    // backtrace walk (step index j — pieces read left-to-right as
+    // j DESC), then the per-doc rollup + head-word segmentation.
+    "q318_unigram_encode" -> {
+      val walk3 = (1 to 16).map { j =>
+        s"""s3_$j AS MATERIALIZED (
+           |  SELECT b.w, b.pos, (3 - (d.packed % 4)) AS l
+           |  FROM b3_${j - 1} b JOIN dp3 d
+           |    ON d.w = b.w AND d.pos = b.pos
+           |  WHERE b.pos > 0),
+           |p3_$j AS (SELECT w, $j AS j, substr(w, pos - l + 1, l) AS piece
+           |          FROM s3_$j),
+           |b3_$j AS (SELECT w, pos - l AS pos FROM s3_$j)""".stripMargin
+      }.mkString(",\n")
+      val pU = (1 to 16).map(j => s"  SELECT w, j, piece FROM p3_$j")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH $emPrunedVocabCtes,
+         |${emDpSteps(3, "vp2")},
+         |b3_0 AS (SELECT w, len(w) AS pos FROM wf16),
+         |$walk3,
+         |enc AS MATERIALIZED (
+         |  SELECT w, count(*)::BIGINT AS n,
+         |    string_agg(piece, '|' ORDER BY j DESC) AS enc
+         |  FROM (
+         |$pU) GROUP BY w),
+         |tok AS (SELECT doc_id, t.w FROM (
+         |          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |          FROM documents) t WHERE len(t.w) > 0),
+         |perdoc AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+         |             sum(e.n)::BIGINT AS n_pieces
+         |           FROM tok JOIN enc e USING (w) GROUP BY 1),
+         |hd AS (SELECT doc_id, string_split(text, ' ')[1] AS w
+         |       FROM documents)
+         |SELECT p.doc_id, p.n_words, p.n_pieces, e.enc AS head_enc
+         |FROM perdoc p JOIN hd ON hd.doc_id = p.doc_id
+         |LEFT JOIN enc e ON e.w = hd.w
+         |ORDER BY p.doc_id""".stripMargin
+    },
 
     // Stupid Backoff replayed: counts from the even half, every held-
     // out position classified into its tier — integer-exact.
