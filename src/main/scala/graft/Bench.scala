@@ -119,7 +119,11 @@ object Bench {
     // 51-query line outgrew the driver's tail-capture window and the
     // official artifact parsed null — the emitted line must stay SHORT
     // as the catalog grows (full precision lives in the sidecar file).
-    def ms(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and
+    // a comma-decimal locale (de_DE, …) would emit invalid JSON — the
+    // exact artifact-parse failure class this line was rewritten for.
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def qJson(f: Double => String): String = results
       .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -128,13 +132,20 @@ object Bench {
     // its own regression verdict without false-breaching under load
     val breaches = BenchBudgets.breaches(sfDir, results)
     val drift = BenchBudgets.driftScale(results)
+    val driftRaw = BenchBudgets.driftRaw(results)
+    // a raw drift past the cap is itself a reportable event: either a
+    // pathologically loaded host or a catalog-wide regression — the
+    // capped scale keeps budgets honest, the warn flag keeps it loud
+    val driftWarn = driftRaw > BenchBudgets.driftCap
+    if (driftWarn)
+      System.err.println(f"[bench] DRIFT WARN: raw catalog drift $driftRaw%.2f exceeds cap ${BenchBudgets.driftCap}%.2f — loaded host or catalog-wide slowdown")
     breaches.foreach { case (n, t, b) =>
       System.err.println(f"[bench] BUDGET BREACH: $n took $t%.2f s (budget $b%.2f s at drift $drift%.2f)")
     }
     def breachJson(f: Double => String): String = breaches.map { case (n, t, b) =>
       s"""{"query":"$n","sec":${f(t)},"budget":${f(b)}}""" }.mkString("[", ",", "]")
     def lineOf(f: Double => String): String =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${qJson(f)},"budget_breaches":${breachJson(f)},"drift_scale":${f(drift)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${qJson(f)},"budget_breaches":${breachJson(f)},"drift_scale":${f(drift)},"drift_raw":${f(driftRaw)},"drift_warn":$driftWarn,"sf":"$sfDir"}"""
     val line = lineOf(ms)
     // Full-precision sidecar for local tooling / round-over-round diffs.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")

@@ -203,12 +203,33 @@ object IvfPqQueries {
         .select(col("cluster")).collect().map(_.get(0))
       if (hot.nonEmpty) {
         // partition-local compaction: rewrite ONLY the hot clusters'
-        // directories with their dead rows dropped
+        // directories with their dead rows dropped. STAGED, not a
+        // read+dynamic-overwrite of the same path in one job (ADVICE
+        // r10: that was safe only because dynamic overwrite defers
+        // deletion to commit): survivors land in a side directory
+        // first, then each hot partition swaps — staged files move in
+        // (part names carry a job UUID, no collision), the dead
+        // originals are deleted after. Cold partitions are never
+        // touched by construction.
+        val staging = s"$base/compact"
         idxDf.filter(col("cluster").isin(hot.toIndexedSeq: _*))
           .join(tomb, idxDf("cid") === tomb("vec_id"), "left_anti")
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cluster").parquet(idx)
+          .write.partitionBy("cluster").parquet(staging)
+        hot.foreach { c =>
+          val dst = java.nio.file.Paths.get(idx, s"cluster=$c")
+          val src = java.nio.file.Paths.get(staging, s"cluster=$c")
+          def parts(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+            val l = java.nio.file.Files.list(p)
+            try l.filter(_.getFileName.toString.endsWith(".parquet"))
+              .collect(java.util.stream.Collectors.toList[java.nio.file.Path])
+              .toArray(Array.empty[java.nio.file.Path]).toSeq
+            finally l.close()
+          }
+          val dead = parts(dst)
+          parts(src).foreach(f =>
+            java.nio.file.Files.move(f, dst.resolve(f.getFileName)))
+          dead.foreach(java.nio.file.Files.delete)
+        }
       }
       // search = anti-join the (remaining) tombstones, then the
       // standard cluster-pruned ADC scan
