@@ -375,24 +375,23 @@ object FormatQueries {
         .orderBy(col("ts_us").desc, col("pos").desc)
       // each replay epoch is ONE ~chunk-sized file; at the default
       // 128 MB split size its JSON decode runs ~2-way — shrink the
-      // split for the replay so every micro-batch decodes wide
-      // (restored after: a session conf, scoped to the stream run)
-      val mpbKey = "spark.sql.files.maxPartitionBytes"
-      val prevMpb = s.conf.get(mpbKey)
-      s.conf.set(mpbKey, "8m")
-      try {
-        val q = Cdc.parse(Replay.streamDf(s, inDir, schema), col("json"))
-          .writeStream
-          .option("checkpointLocation", s"$base/ck")
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            Cdc.mergeBatch(
-              b.withColumn("__rn", row_number().over(w))
-                .filter(col("__rn") === 1).drop("__rn"), url)
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally s.conf.set(mpbKey, prevMpb)
+      // split for the replay ON AN ISOLATED SESSION (newSession shares
+      // the SparkContext but not the conf), so a query running
+      // concurrently on the shared session can never inherit the
+      // shrunken split size (ADVICE r10)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+      val q = Cdc.parse(Replay.streamDf(ss, inDir, schema), col("json"))
+        .writeStream
+        .option("checkpointLocation", s"$base/ck")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          Cdc.mergeBatch(
+            b.withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1).drop("__rn"), url)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
       s.read.format("jdbc").option("url", url)
         .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
         .option("dbtable", "CDC_STATE").load()
@@ -458,45 +457,182 @@ object FormatQueries {
     // q311, minus the probes). A 2%-of-keys slice keeps the
     // full-history output bounded; the per-key maintenance cost is
     // identical at any corpus size.
-    "q317_scd2_stream" -> ((s, d) => {
+    "q317_scd2_stream" -> ((s, d) =>
+      scd2StreamRun(s, d, keyMod = 0, timeOrdered = true)),
+
+    // SCD2 OUT-OF-ORDER REPAIR — q317 with the temporal-table
+    // contract deliberately broken: the replay chunks by event_id %
+    // 4, so EVERY micro-batch spans the full time range and most
+    // keys' later batches deliver versions OLDER than the stored
+    // newest (the shuffled-CDC-source-partitions case, the
+    // reference's TemporalRowTimeJoinOperator buffered-late-row
+    // semantics). scd2Batch detects each violation (stale version,
+    // no PK hit) and REPAIRS: the key's history is read back, the
+    // late versions spliced in, every interval bound recomputed, the
+    // key rewritten in one transaction — bounded per-key work. The
+    // final table must STILL equal the one-shot window-built SCD2
+    // (same oracle CTE shape as q317, different key slice).
+    "q320_scd2_ooo" -> ((s, d) =>
+      scd2StreamRun(s, d, keyMod = 7, timeOrdered = false)),
+
+    // CDC SCHEMA EVOLUTION — the source ALTERs a column onto the
+    // table mid-stream (real Debezium streams do this): envelopes
+    // before the data-relative midpoint are generation 1 (no `seg`
+    // field in the after-image), envelopes after it generation 2
+    // (seg = upper(event_type)). ONE permissive v2 schema decodes
+    // both generations — from_json nulls the absent field, the Avro
+    // widened-schema read discipline (q248) applied to the CDC
+    // envelope — and the materialized state carries seg for keys
+    // whose LATEST version is post-evolution, null for the rest. A
+    // generation misrouted, a null not synthesized, or a field
+    // matched by position breaks the oracle, which recomputes the
+    // same split from the original events.
+    "q321_cdc_evolution" -> ((s, d) => {
+      import graft.streaming.Cdc
+      val ev = Tables.events(s, d)
+      val span = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).head()
+      val mid = (span.getLong(0) + span.getLong(1)) / 2
+      val wire = Cdc.envelope(ev.filter(unix_micros(col("ts")) < mid))
+        .unionAll(Cdc.envelopeV2(ev.filter(unix_micros(col("ts")) >= mid)))
+      val chg = Cdc.parseV2(wire, col("json"))
+      val ops = chg.groupBy(col("user_id")).agg(count(lit(1)).as("n_ops"))
+      Cdc.materialize(chg)
+        .join(ops, "user_id")
+        .select(col("user_id"), col("value"), col("k"), col("seg"),
+          col("ts_us").as("last_ts_us"), col("n_ops"))
+        .orderBy(col("user_id"))
+    }),
+
+    // CDC TOMBSTONE COMPACTION — the production retention step the
+    // DELETED-marker design (q303) defers: after each micro-batch's
+    // MERGE, tombstones older than the batch's minimum event time are
+    // physically dropped — safe because an event-time-ordered source
+    // can never later deliver an op older than that watermark, so the
+    // version guard the tombstone existed to enforce can no longer
+    // fire (an op NEWER than a dropped tombstone re-inserts — a
+    // genuine resurrection — which stays correct). The final table
+    // holds every live row plus EXACTLY the tombstones at-or-after
+    // the last batch's watermark; the oracle applies the same
+    // retention window to the one-shot materialization. At 100 TB
+    // this is what keeps CDC state proportional to the LIVE key set,
+    // not the all-time delete history.
+    "q326_cdc_compact" -> ((s, d) => {
       import s.implicits._
       import graft.streaming.{Cdc, Event, Replay}
-      val base = java.nio.file.Files.createTempDirectory("graft-scd2stream")
-      val real = Tables.events(s, d).filter(pmod(col("user_id"), lit(50)) === 0)
-      val (lo, hi) = StreamParityQueries.spanOf(
-        Tables.events(s, d).as[Event])
+      val base = java.nio.file.Files.createTempDirectory("graft-cdccompact")
+      val real = Tables.events(s, d)
+      val (lo, hi) = StreamParityQueries.spanOf(real.as[Event])
       val wire = Cdc.envelope(real).localCheckpoint()
       val (inDir, schema) = Replay.fileEpochs(wire,
         StreamParityQueries.quarterChunks(lo, hi), base.toString)
       val url = s"jdbc:derby:$base/db;create=true"
-      Cdc.initScd2Table(url)
-      val q = Cdc.parse(Replay.streamDf(s, inDir, schema), col("json"))
+      Cdc.initStateTable(url)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_us").desc, col("pos").desc)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+      val q = Cdc.parse(Replay.streamDf(ss, inDir, schema), col("json"))
         .writeStream
         .option("checkpointLocation", s"$base/ck")
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          Cdc.scd2Batch(b, url)
+          Cdc.mergeBatch(
+            b.withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1).drop("__rn"), url)
+          val wm = b.agg(min(col("ts_us"))).head()
+          if (!wm.isNullAt(0)) Cdc.compactTombstones(url, wm.getLong(0))
+          ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      val hist = s.read.format("jdbc").option("url", url)
+      s.read.format("jdbc").option("url", url)
         .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-        .option("dbtable", "SCD2_HIST").load()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("USER_ID"))
-        .orderBy(col("VALID_FROM_US"), col("POS"))
-      hist.select(col("USER_ID").as("user_id"),
-          col("VALID_FROM_US").as("valid_from_us"), col("POS").as("pos"),
-          col("OP").as("op"), col("VAL").as("value"), col("K").as("k"),
-          col("VALID_TO_US").as("valid_to_us"))
-        .withColumn("version", row_number().over(w).cast("long"))
-        .withColumn("is_current",
-          col("valid_to_us").isNull && col("op") =!= "d")
-        .orderBy(col("user_id"), col("valid_from_us"), col("pos"))
+        .option("dbtable", "CDC_STATE").load()
+        .select(col("USER_ID").as("user_id"), col("VAL").as("value"),
+          col("K").as("k"), col("TS_US").as("last_ts_us"),
+          col("DELETED").cast("int").as("deleted"))
+        .orderBy(col("user_id"))
     })
   )
 
+  /** Shared q317/q320 runner: replay the CDC wire of the `user_id %
+    * 50 == keyMod` slice either time-ordered (quarter chunks — the
+    * monotone temporal-table contract) or deliberately shuffled
+    * (event_id % 4 chunks — every batch spans the full time range,
+    * exercising the out-of-order repair), maintain the SCD2 history
+    * via scd2Batch, read the final table back. */
+  private def scd2StreamRun(s: org.apache.spark.sql.SparkSession, d: String,
+                            keyMod: Int, timeOrdered: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import graft.streaming.{Cdc, Event, Replay}
+    val base = java.nio.file.Files.createTempDirectory(
+      if (timeOrdered) "graft-scd2stream" else "graft-scd2ooo")
+    val real = Tables.events(s, d)
+      .filter(pmod(col("user_id"), lit(50)) === keyMod)
+    val wire = Cdc.envelope(real).localCheckpoint()
+    val chunks =
+      if (timeOrdered) {
+        val (lo, hi) = StreamParityQueries.spanOf(Tables.events(s, d).as[Event])
+        StreamParityQueries.quarterChunks(lo, hi)
+      } else (0 until 4).map(i => pmod(col("event_id"), lit(4)) === i)
+    val (inDir, schema) = Replay.fileEpochs(wire, chunks, base.toString)
+    val url = s"jdbc:derby:$base/db;create=true"
+    Cdc.initScd2Table(url)
+    val q = Cdc.parse(Replay.streamDf(s, inDir, schema), col("json"))
+      .writeStream
+      .option("checkpointLocation", s"$base/ck")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Cdc.scd2Batch(b, url)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val hist = s.read.format("jdbc").option("url", url)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("dbtable", "SCD2_HIST").load()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("USER_ID"))
+      .orderBy(col("VALID_FROM_US"), col("POS"))
+    hist.select(col("USER_ID").as("user_id"),
+        col("VALID_FROM_US").as("valid_from_us"), col("POS").as("pos"),
+        col("OP").as("op"), col("VAL").as("value"), col("K").as("k"),
+        col("VALID_TO_US").as("valid_to_us"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("is_current",
+        col("valid_to_us").isNull && col("op") =!= "d")
+      .orderBy(col("user_id"), col("valid_from_us"), col("pos"))
+  }
+
   private val centsSum = "sum(CAST(round(value*100) AS BIGINT))::BIGINT"
+
+  /** The one-shot window-built SCD2 truth over the `user_id % 50 ==
+    * keyMod` slice — shared by the time-ordered (q317) and the
+    * out-of-order (q320) streaming maintenance legs: BOTH replays
+    * must converge to this exact table. */
+  private def scd2OracleSql(keyMod: Int): String =
+    s"""WITH ch AS (
+       |  SELECT user_id,
+       |    CASE event_type WHEN 'signup' THEN 'c'
+       |                    WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+       |    epoch_us(ts) AS ts_us, event_id AS pos, value,
+       |    CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k
+       |  FROM events WHERE user_id % 50 = $keyMod),
+       |v AS (
+       |  SELECT user_id, op, ts_us, pos,
+       |    CASE WHEN op = 'd' THEN NULL ELSE value END AS value,
+       |    CASE WHEN op = 'd' THEN NULL ELSE k END AS k,
+       |    row_number() OVER (PARTITION BY user_id
+       |                       ORDER BY ts_us, pos) AS version,
+       |    lead(ts_us) OVER (PARTITION BY user_id
+       |                      ORDER BY ts_us, pos) AS valid_to
+       |  FROM ch)
+       |SELECT user_id, ts_us AS valid_from_us, pos, op, value, k,
+       |  valid_to AS valid_to_us, version::BIGINT AS version,
+       |  (valid_to IS NULL AND op <> 'd') AS is_current
+       |FROM v ORDER BY user_id, valid_from_us, pos""".stripMargin
 
   /** The CDC changelog re-derived from the original events rows —
     * shared by the q302 (batch) and q303 (streaming MERGE) oracles. */
@@ -524,27 +660,54 @@ object FormatQueries {
       |FROM latest WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin),
     // the streamed history table must equal the one-shot window-built
     // SCD2 on the same key slice: every version, bound, tombstone
-    "q317_scd2_stream" ->
-      """WITH ch AS (
+    "q317_scd2_stream" -> scd2OracleSql(0),
+    // and the SAME truth must emerge from the deliberately
+    // out-of-order replay — the repair path converges
+    "q320_scd2_ooo" -> scd2OracleSql(7),
+
+    // mixed-generation decode: keys whose latest op is post-evolution
+    // carry seg = upper(event_type), the rest null
+    "q321_cdc_evolution" ->
+      """WITH span AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        |  FROM events),
+        |ch AS (
         |  SELECT user_id,
         |    CASE event_type WHEN 'signup' THEN 'c'
         |                    WHEN 'error' THEN 'd' ELSE 'u' END AS op,
         |    epoch_us(ts) AS ts_us, event_id AS pos, value,
-        |    CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k
-        |  FROM events WHERE user_id % 50 = 0),
-        |v AS (
-        |  SELECT user_id, op, ts_us, pos,
-        |    CASE WHEN op = 'd' THEN NULL ELSE value END AS value,
-        |    CASE WHEN op = 'd' THEN NULL ELSE k END AS k,
-        |    row_number() OVER (PARTITION BY user_id
-        |                       ORDER BY ts_us, pos) AS version,
-        |    lead(ts_us) OVER (PARTITION BY user_id
-        |                      ORDER BY ts_us, pos) AS valid_to
-        |  FROM ch)
-        |SELECT user_id, ts_us AS valid_from_us, pos, op, value, k,
-        |  valid_to AS valid_to_us, version::BIGINT AS version,
-        |  (valid_to IS NULL AND op <> 'd') AS is_current
-        |FROM v ORDER BY user_id, valid_from_us, pos""".stripMargin,
+        |    CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k,
+        |    CASE WHEN epoch_us(ts) >= (SELECT mid FROM span)
+        |         THEN upper(event_type) END AS seg
+        |  FROM events),
+        |latest AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |             ORDER BY ts_us DESC, pos DESC) AS rn
+        |  FROM ch),
+        |ops AS (SELECT user_id, count(*) AS n_ops FROM ch GROUP BY 1)
+        |SELECT l.user_id, l.value, l.k, l.seg, l.ts_us AS last_ts_us,
+        |  o.n_ops
+        |FROM latest l JOIN ops o USING (user_id)
+        |WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin,
+
+    // post-compaction state = live rows ∪ tombstones at-or-after the
+    // last batch's watermark (the min event time of the last quarter,
+    // quarter cuts ms-truncated exactly as the replay harness does)
+    "q326_cdc_compact" -> (cdcCtes + """,
+      |span AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM ch),
+      |cut3 AS (
+      |  SELECT ((lo + ((hi - lo) * 3) // 4) // 1000) * 1000 AS c3
+      |  FROM span),
+      |wm AS (
+      |  SELECT min(ts_us) AS w FROM ch, cut3 WHERE ts_us >= c3)
+      |SELECT user_id,
+      |  CASE WHEN op = 'd' THEN NULL ELSE value END AS value,
+      |  CASE WHEN op = 'd' THEN NULL ELSE k END AS k,
+      |  ts_us AS last_ts_us,
+      |  CASE WHEN op = 'd' THEN 1 ELSE 0 END AS deleted
+      |FROM latest, wm
+      |WHERE rn = 1 AND (op <> 'd' OR ts_us >= w)
+      |ORDER BY user_id""".stripMargin),
 
     // the SCD2 intervals replayed as a window pass; the as-of probe is
     // the half-open interval join (valid_from <= t < valid_to) —

@@ -92,61 +92,43 @@ object LayoutQueries {
     (natDir, zDir, plo, phi, slo, shi)
   }
 
-  private def partFiles(dir: String): Set[String] = {
-    val p = java.nio.file.Paths.get(dir)
-    val walk = java.nio.file.Files.list(p)
-    try walk.filter(_.getFileName.toString.endsWith(".parquet"))
-      .map[String](_.getFileName.toString)
-      .collect(java.util.stream.Collectors.toSet[String])
-      .asInstanceOf[java.util.Set[String]]
-      .toArray(Array.empty[String]).toSet
-    finally walk.close()
-  }
-
-  /** q314's table: a z-ordered BASE (90% of lineitem) that then
-    * receives an UNSORTED natural-order delta append (the other 10%)
-    * — the state every lakehouse table is in between OPTIMIZE runs.
-    * Returns (tableDir, baseFiles, deltaFiles, probe bounds). */
-  private[operators] def writeOptimizeTable(
+  /** q314/q319's table: a z-ordered BASE (90% of lineitem) committed
+    * as manifest snapshot 0, then an UNSORTED natural-order delta
+    * append (the other 10%) as snapshot 1 — the state every lakehouse
+    * table is in between OPTIMIZE runs, with every mutation an atomic
+    * manifest commit ([[graft.sources.ManifestTable]]).
+    * Returns (table, probe bounds); snapshot 0 = base files only,
+    * snapshot 1 = base + delta. */
+  private[graft] def writeOptimizeTable(
       s: org.apache.spark.sql.SparkSession, d: String, base: String)
-      : (String, Set[String], Set[String], Long, Long, Long, Long) = {
+      : (String, Long, Long, Long, Long) = {
+    import graft.sources.ManifestTable
     val (keyed, plo, phi, slo, shi) = zkeyed(s, d)
-    val dir = s"$base/table"
-    keyed.filter(pmod(col("l_orderkey"), lit(10)) =!= 0)
-      .repartitionByRange(32, col("zkey")).sortWithinPartitions(col("zkey"))
-      .write.parquet(dir)
-    val baseFiles = partFiles(dir)
-    keyed.filter(pmod(col("l_orderkey"), lit(10)) === 0)
-      .repartitionByRange(4, col("l_orderkey"))
-      .sortWithinPartitions(col("l_orderkey"))
-      .write.mode("append").parquet(dir)
-    (dir, baseFiles, partFiles(dir) -- baseFiles, plo, phi, slo, shi)
+    val table = s"$base/table"
+    ManifestTable.create(
+      keyed.filter(pmod(col("l_orderkey"), lit(10)) =!= 0)
+        .repartitionByRange(32, col("zkey"))
+        .sortWithinPartitions(col("zkey")),
+      table)
+    ManifestTable.append(
+      keyed.filter(pmod(col("l_orderkey"), lit(10)) === 0)
+        .repartitionByRange(4, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey")),
+      table)
+    (table, plo, phi, slo, shi)
   }
 
-  /** Incremental OPTIMIZE: rewrite ONLY the delta files into z-order
-    * — staged write, move in, drop the unsorted originals; the base
-    * files are never read or touched (the q312 partition-local
-    * compaction discipline applied to layout maintenance). */
-  private[operators] def optimizeDelta(s: org.apache.spark.sql.SparkSession,
-      dir: String, deltaFiles: Set[String], staging: String): Unit = {
-    s.read.parquet(deltaFiles.map(n => s"$dir/$n").toSeq: _*)
-      .repartitionByRange(4, col("zkey")).sortWithinPartitions(col("zkey"))
-      .write.parquet(staging)
-    partFiles(staging).foreach { n =>
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(staging, n),
-        java.nio.file.Paths.get(dir, n))
-    }
-    deltaFiles.foreach { n =>
-      java.nio.file.Files.delete(java.nio.file.Paths.get(dir, n)) }
+  /** The delta file names of the optimize table = snapshot 1's files
+    * minus snapshot 0's (the unsorted natural-order appends). */
+  private[graft] def deltaFilesOf(table: String): Set[String] = {
+    import graft.sources.ManifestTable
+    ManifestTable.files(table, 1).toSet -- ManifestTable.files(table, 0)
   }
 
-  /** The probe-rectangle aggregate over one written layout. */
-  private[operators] def probeRect(s: org.apache.spark.sql.SparkSession,
-      path: String, name: String,
+  /** The probe-rectangle aggregate over one layout snapshot. */
+  private[operators] def probeRectDf(df: DataFrame, name: String,
       plo: Long, phi: Long, slo: Long, shi: Long): DataFrame =
-    s.read.parquet(path)
-      .filter(col("l_partkey").between(plo, phi) &&
+    df.filter(col("l_partkey").between(plo, phi) &&
               col("l_suppkey").between(slo, shi))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("l_orderkey")).as("n_orders"),
@@ -154,6 +136,12 @@ object LayoutQueries {
           .as("cents"))
       .select(lit(name).as("layout"), col("n_rows"), col("n_orders"),
         col("cents"))
+
+  /** The probe-rectangle aggregate over one written layout dir. */
+  private[operators] def probeRect(s: org.apache.spark.sql.SparkSession,
+      path: String, name: String,
+      plo: Long, phi: Long, slo: Long, shi: Long): DataFrame =
+    probeRectDf(s.read.parquet(path), name, plo, phi, slo, shi)
 
   val queries: Map[String, Q] = Map(
 
@@ -185,18 +173,49 @@ object LayoutQueries {
     // OPTIMIZE step rewrites ONLY the delta files into z-order — the
     // base files are never read or touched, so at 100 TB the
     // maintenance cost tracks the APPEND rate, not the table size.
+    // NEW r11: the file swap is an ATOMIC MANIFEST COMMIT
+    // (graft.sources.ManifestTable — the r10 move-then-delete window
+    // where a crash or concurrent reader saw duplicate delta rows is
+    // gone; ManifestSpec injects that crash and proves readers hold).
+    // The pre-OPTIMIZE probe reads snapshot 1 by version — no
+    // checkpoint needed, OPTIMIZE deletes nothing until vacuum.
     // SketchLayoutSpec asserts base-file immutability and that the
     // post-OPTIMIZE probe scan reads strictly fewer rows.
     "q314_zorder_optimize" -> ((s, d) => {
+      import graft.sources.ManifestTable
       val tmp = java.nio.file.Files.createTempDirectory("graft-zopt")
-      val (dir, _, deltaFiles, plo, phi, slo, shi) =
-        writeOptimizeTable(s, d, tmp.toString)
-      // materialize the pre-OPTIMIZE probe BEFORE compaction mutates
-      // the directory (the read is lazy)
-      val pre = probeRect(s, dir, "pre_optimize", plo, phi, slo, shi)
-        .localCheckpoint()
-      optimizeDelta(s, dir, deltaFiles, s"$tmp/staging")
-      pre.unionAll(probeRect(s, dir, "post_optimize", plo, phi, slo, shi))
+      val (table, plo, phi, slo, shi) = writeOptimizeTable(s, d, tmp.toString)
+      ManifestTable.optimize(s, table, deltaFilesOf(table),
+        col("zkey"), numFiles = 4)
+      probeRectDf(ManifestTable.readVersion(s, table, 1),
+          "pre_optimize", plo, phi, slo, shi)
+        .unionAll(probeRectDf(ManifestTable.read(s, table),
+          "post_optimize", plo, phi, slo, shi))
+        .orderBy(col("layout"))
+    }),
+
+    // MANIFEST TIME TRAVEL — the read side of the table format: the
+    // same probe rectangle aggregated against PINNED snapshot
+    // versions. Snapshot 0 (the pre-append base) holds 90% of the
+    // rows, snapshots 1 (post-append) and 2 (post-OPTIMIZE) the full
+    // table — so the three rows carry DIFFERENT pinned values unless
+    // a commit leaked rows across versions, and v1 = v2 proves the
+    // OPTIMIZE swap is value-neutral. The oracle recomputes all three
+    // from the source table with the same %10 split. At 100 TB this
+    // is audit/reproducibility infrastructure: any historical
+    // training-data snapshot re-reads bit-identically until vacuumed.
+    "q319_manifest_timetravel" -> ((s, d) => {
+      import graft.sources.ManifestTable
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ztt")
+      val (table, plo, phi, slo, shi) = writeOptimizeTable(s, d, tmp.toString)
+      ManifestTable.optimize(s, table, deltaFilesOf(table),
+        col("zkey"), numFiles = 4)
+      probeRectDf(ManifestTable.readVersion(s, table, 0),
+          "v0_base", plo, phi, slo, shi)
+        .unionAll(probeRectDf(ManifestTable.readVersion(s, table, 1),
+          "v1_append", plo, phi, slo, shi))
+        .unionAll(probeRectDf(ManifestTable.readVersion(s, table, 2),
+          "v2_optimize", plo, phi, slo, shi))
         .orderBy(col("layout"))
     }),
     // Z-order vs natural (orderkey-range) layout: bucket lineitem 32
@@ -320,6 +339,43 @@ object LayoutQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    // version-pinned: v0 sees only the base (l_orderkey % 10 <> 0),
+    // v1 and v2 the full table — and v1 must equal v2 exactly
+    "q319_manifest_timetravel" ->
+      """WITH g AS (
+        |  SELECT min(l_partkey) AS pkmin, max(l_partkey) AS pkmax,
+        |         min(l_suppkey) AS skmin, max(l_suppkey) AS skmax
+        |  FROM lineitem),
+        |probe AS (
+        |  SELECT pkmin + ((pkmax - pkmin) * 2) // 5 AS plo,
+        |         pkmin + ((pkmax - pkmin) * 3) // 5 AS phi,
+        |         skmin + ((skmax - skmin) * 2) // 5 AS slo,
+        |         skmin + ((skmax - skmin) * 3) // 5 AS shi
+        |  FROM g),
+        |rect AS (
+        |  SELECT l_orderkey, l_extendedprice
+        |  FROM lineitem, probe
+        |  WHERE l_partkey BETWEEN plo AND phi
+        |    AND l_suppkey BETWEEN slo AND shi),
+        |fullagg AS (
+        |  SELECT count(*)::BIGINT AS n_rows,
+        |         count(DISTINCT l_orderkey)::BIGINT AS n_orders,
+        |         sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+        |           AS cents
+        |  FROM rect),
+        |baseagg AS (
+        |  SELECT count(*)::BIGINT AS n_rows,
+        |         count(DISTINCT l_orderkey)::BIGINT AS n_orders,
+        |         sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+        |           AS cents
+        |  FROM rect WHERE l_orderkey % 10 <> 0)
+        |SELECT 'v0_base' AS layout, n_rows, n_orders, cents FROM baseagg
+        |UNION ALL
+        |SELECT 'v1_append', n_rows, n_orders, cents FROM fullagg
+        |UNION ALL
+        |SELECT 'v2_optimize', n_rows, n_orders, cents FROM fullagg
+        |ORDER BY layout""".stripMargin,
+
     // phase-independent: compaction must not change a single value
     "q314_zorder_optimize" ->
       """WITH g AS (

@@ -50,7 +50,10 @@ object Cdc {
       col("value"),
       get_json_object(col("props"), "$.k").cast("long").as("k")))
     val before = when(op === "d", struct(col("user_id")))
-    events.select(col("ts"),
+    // event_id rides NEXT TO the json (never inside the decode path):
+    // replay harnesses chunk on it when they want deliberately
+    // NON-time-ordered micro-batches (q320's out-of-order repair row)
+    events.select(col("ts"), col("event_id"),
       to_json(struct(
         op.as("op"),
         unix_micros(col("ts")).as("ts_us"),
@@ -69,6 +72,56 @@ object Cdc {
         coalesce(col("e.after.user_id"), col("e.before.user_id"))
           .as("user_id"),
         col("e.after.value").as("value"), col("e.after.k").as("k"))
+
+  /** Generation-2 envelope schema: the source ALTERed a column onto
+    * the table mid-stream (Debezium emits the widened `after` image
+    * from then on). One permissive schema decodes BOTH generations —
+    * from_json leaves the absent field null on v1 rows, the same
+    * all-generations read discipline the Avro connector applies
+    * (AvroDataSource's widened-schema read, q248). */
+  val envelopeSchemaV2: StructType = StructType(Seq(
+    StructField("op", StringType),
+    StructField("ts_us", LongType),
+    StructField("pos", LongType),
+    StructField("before", StructType(Seq(
+      StructField("user_id", LongType)))),
+    StructField("after", StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("value", DoubleType),
+      StructField("k", LongType),
+      StructField("seg", StringType))))))
+
+  /** Encode post-evolution events as v2 envelopes: the after-image
+    * carries the new `seg` column. */
+  def envelopeV2(events: DataFrame): DataFrame = {
+    val op = when(col("event_type") === "signup", "c")
+      .when(col("event_type") === "error", "d")
+      .otherwise("u")
+    val after = when(op =!= "d", struct(
+      col("user_id"),
+      col("value"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"),
+      upper(col("event_type")).as("seg")))
+    val before = when(op === "d", struct(col("user_id")))
+    events.select(col("ts"), col("event_id"),
+      to_json(struct(
+        op.as("op"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id").as("pos"),
+        before.as("before"),
+        after.as("after"))).as("json"))
+  }
+
+  /** Decode a MIXED-generation wire under the v2 schema: v1 rows get
+    * seg = null, v2 rows their encoded value. */
+  def parseV2(wire: DataFrame, jsonCol: Column): DataFrame =
+    wire.select(from_json(jsonCol, envelopeSchemaV2).as("e"))
+      .select(col("e.op").as("op"), col("e.ts_us").as("ts_us"),
+        col("e.pos").as("pos"),
+        coalesce(col("e.after.user_id"), col("e.before.user_id"))
+          .as("user_id"),
+        col("e.after.value").as("value"), col("e.after.k").as("k"),
+        col("e.after.seg").as("seg"))
 
   /** Batch materialization: last op per key by (ts_us, pos), delete
     * tombstones drop the key. One shuffle on the key. */
@@ -120,22 +173,37 @@ object Cdc {
     } finally conn.close()
   }
 
+  /** One SCD2 version as the JDBC writer sees it. */
+  private case class Ver(ts: Long, pos: Long, op: String,
+                         value: Option[Double], k: Option[Long])
+
   /** Per-micro-batch SCD2 maintenance (foreachBatch): every incoming
     * version closes the key's open interval and becomes the new open
     * version. The batch is repartitioned by key and sorted by
     * (key, ts_us, pos), so each partition applies its keys' versions
-    * in ORDER with no cross-writer races — which lets the writer
-    * compute each intermediate version's VALID_TO_US at INSERT time
-    * from the NEXT version in the sorted run (lookahead); only the
-    * key's PRE-EXISTING open row needs an UPDATE, once, when its
-    * first newer version arrives. A version at-or-before the stored
-    * open one is SKIPPED, so replayed batches are no-ops (idempotent)
-    * and a crash-mid-partition replay resumes exactly where the last
-    * commit left the open row. Per-key arrival is monotone by
-    * construction (event-time-ordered replay) — the temporal-table
-    * contract; out-of-order history REPAIR is a per-key rebuild in
-    * production. Writes are addBatch/executeBatch with chunked
-    * commits (the q303 batching discipline). */
+    * in ORDER with no cross-writer races, and each key's in-batch run
+    * is buffered (bounded per-key work) so intermediate versions get
+    * their VALID_TO_US at INSERT time from the run lookahead.
+    *
+    * Order safety (r11, the reference's
+    * TemporalRowTimeJoinOperator.java:71 buffered-late-row case):
+    *  - the per-key guard is the NEWEST stored version — open or
+    *    closed — not just the open row, so a crash-replay that landed
+    *    mid-key (chunk committed after the lookahead pre-stamped the
+    *    newest row's VALID_TO_US) resumes exactly: replayed rows
+    *    at-or-before the guard are skipped, the first genuinely newer
+    *    row needs no close (its predecessor was pre-stamped with this
+    *    row's own ts), and the stream never dies on a duplicate key —
+    *    the r10 ADVICE hole;
+    *  - a stale row that is NOT already stored (a genuinely
+    *    out-of-order version, e.g. shuffled CDC source partitions) is
+    *    a REPAIR: the key's full history is read back, the late
+    *    versions spliced in, every interval bound recomputed, and the
+    *    key's rows rewritten in one transaction — bounded per-key
+    *    work, exercised by q320's deliberately non-time-ordered
+    *    replay.
+    * Fast-path writes are addBatch/executeBatch with chunked commits
+    * (the q303 batching discipline); rebuilds commit per key. */
   def scd2Batch(batch: DataFrame, url: String): Unit = {
     batch.repartition(col("user_id"))
       .sortWithinPartitions(col("user_id"), col("ts_us"), col("pos"))
@@ -144,81 +212,188 @@ object Cdc {
         val conn = java.sql.DriverManager.getConnection(url)
         try {
           conn.setAutoCommit(false)
-          val selOpen = conn.prepareStatement(
-            "SELECT VALID_FROM_US, POS FROM SCD2_HIST " +
-              "WHERE USER_ID = ? AND VALID_TO_US IS NULL")
+          val selNewest = conn.prepareStatement(
+            "SELECT VALID_FROM_US, POS, VALID_TO_US FROM SCD2_HIST " +
+              "WHERE USER_ID = ? ORDER BY VALID_FROM_US DESC, POS DESC " +
+              "FETCH FIRST 1 ROWS ONLY")
+          val selPk = conn.prepareStatement(
+            "SELECT 1 FROM SCD2_HIST WHERE USER_ID = ? " +
+              "AND VALID_FROM_US = ? AND POS = ?")
+          val selAll = conn.prepareStatement(
+            "SELECT VALID_FROM_US, POS, OP, VAL, K FROM SCD2_HIST " +
+              "WHERE USER_ID = ? ORDER BY VALID_FROM_US, POS")
+          val delKey = conn.prepareStatement(
+            "DELETE FROM SCD2_HIST WHERE USER_ID = ?")
           val close = conn.prepareStatement(
             "UPDATE SCD2_HIST SET VALID_TO_US = ? WHERE USER_ID = ? " +
               "AND VALID_FROM_US = ? AND POS = ? AND VALID_TO_US IS NULL")
           val ins = conn.prepareStatement(
             "INSERT INTO SCD2_HIST (USER_ID, VALID_FROM_US, POS, OP, " +
               "VAL, K, VALID_TO_US) VALUES (?, ?, ?, ?, ?, ?, ?)")
-          val it = rows.buffered
-          var curKey = Long.MinValue
-          var open: Option[(Long, Long)] = None
-          var closedDbOpen = false
           var pending = 0
-          while (it.hasNext) {
-            val r = it.next()
-            val key = r.getAs[Number]("user_id").longValue()
-            val ts = r.getAs[Number]("ts_us").longValue()
-            val pos = r.getAs[Number]("pos").longValue()
-            if (key != curKey) {
-              curKey = key
-              selOpen.setLong(1, key)
-              val rs = selOpen.executeQuery()
-              open = if (rs.next()) Some((rs.getLong(1), rs.getLong(2)))
-                     else None
-              rs.close()
-              closedDbOpen = false
+
+          def addInsert(key: Long, v: Ver, validTo: Option[Long]): Unit = {
+            ins.setLong(1, key); ins.setLong(2, v.ts); ins.setLong(3, v.pos)
+            ins.setString(4, v.op)
+            v.value match {
+              case Some(d) => ins.setDouble(5, d)
+              case None => ins.setNull(5, java.sql.Types.DOUBLE)
             }
-            val newer = open.forall { case (of, op_) =>
-              ts > of || (ts == of && pos > op_) }
-            if (newer) {
-              if (!closedDbOpen) {
-                open.foreach { case (of, op_) =>
-                  close.setLong(1, ts); close.setLong(2, key)
-                  close.setLong(3, of); close.setLong(4, op_)
-                  close.addBatch()
-                }
-                closedDbOpen = true
+            v.k match {
+              case Some(l) => ins.setLong(6, l)
+              case None => ins.setNull(6, java.sql.Types.BIGINT)
+            }
+            validTo match {
+              case Some(t) => ins.setLong(7, t)
+              case None => ins.setNull(7, java.sql.Types.BIGINT)
+            }
+            ins.addBatch()
+          }
+
+          /** Insert `fresh` (all strictly newer than the stored
+            * newest) with run-lookahead bounds; close the stored open
+            * row if there is one. A stored newest that is CLOSED
+            * needs no close — its bound was pre-stamped by the
+            * lookahead before the crash that replayed us here. */
+          def fastPath(key: Long, fresh: Seq[Ver],
+                       newest: Option[(Long, Long, Boolean)]): Unit = {
+            if (fresh.isEmpty) return
+            newest.foreach { case (nf, np, isOpen) =>
+              if (isOpen) {
+                close.setLong(1, fresh.head.ts); close.setLong(2, key)
+                close.setLong(3, nf); close.setLong(4, np)
+                close.addBatch()
               }
-              // lookahead: a same-key successor in this sorted run is
-              // strictly newer, so it fixes this version's VALID_TO_US
-              val nextTs: Option[Long] =
-                if (it.hasNext &&
-                    it.head.getAs[Number]("user_id").longValue() == key)
-                  Some(it.head.getAs[Number]("ts_us").longValue())
-                else None
-              ins.setLong(1, key); ins.setLong(2, ts); ins.setLong(3, pos)
-              ins.setString(4, r.getAs[String]("op"))
-              if (r.isNullAt(r.fieldIndex("value"))) {
-                ins.setNull(5, java.sql.Types.DOUBLE)
-                ins.setNull(6, java.sql.Types.BIGINT)
-              } else {
-                ins.setDouble(5, r.getAs[Number]("value").doubleValue())
-                ins.setLong(6, r.getAs[Number]("k").longValue())
-              }
-              nextTs match {
-                case Some(t) => ins.setLong(7, t)
-                case None => ins.setNull(7, java.sql.Types.BIGINT)
-              }
-              ins.addBatch()
-              open = Some((ts, pos))
+            }
+            fresh.zipWithIndex.foreach { case (v, i) =>
+              val validTo =
+                if (i + 1 < fresh.size) Some(fresh(i + 1).ts) else None
+              addInsert(key, v, validTo)
               pending += 1
-              if (pending >= 1024) {
-                close.executeBatch(); ins.executeBatch(); conn.commit()
-                pending = 0
-              }
+            }
+            if (pending >= 1024) {
+              close.executeBatch(); ins.executeBatch(); conn.commit()
+              pending = 0
+            }
+          }
+
+          /** Out-of-order repair: splice the run into the key's full
+            * stored history, recompute every interval bound, rewrite
+            * the key in one transaction. */
+          def rebuild(key: Long, run: Seq[Ver]): Unit = {
+            // flush fast-path work first so the rebuild transaction
+            // is self-contained
+            close.executeBatch(); ins.executeBatch()
+            pending = 0
+            selAll.setLong(1, key)
+            val rs = selAll.executeQuery()
+            val stored = scala.collection.mutable.ArrayBuffer.empty[Ver]
+            while (rs.next()) {
+              val vf = rs.getLong(1); val p = rs.getLong(2)
+              val op = rs.getString(3)
+              val d = rs.getDouble(4)
+              val value = if (rs.wasNull()) None else Some(d)
+              val kk = rs.getLong(5)
+              val k = if (rs.wasNull()) None else Some(kk)
+              stored += Ver(vf, p, op, value, k)
+            }
+            rs.close()
+            val merged = (stored ++ run)
+              .groupBy(v => (v.ts, v.pos)).map(_._2.head).toSeq
+              .sortBy(v => (v.ts, v.pos))
+            delKey.setLong(1, key); delKey.executeUpdate()
+            merged.zipWithIndex.foreach { case (v, i) =>
+              addInsert(key, v,
+                if (i + 1 < merged.size) Some(merged(i + 1).ts) else None)
+            }
+            ins.executeBatch()
+            conn.commit()
+          }
+
+          // iterate the partition as bounded per-key runs
+          val it = rows.buffered
+          while (it.hasNext) {
+            val key = it.head.getAs[Number]("user_id").longValue()
+            val run = scala.collection.mutable.ArrayBuffer.empty[Ver]
+            while (it.hasNext &&
+                   it.head.getAs[Number]("user_id").longValue() == key) {
+              val r = it.next()
+              val value =
+                if (r.isNullAt(r.fieldIndex("value"))) None
+                else Some(r.getAs[Number]("value").doubleValue())
+              val k =
+                if (r.isNullAt(r.fieldIndex("k"))) None
+                else Some(r.getAs[Number]("k").longValue())
+              run += Ver(r.getAs[Number]("ts_us").longValue(),
+                r.getAs[Number]("pos").longValue(),
+                r.getAs[String]("op"), value, k)
+            }
+            selNewest.setLong(1, key)
+            val nrs = selNewest.executeQuery()
+            val newest =
+              if (nrs.next()) {
+                val vf = nrs.getLong(1); val p = nrs.getLong(2)
+                nrs.getLong(3)
+                Some((vf, p, nrs.wasNull())) // wasNull ⇒ still open
+              } else None
+            nrs.close()
+            newest match {
+              case None => fastPath(key, run.toSeq, None)
+              case Some((nf, np, _)) =>
+                val (fresh, stale) = run.toSeq.partition(v =>
+                  v.ts > nf || (v.ts == nf && v.pos > np))
+                if (stale.isEmpty) fastPath(key, fresh, newest)
+                else {
+                  // replayed duplicates are already stored (PK hit);
+                  // anything else is genuine out-of-order data
+                  val late = stale.filterNot { v =>
+                    selPk.setLong(1, key); selPk.setLong(2, v.ts)
+                    selPk.setLong(3, v.pos)
+                    val prs = selPk.executeQuery()
+                    val hit = prs.next(); prs.close(); hit
+                  }
+                  if (late.isEmpty) fastPath(key, fresh, newest)
+                  else rebuild(key, run.toSeq)
+                }
             }
           }
           if (pending > 0) {
-            close.executeBatch(); ins.executeBatch(); conn.commit()
+            close.executeBatch(); ins.executeBatch()
           }
-          selOpen.close(); close.close(); ins.close()
+          // ALWAYS commit: under autoCommit=false even the pure-read
+          // guard lookups of a fully-replayed (no-op) partition open a
+          // transaction, and Derby refuses to close mid-transaction
+          conn.commit()
+          Seq(selNewest, selPk, selAll, delKey, close, ins).foreach(_.close())
         } finally conn.close()
       }
     }
+  }
+
+  /** Tombstone compaction — the production retention step the
+    * DELETED-marker design defers to (see [[initStateTable]]):
+    * physically drop tombstones whose version is older than the
+    * WATERMARK, i.e. older than anything the source can still
+    * deliver. Safe by the version algebra: dropping a tombstone only
+    * matters if an op for that key arrives later — an op NEWER than
+    * the tombstone re-inserts correctly (a genuine resurrection), and
+    * an op OLDER than it can no longer arrive once the replay horizon
+    * has passed the watermark. Run per micro-batch with
+    * watermark = the batch's minimum event time (an event-time-ordered
+    * source can never later deliver anything older); q326 binds the
+    * full loop. Returns the number of tombstones dropped. */
+  def compactTombstones(url: String, watermarkUs: Long): Int = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.prepareStatement(
+        "DELETE FROM CDC_STATE WHERE DELETED = 1 AND TS_US < ?")
+      try {
+        st.setLong(1, watermarkUs)
+        val n = st.executeUpdate()
+        if (!conn.getAutoCommit) conn.commit()
+        n
+      } finally st.close()
+    } finally conn.close()
   }
 
   /** Per-micro-batch CDC MERGE (runs inside foreachBatch): apply an op

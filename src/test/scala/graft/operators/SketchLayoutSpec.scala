@@ -111,9 +111,12 @@ class SketchLayoutSpec extends SparkSpec {
   }
 
   test("incremental OPTIMIZE: base files untouched, delta pruned after") {
+    import graft.sources.ManifestTable
     val tmp = java.nio.file.Files.createTempDirectory("graft-zoptspec")
-    val (dir, baseFiles, deltaFiles, plo, phi, slo, shi) =
+    val (dir, plo, phi, slo, shi) =
       LayoutQueries.writeOptimizeTable(spark, sf, tmp.toString)
+    val baseFiles = ManifestTable.files(dir, 0).toSet
+    val deltaFiles = LayoutQueries.deltaFilesOf(dir)
     assert(deltaFiles.nonEmpty && baseFiles.nonEmpty)
     def sizes(names: Set[String]): Map[String, Long] = names.map { n =>
       n -> java.nio.file.Files.size(java.nio.file.Paths.get(dir, n)) }.toMap
@@ -121,8 +124,8 @@ class SketchLayoutSpec extends SparkSpec {
     val wasAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      def scanRows(): Long = {
-        val df = spark.read.parquet(dir)
+      def scanRows(v: Long): Long = {
+        val df = ManifestTable.readVersion(spark, dir, v)
           .filter(col("l_partkey").between(plo, phi) &&
                   col("l_suppkey").between(slo, shi))
         df.collect()
@@ -130,20 +133,29 @@ class SketchLayoutSpec extends SparkSpec {
           case f: org.apache.spark.sql.execution.FileSourceScanExec => f
         }.head.metrics("numOutputRows").value
       }
-      val preRows = scanRows()
-      LayoutQueries.optimizeDelta(spark, dir, deltaFiles, s"$tmp/staging")
+      val preRows = scanRows(1)
+      ManifestTable.optimize(spark, dir, deltaFiles, col("zkey"), 4)
       // compaction is incremental: every base file byte-identical in
-      // place, every unsorted delta file gone
+      // place, every unsorted delta file dereferenced (still on disk
+      // until vacuum — time travel to v1 stays valid)
       assert(sizes(baseFiles) == baseSizesBefore,
         "OPTIMIZE must not rewrite base files")
-      assert(deltaFiles.forall(n =>
-        !java.nio.file.Files.exists(java.nio.file.Paths.get(dir, n))),
-        "unsorted delta files must be gone")
+      val cur = ManifestTable.files(dir, ManifestTable.currentVersion(dir))
+      assert(deltaFiles.forall(!cur.contains(_)),
+        "unsorted delta files must be out of the committed snapshot")
+      assert(baseFiles.forall(cur.contains),
+        "base files must carry over into the new snapshot")
       // and the same probe now reads strictly fewer rows: the delta's
       // row groups carry tight footer boxes after the rewrite
-      val postRows = scanRows()
+      val postRows = scanRows(2)
       assert(postRows < preRows,
         s"post-OPTIMIZE scan must prune the delta: pre=$preRows post=$postRows")
+      // vacuum drops the dereferenced delta files from disk
+      ManifestTable.vacuum(dir, keepVersions = 1)
+      assert(deltaFiles.forall(n =>
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(dir, n))),
+        "vacuum must delete the rewritten delta files")
+      assert(scanRows(2) == postRows, "reader unaffected by vacuum")
     } finally spark.conf.set("spark.sql.adaptive.enabled", wasAqe)
   }
 

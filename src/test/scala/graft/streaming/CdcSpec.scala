@@ -75,4 +75,90 @@ class CdcSpec extends SparkSpec {
     assert(dead.length == 1 && dead.head.getLong(0) == 2L &&
       dead.head.getLong(1) == 300L)
   }
+
+  test("tombstone compaction drops only sub-watermark tombstones") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-cdccomp")
+    val url = s"jdbc:derby:$base/db;create=true"
+    Cdc.initStateTable(url)
+    val b = Seq(("d", 100L, 1L, 1L, 0.0, 0L),   // old tombstone
+                ("d", 500L, 2L, 2L, 0.0, 0L),   // recent tombstone
+                ("c", 400L, 3L, 3L, 1.0, 1L))   // live row, older than wm
+      .toDF("op", "ts_us", "pos", "user_id", "value", "k")
+    Cdc.mergeBatch(b, url)
+    val dropped = Cdc.compactTombstones(url, watermarkUs = 450L)
+    assert(dropped == 1, "only the sub-watermark tombstone goes")
+    val left = spark.read.format("jdbc").option("url", url)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("dbtable", "CDC_STATE").load()
+      .select(col("USER_ID"), col("DELETED").cast("int")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(left == Map(2L -> 1, 3L -> 0),
+      "live rows and at-or-after-watermark tombstones survive")
+  }
+
+  private def scd2Hist(url: String): Seq[(Long, Long, Option[Long])] =
+    spark.read.format("jdbc").option("url", url)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("dbtable", "SCD2_HIST").load()
+      .orderBy(col("USER_ID"), col("VALID_FROM_US"), col("POS"))
+      .collect().toSeq.map { r =>
+        (r.getLong(r.fieldIndex("USER_ID")),
+          r.getLong(r.fieldIndex("VALID_FROM_US")),
+          if (r.isNullAt(r.fieldIndex("VALID_TO_US"))) None
+          else Some(r.getLong(r.fieldIndex("VALID_TO_US"))))
+      }
+
+  test("scd2Batch repairs out-of-order versions to the window-built truth") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-scd2oospec")
+    val url = s"jdbc:derby:$base/db;create=true"
+    Cdc.initScd2Table(url)
+    // batch 1: ts 100 and 300 → intervals [100,300), [300,∞)
+    Cdc.scd2Batch(Seq(("c", 100L, 1L, 1L, 1.0, 1L),
+                      ("u", 300L, 3L, 1L, 3.0, 3L))
+      .toDF("op", "ts_us", "pos", "user_id", "value", "k"), url)
+    // batch 2: ts 200 is LATE (between the stored versions) — repair
+    // must splice it; ts 400 is genuinely new
+    Cdc.scd2Batch(Seq(("u", 200L, 2L, 1L, 2.0, 2L),
+                      ("u", 400L, 4L, 1L, 4.0, 4L))
+      .toDF("op", "ts_us", "pos", "user_id", "value", "k"), url)
+    assert(scd2Hist(url) == Seq(
+      (1L, 100L, Some(200L)), (1L, 200L, Some(300L)),
+      (1L, 300L, Some(400L)), (1L, 400L, None)),
+      "late version spliced, every bound recomputed")
+    // full replay of batch 2 is a no-op (all PK hits)
+    Cdc.scd2Batch(Seq(("u", 200L, 2L, 1L, 2.0, 2L),
+                      ("u", 400L, 4L, 1L, 4.0, 4L))
+      .toDF("op", "ts_us", "pos", "user_id", "value", "k"), url)
+    assert(scd2Hist(url).size == 4, "replay must not duplicate versions")
+  }
+
+  test("scd2Batch replay survives a mid-key crash that pre-stamped the bound") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-scd2crash")
+    val url = s"jdbc:derby:$base/db;create=true"
+    Cdc.initScd2Table(url)
+    val batch = Seq(("c", 100L, 1L, 1L, 1.0, 1L),
+                    ("u", 200L, 2L, 1L, 2.0, 2L))
+      .toDF("op", "ts_us", "pos", "user_id", "value", "k")
+    Cdc.scd2Batch(batch, url)
+    // simulate the chunk-boundary crash: the first version committed
+    // WITH its lookahead-stamped VALID_TO_US, the successor's insert
+    // was lost — the key's newest stored version is CLOSED
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        "DELETE FROM SCD2_HIST WHERE USER_ID = 1 AND VALID_FROM_US = 200")
+      st.close()
+    } finally conn.close()
+    // the r10 code found no open row here, treated every replayed row
+    // as 'newer', and died re-inserting the (1, 100, 1) primary key;
+    // the newest-version guard must instead skip ts 100 and re-insert
+    // only ts 200 — no close needed, the bound was pre-stamped
+    Cdc.scd2Batch(batch, url)
+    assert(scd2Hist(url) == Seq((1L, 100L, Some(200L)), (1L, 200L, None)),
+      "replay after the mid-key crash converges without duplicates")
+  }
 }
