@@ -124,6 +124,130 @@ object SketchQueries {
       heavyHitters(cells, tok)
     }),
 
+    // KLL QUANTILE SKETCH-CUBE — the q307 pattern for the rank domain,
+    // completing the sketch family (CMS counts, HLL distincts, KLL
+    // quantiles): ONE corpus pass builds per-(source, lang) doc-length
+    // sketches (functions/Kll.scala — deterministic KLL/MRL compactor
+    // ladder as a mergeable Aggregator), every coarser grain is a
+    // MERGE of cell sketches, never a rescan. n/min/max ride the
+    // sketch EXACTLY (oracle-pinned); each estimated quantile is
+    // audited against the grain's true rank from a BOUNDED value
+    // histogram (distinct doc lengths × cells — never a re-sort of
+    // the corpus): |rank(est) − q·n| must sit inside the 5%+8
+    // deterministic-KLL envelope, emitted as oracle-pinned booleans.
+    // At 100 TB: bounded histogram, KB-scale sketches, zero rescans.
+    "q322_kll_cube" -> ((s, d) => {
+      import graft.functions.Kll
+      val kllAgg = udaf(new Kll.Agg)
+      val kllMerge = udaf(new Kll.MergeAgg)
+      val statsUdf = udf((b: Array[Byte]) => Kll.stats(b))
+      val docs = Tables.documents(s, d).select(col("source"), col("lang"),
+        col("n_chars").cast("double").as("v"))
+      val cells = docs.groupBy(col("source"), col("lang"))
+        .agg(kllAgg(col("v")).as("sk"))
+        .localCheckpoint() // the KB-scale cell table feeds 4 rollups
+      val nullS = lit(null).cast("string")
+      val ests = cells.select(col("source"), col("lang"), col("sk"))
+        .unionAll(cells.groupBy(col("source"))
+          .agg(kllMerge(col("sk")).as("sk"))
+          .select(col("source"), nullS.as("lang"), col("sk")))
+        .unionAll(cells.groupBy(col("lang"))
+          .agg(kllMerge(col("sk")).as("sk"))
+          .select(nullS.as("source"), col("lang"), col("sk")))
+        .unionAll(cells.agg(kllMerge(col("sk")).as("sk"))
+          .select(nullS.as("source"), nullS.as("lang"), col("sk")))
+        .withColumn("st", statsUdf(col("sk")))
+        .select(col("source").as("gsrc"), col("lang").as("glng"),
+          col("st.n").as("n"), col("st.min_v").as("min_d"),
+          col("st.max_v").as("max_d"),
+          col("st.q25").as("q25"), col("st.q50").as("q50"),
+          col("st.q75").as("q75"))
+      // bounded (source, lang, length) histogram → exact ranks of the
+      // estimated quantiles at every grain, plus exact min/max
+      val hist = docs.groupBy(col("source"), col("lang"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val grainHist = hist
+        .select(col("source"), col("lang"), col("v"), col("c"))
+        .unionAll(hist.select(col("source"), nullS, col("v"), col("c")))
+        .unionAll(hist.select(nullS, col("lang"), col("v"), col("c")))
+        .unionAll(hist.select(nullS, nullS, col("v"), col("c")))
+        .select(col("source").as("hsrc"), col("lang").as("hlng"),
+          col("v"), col("c"))
+      def rankOk(r: Column, q: Double, n: Column): Column =
+        abs(r - lit(q) * n) <= lit(0.05) * n + lit(8.0)
+      // NULL-SAFE grain join: the rollup grains key on null
+      grainHist.join(broadcast(ests),
+          grainHist("hsrc") <=> ests("gsrc") &&
+            grainHist("hlng") <=> ests("glng"))
+        .groupBy(col("gsrc"), col("glng"), col("n"), col("min_d"),
+          col("max_d"), col("q25"), col("q50"), col("q75"))
+        .agg(sum(when(col("v") <= col("q25"), col("c"))).as("r25"),
+          sum(when(col("v") <= col("q50"), col("c"))).as("r50"),
+          sum(when(col("v") <= col("q75"), col("c"))).as("r75"),
+          min(col("v")).as("true_min"), max(col("v")).as("true_max"))
+        .select(col("gsrc").as("source"), col("glng").as("lang"),
+          col("n"),
+          col("min_d").cast("long").as("min_v"),
+          col("max_d").cast("long").as("max_v"),
+          rankOk(col("r25"), 0.25, col("n")).as("q25_ok"),
+          rankOk(col("r50"), 0.50, col("n")).as("q50_ok"),
+          rankOk(col("r75"), 0.75, col("n")).as("q75_ok"),
+          (col("min_d") === col("true_min") &&
+            col("max_d") === col("true_max")).as("minmax_ok"))
+        .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)
+    }),
+
+    // STREAMING quantile maintenance — the q308/q313 pattern for the
+    // KLL sketch: the per-source doc-length sketch as update-mode
+    // STREAMING AGGREGATION STATE (the Aggregator's buffer lives in
+    // the state store exactly like the built-in HLL's), each
+    // micro-batch folding its lengths in; state per key is one
+    // ≤ k·H-item ladder at ANY corpus size. The final emission per
+    // source passes the same exact-n/min/max + rank-envelope audit as
+    // the batch cube — live quantile dashboards without rescans.
+    "q323_kll_stream" -> ((s, d) => {
+      import graft.functions.Kll
+      val base = java.nio.file.Files.createTempDirectory("graft-kllstream")
+      val kllAgg = udaf(new Kll.Agg)
+      val statsUdf = udf((b: Array[Byte]) => Kll.stats(b))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val chunks = (0 until 4).map(i => pmod(col("doc_id"), lit(4)) === i)
+      val (inDir, schema) = graft.streaming.Replay
+        .fileEpochs(docs, chunks, base.toString)
+      val live = graft.streaming.Replay.streamDf(s, inDir, schema)
+        .groupBy(col("source"))
+        .agg(kllAgg(col("n_chars").cast("double")).as("sk"))
+        .withColumn("st", statsUdf(col("sk")))
+        .select(col("source"), col("st.n").as("n"),
+          col("st.min_v").as("min_d"), col("st.max_v").as("max_d"),
+          col("st.q25").as("q25"), col("st.q50").as("q50"),
+          col("st.q75").as("q75"))
+      val fin = StreamParityQueries.latestPerKey(
+        StreamParityQueries.runUpdate(live, base.toString, s), col("source"))
+      val hist = docs
+        .select(col("source"), col("n_chars").cast("double").as("v"))
+        .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+      def rankOk(r: Column, q: Double, n: Column): Column =
+        abs(r - lit(q) * n) <= lit(0.05) * n + lit(8.0)
+      hist.join(broadcast(fin), Seq("source"))
+        .groupBy(col("source"), col("n"), col("min_d"), col("max_d"),
+          col("q25"), col("q50"), col("q75"))
+        .agg(sum(when(col("v") <= col("q25"), col("c"))).as("r25"),
+          sum(when(col("v") <= col("q50"), col("c"))).as("r50"),
+          sum(when(col("v") <= col("q75"), col("c"))).as("r75"),
+          min(col("v")).as("true_min"), max(col("v")).as("true_max"))
+        .select(col("source"), col("n"),
+          col("min_d").cast("long").as("min_v"),
+          col("max_d").cast("long").as("max_v"),
+          rankOk(col("r25"), 0.25, col("n")).as("q25_ok"),
+          rankOk(col("r50"), 0.50, col("n")).as("q50_ok"),
+          rankOk(col("r75"), 0.75, col("n")).as("q75_ok"),
+          (col("min_d") === col("true_min") &&
+            col("max_d") === col("true_max")).as("minmax_ok"))
+        .orderBy(col("source"))
+    }),
+
     // HLL SKETCH-CUBE rollup — the OLAP-at-scale pattern for distinct
     // counts: ONE corpus pass builds a per-(source, lang) cell table
     // of HLL sketches (bounded by the dimension cardinalities), and
@@ -237,6 +361,21 @@ object SketchQueries {
   val oracle: Map[String, String] = Map(
     "q313_cms_stream" -> cmsSql,
     "q298_cms_heavy_hitters" -> cmsSql,
+    // n/min/max are exact by construction; the quantile booleans pin
+    // the deterministic-KLL rank envelope on this corpus
+    "q322_kll_cube" ->
+      """SELECT source, lang, count(*)::BIGINT AS n,
+        |  min(n_chars)::BIGINT AS min_v, max(n_chars)::BIGINT AS max_v,
+        |  true AS q25_ok, true AS q50_ok, true AS q75_ok,
+        |  true AS minmax_ok
+        |FROM documents GROUP BY CUBE (source, lang)
+        |ORDER BY source, lang""".stripMargin,
+    "q323_kll_stream" ->
+      """SELECT source, count(*)::BIGINT AS n,
+        |  min(n_chars)::BIGINT AS min_v, max(n_chars)::BIGINT AS max_v,
+        |  true AS q25_ok, true AS q50_ok, true AS q75_ok,
+        |  true AS minmax_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q307_hll_cube" ->
       """SELECT source, lang, count(DISTINCT w) AS exact,
         |       true AS est_ok
