@@ -241,6 +241,38 @@ object IvfPqQueries {
         .orderBy(col("pid"), col("rk"))
     }),
 
+    // IVF LIST-SKEW REBALANCE — the third serving-index mutation
+    // (q297 inserts, q312 deletes): heavily skewed ingest grows one
+    // hot inverted list until probe pruning degrades (a probe hitting
+    // that list scans a disproportionate share of the corpus). The
+    // maintenance step: detect lists above mean + σ of the per-list
+    // vector counts (falling back to the single largest — the demo
+    // corpus is near-balanced), run a LOCAL 2-means on THAT LIST ONLY
+    // (its member vectors — never a global refit), split it into two
+    // sub-lists (the original id + a fresh one), and rewrite only the
+    // hot cluster's partition via the q312 staged-swap discipline.
+    // The coarse centroid table grows by one (the hot centroid is
+    // replaced by its two sub-centroids); PQ codes are UNTOUCHED, so
+    // at nprobe = ALL lists the post-split search must equal the flat
+    // ADC scan bit-for-bit — q211's oracle verbatim (the q268/q297
+    // exactness trick). IvfPqSpec asserts the hot list's count
+    // actually halves and cold partitions stay byte-identical. At
+    // 100 TB a rebalance touches one inverted list's directory.
+    "q325_ivf_rebalance" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-ivfreb")
+      val idx = s"$base/index"
+      val e = Tables.embeddings(s, d)
+      val model = IvfPq.fit(e, "embedding", kCoarse = 8, lloydIters = 2,
+        numSub = 8, codesPerSub = 16)
+      IvfPq.index(e, "embedding", model)
+        .write.partitionBy("cluster").parquet(idx)
+      val model2 = splitHotList(s, idx, e, "embedding", model,
+        s"$base/stage")
+      IvfPq.search(s.read.parquet(idx), e.filter(col("vec_id") <= 20),
+        "embedding", model2, k = 5, nprobe = model2.kCoarse)
+        .orderBy(col("pid"), col("rk"))
+    }),
+
     // the approximate setting itself, oracle-bound: nprobe=2 of 8,
     // deterministic seed centroids (lloydIters=0), recall@5 vs the
     // exact brute-force top-5 as an integer permille per probe.
@@ -264,6 +296,67 @@ object IvfPqQueries {
     })
   )
 
+  /** The q325 maintenance step, reusable: find the hot list (count >
+    * mean + σ, else the largest), 2-means it locally, split its
+    * partition in place (staged write + file swap — cold partitions
+    * untouched), return the model with the hot centroid replaced by
+    * its two sub-centroids (new list id = old kCoarse). */
+  private[operators] def splitHotList(s: SparkSession, idx: String,
+      corpus: DataFrame, embCol: String, model: IvfPq.Model,
+      staging: String): IvfPq.Model = {
+    val idxDf = s.read.parquet(idx)
+    val sizes = idxDf.groupBy(col("cluster"))
+      .agg(countDistinct(col("cid")).as("n")).collect()
+      .map(r => r.getAs[Number]("cluster").intValue() ->
+        r.getAs[Long]("n")).toMap
+    val mean = sizes.values.sum.toDouble / sizes.size
+    val sd = math.sqrt(
+      sizes.values.map(n => (n - mean) * (n - mean)).sum / sizes.size)
+    val overgrown = sizes.filter(_._2 > mean + sd).keys
+    // deterministic pick: the largest (ties → lowest id)
+    val hot =
+      (if (overgrown.nonEmpty) overgrown else sizes.keys)
+        .maxBy(c => (sizes(c), -c))
+    // local 2-means over ONLY the hot list's member vectors
+    val hotIds = idxDf.filter(col("cluster") === hot)
+      .select(col("cid").as("vec_id")).distinct()
+    val sub = IvfAnn.fit(corpus.join(hotIds, "vec_id"), embCol,
+      k = 2, lloydIters = 2)
+    val assigned = IvfAnn.assign(corpus.join(hotIds, "vec_id"), embCol, sub)
+      .select(col("vec_id").as("a_cid"), col("cluster").as("subc"))
+    // stage the split rows (PQ codes untouched), then swap the hot
+    // partition's files — cold partitions are never read or written
+    idxDf.filter(col("cluster") === hot)
+      .join(assigned, idxDf("cid") === col("a_cid"))
+      .select(col("cid"),
+        when(col("subc") === 0, lit(hot))
+          .otherwise(lit(model.kCoarse)).as("cluster"),
+        col("m"), col("code"))
+      .write.partitionBy("cluster").parquet(staging)
+    def parts(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+      if (!java.nio.file.Files.isDirectory(p)) Seq.empty
+      else {
+        val l = java.nio.file.Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator().asScala.toSeq
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+        } finally l.close()
+      }
+    Seq(hot, model.kCoarse).foreach { c =>
+      val dst = java.nio.file.Paths.get(idx, s"cluster=$c")
+      val src = java.nio.file.Paths.get(staging, s"cluster=$c")
+      java.nio.file.Files.createDirectories(dst)
+      val dead = parts(dst)
+      parts(src).foreach(f =>
+        java.nio.file.Files.move(f, dst.resolve(f.getFileName)))
+      dead.foreach(java.nio.file.Files.delete)
+    }
+    IvfPq.Model(
+      model.centroids.updated(hot, sub.centroids(0)) :+ sub.centroids(1),
+      model.codebook)
+  }
+
   // cosine with CosineSimilarity's exact accumulation: three
   // independent left-fold accumulators, dot/(√na·√nb)
   private def cosSql(a: String, b: String): String = {
@@ -282,6 +375,11 @@ object IvfPqQueries {
     // streamed-in vectors at nprobe=K ≡ the same flat ADC scan over
     // the whole corpus (ingestion must be lossless and list-correct).
     "q297_ivfpq_stream_ingest" -> VectorQueries.oracle("q211_pq_ann"),
+
+    // post-rebalance search at nprobe=ALL ≡ the same flat ADC scan:
+    // the split moves vectors between lists but never touches a PQ
+    // code, and probing every list makes the result list-independent.
+    "q325_ivf_rebalance" -> VectorQueries.oracle("q211_pq_ann"),
 
     // post-delete search at nprobe=K ≡ the flat ADC scan over the
     // SURVIVORS only (codebook seeds stay the first 16 vectors of the

@@ -445,6 +445,54 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // AUDIO FEATURES on the decoded WAV leg — q316's codec promoted to
+    // a curation OPERATOR (the q78-style gate for the audio modality):
+    // each container decodes once and emits per-FRAME (256-sample
+    // windows) integer features — energy (Σv², exact), peak |v|, and
+    // zero-crossing rate (the classic cheap voicing/noise
+    // discriminator) — plus the two curation gates a speech pipeline
+    // runs first: CLIPPING (peak at the 16-bit rail) and SILENCE
+    // (RMS under a floor, kept integer as Σv² < n·1024²). All integer
+    // math, so the oracle recomputes every value closed-form from the
+    // same deterministic waveform. Encode→decode→feature is pure
+    // partition-parallel map work — no shuffle; at 100 TB this scans
+    // the blob column once and never materializes decoded audio.
+    "q324_audio_features" -> ((s, d) => {
+      import s.implicits._
+      val frameLen = 256
+      val media = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"),
+          (col("n_chars") % 1024 + 256).cast("int").as("n"))
+        .as[(Long, Int)]
+        .map { case (id, n) =>
+          val samples = Array.tabulate(n)(i =>
+            (((id * 37 + i.toLong * 11) % 65536) - 32768).toInt)
+          (id, Multimodal.Wav.encode(samples, 16000))
+        }
+      media.mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val (_, sm) = Multimodal.Wav.decodeRaw(bytes)
+          sm.grouped(frameLen).zipWithIndex.map { case (fr, fi) =>
+            var sq = 0L; var peak = 0L; var zc = 0L
+            var i = 0
+            while (i < fr.length) {
+              val v = fr(i)
+              sq += v.toLong * v
+              val a = math.abs(v.toLong)
+              if (a > peak) peak = a
+              if (i > 0 && ((fr(i - 1) < 0) != (v < 0))) zc += 1
+              i += 1
+            }
+            (id, fi.toLong, fr.length.toLong, zc, sq, peak,
+              peak >= 32700L, sq < fr.length.toLong * 1024L * 1024L)
+          }
+        }
+      }.toDF("media_id", "frame_idx", "n_s", "zc", "sq_sum", "peak",
+          "is_clipped", "is_silence")
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // Vocabulary building: corpus-wide token frequency + document
     // frequency, top 100 by tf (ties → lexicographic). One shuffle on
     // token with map-side partial agg; the global rank runs over the
@@ -658,6 +706,30 @@ object PipelineQueries {
         |  sum(v*v)::BIGINT AS amp_sq_sum, min(v)::BIGINT AS amp_min,
         |  max(v)::BIGINT AS amp_max
         |FROM sm GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-frame features recomputed closed-form; zero-crossings via a
+    // frame-partitioned lag — sign convention (v < 0) on both sides
+    "q324_audio_features" ->
+      """WITH m AS (SELECT doc_id, (n_chars % 1024 + 256)::INT AS n
+        |           FROM documents WHERE doc_id % 10 = 3),
+        |sm AS (SELECT m.doc_id, t.i, t.i // 256 AS frame_idx,
+        |         ((m.doc_id*37 + t.i*11) % 65536) - 32768 AS v
+        |       FROM m, LATERAL (SELECT unnest(range(0, m.n)) AS i) t),
+        |lagged AS (
+        |  SELECT doc_id, frame_idx, v,
+        |    lag(v) OVER (PARTITION BY doc_id, frame_idx ORDER BY i)
+        |      AS prev
+        |  FROM sm),
+        |fr AS (
+        |  SELECT doc_id AS media_id, frame_idx, count(*)::BIGINT AS n_s,
+        |    sum(CASE WHEN prev IS NOT NULL AND ((prev < 0) <> (v < 0))
+        |             THEN 1 ELSE 0 END)::BIGINT AS zc,
+        |    sum(v*v)::BIGINT AS sq_sum,
+        |    max(abs(v))::BIGINT AS peak
+        |  FROM lagged GROUP BY 1, 2)
+        |SELECT media_id, frame_idx, n_s, zc, sq_sum, peak,
+        |  peak >= 32700 AS is_clipped,
+        |  sq_sum < n_s * 1048576 AS is_silence
+        |FROM fr ORDER BY media_id, frame_idx""".stripMargin,
     "q293_media_ppm_decode" ->
       """WITH m AS (SELECT doc_id, (n_chars % 64 + 16)::INT AS w,
         |             (n_chars % 48 + 16)::INT AS h

@@ -173,4 +173,56 @@ class IvfPqSpec extends SparkSpec {
         numSub = 8, codesPerSub = 1000)
     }
   }
+
+  test("rebalance: hot list splits locally, cold partitions stay byte-identical") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ivfrebspec")
+    val idx = s"$base/index"
+    IvfPq.index(emb, "embedding", model)
+      .write.partitionBy("cluster").parquet(idx)
+    def sizes(): Map[Int, Long] = spark.read.parquet(idx)
+      .groupBy(col("cluster")).agg(countDistinct(col("cid")).as("n"))
+      .collect()
+      .map(r => r.getAs[Number]("cluster").intValue() -> r.getAs[Long]("n"))
+      .toMap
+    val before = sizes()
+    val hot = before.keys.maxBy(c => (before(c), -c))
+    def partFiles(c: Int): Map[String, Long] = {
+      val dir = java.nio.file.Paths.get(idx, s"cluster=$c")
+      val l = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(p => p.getFileName.toString -> java.nio.file.Files.size(p))
+          .toMap
+      } finally l.close()
+    }
+    val coldBefore = before.keys.filter(_ != hot)
+      .map(c => c -> partFiles(c)).toMap
+    val preSearch = IvfPq.search(spark.read.parquet(idx),
+      emb.filter(col("vec_id") <= 20), "embedding", model, k = 5, nprobe = 8)
+      .collect().map(_.toString).sorted
+    val model2 = IvfPqQueries.splitHotList(spark, idx, emb, "embedding",
+      model, s"$base/stage")
+    assert(model2.kCoarse == 9, "one new sub-centroid")
+    val after = sizes()
+    // the split is local and lossless: the two sub-lists partition the
+    // hot list, and the dominant one genuinely shrank
+    assert(after(hot) + after(8) == before(hot),
+      "sub-lists must partition the hot list exactly")
+    assert(after(hot) > 0 && after(8) > 0, "2-means must actually split")
+    assert(math.max(after(hot), after(8)) <= before(hot) * 3 / 4,
+      s"hot list must shrink materially: ${before(hot)} -> " +
+        s"${after(hot)}/${after(8)}")
+    // cold partitions: same files, same bytes
+    coldBefore.foreach { case (c, files) =>
+      assert(partFiles(c) == files, s"cold partition $c must be untouched")
+    }
+    // at nprobe = ALL the search result is list-independent
+    val postSearch = IvfPq.search(spark.read.parquet(idx),
+      emb.filter(col("vec_id") <= 20), "embedding", model2, k = 5,
+      nprobe = 9).collect().map(_.toString).sorted
+    assert(postSearch.sameElements(preSearch),
+      "rebalance must not change any search result")
+  }
 }
