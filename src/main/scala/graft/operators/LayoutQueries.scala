@@ -218,6 +218,84 @@ object LayoutQueries {
           "v2_optimize", plo, phi, slo, shi))
         .orderBy(col("layout"))
     }),
+
+    // MANIFEST CHANGELOG (incremental scan) — the consumption side of
+    // the table format: each commit's manifest records which files
+    // carry NEW rows (`added`), so a downstream incremental pipeline
+    // reads changes(lastSeen, current) as exactly those files — an
+    // OPTIMIZE inside the window contributes ZERO change rows (it
+    // moves rows, it doesn't add them), which is precisely what makes
+    // maintenance safe to run under live consumers. Four windows over
+    // a create → append → OPTIMIZE → append history; the whole-log
+    // window must equal the sum of the append windows. At 100 TB each
+    // poll reads only the new files, never the table.
+    "q327_manifest_changelog" -> ((s, d) => {
+      import graft.sources.ManifestTable
+      val tmp = java.nio.file.Files.createTempDirectory("graft-mlog")
+      val table = s"$tmp/table"
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      def part(r: Int) = o.filter(pmod(col("o_orderkey"), lit(3)) === r)
+      ManifestTable.create(part(0).repartition(4), table)          // v0
+      ManifestTable.append(part(1).repartition(2), table)          // v1
+      ManifestTable.optimize(s, table,                             // v2
+        ManifestTable.files(table, 1).toSet, col("o_orderkey"), 4)
+      ManifestTable.append(part(2).repartition(2), table)          // v3
+      def aggW(df: DataFrame, name: String): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+              .as("cents"))
+          .select(lit(name).as("win"),
+            col("n_rows"), col("key_sum"), col("cents"))
+      aggW(ManifestTable.readChanges(s, table, 0, 1), "w1_append_a")
+        .unionAll(
+          aggW(ManifestTable.readChanges(s, table, 1, 2), "w2_optimize"))
+        .unionAll(
+          aggW(ManifestTable.readChanges(s, table, 2, 3), "w3_append_b"))
+        .unionAll(
+          aggW(ManifestTable.readChanges(s, table, 0, 3), "w4_whole_log"))
+        .orderBy(col("win"))
+    }),
+
+    // COPY-ON-WRITE MERGE — row-level upsert on the manifest table:
+    // matched keys take the source row, unmatched source rows insert,
+    // and ONLY the files containing a matched key are rewritten (the
+    // table is range-clustered on the key, so a key-local merge
+    // touches few files — at 100 TB the cost is k file rewrites, not
+    // a table rewrite). The swap is one atomic manifest commit and
+    // the pre-merge snapshot stays time-travel readable — both
+    // phases' values pinned by the oracle; ManifestSpec pins
+    // untouched-file byte-identity and the changelog reader's loud
+    // refusal to scan across a merge commit.
+    "q328_manifest_merge" -> ((s, d) => {
+      import graft.sources.ManifestTable
+      val tmp = java.nio.file.Files.createTempDirectory("graft-mrg")
+      val table = s"$tmp/table"
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      ManifestTable.create(
+        o.repartitionByRange(16, col("o_orderkey"))
+          .sortWithinPartitions(col("o_orderkey")), table)
+      val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+      val updates = o.filter(pmod(col("o_orderkey"), lit(13)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val inserts = o.filter(pmod(col("o_orderkey"), lit(17)) === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + mx)
+      ManifestTable.merge(s, table, updates.unionByName(inserts),
+        "o_orderkey", numInsertFiles = 2)
+      def phase(df: DataFrame, name: String): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_custkey")).as("cust_sum"),
+            sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+              .as("cents"))
+          .select(lit(name).as("phase"), col("n_rows"),
+            col("key_sum"), col("cust_sum"), col("cents"))
+      phase(ManifestTable.readVersion(s, table, 0), "pre_merge")
+        .unionAll(phase(ManifestTable.read(s, table), "post_merge"))
+        .orderBy(col("phase"))
+    }),
     // Z-order vs natural (orderkey-range) layout: bucket lineitem 32
     // ways under each layout, emit per-bucket (l_partkey, l_suppkey)
     // bounding boxes and whether each bucket's box intersects the
@@ -375,6 +453,67 @@ object LayoutQueries {
         |UNION ALL
         |SELECT 'v2_optimize', n_rows, n_orders, cents FROM fullagg
         |ORDER BY layout""".stripMargin,
+
+    // the OPTIMIZE window is empty; the whole-log window = a + b
+    "q327_manifest_changelog" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |agg_a AS (
+        |  SELECT count(*)::BIGINT AS n_rows, sum(o_orderkey)::BIGINT
+        |           AS key_sum,
+        |         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |           AS cents
+        |  FROM o WHERE o_orderkey % 3 = 1),
+        |agg_b AS (
+        |  SELECT count(*)::BIGINT AS n_rows, sum(o_orderkey)::BIGINT
+        |           AS key_sum,
+        |         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |           AS cents
+        |  FROM o WHERE o_orderkey % 3 = 2),
+        |agg_ab AS (
+        |  SELECT count(*)::BIGINT AS n_rows, sum(o_orderkey)::BIGINT
+        |           AS key_sum,
+        |         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |           AS cents
+        |  FROM o WHERE o_orderkey % 3 <> 0)
+        |SELECT 'w1_append_a' AS win, n_rows, key_sum, cents FROM agg_a
+        |UNION ALL
+        |SELECT 'w2_optimize', 0::BIGINT, NULL::BIGINT, NULL::BIGINT
+        |UNION ALL
+        |SELECT 'w3_append_b', n_rows, key_sum, cents FROM agg_b
+        |UNION ALL
+        |SELECT 'w4_whole_log', n_rows, key_sum, cents FROM agg_ab
+        |ORDER BY win""".stripMargin,
+
+    // post-merge: %13 keys doubled, %17=3 keys re-inserted above max
+    "q328_manifest_merge" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |mx AS (SELECT max(o_orderkey) AS m FROM o),
+        |post AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 2
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM o
+        |  UNION ALL
+        |  SELECT o_orderkey + m, o_custkey, o_totalprice
+        |  FROM o, mx WHERE o_orderkey % 17 = 3),
+        |pre_agg AS (
+        |  SELECT count(*)::BIGINT AS n_rows, sum(o_orderkey)::BIGINT
+        |           AS key_sum, sum(o_custkey)::BIGINT AS cust_sum,
+        |         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |           AS cents
+        |  FROM o),
+        |post_agg AS (
+        |  SELECT count(*)::BIGINT AS n_rows, sum(o_orderkey)::BIGINT
+        |           AS key_sum, sum(o_custkey)::BIGINT AS cust_sum,
+        |         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |           AS cents
+        |  FROM post)
+        |SELECT 'post_merge' AS phase, n_rows, key_sum, cust_sum, cents
+        |FROM post_agg
+        |UNION ALL
+        |SELECT 'pre_merge', n_rows, key_sum, cust_sum, cents FROM pre_agg
+        |ORDER BY phase""".stripMargin,
 
     // phase-independent: compaction must not change a single value
     "q314_zorder_optimize" ->

@@ -66,22 +66,53 @@ object ManifestTable {
     vs.last
   }
 
-  /** The file names (relative to the table dir) of snapshot `v`. */
-  def files(table: String, v: Long): Seq[String] = {
-    val txt = Files.readString(manifestPath(table, v))
-    // strict reader for our own writer's format: {"version":N,
-    // "files":["a","b",...]} with plain part-file names (no escapes)
-    val body = txt.substring(txt.indexOf('[') + 1, txt.lastIndexOf(']'))
+  // strict reader for our own writer's format: plain part-file names,
+  // no escapes — extract the array that follows `"<field>":[`
+  private def jsonArray(txt: String, field: String): Seq[String] = {
+    val anchor = s""""$field":["""
+    val at = txt.indexOf(anchor)
+    if (at < 0) return Seq.empty
+    val start = at + anchor.length
+    val body = txt.substring(start, txt.indexOf(']', start))
     if (body.trim.isEmpty) Seq.empty
     else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+  }
+
+  /** The file names (relative to the table dir) of snapshot `v`. */
+  def files(table: String, v: Long): Seq[String] =
+    jsonArray(Files.readString(manifestPath(table, v)), "files")
+
+  /** The files that carry NEW rows in commit `v` (empty for a pure
+    * rewrite like OPTIMIZE) — the changelog unit [[readChanges]]
+    * resolves through. */
+  def added(table: String, v: Long): Seq[String] =
+    jsonArray(Files.readString(manifestPath(table, v)), "added")
+
+  /** The commit kind of version `v`: "append" (create/append — every
+    * snapshot row change is in `added`), "rewrite" (OPTIMIZE — rows
+    * unchanged), or "merge" (rows updated IN PLACE — not
+    * changelog-readable). Manifests written before the field existed
+    * read as "append". */
+  def kind(table: String, v: Long): String = {
+    val txt = Files.readString(manifestPath(table, v))
+    val anchor = "\"kind\":\""
+    val at = txt.indexOf(anchor)
+    if (at < 0) "append"
+    else txt.substring(at + anchor.length,
+      txt.indexOf('"', at + anchor.length))
   }
 
   /** Commit snapshot `expected + 1` with the given file list: write a
     * temp manifest, then one ATOMIC_MOVE. `expected` is the version
     * the caller based its file list on — if another committer got
     * there first the target exists and the commit is refused
-    * (optimistic concurrency; production would CAS on the store). */
-  def commit(table: String, fileList: Seq[String], expected: Long): Long = {
+    * (optimistic concurrency; production would CAS on the store).
+    * `added` = the subset of `fileList` carrying rows NOT in snapshot
+    * `expected` (drives [[readChanges]]); `kindTag` classifies the
+    * commit for the changelog reader. */
+  def commit(table: String, fileList: Seq[String], expected: Long,
+             added: Seq[String] = Seq.empty,
+             kindTag: String = "append"): Long = {
     val next = expected + 1
     val dir = manifestDir(table)
     Files.createDirectories(dir)
@@ -91,7 +122,10 @@ object ManifestTable {
     val tmp = dir.resolve(s"manifest-$next.json.tmp-${
       java.util.UUID.randomUUID().toString.take(8)}")
     val filesJson = fileList.sorted.map("\"" + _ + "\"").mkString(",")
-    Files.writeString(tmp, s"""{"version":$next,"files":[$filesJson]}""")
+    val addedJson = added.sorted.map("\"" + _ + "\"").mkString(",")
+    Files.writeString(tmp,
+      s"""{"version":$next,"kind":"$kindTag",""" +
+        s""""added":[$addedJson],"files":[$filesJson]}""")
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
     next
   }
@@ -129,14 +163,14 @@ object ManifestTable {
     Files.createDirectories(Paths.get(table))
     require(versions(table).isEmpty, s"$table already has manifests")
     val names = stageIn(df, table)
-    commit(table, names, expected = -1L)
+    commit(table, names, expected = -1L, added = names)
   }
 
   /** Append `df` as a new snapshot (previous files + new files). */
   def append(df: DataFrame, table: String): Long = {
     val v = currentVersion(table)
     val names = stageIn(df, table)
-    commit(table, files(table, v) ++ names, expected = v)
+    commit(table, files(table, v) ++ names, expected = v, added = names)
   }
 
   /** Read the current snapshot. */
@@ -173,7 +207,75 @@ object ManifestTable {
     if (crashBeforeCommit)
       throw new IllegalStateException(
         "injected crash: OPTIMIZE output staged, manifest not committed")
-    commit(table, cur.filterNot(rewrite) ++ staged, expected = v)
+    commit(table, cur.filterNot(rewrite) ++ staged, expected = v,
+      added = Seq.empty, kindTag = "rewrite")
+  }
+
+  /** Incremental (changelog) read: the rows ADDED to the table in
+    * versions `(fromV, toV]` — exactly the files each commit's
+    * manifest lists as `added`, so an OPTIMIZE in the window
+    * contributes nothing (it moves rows, it doesn't add them). This
+    * is the consumption contract a downstream incremental pipeline
+    * runs on: process changes(lastSeen, current), remember current —
+    * at 100 TB each poll reads only the new files, never the table.
+    * Refuses windows containing a `merge` commit (rows changed in
+    * place — a row-level CDC read needs the pre/post images the CDC
+    * family q302/q303 materializes; being loud beats silently
+    * missing updates). */
+  def readChanges(s: SparkSession, table: String,
+                  fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"bad window ($fromV, $toV]")
+    val vs = (fromV + 1) to toV
+    val merges = vs.filter(kind(table, _) == "merge")
+    require(merges.isEmpty,
+      s"window ($fromV, $toV] contains merge commit(s) ${merges.mkString(",")}"
+        + " — rows changed in place; use a CDC read")
+    val names = vs.flatMap(added(table, _))
+    if (names.isEmpty) readVersion(s, table, toV).limit(0)
+    else s.read.parquet(names.map(n => s"$table/$n"): _*)
+  }
+
+  /** Copy-on-write MERGE (upsert): every key of `source` ends up with
+    * exactly `source`'s row (matched target rows replaced, unmatched
+    * source rows inserted); every other target row is untouched.
+    * Only the files that CONTAIN a matched key are rewritten — the
+    * rest of the table is never read, so at 100 TB (with keys
+    * clustered by the layout job) a merge touching k files costs k
+    * file rewrites, not a table rewrite. The swap is one atomic
+    * manifest commit; the pre-merge snapshot stays time-travel
+    * readable until vacuum. `source` must have the target's schema.
+    * Returns the new version. */
+  def merge(s: SparkSession, table: String, source: DataFrame,
+            key: String, numInsertFiles: Int = 1): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val v = currentVersion(table)
+    val cur = files(table, v)
+    val target = readVersion(s, table, v)
+    val src = source.select(target.columns.map(col).toSeq: _*)
+      .localCheckpoint() // one source evaluation feeds 3 consumers
+    val srcKeys = src.select(col(key)).distinct()
+    // which committed files contain a matched key (file-name set is
+    // bounded by the manifest length, not the data)
+    val touched = target
+      .withColumn("__file", input_file_name())
+      .join(srcKeys.hint("broadcast"), Seq(key), "left_semi")
+      .select(col("__file")).distinct()
+      .collect().map(r => Paths.get(
+        new java.net.URI(r.getString(0)).getPath).getFileName.toString)
+      .toSet
+    require(touched.subsetOf(cur.toSet),
+      s"merge resolved files outside snapshot $v: ${touched -- cur.toSet}")
+    val touchedDf =
+      if (touched.isEmpty) target.limit(0)
+      else s.read.parquet(touched.toSeq.sorted.map(n => s"$table/$n"): _*)
+    // survivors of the touched files + ALL source rows (replacements
+    // and inserts alike) — exactly-once per key by construction
+    val rewritten = touchedDf.join(srcKeys, Seq(key), "left_anti")
+      .unionByName(src)
+      .repartition(math.max(math.max(touched.size, numInsertFiles), 1))
+    val staged = stageIn(rewritten, table)
+    commit(table, cur.filterNot(touched) ++ staged, expected = v,
+      added = Seq.empty, kindTag = "merge")
   }
 
   /** Garbage-collect: keep the newest `keepVersions` manifests, delete

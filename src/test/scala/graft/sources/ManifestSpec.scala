@@ -82,6 +82,93 @@ class ManifestSpec extends SparkSpec {
     assert(fingerprint(ManifestTable.read(spark, table))._1 == n1)
   }
 
+  test("changelog: added-file bookkeeping, empty OPTIMIZE window, merge refusal") {
+    val (table, _, _, _, _) = freshTable()
+    val delta = graft.operators.LayoutQueries.deltaFilesOf(table)
+    // create + append record their files as `added`; OPTIMIZE none
+    assert(ManifestTable.added(table, 0).toSet ==
+      ManifestTable.files(table, 0).toSet)
+    assert(ManifestTable.added(table, 1).toSet == delta)
+    val v2 = ManifestTable.optimize(spark, table, delta, col("zkey"), 4)
+    assert(ManifestTable.kind(table, v2) == "rewrite")
+    assert(ManifestTable.added(table, v2).isEmpty)
+    // the OPTIMIZE window reads zero change rows; the append window
+    // reads exactly the delta rows, through the rewrite
+    assert(ManifestTable.readChanges(spark, table, 1, 2).count() == 0)
+    val deltaRows = fingerprint(
+      spark.read.parquet(delta.toSeq.sorted.map(n => s"$table/$n"): _*))
+    assert(fingerprint(ManifestTable.readChanges(spark, table, 0, 2))
+      == deltaRows,
+      "changes(0,2] = the append's rows even though OPTIMIZE rewrote them")
+    // a merge commit in the window is refused LOUDLY (rows change in
+    // place — an incremental reader silently missing updates is the
+    // failure mode this guards)
+    val src = ManifestTable.read(spark, table).limit(64)
+      .withColumn("l_extendedprice", col("l_extendedprice") * 2)
+      .localCheckpoint()
+    val v3 = ManifestTable.merge(spark, table, src, "l_orderkey")
+    assert(ManifestTable.kind(table, v3) == "merge")
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.readChanges(spark, table, 0, v3)
+    }
+    assert(e.getMessage.contains("merge"))
+    // windows NOT spanning the merge still read
+    assert(ManifestTable.readChanges(spark, table, 2, 2).count() == 0)
+  }
+
+  test("copy-on-write merge: only files holding matched keys are rewritten") {
+    val (table, _, _, _, _) = freshTable()
+    val v0 = ManifestTable.currentVersion(table)
+    val before = fingerprint(ManifestTable.read(spark, table))
+    val pre = ManifestTable.files(table, v0)
+    val md5Of: Map[String, String] = pre.map { n =>
+      n -> java.util.Base64.getEncoder.encodeToString(
+        java.security.MessageDigest.getInstance("MD5").digest(
+          java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(table, n))))
+    }.toMap
+    // source: one narrow key range (the table is NOT key-clustered on
+    // l_orderkey globally, but the base IS z-ordered so a zkey-local
+    // range touches a minority of files) + a few inserts above max
+    val cur = ManifestTable.read(spark, table)
+    val mx = cur.agg(max(col("l_orderkey"))).head().getLong(0)
+    val updates = cur.filter(col("l_orderkey") <= mx / 50)
+      .withColumn("l_extendedprice", col("l_extendedprice") * 2)
+    // shift by mx + 1: the testdata HAS l_orderkey = 0, and 0 + mx
+    // would collide with the existing max key (a silent update where
+    // the accounting below expects an insert)
+    val inserts = cur.filter(col("l_orderkey") <= mx / 100)
+      .withColumn("l_orderkey", col("l_orderkey") + mx + 1)
+    val src = updates.unionByName(inserts).localCheckpoint()
+    val nSrc = src.count()
+    val nUpd = updates.count()
+    val v1 = ManifestTable.merge(spark, table, src, "l_orderkey")
+    val post = ManifestTable.files(table, v1)
+    val survivors = post.toSet intersect pre.toSet
+    assert(survivors.nonEmpty, "some files must be untouched")
+    assert(post.toSet != pre.toSet, "some files must be rewritten")
+    survivors.foreach { n =>
+      val now = java.util.Base64.getEncoder.encodeToString(
+        java.security.MessageDigest.getInstance("MD5").digest(
+          java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(table, n))))
+      assert(now == md5Of(n), s"untouched file $n must be byte-identical")
+    }
+    // row accounting: +inserts rows; doubled price on updated keys
+    val after = fingerprint(ManifestTable.read(spark, table))
+    assert(after._1 == before._1 + (nSrc - nUpd))
+    // exactly-once per key: matched keys hold the source's rows, at
+    // the source's multiplicity — nothing kept, nothing duplicated
+    val updatedRows = ManifestTable.read(spark, table)
+      .join(src.select(col("l_orderkey")).distinct(), Seq("l_orderkey"),
+        "left_semi")
+    assert(updatedRows.count() == nSrc,
+      "matched keys hold exactly the source's rows")
+    // time travel: the pre-merge snapshot still reads the old values
+    assert(fingerprint(ManifestTable.readVersion(spark, table, v0))
+      == before)
+  }
+
   test("optimistic concurrency: a second commit at the same version is refused") {
     val (table, _, _, _, _) = freshTable()
     val v = ManifestTable.currentVersion(table)
