@@ -248,6 +248,63 @@ object SketchQueries {
         .orderBy(col("source"))
     }),
 
+    // THETA/KMV SET ALGEBRA — the sketch family's last gap: HLL
+    // (q307/q308) answers |A| and |A∪B|; a theta sketch (Beyer 2007,
+    // Dasgupta 2016; functions/Theta.scala) retains the k smallest
+    // key hashes and so ALSO answers |A∩B| and |A\B| from the
+    // sketches alone. A = customers ordering in odd months, B = even
+    // months; one sketch per set, every set-op estimate derived from
+    // the two KB-scale sketches — no join, no second pass. Exact
+    // counts ride the row (oracle-pinned); the estimate booleans sit
+    // in envelopes sized to the k=1024 theory (±3.1% RSE on the
+    // union domain, wider for the shrinking intersect/difference
+    // results) — deterministic splitmix64 hashing makes them stable.
+    // At 100 TB: overlap dashboards between any two corpus slices
+    // from sketches the size of a page.
+    "q329_theta_setops" -> ((s, d) => {
+      import graft.functions.Theta
+      val thetaAgg = udaf(new Theta.Agg)
+      val f = Tables.orders(s, d).select(col("o_custkey").as("k"),
+        (month(col("o_orderdate")) % 2 === 1).as("odd"))
+      val ska = f.filter(col("odd")).agg(thetaAgg(col("k")).as("ska"))
+      val skb = f.filter(!col("odd")).agg(thetaAgg(col("k")).as("skb"))
+      val estsUdf = udf((a: Array[Byte], b: Array[Byte]) => {
+        val sa = Theta.deserialize(a); val sb = Theta.deserialize(b)
+        (Theta.estimate(sa), Theta.estimate(sb),
+          Theta.estimate(Theta.unionOf(sa, sb)),
+          Theta.intersectEst(sa, sb), Theta.aNotBEst(sa, sb))
+      })
+      val perKey = f.groupBy(col("k")).agg(
+        max(when(col("odd"), 1).otherwise(0)).as("ha"),
+        max(when(!col("odd"), 1).otherwise(0)).as("hb"))
+      val exact = perKey.agg(
+        sum(col("ha")).as("xa"), sum(col("hb")).as("xb"),
+        count(lit(1)).as("xu"),
+        sum(col("ha") * col("hb")).as("xi"),
+        sum(col("ha") * (lit(1) - col("hb"))).as("xd"))
+      def ok(est: Column, x: Column, rel: Double, add: Double): Column =
+        abs(est - x) <= lit(rel) * x + lit(add)
+      ska.crossJoin(skb)
+        .select(estsUdf(col("ska"), col("skb")).as("e"))
+        .crossJoin(exact)
+        .select(explode(array(
+          struct(lit("1_a").as("op"), col("xa").cast("long").as("n_exact"),
+            ok(col("e._1"), col("xa"), 0.05, 32).as("est_ok")),
+          struct(lit("2_b").as("op"), col("xb").cast("long").as("n_exact"),
+            ok(col("e._2"), col("xb"), 0.05, 32).as("est_ok")),
+          struct(lit("3_union").as("op"), col("xu").cast("long").as("n_exact"),
+            ok(col("e._3"), col("xu"), 0.05, 32).as("est_ok")),
+          struct(lit("4_intersect").as("op"),
+            col("xi").cast("long").as("n_exact"),
+            ok(col("e._4"), col("xi"), 0.08, 48).as("est_ok")),
+          struct(lit("5_a_not_b").as("op"),
+            col("xd").cast("long").as("n_exact"),
+            ok(col("e._5"), col("xd"), 0.12, 48).as("est_ok")))).as("r"))
+        .select(col("r.op").as("op"), col("r.n_exact").as("n_exact"),
+          col("r.est_ok").as("est_ok"))
+        .orderBy(col("op"))
+    }),
+
     // HLL SKETCH-CUBE rollup — the OLAP-at-scale pattern for distinct
     // counts: ONE corpus pass builds a per-(source, lang) cell table
     // of HLL sketches (bounded by the dimension cardinalities), and
@@ -376,6 +433,29 @@ object SketchQueries {
         |  true AS q25_ok, true AS q50_ok, true AS q75_ok,
         |  true AS minmax_ok
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // exact set-op counts pinned; the estimate booleans must hold
+    "q329_theta_setops" ->
+      """WITH f AS (
+        |  SELECT o_custkey AS k,
+        |         (month(o_orderdate) % 2 = 1) AS odd
+        |  FROM orders),
+        |pk AS (
+        |  SELECT k,
+        |         max(CASE WHEN odd THEN 1 ELSE 0 END) AS ha,
+        |         max(CASE WHEN odd THEN 0 ELSE 1 END) AS hb
+        |  FROM f GROUP BY k),
+        |x AS (
+        |  SELECT sum(ha)::BIGINT AS xa, sum(hb)::BIGINT AS xb,
+        |         count(*)::BIGINT AS xu,
+        |         sum(ha * hb)::BIGINT AS xi,
+        |         sum(ha * (1 - hb))::BIGINT AS xd
+        |  FROM pk)
+        |SELECT '1_a' AS op, xa AS n_exact, true AS est_ok FROM x
+        |UNION ALL SELECT '2_b', xb, true FROM x
+        |UNION ALL SELECT '3_union', xu, true FROM x
+        |UNION ALL SELECT '4_intersect', xi, true FROM x
+        |UNION ALL SELECT '5_a_not_b', xd, true FROM x
+        |ORDER BY op""".stripMargin,
     "q307_hll_cube" ->
       """SELECT source, lang, count(DISTINCT w) AS exact,
         |       true AS est_ok
