@@ -1334,6 +1334,71 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Interpolated KNESER-NEY bigram LM (Kneser & Ney 1995; Chen &
+    // Goodman 1998 — THE standard n-gram smoothing): completes the LM
+    // family next to Stupid Backoff (q315). Where backoff swaps in the
+    // raw unigram, KN discounts every seen bigram by a fixed D = 3/4
+    // and redistributes the held-out mass over the CONTINUATION
+    // distribution Pcont(w) = N1+(·w)/N1+(··) — "how many contexts
+    // does w follow" (the reason 'Francisco' scores low despite high
+    // frequency). With D = 3/4 the probability is the exact rational
+    //   P(w|v) = [(4c(v,w)−3)⁺·Nbb + 3·N1+(v·)·N1+(·w)] / (4c(v)·Nbb)
+    // so surprisal quantizes to blog2(denom div numer) — all integer,
+    // replicated verbatim by the oracle (the q315/q214 flog2
+    // discipline). Trains on even docs, scores held-out odd docs; the
+    // three tiers (seen context, unseen context → pure Pcont, OOV
+    // word) all genuinely fire. Scale: the model IS three count
+    // tables (corpus-bounded aggregates of one bigram pass); scoring
+    // is one explode + three equi-joins + a per-doc rollup — no UDF,
+    // no driver state, same 100 TB shape as q315.
+    "q330_kneser_ney" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ws = toks(col("text"))
+      def pairs(df: DataFrame): DataFrame = df.select(col("doc_id"),
+        explode(when(size(ws) >= 2,
+          transform(sequence(lit(2), size(ws)),
+            i => struct(element_at(ws, i - 1).as("prev"),
+                        element_at(ws, i).as("cur"))))
+          .otherwise(array().cast("array<struct<prev:string,cur:string>>")))
+          .as("bg"))
+        .select(col("doc_id"), col("bg.prev").as("prev"),
+          col("bg.cur").as("cur"))
+      val train = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val held = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      val cb = pairs(train).groupBy(col("prev"), col("cur"))
+        .agg(count(lit(1)).as("cb"))
+        .localCheckpoint() // one bigram pass feeds all 3 count tables
+      // c(v) = Σ_w c(v,w) and N1+(v·) in one rollup; N1+(·w) in the
+      // other; N1+(··) = total bigram TYPES (the Pcont denominator)
+      val ctx = cb.groupBy(col("prev"))
+        .agg(sum(col("cb")).as("cv"), count(lit(1)).as("n1v"))
+      val cont = cb.groupBy(col("cur")).agg(count(lit(1)).as("ncw"))
+      val nbb = cb.agg(count(lit(1)).as("nbb"))
+      pairs(held)
+        .join(cb, Seq("prev", "cur"), "left")
+        .join(ctx, Seq("prev"), "left")
+        .join(cont, Seq("cur"), "left")
+        .crossJoin(broadcast(nbb))
+        .withColumn("s",
+          when(col("cv").isNotNull && col("ncw").isNotNull,
+            blog2(expr("(4 * cv * nbb) div " +
+              "((case when cb is null then 0 else 4 * cb - 3 end) * nbb" +
+              " + 3 * n1v * ncw)")))
+          .when(col("ncw").isNotNull, blog2(expr("nbb div ncw")))
+          .otherwise(blog2(col("nbb")) + 2))
+        .withColumn("discounted", (col("cb").isNull &&
+          col("cv").isNotNull && col("ncw").isNotNull).cast("long"))
+        .withColumn("oov", col("ncw").isNull.cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("s")).as("surprisal"),
+          sum(col("discounted")).as("n_cont"),
+          sum(col("oov")).as("n_oov"))
+        .withColumn("milli_bits_per_bigram",
+          expr("(1000 * surprisal) div n_bigrams"))
+        .orderBy(col("doc_id"))
+    }),
+
     // STREAMING winnowing gate at ingestion — q280's fingerprints
     // recomputed as a PURE PER-ROW PROJECTION (grams → packed keys →
     // per-window minima → distinct hashes, all inside array
@@ -2011,6 +2076,48 @@ object CurationQueries {
         |       CROSS JOIN n)
         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
         |  sum(s)::BIGINT AS surprisal, sum(backoff)::BIGINT AS n_backoff,
+        |  ((1000 * sum(s)) // count(*))::BIGINT AS milli_bits_per_bigram
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // interpolated KN with D = 3/4 as the exact integer rational; the
+    // same three count tables, tier CASE, and blog2 quantization
+    "q330_kneser_ney" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |hd AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |       FROM documents WHERE doc_id % 2 = 1),
+        |cb AS (SELECT prev, cur, count(*)::BIGINT AS cb FROM (
+        |         SELECT ws[i-1] AS prev, ws[i] AS cur
+        |         FROM tr, LATERAL unnest(range(2, len(ws)+1)) AS t(i))
+        |       GROUP BY 1, 2),
+        |ctx AS (SELECT prev, sum(cb)::BIGINT AS cv,
+        |               count(*)::BIGINT AS n1v
+        |        FROM cb GROUP BY prev),
+        |cont AS (SELECT cur, count(*)::BIGINT AS ncw FROM cb GROUP BY cur),
+        |n AS (SELECT count(*)::BIGINT AS nbb FROM cb),
+        |hdbg AS (SELECT doc_id, ws[i-1] AS prev, ws[i] AS cur
+        |         FROM hd, LATERAL unnest(range(2, len(ws)+1)) AS t(i)),
+        |sc AS (SELECT h.doc_id,
+        |         CASE WHEN x.cv IS NOT NULL AND co.ncw IS NOT NULL
+        |                THEN len(bin((4 * x.cv * n.nbb) //
+        |                  ((CASE WHEN cb.cb IS NULL THEN 0
+        |                         ELSE 4 * cb.cb - 3 END) * n.nbb
+        |                   + 3 * x.n1v * co.ncw))) - 1
+        |              WHEN co.ncw IS NOT NULL
+        |                THEN len(bin(n.nbb // co.ncw)) - 1
+        |              ELSE len(bin(n.nbb)) + 1 END AS s,
+        |         CASE WHEN cb.cb IS NULL AND x.cv IS NOT NULL
+        |                   AND co.ncw IS NOT NULL
+        |              THEN 1 ELSE 0 END AS discounted,
+        |         CASE WHEN co.ncw IS NULL THEN 1 ELSE 0 END AS oov
+        |       FROM hdbg h
+        |       LEFT JOIN cb ON cb.prev = h.prev AND cb.cur = h.cur
+        |       LEFT JOIN ctx x ON x.prev = h.prev
+        |       LEFT JOIN cont co ON co.cur = h.cur
+        |       CROSS JOIN n)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  sum(s)::BIGINT AS surprisal,
+        |  sum(discounted)::BIGINT AS n_cont, sum(oov)::BIGINT AS n_oov,
         |  ((1000 * sum(s)) // count(*))::BIGINT AS milli_bits_per_bigram
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
