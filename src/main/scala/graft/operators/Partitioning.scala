@@ -138,6 +138,27 @@ object Partitioning {
         sum(col("n")).as("total"))
   }
 
+  /** Skew-SALTED equi-join: the fact side appends a deterministic
+    * salt in [0, salts) (derived from a caller-chosen column, so the
+    * routing is SQL-reproducible), the dim side is replicated once
+    * per salt, and the join key becomes (key, salt) — a hot key's
+    * rows spread over `salts` reducers instead of melting one. This
+    * is the explicit cure for the cases AQE's skew-join splitting
+    * cannot reach (streaming joins, aggregation states, any
+    * non-sort-merge plan); result-neutrality is the oracle contract,
+    * the partition-spread contract is pinned in PartitioningSpec.
+    * Cost model: dim inflates ×salts — use for genuinely small dims
+    * or pair with per-key salting of only the detected-hot keys. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltFrom: org.apache.spark.sql.Column,
+                 salts: Int): DataFrame = {
+    val f = fact.withColumn("__salt",
+      pmod(saltFrom, lit(salts)).cast("long"))
+    val dimRep = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    f.join(dimRep, Seq(key, "__salt")).drop("__salt")
+  }
+
   val queries: Map[String, Q] = Map(
     // partitionCustom oracle-bound: the mod-routing is SQL-visible, so
     // the oracle recomputes every partition's rollup exactly — a row
@@ -183,6 +204,26 @@ object Partitioning {
         .orderBy(col("event_id"))
     }),
 
+    // Salted skew join oracle-bound: 70% of events collapse onto one
+    // hot key, the dim is joined through the (key, salt) composite,
+    // and the per-category rollup must equal the plain join exactly —
+    // salting is pure routing, never semantics. The spread contract
+    // (hot partition shrinks ~×salts) is measured in PartitioningSpec
+    // with broadcast disabled.
+    "q331_salted_skew_join" -> ((s, d) => {
+      val fact = Tables.events(s, d).select(
+        when(pmod(col("user_id"), lit(10)) < 7, lit(0L))
+          .otherwise(col("user_id")).as("k"),
+        col("event_id"),
+        expr("cast(round(value*100) as bigint)").as("cents"))
+      val dim = fact.select(col("k")).distinct()
+        .withColumn("category", pmod(col("k"), lit(16)))
+      saltedJoin(fact, dim, "k", col("event_id"), salts = 8)
+        .groupBy(col("category"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy(col("category"))
+    }),
+
     // ChecksumHashCode oracle-bound (reference `DataSetUtils
     // .checksumHashCode:347` + Utils.ChecksumHashCode): one
     // order-independent (count, sum-of-Java-hashCodes) row over a
@@ -225,6 +266,18 @@ object Partitioning {
       """SELECT (row_number() OVER (ORDER BY event_id) - 1)::BIGINT AS idx,
         |  event_id
         |FROM events QUALIFY event_id % 997 = 0 ORDER BY event_id""".stripMargin,
+
+    // salting must be invisible in the result
+    "q331_salted_skew_join" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS k,
+        |         CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events),
+        |d AS (SELECT DISTINCT k, k % 16 AS category FROM f)
+        |SELECT d.category::BIGINT AS category, count(*)::BIGINT AS n,
+        |  sum(f.cents)::BIGINT AS cents
+        |FROM f JOIN d USING (k)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Java String.hashCode re-implemented as a 32-bit-wrapped fold:
     // h = (h*31 + utf16_unit) mod 2^32, sign-converted at the end

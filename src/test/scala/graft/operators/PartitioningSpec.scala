@@ -39,4 +39,35 @@ class PartitioningSpec extends SparkSpec {
         df((1L to 40L) ++ Seq.fill(30)(7L)), parts = 5).head()
     assert(row.getBoolean(0) && row.getBoolean(1) && row.getLong(2) == 70L)
   }
+
+  test("saltedJoin: result equals the plain join; the hot key spreads over salts") {
+    import org.apache.spark.sql.functions._
+    // 8000 rows on ONE hot key + a 200-key tail
+    val fact = df(Seq.fill(8000)(7L) ++ (100L to 299L))
+      .select(col("user_id").as("k"), col("event_id"))
+    val dim = fact.select(col("k")).distinct()
+      .withColumn("category", pmod(col("k"), lit(16)))
+    val salted = Partitioning.saltedJoin(fact, dim, "k",
+      col("event_id"), salts = 8)
+    val plain = fact.join(dim, Seq("k"))
+    // result-neutral, row for row
+    assert(salted.select(col("k"), col("event_id"), col("category"))
+      .exceptAll(plain.select(col("k"), col("event_id"), col("category")))
+      .isEmpty)
+    assert(salted.count() == plain.count())
+    // spread: shuffling on (k, salt) caps the biggest partition near
+    // hot/salts, where shuffling on k alone melts one partition
+    def maxPart(d: org.apache.spark.sql.DataFrame,
+                cols: Seq[String]): Long =
+      d.repartition(32, cols.map(col): _*)
+        .groupBy(spark_partition_id()).count()
+        .agg(max(col("count"))).head().getLong(0)
+    val unsalted = maxPart(fact, Seq("k"))
+    val spread = maxPart(
+      fact.withColumn("__salt", pmod(col("event_id"), lit(8))),
+      Seq("k", "__salt"))
+    assert(unsalted >= 8000L, s"hot key must melt one partition: $unsalted")
+    assert(spread <= unsalted / 4,
+      s"salted max partition $spread vs unsalted $unsalted")
+  }
 }
