@@ -305,6 +305,75 @@ object SketchQueries {
         .orderBy(col("op"))
     }),
 
+    // STREAMING theta maintenance — the q308/q313/q323 pattern for
+    // the set-algebra sketch, completing batch+streaming symmetry
+    // across the whole sketch family (counts/distincts/quantiles/set
+    // ops): the per-source vocabulary sketch as update-mode STREAMING
+    // AGGREGATION STATE over a 4-epoch replay (state per key = the k
+    // smallest token hashes — KB-scale at any corpus size; the
+    // consolidated sketch is order-independent, so batch boundaries
+    // cannot change it). The final sketches pass the per-source
+    // distinct audit AND answer a cross-source question no HLL state
+    // can: the SHARED vocabulary between two sources (and what's
+    // unique to one), audited against the exact distinct-join counts.
+    "q332_theta_stream" -> ((s, d) => {
+      import graft.functions.Theta
+      val base = java.nio.file.Files.createTempDirectory("graft-thstream")
+      val thetaAgg = udaf(new Theta.Agg)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+      val chunks = (0 until 4).map(i => pmod(col("doc_id"), lit(4)) === i)
+      val (inDir, schema) = graft.streaming.Replay
+        .fileEpochs(docs, chunks, base.toString)
+      val agg = graft.streaming.Replay.streamDf(s, inDir, schema)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("source"))
+        .agg(thetaAgg(xxhash64(col("w"))).as("sk"))
+      val fin = StreamParityQueries.latestPerKey(
+        StreamParityQueries.runUpdate(agg, base.toString, s), col("source"))
+      val skRows = fin.collect() // one row per source — dimension-bounded
+      require(skRows.length <= 64,
+        s"source dimension blew up: ${skRows.length}")
+      val sks = skRows.map(r => r.getAs[String]("source") ->
+        Theta.deserialize(r.getAs[Array[Byte]]("sk"))).sortBy(_._1)
+      val (aName, aSk) = sks.head
+      val (bName, bSk) = sks.last
+      val spark2 = s; import spark2.implicits._
+      val estDf = (sks.toSeq.map { case (src, sk) =>
+          ("src_" + src, Theta.estimate(sk)) } :+
+        ("x_intersect", Theta.intersectEst(aSk, bSk)) :+
+        ("y_a_not_b", Theta.aNotBEst(aSk, bSk)))
+        .toDF("op", "est")
+      val words = docs
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val perSrc = words.groupBy(col("source"))
+        .agg(countDistinct(col("w")).as("x"))
+        .select(concat(lit("src_"), col("source")).as("op"), col("x"))
+      val aw = words.filter(col("source") === aName)
+        .select(col("w")).distinct()
+      val bw = words.filter(col("source") === bName)
+        .select(col("w")).distinct()
+      val xi = aw.join(bw, Seq("w"), "left_semi")
+        .agg(count(lit(1)).as("x")).select(lit("x_intersect").as("op"),
+          col("x"))
+      val xd = aw.join(bw, Seq("w"), "left_anti")
+        .agg(count(lit(1)).as("x")).select(lit("y_a_not_b").as("op"),
+          col("x"))
+      val rel = when(col("op").startsWith("src_"), lit(0.05))
+        .when(col("op") === "x_intersect", lit(0.08))
+        .otherwise(lit(0.12))
+      val add = when(col("op").startsWith("src_"), lit(32.0))
+        .otherwise(lit(64.0))
+      perSrc.unionAll(xi).unionAll(xd)
+        .join(broadcast(estDf), Seq("op"))
+        .select(col("op"), col("x").cast("long").as("n_exact"),
+          (abs(col("est") - col("x")) <= rel * col("x") + add)
+            .as("est_ok"))
+        .orderBy(col("op"))
+    }),
+
     // HLL SKETCH-CUBE rollup — the OLAP-at-scale pattern for distinct
     // counts: ONE corpus pass builds a per-(source, lang) cell table
     // of HLL sketches (bounded by the dimension cardinalities), and
@@ -455,6 +524,28 @@ object SketchQueries {
         |UNION ALL SELECT '3_union', xu, true FROM x
         |UNION ALL SELECT '4_intersect', xi, true FROM x
         |UNION ALL SELECT '5_a_not_b', xd, true FROM x
+        |ORDER BY op""".stripMargin,
+    // per-source vocabulary sizes + the shared/unique vocabulary of
+    // the (alphabetically) first and last sources — exact counts
+    // pinned, the streaming-sketch estimates must sit in envelope
+    "q332_theta_stream" ->
+      """WITH t AS (SELECT source, w FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents)
+        |  WHERE len(w) > 0),
+        |per AS (SELECT source, count(DISTINCT w)::BIGINT AS x
+        |        FROM t GROUP BY source),
+        |ab AS (SELECT min(source) AS a, max(source) AS b FROM t),
+        |wa AS (SELECT DISTINCT t.w FROM t, ab WHERE t.source = ab.a),
+        |wb AS (SELECT DISTINCT t.w FROM t, ab WHERE t.source = ab.b),
+        |xi AS (SELECT count(*)::BIGINT AS x FROM wa
+        |       WHERE w IN (SELECT w FROM wb)),
+        |xd AS (SELECT count(*)::BIGINT AS x FROM wa
+        |       WHERE w NOT IN (SELECT w FROM wb))
+        |SELECT 'src_' || source AS op, x AS n_exact, true AS est_ok
+        |FROM per
+        |UNION ALL SELECT 'x_intersect', x, true FROM xi
+        |UNION ALL SELECT 'y_a_not_b', x, true FROM xd
         |ORDER BY op""".stripMargin,
     "q307_hll_cube" ->
       """SELECT source, lang, count(DISTINCT w) AS exact,
