@@ -78,7 +78,14 @@ object Bench {
     "q312_ivfpq_delete",      // tombstoned deletes + list compaction
     "q313_cms_stream",        // count-min sketch as streaming state
     "q314_zorder_optimize",   // incremental OPTIMIZE of appended deltas
-    "q315_backoff_lm")        // stupid-backoff bigram LM, held-out scored
+    "q315_backoff_lm",        // stupid-backoff bigram LM, held-out scored
+    // round-11 additions
+    "q319_manifest_timetravel", // snapshot-pinned reads through the manifest
+    "q322_kll_cube",          // mergeable KLL quantile sketch cube
+    "q325_ivf_rebalance",     // hot-list 2-means split, partition-local
+    "q328_manifest_merge",    // copy-on-write MERGE, touched files only
+    "q329_theta_setops",      // theta/KMV sketch set algebra
+    "q330_kneser_ney")        // interpolated KN bigram LM, held-out scored
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

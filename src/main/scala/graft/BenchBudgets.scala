@@ -101,6 +101,15 @@ object BenchBudgets {
     "q313_cms_stream" -> 5.749,
     "q314_zorder_optimize" -> 3.583,
     "q315_backoff_lm" -> 1.202,
+    // round-11 additions: min-of-5 from one quiet focused session
+    // (q310 canary measured 1.04× its r10 baseline in the same
+    // session, so these mins are comparable to the r10 table)
+    "q319_manifest_timetravel" -> 3.493,
+    "q322_kll_cube" -> 1.405,
+    "q325_ivf_rebalance" -> 6.53,
+    "q328_manifest_merge" -> 2.914,
+    "q329_theta_setops" -> 0.956,
+    "q330_kneser_ney" -> 1.45,
     "q35_topn_per_key" -> 0.711,
     "q46_unnest_words" -> 0.433,
     "q52_window_session" -> 1.043,
