@@ -22,11 +22,21 @@ class BenchGateSpec extends SparkSpec {
   }
 
   test("uniform host-load drift is normalized out; a lone regression is not") {
-    // every query 2x its quiet min = pure load: zero breaches
+    // every query 2x its quiet min = pure load: the raw drift is the
+    // full 2x but the SCALE is capped (a catalog-wide slowdown must
+    // stay visible — ADVICE r10); zero breaches still holds because
+    // headroom 1.4 x cap 1.5 = 2.1 > 2.0
     val uniform = BenchBudgets.sf01QuietMin.toSeq.map {
       case (n, q) => n -> q * 2.0 }
-    assert(math.abs(BenchBudgets.driftScale(uniform) - 2.0) < 1e-9)
+    assert(math.abs(BenchBudgets.driftRaw(uniform) - 2.0) < 1e-9)
+    assert(math.abs(BenchBudgets.driftScale(uniform)
+      - BenchBudgets.driftCap) < 1e-9)
     assert(BenchBudgets.breaches("/root/testdata/sf0.1", uniform).isEmpty)
+    // …and a 3x catalog-wide slowdown DOES breach through the cap
+    val broad = BenchBudgets.sf01QuietMin.toSeq.map {
+      case (n, q) => n -> q * 3.0 }
+    assert(BenchBudgets.breaches("/root/testdata/sf0.1", broad).nonEmpty,
+      "the drift cap must keep catalog-wide regressions visible")
     // one query 4x while the rest sit at baseline: only it breaches
     val lone = BenchBudgets.sf01QuietMin.toSeq.map { case (n, q) =>
       n -> (if (n == "q10_join_star") q * 4.0 else q) }
