@@ -170,6 +170,33 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // NEAR-DUP CLUSTER ELECTION — the step every production dedup
+    // pipeline runs AFTER pair generation (CCNet / RefinedWeb shape):
+    // near-dup similarity is not transitive, so pairs alone
+    // over-delete (removing b of (a,b) and c of (b,c) loses c even if
+    // a≁c) — the correct unit is the CONNECTED COMPONENT of the pair
+    // graph, keeping exactly one canonical doc per component. Edges =
+    // q66's exact n-gram Jaccard pairs (≥ 0.1, df-capped postings —
+    // never doc×doc); components via pointer-jumping min-label
+    // propagation (O(log diameter) rounds — a dup CHAIN at corpus
+    // scale breaks plain propagation); canonical = min doc_id. Output
+    // = every ≥2-doc cluster with its size and removal count; the
+    // oracle rebuilds the same pairs and closes them with a recursive
+    // transitive-closure CTE. At 100 TB: edges are shingle-join
+    // bounded, each CC round is one shuffle of the (still-moving)
+    // frontier, cluster membership never materializes doc content.
+    "q334_dedup_clusters" -> ((s, d) => {
+      val edges = queries("q66_ngram_jaccard")(s, d)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val verts = Tables.documents(s, d).select(col("doc_id").as("id"))
+      val cc = GraphOps.connectedComponentsJump(verts, edges, maxIter = 32)
+      cc.groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .filter(col("sz") >= 2)
+        .select(col("component").as("canonical"), col("sz"),
+          (col("sz") - 1).as("n_removed"))
+        .orderBy(col("canonical"))
+    }),
+
     // Token counting, whitespace + BPE-ish regex pre-tokenizer
     // (letter runs / digit runs / single punctuation — the GPT-2-style
     // pre-tokenization shape).
@@ -486,6 +513,38 @@ object TextQueries {
          |JOIN sizes nb ON nb.doc_id = id_b
          |WHERE co * 1000000 // (na.n_sh + nb.n_sh - co) >= 100000
          |ORDER BY id_a, id_b""".stripMargin,
+    // the q66 pairs closed transitively (recursive CTE — the oracle
+    // may be slow; clusters are small so the closure stays bounded),
+    // then component label = min reachable id
+    "q334_dedup_clusters" ->
+      s"""WITH RECURSIVE sh0 AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest($shinglesSql) AS sh FROM documents)),
+         |sh AS (
+         |  SELECT doc_id, sh FROM sh0
+         |  QUALIFY count(*) OVER (PARTITION BY sh) <= $dfCap),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |co AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS co
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |e AS (
+         |  SELECT id_a AS a, id_b AS b FROM co
+         |  JOIN sizes na ON na.doc_id = id_a
+         |  JOIN sizes nb ON nb.doc_id = id_b
+         |  WHERE co * 1000000 // (na.n_sh + nb.n_sh - co) >= 100000),
+         |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM und
+         |  UNION
+         |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         |lab AS (
+         |  SELECT a AS id, least(a, min(b)) AS comp
+         |  FROM reach GROUP BY a)
+         |SELECT comp AS canonical, count(*)::BIGINT AS sz,
+         |  (count(*) - 1)::BIGINT AS n_removed
+         |FROM lab GROUP BY comp HAVING count(*) >= 2
+         |ORDER BY canonical""".stripMargin,
     "q68_token_count" ->
       """SELECT doc_id,
         |  len(string_split_regex(text, '\s+')) AS n_ws,

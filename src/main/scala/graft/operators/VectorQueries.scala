@@ -193,6 +193,51 @@ object VectorQueries {
         .orderBy(col("pid"), col("rk"))
     }),
 
+    // BINARY (1-bit) QUANTIZATION ANN — the modern serving-memory
+    // extreme of the quantized family (q197 int8 → q211 PQ → this):
+    // each 64-dim vector compresses to its 64 sign bits packed into
+    // ONE long (64× under int8, 256× under float32), candidate
+    // generation is a Hamming scan — bit_count(xor) is one popcount
+    // instruction inside whole-stage codegen, no floats touched —
+    // and only the top-C Hamming candidates get the exact cosine
+    // rerank (the asymmetric refine step every binary-quantization
+    // deployment runs). Both stages are fully deterministic, so the
+    // oracle replicates candidate generation AND rerank bit-for-bit:
+    // this row pins the whole pipeline exactly, not via a recall
+    // audit. At 100 TB a billion vectors fit in 8 GB of codes — the
+    // Hamming stage is a memory-bandwidth scan, and the float
+    // vectors are only fetched for C candidates per probe.
+    "q333_binary_quant_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val emb = asD(col("embedding"))
+      val bcode = (0 until dims).map { i =>
+        when(element_at(emb, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+      val coded = e.select(col("vec_id"), col("embedding"),
+        bcode.as("bc"))
+      val probes = coded.filter(col("vec_id") <= 20)
+        .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+          col("bc").as("pbc"))
+      val corpus = coded.select(col("vec_id").as("cid"),
+        col("embedding").as("ce"), col("bc").as("cbc"))
+      val wH = Window.partitionBy(col("pid"))
+        .orderBy(col("ham"), col("cid"))
+      val cands = corpus.crossJoin(broadcast(probes))
+        .filter(col("cid") =!= col("pid"))
+        .withColumn("ham",
+          expr("bit_count(cbc ^ pbc)").cast("long"))
+        .withColumn("hrk", row_number().over(wH))
+        .filter(col("hrk") <= 64) // C: rerank budget per probe
+      val wS = Window.partitionBy(col("pid"))
+        .orderBy(col("sim").desc, col("cid"))
+      cands.withColumn("sim", cosine(col("pe"), col("ce")))
+        .withColumn("rk", row_number().over(wS))
+        .filter(col("rk") <= 5)
+        .select(col("pid"), col("rk"), col("cid"), col("ham"),
+          round(col("sim"), 6).as("sim6"))
+        .orderBy(col("pid"), col("rk"))
+    }),
+
     // Random-hyperplane LSH bucket assignment (the scale path).
     "q71_lsh_bucket" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -613,7 +658,41 @@ object VectorQueries {
     s"""${dotSql("pe", "ce")} /
        |  (sqrt(${dotSql("pe", "pe")}) * sqrt(${dotSql("ce", "ce")}))""".stripMargin
 
+  /** DuckDB mirror of the packed sign-bit code: bit 63 spelled as the
+    * two's-complement BIGINT expression (a bare -2^63 literal would
+    * promote to HUGEINT and drag xor/bit_count with it). */
+  private def bcodeSql(e: String): String =
+    (0 until dims).map { i =>
+      val v = if (i == 63) "(-9223372036854775807 - 1)"
+              else (1L << i).toString
+      s"(CASE WHEN $e[${i + 1}] > 0 THEN $v::BIGINT ELSE 0::BIGINT END)"
+    }.mkString("(", " | ", ")")
+
   val oracle: Map[String, String] = Map(
+    "q333_binary_quant_ann" ->
+      s"""WITH coded AS (
+         |  SELECT vec_id, embedding, ${bcodeSql("embedding")} AS bc
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT p.vec_id AS pid, c.vec_id AS cid,
+         |    p.embedding AS pe, c.embedding AS ce,
+         |    bit_count(xor(p.bc, c.bc))::BIGINT AS ham
+         |  FROM coded p JOIN coded c ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id <= 20),
+         |cands AS (
+         |  SELECT pid, cid, pe, ce, ham,
+         |    row_number() OVER (PARTITION BY pid ORDER BY ham, cid) AS hrk
+         |  FROM pairs),
+         |rer AS (
+         |  SELECT pid, cid, ham, $cosineSql AS sim
+         |  FROM cands WHERE hrk <= 64),
+         |ranked AS (
+         |  SELECT pid, cid, ham, sim,
+         |    row_number() OVER (PARTITION BY pid ORDER BY sim DESC, cid)
+         |      AS rk
+         |  FROM rer)
+         |SELECT pid, rk, cid, ham, round(sim, 6) AS sim6
+         |FROM ranked WHERE rk <= 5 ORDER BY pid, rk""".stripMargin,
     "q70_knn_brute" ->
       s"""WITH pairs AS (
          |  SELECT p.vec_id AS pid, c.vec_id AS cid,
