@@ -258,6 +258,45 @@ object LayoutQueries {
         .orderBy(col("win"))
     }),
 
+    // MANIFEST-LEVEL FILE PRUNING — scan planning from the manifest
+    // alone (the Iceberg min/max contract): create/append commit each
+    // file's clustering-column (min, max) INTO the manifest, and a
+    // range read opens only the files whose stats overlap the probe —
+    // before any parquet footer is touched. Complements q310's
+    // row-group pruning one level up: at 100 TB the planner reads one
+    // small manifest instead of listing and footer-probing a million
+    // files. Values are pinned by the oracle (pruning must be
+    // invisible in the result); the emitted `pruned` boolean is the
+    // files_read < files_total contract, robust at every SF because
+    // the probe covers ~1/5 of a 20-file key-clustered table.
+    "q335_manifest_prune" -> ((s, d) => {
+      import graft.sources.ManifestTable
+      val tmp = java.nio.file.Files.createTempDirectory("graft-mprune")
+      val table = s"$tmp/table"
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      ManifestTable.create(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .repartitionByRange(16, col("o_orderkey"))
+          .sortWithinPartitions(col("o_orderkey")),
+        table, statCol = Some("o_orderkey"))
+      ManifestTable.append(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+          .repartitionByRange(4, col("o_orderkey"))
+          .sortWithinPartitions(col("o_orderkey")),
+        table, statCol = Some("o_orderkey"))
+      val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+      val (lo, hi) = (mx * 2 / 5, mx * 3 / 5)
+      val (df, nRead, nTotal) = ManifestTable.readRange(s, table, lo, hi)
+      df.filter(col("o_orderkey").between(lo, hi))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+            .as("cents"))
+        .select(col("n_rows"), col("key_sum"), col("cents"),
+          lit(nRead < nTotal).as("pruned"))
+    }),
+
     // COPY-ON-WRITE MERGE — row-level upsert on the manifest table:
     // matched keys take the source row, unmatched source rows insert,
     // and ONLY the files containing a matched key are rewritten (the
@@ -483,6 +522,17 @@ object LayoutQueries {
         |UNION ALL
         |SELECT 'w4_whole_log', n_rows, key_sum, cents FROM agg_ab
         |ORDER BY win""".stripMargin,
+
+    // pruning must be invisible in the values; the middle-fifth range
+    "q335_manifest_prune" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |mx AS (SELECT max(o_orderkey) AS m FROM o)
+        |SELECT count(*)::BIGINT AS n_rows,
+        |  sum(o_orderkey)::BIGINT AS key_sum,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents,
+        |  true AS pruned
+        |FROM o, mx
+        |WHERE o_orderkey BETWEEN (m * 2) // 5 AND (m * 3) // 5""".stripMargin,
 
     // post-merge: %13 keys doubled, %17=3 keys re-inserted above max
     "q328_manifest_merge" ->

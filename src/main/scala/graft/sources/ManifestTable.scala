@@ -88,6 +88,18 @@ object ManifestTable {
   def added(table: String, v: Long): Seq[String] =
     jsonArray(Files.readString(manifestPath(table, v)), "added")
 
+  /** Per-file clustering-column (min, max) stats of snapshot `v` —
+    * the manifest-level scan-planning metadata ([[readRange]] prunes
+    * with it before any parquet footer is opened). Encoded flat as
+    * "name:lo:hi" strings (part-file names contain no ':'); files
+    * committed without stats are absent and never pruned. */
+  def stats(table: String, v: Long): Map[String, (Long, Long)] =
+    jsonArray(Files.readString(manifestPath(table, v)), "stats")
+      .map { s =>
+        val Array(n, lo, hi) = s.split(":")
+        n -> (lo.toLong, hi.toLong)
+      }.toMap
+
   /** The commit kind of version `v`: "append" (create/append — every
     * snapshot row change is in `added`), "rewrite" (OPTIMIZE — rows
     * unchanged), or "merge" (rows updated IN PLACE — not
@@ -112,7 +124,8 @@ object ManifestTable {
     * commit for the changelog reader. */
   def commit(table: String, fileList: Seq[String], expected: Long,
              added: Seq[String] = Seq.empty,
-             kindTag: String = "append"): Long = {
+             kindTag: String = "append",
+             fileStats: Map[String, (Long, Long)] = Map.empty): Long = {
     val next = expected + 1
     val dir = manifestDir(table)
     Files.createDirectories(dir)
@@ -123,9 +136,12 @@ object ManifestTable {
       java.util.UUID.randomUUID().toString.take(8)}")
     val filesJson = fileList.sorted.map("\"" + _ + "\"").mkString(",")
     val addedJson = added.sorted.map("\"" + _ + "\"").mkString(",")
+    val statsJson = fileStats.toSeq.sortBy(_._1)
+      .map { case (n, (lo, hi)) => s""""$n:$lo:$hi"""" }.mkString(",")
     Files.writeString(tmp,
       s"""{"version":$next,"kind":"$kindTag",""" +
-        s""""added":[$addedJson],"files":[$filesJson]}""")
+        s""""added":[$addedJson],"stats":[$statsJson],""" +
+        s""""files":[$filesJson]}""")
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
     next
   }
@@ -157,20 +173,49 @@ object ManifestTable {
     names
   }
 
+  /** Per-file (min, max) of `statCol` over freshly staged files — the
+    * manifest-level scan-planning stats. One narrow column scan of
+    * only the new files (production lifts this straight from the
+    * parquet footers the write just produced; the contract — stats
+    * ride the COMMIT, not a separate metadata pass — is the same). */
+  private def statsFor(s: SparkSession, table: String,
+                       names: Seq[String],
+                       statCol: Option[String]): Map[String, (Long, Long)] =
+    statCol match {
+      case None => Map.empty
+      case Some(c) =>
+        import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+        s.read.parquet(names.map(n => s"$table/$n"): _*)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col(c)).cast("long").as("lo"),
+            max(col(c)).cast("long").as("hi"))
+          .collect() // ≤ names.size rows — manifest-bounded
+          .map(r => Paths.get(new java.net.URI(r.getString(0)).getPath)
+            .getFileName.toString -> (r.getLong(1), r.getLong(2)))
+          .toMap
+    }
+
   /** Create the table as snapshot 0 from `df` (caller shapes the
-    * layout: repartition + sortWithinPartitions before the call). */
-  def create(df: DataFrame, table: String): Long = {
+    * layout: repartition + sortWithinPartitions before the call).
+    * With `statCol`, each file's (min, max) of that column rides the
+    * manifest for [[readRange]] pruning. */
+  def create(df: DataFrame, table: String,
+             statCol: Option[String] = None): Long = {
     Files.createDirectories(Paths.get(table))
     require(versions(table).isEmpty, s"$table already has manifests")
     val names = stageIn(df, table)
-    commit(table, names, expected = -1L, added = names)
+    commit(table, names, expected = -1L, added = names,
+      fileStats = statsFor(df.sparkSession, table, names, statCol))
   }
 
   /** Append `df` as a new snapshot (previous files + new files). */
-  def append(df: DataFrame, table: String): Long = {
+  def append(df: DataFrame, table: String,
+             statCol: Option[String] = None): Long = {
     val v = currentVersion(table)
     val names = stageIn(df, table)
-    commit(table, files(table, v) ++ names, expected = v, added = names)
+    commit(table, files(table, v) ++ names, expected = v, added = names,
+      fileStats = stats(table, v) ++
+        statsFor(df.sparkSession, table, names, statCol))
   }
 
   /** Read the current snapshot. */
@@ -194,7 +239,8 @@ object ManifestTable {
     * snapshot exactly. Returns the new version. */
   def optimize(s: SparkSession, table: String, rewrite: Set[String],
                sortKey: Column, numFiles: Int,
-               crashBeforeCommit: Boolean = false): Long = {
+               crashBeforeCommit: Boolean = false,
+               statCol: Option[String] = None): Long = {
     val v = currentVersion(table)
     val cur = files(table, v)
     require(rewrite.subsetOf(cur.toSet),
@@ -208,7 +254,32 @@ object ManifestTable {
       throw new IllegalStateException(
         "injected crash: OPTIMIZE output staged, manifest not committed")
     commit(table, cur.filterNot(rewrite) ++ staged, expected = v,
-      added = Seq.empty, kindTag = "rewrite")
+      added = Seq.empty, kindTag = "rewrite",
+      fileStats = (stats(table, v) -- rewrite) ++
+        statsFor(s, table, staged, statCol))
+  }
+
+  /** Manifest-pruned range read: of snapshot `v`'s files, open ONLY
+    * those whose committed (min, max) stats overlap [lo, hi] — scan
+    * planning from the manifest alone, before any parquet footer is
+    * touched (the Iceberg min/max file-pruning contract; at 100 TB
+    * the planner reads one manifest instead of listing and
+    * footer-probing every file). Files committed without stats are
+    * always read (never wrongly pruned). Returns (frame of the
+    * surviving files, files read, files total); the caller still
+    * applies the row-level predicate — stats prune FILES, not rows. */
+  def readRange(s: SparkSession, table: String, lo: Long, hi: Long)
+      : (DataFrame, Int, Int) = {
+    val v = currentVersion(table)
+    val all = files(table, v)
+    val st = stats(table, v)
+    val keep = all.filter { n =>
+      st.get(n).forall { case (flo, fhi) => fhi >= lo && flo <= hi }
+    }
+    val df =
+      if (keep.isEmpty) readVersion(s, table, v).limit(0)
+      else s.read.parquet(keep.sorted.map(n => s"$table/$n"): _*)
+    (df, keep.size, all.size)
   }
 
   /** Incremental (changelog) read: the rows ADDED to the table in
@@ -274,8 +345,11 @@ object ManifestTable {
       .unionByName(src)
       .repartition(math.max(math.max(touched.size, numInsertFiles), 1))
     val staged = stageIn(rewritten, table)
+    // untouched files keep their scan-planning stats; the rewritten
+    // files carry none (safe: statless files are never pruned)
     commit(table, cur.filterNot(touched) ++ staged, expected = v,
-      added = Seq.empty, kindTag = "merge")
+      added = Seq.empty, kindTag = "merge",
+      fileStats = stats(table, v) -- touched)
   }
 
   /** Garbage-collect: keep the newest `keepVersions` manifests, delete

@@ -169,6 +169,56 @@ class ManifestSpec extends SparkSpec {
       == before)
   }
 
+  test("file stats ride commits; readRange prunes files and loses no rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mstats")
+    val table = s"$tmp/table"
+    val o = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    ManifestTable.create(
+      o.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey")),
+      table, statCol = Some("o_orderkey"))
+    val v0 = ManifestTable.currentVersion(table)
+    val st = ManifestTable.stats(table, v0)
+    assert(st.keySet == ManifestTable.files(table, v0).toSet,
+      "every committed file must carry stats")
+    st.values.foreach { case (lo, hi) => assert(lo <= hi) }
+    val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+    val (lo, hi) = (mx / 2, mx / 2 + mx / 10)
+    val (pruned, nRead, nTotal) = ManifestTable.readRange(spark, table, lo, hi)
+    assert(nRead < nTotal, s"a ~10% range must prune some of $nTotal files")
+    // pruning is value-neutral: same rows as the full-table filter
+    val a = pruned.filter(col("o_orderkey").between(lo, hi))
+      .agg(count(lit(1)), sum(col("o_orderkey"))).head()
+    val b = ManifestTable.read(spark, table)
+      .filter(col("o_orderkey").between(lo, hi))
+      .agg(count(lit(1)), sum(col("o_orderkey"))).head()
+    assert(a == b, "manifest pruning must never drop in-range rows")
+    // OPTIMIZE with statCol refreshes the rewritten files' stats;
+    // a merge keeps untouched files' stats and leaves its rewritten
+    // files statless (never wrongly pruned)
+    val someFiles = ManifestTable.files(table, v0).take(2).toSet
+    val v1 = ManifestTable.optimize(spark, table, someFiles,
+      col("o_orderkey"), 1, statCol = Some("o_orderkey"))
+    assert(ManifestTable.stats(table, v1).keySet ==
+      ManifestTable.files(table, v1).toSet)
+    val src = ManifestTable.read(spark, table)
+      .filter(col("o_orderkey") <= mx / 20)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .localCheckpoint()
+    val v2 = ManifestTable.merge(spark, table, src, "o_orderkey")
+    val st2 = ManifestTable.stats(table, v2)
+    val f2 = ManifestTable.files(table, v2).toSet
+    assert(st2.keySet.subsetOf(f2))
+    assert(st2.nonEmpty, "untouched files keep their stats")
+    assert(st2.keySet != f2, "merge-rewritten files carry no stats")
+    // statless files are never pruned: a range matching nothing in
+    // the stats still reads the statless files
+    val (_, nRead2, nTotal2) =
+      ManifestTable.readRange(spark, table, mx + 100, mx + 200)
+    assert(nRead2 == (f2 -- st2.keySet).size && nRead2 < nTotal2)
+  }
+
   test("optimistic concurrency: a second commit at the same version is refused") {
     val (table, _, _, _, _) = freshTable()
     val v = ManifestTable.currentVersion(table)
