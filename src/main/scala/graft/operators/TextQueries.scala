@@ -188,7 +188,14 @@ object TextQueries {
     "q334_dedup_clusters" -> ((s, d) => {
       val edges = queries("q66_ngram_jaccard")(s, d)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
-      val verts = Tables.documents(s, d).select(col("doc_id").as("id"))
+        .localCheckpoint() // the shingle-join pipeline runs ONCE
+      // only edge-touched docs can form a ≥2 cluster — every other
+      // doc is a singleton the final filter drops anyway, so the CC
+      // label table is pair-touched-sized, not corpus-sized (at
+      // 100 TB: dup-graph-sized state, the corpus never enters the
+      // iteration)
+      val verts = edges.select(col("src").as("id"))
+        .unionAll(edges.select(col("dst").as("id"))).distinct()
       val cc = GraphOps.connectedComponentsJump(verts, edges, maxIter = 32)
       cc.groupBy(col("component")).agg(count(lit(1)).as("sz"))
         .filter(col("sz") >= 2)
