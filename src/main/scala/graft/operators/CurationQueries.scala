@@ -1380,10 +1380,27 @@ object CurationQueries {
         .join(cont, Seq("cur"), "left")
         .crossJoin(broadcast(nbb))
         .withColumn("s",
+          // BIGINT-range guard (ADVICE r11): the rational arithmetic
+          // is exact only while 4·cv·nbb and 3·n1v·ncw fit a long —
+          // cv ≤ tokens-per-context, nbb = bigram TYPES, so the bound
+          // holds up to cv·nbb < 2^61 (far past every tested SF, but
+          // breakable on a 100 TB corpus with a huge type inventory).
+          // Non-ANSI Spark would WRAP silently where DuckDB errors;
+          // fail loudly instead — past the bound the fix is log-domain
+          // or DECIMAL(38) scoring, not a quiet wrong sign bit.
           when(col("cv").isNotNull && col("ncw").isNotNull,
-            blog2(expr("(4 * cv * nbb) div " +
+            blog2(expr(
+              "if(cv <= 1152921504606846975 div nbb and " +     // 2^60-1
+              "   n1v <= 768614336404564650 div ncw, " + // (2^61-1)/3
+              // bounds chosen so numerator ≤ 2^62 and the denominator
+              // SUM ≤ 2^62 + 2^61 — no intermediate can wrap
+
+              "(4 * cv * nbb) div " +
               "((case when cb is null then 0 else 4 * cb - 3 end) * nbb" +
-              " + 3 * n1v * ncw)")))
+              " + 3 * n1v * ncw), " +
+              "cast(assert_true(false, 'q330: cv*nbb exceeds bigint " +
+              "range at this corpus scale - rescore in log-domain or " +
+              "DECIMAL(38)') as bigint))")))
           .when(col("ncw").isNotNull, blog2(expr("nbb div ncw")))
           .otherwise(blog2(col("nbb")) + 2))
         .withColumn("discounted", (col("cb").isNull &&

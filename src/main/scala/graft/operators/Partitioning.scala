@@ -152,11 +152,19 @@ object Partitioning {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  saltFrom: org.apache.spark.sql.Column,
                  salts: Int): DataFrame = {
-    val f = fact.withColumn("__salt",
-      pmod(saltFrom, lit(salts)).cast("long"))
-    val dimRep = dim.withColumn("__salt",
+    // result-neutrality hardening (ADVICE r11): a NULL saltFrom value
+    // must not NULL the salt and silently drop a matching fact row
+    // from the inner join — route NULLs to salt 0; and the internal
+    // salt column must not shadow a user column of the same name.
+    val saltCol = Iterator.from(0)
+      .map(i => if (i == 0) "__salt" else s"__salt_$i")
+      .find(n => !fact.columns.contains(n) && !dim.columns.contains(n))
+      .get
+    val f = fact.withColumn(saltCol,
+      coalesce(pmod(saltFrom, lit(salts)).cast("long"), lit(0L)))
+    val dimRep = dim.withColumn(saltCol,
       explode(sequence(lit(0L), lit(salts - 1L))))
-    f.join(dimRep, Seq(key, "__salt")).drop("__salt")
+    f.join(dimRep, Seq(key, saltCol)).drop(saltCol)
   }
 
   val queries: Map[String, Q] = Map(
