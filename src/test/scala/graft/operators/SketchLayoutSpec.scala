@@ -151,7 +151,7 @@ class SketchLayoutSpec extends SparkSpec {
       assert(postRows < preRows,
         s"post-OPTIMIZE scan must prune the delta: pre=$preRows post=$postRows")
       // vacuum drops the dereferenced delta files from disk
-      ManifestTable.vacuum(dir, keepVersions = 1)
+      ManifestTable.vacuum(dir, keepVersions = 1, retainMillis = 0)
       assert(deltaFiles.forall(n =>
         !java.nio.file.Files.exists(java.nio.file.Paths.get(dir, n))),
         "vacuum must delete the rewritten delta files")
