@@ -335,6 +335,93 @@ object LayoutQueries {
         .unionAll(phase(ManifestTable.read(s, table), "post_merge"))
         .orderBy(col("phase"))
     }),
+    // CDC ACROSS ROW-LEVEL COMMITS (r11 ask 4 — the q302/q303 Debezium
+    // shape produced BY the table format): a merge, an append and a
+    // merge-on-read delete land as three commits; readChangesCdc reads
+    // the window as a +/− retraction changelog — the merge contributes
+    // its recorded pre-images (−old) and post-images (+new), the
+    // append its added rows (+), the delete its captured pre-images
+    // (−). Both op-groups' exact (count, key_sum, cents) are pinned by
+    // the oracle, which recomputes every image class from the source
+    // table — so a missing/extra image row anywhere breaks the hash.
+    // At 100 TB the window reads only the image + added files (all
+    // change-bounded), never the table; applying the log to snapshot
+    // v0 reproduces v3 exactly (reconciliation spec-pinned in
+    // ManifestSpec).
+    "q337_manifest_cdc" -> ((s, d) => {
+      import graft.sources.ManifestTable
+      val tmp = java.nio.file.Files.createTempDirectory("graft-mcdclog")
+      val table = s"$tmp/table"
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      ManifestTable.create(
+        o.repartitionByRange(16, col("o_orderkey"))
+          .sortWithinPartitions(col("o_orderkey")), table)       // v0
+      val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+      val updates = o.filter(pmod(col("o_orderkey"), lit(13)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val inserts = o.filter(pmod(col("o_orderkey"), lit(17)) === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + mx)
+      ManifestTable.merge(s, table, updates.unionByName(inserts),
+        "o_orderkey", numInsertFiles = 2)                        // v1
+      ManifestTable.append(
+        o.filter(pmod(col("o_orderkey"), lit(19)) === 2)
+          .repartition(2), table)                                // v2
+      ManifestTable.delete(s, table,
+        o.filter(pmod(col("o_orderkey"), lit(23)) === 5),
+        "o_orderkey")                                            // v3
+      ManifestTable.readChangesCdc(s, table, 0, 3)
+        .groupBy(col("op"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+            .as("cents"))
+        .orderBy(col("op"))
+    }),
+
+    // MERGE-ON-READ DELETE VECTORS (r11 ask 6 — the q312 tombstone
+    // discipline promoted to the general table): a delete commits one
+    // small KEY-TOMBSTONE file — zero data files move — and readers
+    // suppress the keys with a broadcast anti-join; a full-coverage
+    // OPTIMIZE then materializes the delete physically and clears the
+    // tombstones. Three pinned phases: pre-delete (time travel to v0
+    // still sees every row), post-delete (merge-on-read: values
+    // filtered, mor_tombstones=true proves no rewrite happened), and
+    // post-OPTIMIZE (identical values, tombstones gone — the debt is
+    // paid). At 100 TB a delete costs O(keys), reads pay one
+    // broadcast anti-join until the next maintenance window.
+    "q338_manifest_delete" -> ((s, d) => {
+      import graft.sources.ManifestTable
+      val tmp = java.nio.file.Files.createTempDirectory("graft-mdelq")
+      val table = s"$tmp/table"
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      ManifestTable.create(
+        o.repartitionByRange(16, col("o_orderkey"))
+          .sortWithinPartitions(col("o_orderkey")),
+        table, statCol = Some("o_orderkey"))                     // v0
+      ManifestTable.delete(s, table,
+        o.filter(pmod(col("o_orderkey"), lit(7)) === 0),
+        "o_orderkey")                                            // v1
+      ManifestTable.optimize(s, table,
+        ManifestTable.files(table, 1).toSet, col("o_orderkey"),
+        numFiles = 8, statCol = Some("o_orderkey"))              // v2
+      def phase(name: String, v: Long): DataFrame =
+        ManifestTable.readVersion(s, table, v)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+              .as("cents"))
+          .select(lit(name).as("phase"), col("n_rows"), col("key_sum"),
+            col("cents"),
+            lit(ManifestTable.tombstones(table, v)._1.nonEmpty)
+              .as("mor_tombstones"))
+      phase("p1_pre_delete", 0)
+        .unionAll(phase("p2_post_delete", 1))
+        .unionAll(phase("p3_post_optimize", 2))
+        .orderBy(col("phase"))
+    }),
+
     // Z-order vs natural (orderkey-range) layout: bucket lineitem 32
     // ways under each layout, emit per-bucket (l_partkey, l_suppkey)
     // bounding boxes and whether each bucket's box intersects the
@@ -563,6 +650,67 @@ object LayoutQueries {
         |FROM post_agg
         |UNION ALL
         |SELECT 'pre_merge', n_rows, key_sum, cust_sum, cents FROM pre_agg
+        |ORDER BY phase""".stripMargin,
+
+    // every image class recomputed from source: − = merge pre-images
+    // (matched originals) + delete pre-images (post-merge visible rows
+    // of the deleted keys, incl. the appended duplicates); + = merge
+    // post-images (updates at 2× + shifted inserts) + appended rows
+    "q337_manifest_cdc" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |mx AS (SELECT max(o_orderkey) AS m FROM o),
+        |minus_rows AS (
+        |  SELECT o_orderkey, o_totalprice FROM o WHERE o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 2
+        |              ELSE o_totalprice END
+        |  FROM o WHERE o_orderkey % 23 = 5
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice FROM o
+        |  WHERE o_orderkey % 19 = 2 AND o_orderkey % 23 = 5),
+        |plus_rows AS (
+        |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+        |  FROM o WHERE o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + m, o_totalprice FROM o, mx
+        |  WHERE o_orderkey % 17 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice FROM o WHERE o_orderkey % 19 = 2)
+        |SELECT '+' AS op, count(*)::BIGINT AS n_rows,
+        |  sum(o_orderkey)::BIGINT AS key_sum,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+        |FROM plus_rows
+        |UNION ALL
+        |SELECT '-', count(*)::BIGINT, sum(o_orderkey)::BIGINT,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |FROM minus_rows
+        |ORDER BY op""".stripMargin,
+
+    // the three delete-vector phases: time travel sees everything,
+    // merge-on-read filters without rewriting, OPTIMIZE materializes
+    "q338_manifest_delete" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |pre_agg AS (
+        |  SELECT count(*)::BIGINT AS n_rows,
+        |         sum(o_orderkey)::BIGINT AS key_sum,
+        |         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |           AS cents
+        |  FROM o),
+        |post_agg AS (
+        |  SELECT count(*)::BIGINT AS n_rows,
+        |         sum(o_orderkey)::BIGINT AS key_sum,
+        |         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |           AS cents
+        |  FROM o WHERE o_orderkey % 7 <> 0)
+        |SELECT 'p1_pre_delete' AS phase, n_rows, key_sum, cents,
+        |  false AS mor_tombstones FROM pre_agg
+        |UNION ALL
+        |SELECT 'p2_post_delete', n_rows, key_sum, cents, true
+        |FROM post_agg
+        |UNION ALL
+        |SELECT 'p3_post_optimize', n_rows, key_sum, cents, false
+        |FROM post_agg
         |ORDER BY phase""".stripMargin,
 
     // phase-independent: compaction must not change a single value
