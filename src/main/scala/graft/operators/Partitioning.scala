@@ -167,6 +167,57 @@ object Partitioning {
     f.join(dimRep, Seq(key, saltCol)).drop(saltCol)
   }
 
+  /** Detected-hot join keys of `fact` (r11 ask 7 — the q325 hot-list
+    * mean+σ discipline applied to join keys): keys whose row count
+    * exceeds mean + σ of the key histogram, each with its OWN salt
+    * fan-out `ceil(n / threshold)` clamped to [2, maxSalts] — a 10×
+    * hot key gets ~10 salts, a barely-hot key 2, cold keys none.
+    * One aggregation over the fact (map-side partial combine; at
+    * 100 TB production would sample — the contract is the same),
+    * returning a frame bounded by the number of hot keys. */
+  def hotKeys(fact: DataFrame, key: String, maxSalts: Int): DataFrame = {
+    val hist = fact.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+    val g = hist.agg(avg(col("__n")), stddev_pop(col("__n"))).head()
+    val thresh = g.getDouble(0) +
+      (if (g.isNullAt(1) || g.getDouble(1).isNaN) 0.0 else g.getDouble(1))
+    hist.filter(col("__n") > thresh)
+      .select(col(key),
+        least(greatest(ceil(col("__n") / lit(thresh)).cast("long"), lit(2L)),
+          lit(maxSalts.toLong)).as("__salts"))
+  }
+
+  /** ADAPTIVE salted equi-join: [[saltedJoin]] with the salt count
+    * chosen from the observed key histogram instead of hardcoded —
+    * only DETECTED-HOT keys (mean+σ, [[hotKeys]]) fan out, each over
+    * its own salt count, cold keys join unsalted (salt 0, dim rows
+    * replicated exactly once). The hot-key table is broadcast to both
+    * sides (bounded by the number of hot keys, never the data), so
+    * the dim inflation is ×salts on hot keys ONLY — the production
+    * cure for the saltedJoin cost note. Result-neutrality is the
+    * oracle contract (q339); the only-hot-fans-out and spread
+    * contracts are pinned in PartitioningSpec. */
+  def adaptiveSaltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                         saltFrom: org.apache.spark.sql.Column,
+                         maxSalts: Int = 16): DataFrame = {
+    def freshName(base: String): String = Iterator.from(0)
+      .map(i => if (i == 0) base else s"${base}_$i")
+      .find(n => !fact.columns.contains(n) && !dim.columns.contains(n)).get
+    val saltCol = freshName("__salt")
+    val saltsCol = freshName("__salts")
+    val hot = hotKeys(fact, key, maxSalts)
+      .withColumnRenamed("__salts", saltsCol)
+      .localCheckpoint() // one histogram pass feeds both sides
+    val f = fact.join(broadcast(hot), Seq(key), "left")
+      .withColumn(saltCol,
+        coalesce(pmod(saltFrom, col(saltsCol)), lit(0L)))
+      .drop(saltsCol)
+    val dimRep = dim.join(broadcast(hot), Seq(key), "left")
+      .withColumn(saltCol,
+        explode(sequence(lit(0L), coalesce(col(saltsCol), lit(1L)) - 1)))
+      .drop(saltsCol)
+    f.join(dimRep, Seq(key, saltCol)).drop(saltCol)
+  }
+
   val queries: Map[String, Q] = Map(
     // partitionCustom oracle-bound: the mod-routing is SQL-visible, so
     // the oracle recomputes every partition's rollup exactly — a row
@@ -232,6 +283,29 @@ object Partitioning {
         .orderBy(col("category"))
     }),
 
+    // ADAPTIVE salted skew join oracle-bound: two hot keys of very
+    // different mass (40% and 30% of events) plus a cold tail; the
+    // salt fan-out comes from the observed histogram (mean+σ
+    // detection, per-key salt count), cold keys never fan out, and
+    // the per-category rollup must equal the plain join exactly —
+    // adaptive salting is pure routing, never semantics. The
+    // only-hot-keys-fan-out and spread contracts are measured in
+    // PartitioningSpec with broadcast disabled.
+    "q339_adaptive_salt_join" -> ((s, d) => {
+      val fact = Tables.events(s, d).select(
+        when(pmod(col("user_id"), lit(10)) < 4, lit(0L))
+          .when(pmod(col("user_id"), lit(10)) < 7, lit(1L))
+          .otherwise(col("user_id")).as("k"),
+        col("event_id"),
+        expr("cast(round(value*100) as bigint)").as("cents"))
+      val dim = fact.select(col("k")).distinct()
+        .withColumn("category", pmod(col("k"), lit(16)))
+      adaptiveSaltedJoin(fact, dim, "k", col("event_id"), maxSalts = 8)
+        .groupBy(col("category"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy(col("category"))
+    }),
+
     // ChecksumHashCode oracle-bound (reference `DataSetUtils
     // .checksumHashCode:347` + Utils.ChecksumHashCode): one
     // order-independent (count, sum-of-Java-hashCodes) row over a
@@ -279,6 +353,20 @@ object Partitioning {
     "q331_salted_skew_join" ->
       """WITH f AS (
         |  SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS k,
+        |         CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events),
+        |d AS (SELECT DISTINCT k, k % 16 AS category FROM f)
+        |SELECT d.category::BIGINT AS category, count(*)::BIGINT AS n,
+        |  sum(f.cents)::BIGINT AS cents
+        |FROM f JOIN d USING (k)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // adaptive salting must be invisible in the result
+    "q339_adaptive_salt_join" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN user_id % 10 < 4 THEN 0
+        |              WHEN user_id % 10 < 7 THEN 1
+        |              ELSE user_id END AS k,
         |         CAST(round(value*100) AS BIGINT) AS cents
         |  FROM events),
         |d AS (SELECT DISTINCT k, k % 16 AS category FROM f)

@@ -70,4 +70,76 @@ class PartitioningSpec extends SparkSpec {
     assert(spread <= unsalted / 4,
       s"salted max partition $spread vs unsalted $unsalted")
   }
+
+  test("saltedJoin: NULL salt source routes to salt 0, never drops the row") {
+    import org.apache.spark.sql.functions._
+    // ADVICE r11: pmod(NULL, n) is NULL — an inner join on (k, NULL)
+    // silently dropped the fact row even when its key matched
+    val fact = df(Seq(7L, 7L, 8L))
+      .select(col("user_id").as("k"),
+        when(col("event_id") === 0L, lit(null).cast("long"))
+          .otherwise(col("event_id")).as("src"))
+    val dim = fact.select(col("k")).distinct()
+      .withColumn("category", pmod(col("k"), lit(16)))
+    val salted = Partitioning.saltedJoin(fact, dim, "k", col("src"), 4)
+    assert(salted.count() == 3,
+      "the NULL-salt row must survive the salted join")
+    // a user column named __salt must not be shadowed or dropped
+    val fact2 = fact.withColumn("__salt", lit(99L))
+    val out2 = Partitioning.saltedJoin(fact2, dim, "k", col("src"), 4)
+    assert(out2.count() == 3 && out2.columns.contains("__salt"))
+    assert(out2.filter(col("__salt") =!= 99L).count() == 0)
+  }
+
+  test("adaptiveSaltedJoin: only detected-hot keys fan out, per-key salt counts") {
+    import org.apache.spark.sql.functions._
+    // key 7: 8000 rows (very hot), key 9: 900 rows (mildly hot),
+    // 200-key cold tail of 1 row each
+    val fact = df(Seq.fill(8000)(7L) ++ Seq.fill(900)(9L) ++ (100L to 299L))
+      .select(col("user_id").as("k"), col("event_id"))
+    val dim = fact.select(col("k")).distinct()
+      .withColumn("category", pmod(col("k"), lit(16)))
+    // detection: exactly the two heavy keys, the heavier with the
+    // larger fan-out, every fan-out in [2, maxSalts]
+    val hot = Partitioning.hotKeys(fact, "k", maxSalts = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hot.keySet == Set(7L, 9L),
+      s"mean+sigma must detect exactly the heavy keys: $hot")
+    assert(hot(7L) == 8L && hot(9L) >= 2L && hot(9L) < hot(7L),
+      s"per-key fan-out must track mass: $hot")
+    // result-neutral, row for row
+    val salted = Partitioning.adaptiveSaltedJoin(fact, dim, "k",
+      col("event_id"), maxSalts = 8)
+    val plain = fact.join(dim, Seq("k"))
+    assert(salted.select(col("k"), col("event_id"), col("category"))
+      .exceptAll(plain.select(col("k"), col("event_id"), col("category")))
+      .isEmpty)
+    assert(salted.count() == plain.count())
+    // spread: the hot partition shrinks ~×salts; measured with
+    // broadcast off so the (k, salt) hash exchange is the real plan
+    def maxPart(d: org.apache.spark.sql.DataFrame,
+                cols: Seq[org.apache.spark.sql.Column]): Long =
+      d.repartition(32, cols: _*)
+        .groupBy(spark_partition_id()).count()
+        .agg(max(col("count"))).head().getLong(0)
+    val hotDf = Partitioning.hotKeys(fact, "k", 8)
+    val factSalted = fact.join(broadcast(hotDf), Seq("k"), "left")
+      .withColumn("__s",
+        coalesce(pmod(col("event_id"), col("__salts")), lit(0L)))
+    val unsalted = maxPart(fact, Seq(col("k")))
+    val spread = maxPart(factSalted, Seq(col("k"), col("__s")))
+    assert(unsalted >= 8000L)
+    assert(spread <= unsalted / 4,
+      s"adaptive-salted max partition $spread vs unsalted $unsalted")
+    // cold keys never fan out: dim-side replication count is 1 for
+    // cold keys, exactly __salts for hot keys
+    val dimRep = dim.join(broadcast(hotDf), Seq("k"), "left")
+      .withColumn("__s",
+        explode(sequence(lit(0L), coalesce(col("__salts"), lit(1L)) - 1)))
+      .groupBy(col("k")).count()
+    assert(dimRep.filter(col("k") === 7L).head().getLong(1) == 8L)
+    assert(dimRep.filter(col("k") >= 100L)
+      .filter(col("count") =!= 1L).count() == 0,
+      "cold dim keys must not be replicated")
+  }
 }
