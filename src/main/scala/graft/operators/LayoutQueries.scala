@@ -335,6 +335,68 @@ object LayoutQueries {
         .unionAll(phase(ManifestTable.read(s, table), "post_merge"))
         .orderBy(col("phase"))
     }),
+    // STREAMING INGESTION INTO THE MANIFEST TABLE (r11 ask 2 — the
+    // q281 TxnSink exactly-once discipline expressed as TABLE COMMITS,
+    // ref StreamingFileSink.java:98): a 4-epoch replay streams through
+    // foreachBatch → ManifestTable.appendBatch, which records the
+    // micro-batch id in the manifest; a crash is injected AFTER batch
+    // 1's commit but BEFORE the engine checkpoint records the batch —
+    // the exact window where an at-least-once sink double-writes. The
+    // restarted query replays batch 1 from the same checkpoint and the
+    // high-water batch id skips it, so the table holds each input row
+    // EXACTLY once. The result is the consumption story end-to-end:
+    // one readChanges poll per committed version (each window = that
+    // batch's rows, read from only its added files) plus the total —
+    // all pinned by the oracle against the source table's %4 chunks.
+    // A duplicate commit, a lost batch, or a poll window reading
+    // across batches breaks the hash.
+    "q336_manifest_stream" -> ((s, d) => {
+      import graft.sources.ManifestTable
+      import graft.streaming.Replay
+      val base = java.nio.file.Files.createTempDirectory("graft-mstream")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val (inDir, schema) = Replay.fileEpochs(o,
+        (0 to 3).map(r => pmod(col("o_orderkey"), lit(4)) === r),
+        base.toString)
+      val table = s"$base/table"
+      ManifestTable.create(o.limit(0), table) // v0: empty table
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def start() = Replay.streamDf(s, inDir, schema)
+        .writeStream
+        .option("checkpointLocation", s"$base/ck")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          ManifestTable.appendBatch(b.repartition(2), table, id)
+          if (id == 1 && crashed.compareAndSet(false, true))
+            throw new RuntimeException(
+              "injected crash: batch committed to the manifest, " +
+                "checkpoint not yet")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val q1 = start()
+      try q1.awaitTermination()
+      catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+      }
+      val q2 = start() // same checkpoint: batch 1 replays, id skips it
+      q2.awaitTermination()
+      val cur = ManifestTable.currentVersion(table)
+      def aggW(df: DataFrame, name: String): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+              .as("cents"))
+          .select(lit(name).as("win"), col("n_rows"), col("key_sum"),
+            col("cents"))
+      (0L until cur).map(v =>
+          aggW(ManifestTable.readChanges(s, table, v, v + 1), s"w_batch$v"))
+        .reduce(_ unionAll _)
+        .unionAll(aggW(ManifestTable.read(s, table), "w_total"))
+        .orderBy(col("win"))
+    }),
+
     // CDC ACROSS ROW-LEVEL COMMITS (r11 ask 4 — the q302/q303 Debezium
     // shape produced BY the table format): a merge, an append and a
     // merge-on-read delete land as three commits; readChangesCdc reads
@@ -651,6 +713,28 @@ object LayoutQueries {
         |UNION ALL
         |SELECT 'pre_merge', n_rows, key_sum, cust_sum, cents FROM pre_agg
         |ORDER BY phase""".stripMargin,
+
+    // exactly-once under crash replay: each batch window = its %4
+    // chunk, the total = the whole table, no row twice, none lost
+    "q336_manifest_stream" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |per AS (
+        |  SELECT o_orderkey % 4 AS r, count(*)::BIGINT AS n_rows,
+        |         sum(o_orderkey)::BIGINT AS key_sum,
+        |         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |           AS cents
+        |  FROM o GROUP BY 1),
+        |tot AS (
+        |  SELECT count(*)::BIGINT AS n_rows,
+        |         sum(o_orderkey)::BIGINT AS key_sum,
+        |         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |           AS cents
+        |  FROM o)
+        |SELECT 'w_batch' || r::VARCHAR AS win, n_rows, key_sum, cents
+        |FROM per
+        |UNION ALL
+        |SELECT 'w_total', n_rows, key_sum, cents FROM tot
+        |ORDER BY win""".stripMargin,
 
     // every image class recomputed from source: − = merge pre-images
     // (matched originals) + delete pre-images (post-merge visible rows
