@@ -24,7 +24,8 @@ object SparkEntry {
     StreamParityQueries4.queries ++ SqlFrontendQueries.queries ++
     CurationQueries.queries ++ StreamParityQueries5.queries ++
     IvfPqQueries.queries ++ FluentApiQueries.queries ++
-    SketchQueries.queries ++ LayoutQueries.queries
+    SketchQueries.queries ++ LayoutQueries.queries ++
+    CapstoneQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
     StreamParityQueries4.oracle ++ SqlFrontendQueries.oracle ++
     CurationQueries.oracle ++ StreamParityQueries5.oracle ++
     IvfPqQueries.oracle ++ FluentApiQueries.oracle ++
-    SketchQueries.oracle ++ LayoutQueries.oracle
+    SketchQueries.oracle ++ LayoutQueries.oracle ++
+    CapstoneQueries.oracle
 }

@@ -36,7 +36,7 @@ object TextQueries {
 
   private[graft] val nSig = 8 // minhash signature length
   private val nBits = 64 // simhash bits (production width: 4×16-bit bands)
-  private val dfCap = 50 // q66: drop shingles in more than dfCap docs
+  private[operators] val dfCap = 50 // q66: drop shingles in more than dfCap docs
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy on md5(text), keep min doc_id.
