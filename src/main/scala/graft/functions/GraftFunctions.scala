@@ -36,6 +36,13 @@ object GraftFunctions {
       org.apache.spark.sql.GraftSqlBridge.expression(a),
       org.apache.spark.sql.GraftSqlBridge.expression(b)))
 
+  /** pq_encode(vec) — fused PQ encoding against a fixed codebook
+    * (M×K×dsub), the IVF+PQ hot path as one native primitive loop
+    * (bit-identical to the aggregate(zip_with) composition). */
+  def pq_encode(v: Column, codebook: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(PqEncode(
+      org.apache.spark.sql.GraftSqlBridge.expression(v), codebook))
+
   /** HASH_CODE(str) — Java String.hashCode (native codegen expression). */
   def hash_code(s: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.column(

@@ -23,7 +23,9 @@ object IvfAnn {
 
   case class Model(centroids: Array[Array[Double]])
 
-  private def toD(a: Column): Column = transform(a, x => x.cast("double"))
+  // array-level Cast (codegen'd) instead of a per-element lambda
+  // (interpreted) — same values, float→double widening is exact
+  private def toD(a: Column): Column = a.cast("array<double>")
 
   /** argmax over cosine against each centroid literal: array of
     * (sim, -idx) structs, array_max, negate idx back. */
@@ -62,18 +64,21 @@ object IvfAnn {
       .select(toD(col(embCol)).as("e")).collect()
       .map(_.getSeq[Double](0).toArray)
     var cents = first
+    val dims = first.headOption.map(_.length).getOrElse(0)
     for (_ <- 1 to lloydIters) {
       val assigned = vectors.select(toD(col(embCol)).as("e"))
         .withColumn("c", nearestCentroid(col("e"), cents))
+      // per-dimension means as `dims` plain avg aggregates over the
+      // cluster key: ONE shuffle of K×dims partial sums (r12 — the old
+      // posexplode path exploded every vector 64× and paid a second
+      // groupBy + collect_list/array_sort re-assembly shuffle)
+      val aggs = (0 until dims).map(i =>
+        avg(element_at(col("e"), i + 1)).as(s"m$i"))
       val newCents = assigned
-        .select(col("c"), posexplode(col("e")))
-        .groupBy(col("c"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .groupBy(col("c"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
-        .select(col("c"), transform(col("dims"), d => d.getField("m")).as("cent"))
+        .groupBy(col("c")).agg(aggs.head, aggs.drop(1): _*)
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        .map(r => r.getInt(0) ->
+          Array.tabulate(dims)(i => r.getDouble(i + 1))).toMap
       cents = Array.tabulate(cents.length)(i => newCents.getOrElse(i, cents(i)))
     }
     Model(cents)

@@ -48,10 +48,19 @@ object IvfPq {
       math.round(cw.foldLeft(0.0)((a, x) => a + x * x) * 1e6)))
   }
 
-  private def asD(a: Column): Column = transform(a, x => x.cast("double"))
+  // Cast, not transform(_.cast): an array-level Cast is whole-stage
+  // codegen'd; the per-element lambda form is interpreted (r12 guide §4
+  // pass — same values, float→double widening is exact either way).
+  private def asD(a: Column): Column = a.cast("array<double>")
 
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def subCol(v: Column, m: Int, dsub: Int): Column =
+    slice(v, m * dsub + 1, dsub)
+
+  private def cwLit(model: Model, m: Int, k: Int): Column =
+    array(model.codebook(m)(k).toIndexedSeq.map(lit(_)): _*)
 
   /** Fit = coarse k-means (IvfAnn's Lloyd loop; lloydIters=0 keeps the
     * deterministic first-K_c seed centroids — the SQL-expressible
@@ -85,32 +94,21 @@ object IvfPq {
     Model(coarse.centroids, cb)
   }
 
-  private def subCol(v: Column, m: Int, dsub: Int): Column =
-    slice(v, m * dsub + 1, dsub)
-
-  private def cwLit(model: Model, m: Int, k: Int): Column =
-    array(model.codebook(m)(k).toIndexedSeq.map(lit(_)): _*)
-
   /** The index build: each vector's inverted-list id + its M PQ codes,
     * exploded to (cid, cluster, m, code). This is the 4-byte/vector
     * scan body; persist it `partitionBy("cluster")` so probes prune. */
   def index(corpus: DataFrame, embCol: String, model: Model): DataFrame = {
-    val M = model.numSub; val K = model.codesPerSub; val dsub = model.dsub
-    def l2(sub: Column, m: Int, k: Int): Column =
-      aggregate(zip_with(sub, cwLit(model, m, k), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    def codeFor(v: Column, m: Int): Column =
-      array_min(array((0 until K).map(k =>
-        struct(l2(subCol(v, m, dsub), m, k).as("d"), lit(k).as("k"))): _*))
-        .getField("k")
+    // the M·K L2 encode runs as ONE fused native loop per vector
+    // (functions/PqEncode.scala — r12: the aggregate(zip_with) form
+    // was M·K interpreted HOF calls per row); posexplode recovers the
+    // (m, code) rows — pos IS the subspace index
     IvfAnn.assign(corpus, embCol, IvfAnn.Model(model.centroids))
       .select(col("vec_id").as("cid"), col("cluster"),
-        asD(col(embCol)).as("ce"))
+        graft.functions.GraftFunctions.pq_encode(
+          asD(col(embCol)), model.codebook).as("codes"))
+      .select(col("cid"), col("cluster"), posexplode(col("codes")))
       .select(col("cid"), col("cluster"),
-        explode(array((0 until M).map(m =>
-          struct(lit(m).as("m"), codeFor(col("ce"), m).as("code"))): _*)).as("mc"))
-      .select(col("cid"), col("cluster"),
-        col("mc.m").as("m"), col("mc.code").as("code"))
+        col("pos").as("m"), col("col").as("code"))
   }
 
   // ---- residual encoding (IVFADC proper — Jégou et al. §IV) --------
@@ -206,27 +204,17 @@ object IvfPq {
     * partitionBy(cluster) persistence contract as [[index]]. */
   def indexResidual(corpus: DataFrame, embCol: String,
                     model: ResidualModel): DataFrame = {
-    val M = model.numSub; val K = model.codesPerSub; val dsub = model.dsub
-    def cwL(m: Int, k: Int) =
-      array(model.codebook(m)(k).toIndexedSeq.map(lit(_)): _*)
-    def l2(sub: Column, m: Int, k: Int): Column =
-      aggregate(zip_with(sub, cwL(m, k), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    def codeFor(v: Column, m: Int): Column =
-      array_min(array((0 until K).map(k =>
-        struct(l2(slice(v, m * dsub + 1, dsub), m, k).as("d"),
-          lit(k).as("k"))): _*))
-        .getField("k")
+    // fused encode of the residual (same PqEncode kernel as [[index]])
     IvfAnn.assign(corpus, embCol, IvfAnn.Model(model.centroids))
       .select(col("vec_id").as("cid"), col("cluster"),
-        zip_with(asD(col(embCol)),
-          element_at(centsLit(model.centroids), col("cluster") + 1),
-          (a, b) => a - b).as("re"))
+        graft.functions.GraftFunctions.pq_encode(
+          zip_with(asD(col(embCol)),
+            element_at(centsLit(model.centroids), col("cluster") + 1),
+            (a, b) => a - b),
+          model.codebook).as("codes"))
+      .select(col("cid"), col("cluster"), posexplode(col("codes")))
       .select(col("cid"), col("cluster"),
-        explode(array((0 until M).map(m =>
-          struct(lit(m).as("m"), codeFor(col("re"), m).as("code"))): _*)).as("mc"))
-      .select(col("cid"), col("cluster"),
-        col("mc.m").as("m"), col("mc.code").as("code"))
+        col("pos").as("m"), col("col").as("code"))
   }
 
   /** Residual ADC search: probed lists only, scores decomposed as

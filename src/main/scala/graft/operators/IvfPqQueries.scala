@@ -140,7 +140,12 @@ object IvfPqQueries {
       val trained = e.filter(col("vec_id") < half)
       val model = IvfPq.fit(trained, "embedding", kCoarse = 8,
         lloydIters = 2, numSub = 8, codesPerSub = 16)
+      // cluster-clustered write: without it every encode task writes a
+      // sliver of every cluster directory (tasks × K tiny files — the
+      // guide §6 small-files antipattern); the shuffle moves only the
+      // 4-byte/vector code rows, never an embedding
       IvfPq.index(trained, "embedding", model)
+        .repartition(col("cluster"))
         .write.partitionBy("cluster").parquet(idx)
       val (c1, c2) = (half + (maxId - half) / 3, half + 2 * ((maxId - half) / 3))
       val chunks = Seq(
@@ -185,7 +190,10 @@ object IvfPqQueries {
       val e = Tables.embeddings(s, d)
       val model = IvfPq.fit(e, "embedding", kCoarse = 8, lloydIters = 2,
         numSub = 8, codesPerSub = 16)
+      // cluster-clustered write (guide §6): one file per inverted list
+      // instead of tasks × K slivers; only 4-byte code rows shuffle
       IvfPq.index(e, "embedding", model)
+        .repartition(col("cluster"))
         .write.partitionBy("cluster").parquet(idx)
       // deterministic delete set: every 7th vector, as a side table
       e.filter(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id"))
@@ -214,6 +222,7 @@ object IvfPqQueries {
         val staging = s"$base/compact"
         idxDf.filter(col("cluster").isin(hot.toIndexedSeq: _*))
           .join(tomb, idxDf("cid") === tomb("vec_id"), "left_anti")
+          .repartition(col("cluster"))
           .write.partitionBy("cluster").parquet(staging)
         hot.foreach { c =>
           val dst = java.nio.file.Paths.get(idx, s"cluster=$c")
@@ -264,7 +273,9 @@ object IvfPqQueries {
       val e = Tables.embeddings(s, d)
       val model = IvfPq.fit(e, "embedding", kCoarse = 8, lloydIters = 2,
         numSub = 8, codesPerSub = 16)
+      // cluster-clustered write (guide §6): one file per inverted list
       IvfPq.index(e, "embedding", model)
+        .repartition(col("cluster"))
         .write.partitionBy("cluster").parquet(idx)
       val model2 = splitHotList(s, idx, e, "embedding", model,
         s"$base/stage")
@@ -320,9 +331,13 @@ object IvfPqQueries {
     // local 2-means over ONLY the hot list's member vectors
     val hotIds = idxDf.filter(col("cluster") === hot)
       .select(col("cid").as("vec_id")).distinct()
-    val sub = IvfAnn.fit(corpus.join(hotIds, "vec_id"), embCol,
-      k = 2, lloydIters = 2)
-    val assigned = IvfAnn.assign(corpus.join(hotIds, "vec_id"), embCol, sub)
+    // materialize the hot list's vectors ONCE (one-list-sized, bounded
+    // by construction): the 2-means fit walks them three times (seed
+    // collect + 2 Lloyd passes) and assign a fourth — without the
+    // checkpoint each walk re-scans the corpus and re-runs the join
+    val hotVecs = corpus.join(hotIds, "vec_id").localCheckpoint()
+    val sub = IvfAnn.fit(hotVecs, embCol, k = 2, lloydIters = 2)
+    val assigned = IvfAnn.assign(hotVecs, embCol, sub)
       .select(col("vec_id").as("a_cid"), col("cluster").as("subc"))
     // stage the split rows (PQ codes untouched), then swap the hot
     // partition's files — cold partitions are never read or written
@@ -332,6 +347,7 @@ object IvfPqQueries {
         when(col("subc") === 0, lit(hot))
           .otherwise(lit(model.kCoarse)).as("cluster"),
         col("m"), col("code"))
+      .repartition(col("cluster"))
       .write.partitionBy("cluster").parquet(staging)
     def parts(p: java.nio.file.Path): Seq[java.nio.file.Path] =
       if (!java.nio.file.Files.isDirectory(p)) Seq.empty

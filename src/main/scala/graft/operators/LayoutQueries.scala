@@ -66,10 +66,29 @@ object LayoutQueries {
   private[operators] def zkeyed(s: org.apache.spark.sql.SparkSession,
                                 d: String)
       : (DataFrame, Long, Long, Long, Long) = {
-    val (pkmin, pkmax, skmin, skmax) = keyStats(s, d)
-    val keyed = Tables.lineitem(s, d)
+    // materialize the 4-column projection ONCE (r12): the key-domain
+    // stats aggregate AND every layout write below consume it, where
+    // previously each consumer re-scanned lineitem (stats scan + per-
+    // write range-sampling pass + per-write shuffle = 4-5 scans for
+    // the q310/q314/q319 two-layout writers), and CollapseRepartition
+    // folded the load-side parallelize into the range exchange so the
+    // scan+zkey+shuffle-write pipeline ran at the single-file scan's
+    // task count instead of the session's. The zkey itself stays a
+    // lazy projection OVER the checkpoint, so it computes inside the
+    // (parallel) write stages. At 100 TB the same one-materialization-
+    // feeds-both-layouts shape is how an OPTIMIZE job avoids reading
+    // the table once per output layout (guide §8: move heavy bytes
+    // once, decide on a materialized proxy).
+    val base = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_extendedprice"))
+      .localCheckpoint()
+    val g = base.agg(
+      min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    val (pkmin, pkmax, skmin, skmax) =
+      (g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3))
+    val keyed = base
       .withColumn("zkey", interleave(
         expr(s"((l_partkey - $pkmin) * 65535) div ${pkmax - pkmin + 1}"),
         expr(s"((l_suppkey - $skmin) * 65535) div ${skmax - skmin + 1}")))
@@ -235,6 +254,7 @@ object LayoutQueries {
       val table = s"$tmp/table"
       val o = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"))
+        .localCheckpoint() // one scan feeds every commit/probe below (r12)
       def part(r: Int) = o.filter(pmod(col("o_orderkey"), lit(3)) === r)
       ManifestTable.create(part(0).repartition(4), table)          // v0
       ManifestTable.append(part(1).repartition(2), table)          // v1
@@ -275,6 +295,7 @@ object LayoutQueries {
       val table = s"$tmp/table"
       val o = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"))
+        .localCheckpoint() // one scan feeds every commit/probe below (r12)
       ManifestTable.create(
         o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
           .repartitionByRange(16, col("o_orderkey"))
@@ -313,6 +334,7 @@ object LayoutQueries {
       val table = s"$tmp/table"
       val o = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .localCheckpoint() // one scan feeds create + stats + source (r12)
       ManifestTable.create(
         o.repartitionByRange(16, col("o_orderkey"))
           .sortWithinPartitions(col("o_orderkey")), table)
@@ -356,6 +378,7 @@ object LayoutQueries {
       val base = java.nio.file.Files.createTempDirectory("graft-mstream")
       val o = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"))
+        .localCheckpoint() // one scan feeds every commit/probe below (r12)
       val (inDir, schema) = Replay.fileEpochs(o,
         (0 to 3).map(r => pmod(col("o_orderkey"), lit(4)) === r),
         base.toString)
@@ -416,6 +439,7 @@ object LayoutQueries {
       val table = s"$tmp/table"
       val o = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"))
+        .localCheckpoint() // one scan feeds every commit/probe below (r12)
       ManifestTable.create(
         o.repartitionByRange(16, col("o_orderkey"))
           .sortWithinPartitions(col("o_orderkey")), table)       // v0
@@ -458,6 +482,7 @@ object LayoutQueries {
       val table = s"$tmp/table"
       val o = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"))
+        .localCheckpoint() // one scan feeds every commit/probe below (r12)
       ManifestTable.create(
         o.repartitionByRange(16, col("o_orderkey"))
           .sortWithinPartitions(col("o_orderkey")),

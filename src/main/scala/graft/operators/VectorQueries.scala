@@ -36,8 +36,9 @@ object VectorQueries {
       if ((md(0) & 1) == 1) 1.0 else -1.0
     }
 
-  /** Element-wise double-cast. */
-  private def asD(a: Column): Column = transform(a, x => x.cast("double"))
+  /** Array-level double-cast — codegen'd Cast, not a per-element
+    * lambda (interpreted); float→double widening is exact either way. */
+  private def asD(a: Column): Column = a.cast("array<double>")
 
   /** Left-fold dot product of two double arrays (deterministic order). */
   private def dot(a: Column, b: Column): Column =
@@ -554,19 +555,16 @@ object VectorQueries {
       // scaled int codeword norm²: same left-fold + round the oracle does
       val cbNorm = Array.tabulate(M, K)((m, k) =>
         math.round(cb(m)(k).foldLeft(0.0)((a, x) => a + x * x) * 1e6))
+      // the corpus-side M·K L2 encode as ONE fused native loop per
+      // vector (functions/PqEncode.scala, r12 — the aggregate(zip_with)
+      // composition was M·K interpreted HOF calls per row)
+      val enc = e.select(col("vec_id").as("cid"),
+          graft.functions.GraftFunctions.pq_encode(
+            asD(col("embedding")), cb).as("codes"))
+        .select(col("cid"), posexplode(col("codes")))
+        .select(col("cid"), col("pos").as("m"), col("col").as("code"))
       def subCol(v: Column, m: Int) = slice(v, m * dsub + 1, dsub)
       def cwLit(m: Int, k: Int) = array(cb(m)(k).toIndexedSeq.map(lit(_)): _*)
-      def l2(sub: Column, m: Int, k: Int): Column =
-        aggregate(zip_with(sub, cwLit(m, k), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x)
-      def codeFor(v: Column, m: Int): Column =
-        array_min(array((0 until K).map(k =>
-          struct(l2(subCol(v, m), m, k).as("d"), lit(k).as("k"))): _*))
-          .getField("k")
-      val enc = e.select(col("vec_id").as("cid"), asD(col("embedding")).as("ce"))
-        .select(col("cid"), explode(array((0 until M).map(m =>
-          struct(lit(m).as("m"), codeFor(col("ce"), m).as("code"))): _*)).as("mc"))
-        .select(col("cid"), col("mc.m").as("m"), col("mc.code").as("code"))
       val lutRows = for (m <- 0 until M; k <- 0 until K) yield
         struct(lit(m).as("m"), lit(k).as("k"),
           round(dot(subCol(col("pe"), m), cwLit(m, k)) * 1e6).cast("long").as("pdot"),
