@@ -332,6 +332,11 @@ object CorpusQueries {
       val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         .rowsBetween(0, W - 1)
       val wAll = Window.partitionBy(col("doc_id"))
+      // materialize the fingerprint table ONCE (r12): it feeds the df
+      // table AND both sides of the posting self-join — without the
+      // checkpoint the shingle+window pipeline re-ran per consumer. At
+      // scale this IS the fingerprint table a winnowing pipeline
+      // persists (linear in the corpus, W-fold smaller than the grams).
       val fps = grams
         .withColumn("k", col("h") * lit(1048576L) + (lit(1048575L) - col("pos")))
         .withColumn("mk", min(col("k")).over(wWin))
@@ -339,6 +344,7 @@ object CorpusQueries {
         .filter(col("pos") <= greatest(col("ng") - lit(W - 1), lit(1)))
         .select(col("doc_id"), expr("mk div 1048576").as("fh"))
         .distinct()
+        .localCheckpoint()
       val dfh = fps.groupBy(col("fh")).agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= 2 && col("nd") <= dfCap)
         .select(col("fh"))

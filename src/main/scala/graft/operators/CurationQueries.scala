@@ -80,6 +80,7 @@ object CurationQueries {
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .withColumn("toks", bpeChars(col("w")))
+      .localCheckpoint() // ONE corpus pass; round 1 reads the cache (r12)
     (1 to rounds).map { step =>
       val Row(a: String, b: String, cnt: Long) = words
         .filter(size(col("toks")) >= 2)
@@ -109,6 +110,11 @@ object CurationQueries {
       .select(explode(toks(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      // vocabulary-bounded — materialize: every unigram-family trainer
+      // consumes this table several times (seed grams ×3 lengths, EM
+      // rounds, encode), and each un-cached walk was a corpus
+      // tokenize+count pass (r12)
+      .localCheckpoint()
 
   private def fl2(x: Long): Long =
     63L - java.lang.Long.numberOfLeadingZeros(x)
@@ -125,6 +131,7 @@ object CurationQueries {
         .otherwise(array().cast("array<string>"))).as("piece"))
     val sub = (1 to 3).map(gramsOf).reduce(_ union _)
       .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      .localCheckpoint() // 3 consumers (total, chars, top grams) — r12
     val total = sub.agg(sum(col("cnt"))).head().getLong(0)
     val charRows = sub.filter(length(col("piece")) === 1).collect()
     require(charRows.length <= 4096,
@@ -258,7 +265,10 @@ object CurationQueries {
     var costs = unigramSeedCosts(wf)
     var lastUsage: Map[String, Long] = Map.empty
     val roundCosts = keeps.map { keep =>
+      // the Viterbi DP is the round's expensive column — materialize it
+      // once; usage AND corpus-cost aggregate from the cache (r12)
       val withDp = wf16.withColumn("dp", emViterbiDp(typedLit(costs)))
+        .localCheckpoint()
       val usage = withDp
         .select(col("freq"), explode(emBacktrace()).as("piece"))
         .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
@@ -731,10 +741,15 @@ object CurationQueries {
     "q231_dup_spans_maximal" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
+      // materialize the positions ONCE (r12, the q291 discipline): the
+      // occurrence count AND the anchor join both consume this table —
+      // without the checkpoint the split+slice+concat shingle pipeline
+      // re-ran per consumer
       val pos = docs.select(col("doc_id"),
         posexplode(TextQueries.shingles4(col("text"))))
         .toDF("doc_id", "pos0", "sh")
         .withColumn("pos", col("pos0") + 1).drop("pos0")
+        .localCheckpoint()
       val occ = pos.groupBy(col("sh")).agg(count(lit(1)).as("occ"))
       val dup = pos.join(occ, "sh").filter(col("occ") >= 2)
         .select(col("doc_id"), col("pos"))
@@ -1165,7 +1180,9 @@ object CurationQueries {
       val wf16 = wf.filter(length(col("w")).between(1, 16)).localCheckpoint()
       var costs = unigramSeedCosts(wf)
       val rounds = (1 to 2).map { step =>
+        // DP materialized once per round; usage + corpus cost read it
         val withDp = wf16.withColumn("dp", emViterbiDp(typedLit(costs)))
+          .localCheckpoint()
         val pieces = emBacktrace()
         val usage = withDp
           .select(col("freq"), explode(pieces).as("piece"))

@@ -519,7 +519,13 @@ object LayoutQueries {
     // (tight boxes); under the natural layout every bucket spans the
     // full key domain and nothing prunes.
     "q300_zorder_layout" -> ((s, d) => {
+      // one materialized 3-column pass feeds BOTH the stats aggregate
+      // and the cell rollup (r12 — previously two full scans, with the
+      // Morton-key + partial-agg work pinned to the single-file scan's
+      // task count; the checkpoint re-establishes session parallelism)
       val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+        .localCheckpoint()
       // the 5 domain stats are ONE bounded row — ride the projection
       // as literals (the centroids-ride-the-plan discipline) instead
       // of re-deriving the aggregate on every consumer branch

@@ -264,10 +264,13 @@ object PipelineQueries {
     // blowup, no df-cap needed; two bounded shuffles (shingle df,
     // doc rollup).
     "q108_dup_span" -> ((s, d) => {
+      // one materialized shingle pass feeds the df table AND the join
+      // back (r12 — previously the shingle pipeline ran twice)
       val sh = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(TextQueries.shingles4(col("text"))).as("sh"))
         .distinct()
+        .localCheckpoint()
       val dfTab = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       sh.join(dfTab, "sh")
         .groupBy(col("doc_id"))
@@ -290,6 +293,7 @@ object PipelineQueries {
         .select(col("source"),
           explode(TextQueries.shingles4(col("text"))).as("sh"))
         .distinct()
+        .localCheckpoint() // both self-join sides read the one pass (r12)
       ss.select(col("source").as("src_a"), col("sh"))
         .join(ss.select(col("source").as("src_b"), col("sh")), Seq("sh"))
         .filter(col("src_a") < col("src_b"))

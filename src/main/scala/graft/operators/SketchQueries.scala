@@ -116,7 +116,8 @@ object SketchQueries {
         .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
         .agg(count(lit(1)).as("cnt"))
       val cells = StreamParityQueries.latestPerKey(
-        StreamParityQueries.runUpdate(liveCells, base.toString, s),
+        StreamParityQueries.runUpdate(liveCells, base.toString, s,
+          Some(StreamParityQueries.SketchStatePartitions)),
         col("r"), col("b"))
       val tok = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("term"))
@@ -224,7 +225,8 @@ object SketchQueries {
           col("st.q25").as("q25"), col("st.q50").as("q50"),
           col("st.q75").as("q75"))
       val fin = StreamParityQueries.latestPerKey(
-        StreamParityQueries.runUpdate(live, base.toString, s), col("source"))
+        StreamParityQueries.runUpdate(live, base.toString, s,
+          Some(StreamParityQueries.SketchStatePartitions)), col("source"))
       val hist = docs
         .select(col("source"), col("n_chars").cast("double").as("v"))
         .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
@@ -331,7 +333,8 @@ object SketchQueries {
         .groupBy(col("source"))
         .agg(thetaAgg(xxhash64(col("w"))).as("sk"))
       val fin = StreamParityQueries.latestPerKey(
-        StreamParityQueries.runUpdate(agg, base.toString, s), col("source"))
+        StreamParityQueries.runUpdate(agg, base.toString, s,
+          Some(StreamParityQueries.SketchStatePartitions)), col("source"))
       val skRows = fin.collect() // one row per source — dimension-bounded
       require(skRows.length <= 64,
         s"source dimension blew up: ${skRows.length}")
@@ -445,7 +448,8 @@ object SketchQueries {
         .agg(expr("hll_sketch_agg(w)").as("sk"))
         .select(col("source"), expr("hll_sketch_estimate(sk)").as("est"))
       val fin = StreamParityQueries.latestPerKey(
-        StreamParityQueries.runUpdate(agg, base.toString, s), col("source"))
+        StreamParityQueries.runUpdate(agg, base.toString, s,
+          Some(StreamParityQueries.SketchStatePartitions)), col("source"))
       val exact = docs
         .select(col("source"), explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) > 0)

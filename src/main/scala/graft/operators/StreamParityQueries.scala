@@ -68,18 +68,44 @@ object StreamParityQueries {
     s.read.parquet(out)
   }
 
+  /** State-partition count for streams whose keyed state is BOUNDED BY
+    * CONSTRUCTION (sketch cells: ≤2 K CMS cells, HLL/KLL/theta grain
+    * cells) — r12: every micro-batch pays per-partition state-store
+    * open/commit + task overhead, and with the session default (cores)
+    * the 4-epoch sketch replays spent ~2 s/run on 32-way state traffic
+    * for a few-KB state. A small constant is the SCALE-CORRECT choice
+    * here precisely because the state does not grow with the corpus
+    * (the map side still tokenizes at full parallelism and partial
+    * aggregation collapses each task to ≤cells rows before the
+    * exchange); streams whose state grows with the data (per-user,
+    * per-doc keys) keep the session default. */
+  private[operators] val SketchStatePartitions = 4
+
   /** Run an UPDATE-mode streaming frame via foreachBatch (parquet has
     * no update sink): every per-batch refresh is appended tagged with
-    * its batchId; the caller reduces to newest-emission-per-key. */
-  private[operators] def runUpdate(df: DataFrame, base: String, s: SparkSession): DataFrame = {
+    * its batchId; the caller reduces to newest-emission-per-key.
+    * `statePartitions` pins spark.sql.shuffle.partitions for THIS
+    * stream only (the checkpoint pins it for every batch; the session
+    * value is restored after the run) — pass it only when the keyed
+    * state is bounded by construction. */
+  private[operators] def runUpdate(df: DataFrame, base: String, s: SparkSession,
+      statePartitions: Option[Int] = None): DataFrame = {
     val (out, ck) = (s"$base/out", s"$base/ck")
-    val q = df.writeStream.option("checkpointLocation", ck)
-      .outputMode("update")
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        b.withColumn("batch_id", lit(id)).write.mode("append").parquet(out)
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(p =>
+      s.conf.set("spark.sql.shuffle.partitions", p.toString))
+    try {
+      val q = df.writeStream.option("checkpointLocation", ck)
+        .outputMode("update")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.withColumn("batch_id", lit(id)).write.mode("append").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally {
+      if (statePartitions.isDefined)
+        s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     s.read.parquet(out)
   }
 
