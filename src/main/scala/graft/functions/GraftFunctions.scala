@@ -36,6 +36,18 @@ object GraftFunctions {
       org.apache.spark.sql.GraftSqlBridge.expression(a),
       org.apache.spark.sql.GraftSqlBridge.expression(b)))
 
+  /** nearest_centroid(vec) — fused argmax-cosine against a fixed
+    * centroid matrix (ties → lowest index); the IVF assign kernel. */
+  def nearest_centroid(v: Column, cents: Array[Array[Double]]): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(NearestCentroid(
+      org.apache.spark.sql.GraftSqlBridge.expression(v), cents))
+
+  /** ranked_centroids(vec) — all centroid indices by (cosine desc,
+    * index asc); callers slice the first nprobe. */
+  def ranked_centroids(v: Column, cents: Array[Array[Double]]): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(RankedCentroids(
+      org.apache.spark.sql.GraftSqlBridge.expression(v), cents))
+
   /** pq_encode(vec) — fused PQ encoding against a fixed codebook
     * (M×K×dsub), the IVF+PQ hot path as one native primitive loop
     * (bit-identical to the aggregate(zip_with) composition). */

@@ -27,16 +27,14 @@ object IvfAnn {
   // (interpreted) — same values, float→double widening is exact
   private def toD(a: Column): Column = a.cast("array<double>")
 
-  /** argmax over cosine against each centroid literal: array of
-    * (sim, -idx) structs, array_max, negate idx back. */
-  private def nearestCentroid(emb: Column, cents: Array[Array[Double]]): Column = {
-    val scored = array(cents.toIndexedSeq.zipWithIndex.map { case (c, i) =>
-      struct(
-        cosine_similarity(emb, array(c.toIndexedSeq.map(lit(_)): _*)).as("sim"),
-        lit(-i).as("negIdx"))
-    }: _*)
-    -array_max(scored).getField("negIdx")
-  }
+  /** argmax cosine against the centroid matrix (ties → lowest index).
+    * r12: a fused expression holding the matrix as a referenced object
+    * (functions/Centroids.scala) — the previous array_max over K
+    * struct literals of cosine(emb, <dim-literal array>) put a K×dim
+    * literal tree in every plan, which the optimizer re-folded on
+    * every driver action; arithmetic and tie rule are bit-identical. */
+  private def nearestCentroid(emb: Column, cents: Array[Array[Double]]): Column =
+    graft.functions.GraftFunctions.nearest_centroid(emb, cents)
 
   /** Fit K centroids with a few Lloyd iterations. Seeding is the
     * first K vectors by id (deterministic TakeOrdered, K×dim to the

@@ -227,12 +227,6 @@ object IvfPq {
     val M = model.numSub; val K = model.codesPerSub; val dsub = model.dsub
     require(nprobe >= 1 && nprobe <= model.kCoarse,
       s"IvfPq: nprobe=$nprobe outside [1, ${model.kCoarse}]")
-    val probeClusters = array(model.centroids.toIndexedSeq.zipWithIndex.map {
-      case (c, i) =>
-        struct(cosine_similarity(col("pe"),
-          array(c.toIndexedSeq.map(lit(_)): _*)).as("sim"),
-          lit(-i).as("negIdx"))
-    }: _*)
     def cwL(m: Int, kk: Int) =
       array(model.codebook(m)(kk).toIndexedSeq.map(lit(_)): _*)
     val lutRows = for (m <- 0 until M; kk <- 0 until K) yield
@@ -246,9 +240,9 @@ object IvfPq {
     val probeLut = probes
       .select(col("vec_id").as("pid"), asD(col(embCol)).as("pe"))
       .select(col("pid"), col("pe"),
-        slice(reverse(array_sort(probeClusters)), 1, nprobe).as("near"))
-      .select(col("pid"), col("pe"),
-        explode(transform(col("near"), s => -s.getField("negIdx"))).as("cluster"))
+        slice(graft.functions.GraftFunctions.ranked_centroids(
+          col("pe"), model.centroids), 1, nprobe).as("near"))
+      .select(col("pid"), col("pe"), explode(col("near")).as("cluster"))
       .withColumn("pcdot",
         round(dot(col("pe"),
           element_at(centsLit(model.centroids), col("cluster") + 1)) * 1e6)
@@ -290,12 +284,8 @@ object IvfPq {
     val M = model.numSub; val K = model.codesPerSub; val dsub = model.dsub
     require(nprobe >= 1 && nprobe <= model.kCoarse,
       s"IvfPq: nprobe=$nprobe outside [1, ${model.kCoarse}]")
-    // nprobe nearest lists, ties → lowest cluster id (negIdx trick)
-    val probeClusters = array(model.centroids.toIndexedSeq.zipWithIndex.map {
-      case (c, i) =>
-        struct(cosine_similarity(col("pe"), array(c.toIndexedSeq.map(lit(_)): _*)).as("sim"),
-          lit(-i).as("negIdx"))
-    }: _*)
+    // nprobe nearest lists, ties → lowest cluster id (r12: fused
+    // ranked_centroids — same ordering as the old negIdx sort trick)
     val lutRows = for (m <- 0 until M; kk <- 0 until K) yield
       struct(lit(m).as("m"), lit(kk).as("k"),
         round(dot(subCol(col("pe"), m, dsub), cwLit(model, m, kk)) * 1e6)
@@ -304,9 +294,9 @@ object IvfPq {
     val probeLut = probes
       .select(col("vec_id").as("pid"), asD(col(embCol)).as("pe"))
       .select(col("pid"), col("pe"),
-        slice(reverse(array_sort(probeClusters)), 1, nprobe).as("near"))
-      .select(col("pid"), col("pe"),
-        explode(transform(col("near"), s => -s.getField("negIdx"))).as("cluster"))
+        slice(graft.functions.GraftFunctions.ranked_centroids(
+          col("pe"), model.centroids), 1, nprobe).as("near"))
+      .select(col("pid"), col("pe"), explode(col("near")).as("cluster"))
       .select(col("pid"), col("cluster"), explode(array(lutRows: _*)).as("x"))
       .select(col("pid"), col("cluster"), col("x.m").as("m"),
         col("x.k").as("k"), col("x.pdot").as("pdot"), col("x.cn").as("cn"))

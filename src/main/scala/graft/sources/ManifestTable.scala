@@ -640,9 +640,12 @@ object ManifestTable {
     val (cdcPre, cdcPost) =
       if (!captureImages) (Seq.empty[String], Seq.empty[String])
       else {
+        // repartition(1), not coalesce(1): coalesce would collapse the
+        // file scan + semi join itself to one task; the exchange keeps
+        // the join parallel and only the (small) image write is single
         val preRows = touchedDf.join(srcKeys.hint("broadcast"), Seq(key),
           "left_semi")
-        (stageIn(preRows.coalesce(1), table, prefix = "cdcpre"),
+        (stageIn(preRows.repartition(1), table, prefix = "cdcpre"),
          stageIn(src.coalesce(1), table, prefix = "cdcpost"))
       }
     // untouched files keep their shards (and stats); shards that lost
@@ -669,7 +672,7 @@ object ManifestTable {
         val remaining = readParquet(s, table, tf)
           .join(srcKeys.hint("broadcast"), Seq(key), "left_anti")
         if (remaining.isEmpty) (Seq.empty[String], None)
-        else (stageIn(remaining.coalesce(1), table, prefix = "tomb"), tk)
+        else (stageIn(remaining.repartition(1), table, prefix = "tomb"), tk)
       }
     commitSnapshot(table, v, keptShards :+ newShard, Seq.empty, "merge",
       tf2, tk2, cdcPre, cdcPost, lastBatch(table, v))
@@ -700,9 +703,11 @@ object ManifestTable {
     val cdcPre =
       if (!capturePreImages) Seq.empty[String]
       else {
+        // repartition(1): keep the table scan + semi join parallel,
+        // single-file only at the write (see merge's image capture)
         val preRows = readVersion(s, table, v)
           .join(keyDf.hint("broadcast"), Seq(key), "left_semi")
-        stageIn(preRows.coalesce(1), table, prefix = "cdcpre")
+        stageIn(preRows.repartition(1), table, prefix = "cdcpre")
       }
     commitSnapshot(table, v, shards(table, v), Seq.empty, "delete",
       tf ++ tombFiles, Some(key), cdcPre, Seq.empty, lastBatch(table, v))
