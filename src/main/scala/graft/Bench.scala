@@ -85,7 +85,14 @@ object Bench {
     "q325_ivf_rebalance",     // hot-list 2-means split, partition-local
     "q328_manifest_merge",    // copy-on-write MERGE, touched files only
     "q329_theta_setops",      // theta/KMV sketch set algebra
-    "q330_kneser_ney")        // interpolated KN bigram LM, held-out scored
+    "q330_kneser_ney",        // interpolated KN bigram LM, held-out scored
+    // round-12 additions (built at the end of r11, first benched r12;
+    // existing entries above stay untouched for round-over-round compare)
+    "q336_manifest_stream",   // exactly-once streaming table ingestion
+    "q337_manifest_cdc",      // +/- row-image changelog across merge/delete
+    "q338_manifest_delete",   // merge-on-read delete vectors + OPTIMIZE
+    "q339_adaptive_salt_join", // histogram-driven per-key salt fan-out
+    "q340_curation_pipeline") // 5-stage curation capstone over manifests
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

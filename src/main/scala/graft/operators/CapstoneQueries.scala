@@ -72,6 +72,7 @@ object CapstoneQueries {
       val d0 = Tables.documents(s, d)
         .select(col("doc_id"), col("text"),
           size(toks(col("text"))).cast("long").as("n_tok"))
+        .localCheckpoint() // feeds the gates AND the s0 accounting (r12)
 
       // STAGE 1 — quality gates (q61 integer-ppm discipline): length,
       // type-token ratio, vowel-ratio band. Pure projection.
@@ -85,6 +86,9 @@ object CapstoneQueries {
         .filter(col("n_tok") >= 20 && col("ttr") <= 900 &&
           col("vowel_ppm").between(260000, 320000))
         .select(col("doc_id"), col("text"), col("n_tok"))
+        // commitStage's range write samples its input first — without
+        // the checkpoint the regex/TTR gate pipeline runs twice (r12)
+        .localCheckpoint()
       commitStage(s1, "s1")
       val s1r = consume("s1")
 

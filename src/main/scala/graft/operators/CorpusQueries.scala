@@ -273,15 +273,20 @@ object CorpusQueries {
       val docs = Tables.documents(s, d)
       val nAvg = docs.agg(count(lit(1)).as("n_corpus"),
         avg(size(toks(col("text")))).as("avgdl"))
+      // ONE corpus tokenize pass (r12): tf is materialized and dl /
+      // df / the probe vocabulary all DERIVE from it (dl = Σ tf per
+      // doc; df = (doc,term) rows per term; qt = probe rows of tf) —
+      // previously each was its own explode+aggregate over the corpus.
       val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
       val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val dft = tok.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
-      // alias BOTH qt columns: qt derives from the same tok lineage as
+        .localCheckpoint()
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // alias BOTH qt columns: qt derives from the same lineage as
       // tf, and an unaliased tf("term") === qt("term") hits Spark's
       // ambiguous-self-join resolution (trivially-true warning)
-      val qt = tok.filter(col("doc_id") <= 4)
-        .select(col("doc_id").as("pid"), col("term").as("qterm")).distinct()
+      val qt = tf.filter(col("doc_id") <= 4)
+        .select(col("doc_id").as("pid"), col("term").as("qterm"))
       val idf = log(lit(1.0) +
         (col("n_corpus") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
       val tfn = (col("tf") * lit(2.2)) /

@@ -804,6 +804,7 @@ object CurationQueries {
         .localCheckpoint()
       val occ = pos.groupBy(col("sh")).agg(count(lit(1)).as("occ"),
         count_distinct(col("doc_id")).as("df"))
+        .localCheckpoint() // anchor filter + witness postings both read it (r12)
       // q231's anchor rule: positions whose shingle occurs ≥ 2× in the
       // corpus (same-doc repeats included)
       val dup = pos.join(occ, "sh").filter(col("occ") >= 2)
