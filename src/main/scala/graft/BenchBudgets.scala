@@ -65,7 +65,11 @@ object BenchBudgets {
   val ioBound: Set[String] =
     Set("q310_zorder_prune", "q314_zorder_optimize",
       "q319_manifest_timetravel", "q325_ivf_rebalance",
-      "q312_ivfpq_delete", "q328_manifest_merge")
+      "q312_ivfpq_delete", "q328_manifest_merge",
+      // r12 headliners: all manifest-commit protocols (multiple staged
+      // writes + image/tombstone files per run) or a 5-commit pipeline
+      "q336_manifest_stream", "q337_manifest_cdc",
+      "q338_manifest_delete", "q340_curation_pipeline")
 
   /** Drift cap (ADVICE r10): median normalization must not be able to
     * mask a CATALOG-WIDE regression (a change slowing a shared path —
@@ -77,76 +81,81 @@ object BenchBudgets {
     * medians 1.06–1.3 under heavy load). */
   val driftCap = 1.5
 
-  /** min-of-3 from one quiet sf0.1 session (re-baselined r10). */
+  /** min-of-3 from one quiet sf0.1 session (RE-BASELINED r12 after
+    * the optimization pass: the r10/r11 mins predate the round's
+    * ~18% catalog speedup and would have left every budget loose
+    * enough to hide a real regression; drift_raw of the baselining
+    * run was 1.0. q336-q340 get first-ever baselines here). */
   val sf01QuietMin: Map[String, Double] = Map(
-    "q01_agg_basic" -> 1.12,
-    "q04_grouping_sets" -> 1.378,
-    "q100_tpch_q2" -> 1.112,
-    "q103_tpch_q9" -> 1.647,
-    "q107_tpch_q21" -> 1.79,
-    "q108_dup_span" -> 1.744,
-    "q10_join_star" -> 1.259,
-    "q111_ds_union_rollup" -> 1.296,
-    "q112_ds_yoy_selfjoin" -> 1.06,
-    "q116_ds_rollup_rank" -> 1.533,
-    "q11_join_left" -> 0.614,
-    "q210_bloom_decontaminate" -> 1.227,
-    "q211_pq_ann" -> 2.074,
-    "q214_surprisal_score" -> 0.912,
-    "q21_setop_all" -> 1.358,
-    "q220_token_budget_select" -> 0.743,
-    "q231_dup_spans_maximal" -> 1.516,
-    "q242_avro_roundtrip" -> 0.756,
-    "q261_gaussian_outliers" -> 0.657,
-    "q262_dim_correlation" -> 0.99,
-    "q268_ivfpq_exact" -> 3.339,
-    "q270_fluent_pipeline" -> 0.977,
-    "q279_bm25_topk" -> 1.959,
-    "q27_tpch_q5" -> 1.238,
-    "q280_winnow_dedup" -> 2.616,
-    "q288_fluent_over" -> 1.424,
-    "q290_bpe_encode" -> 2.475,
-    "q291_dup_span_witness" -> 2.53,
-    "q298_cms_heavy_hitters" -> 1.203,
-    "q299_entropy_gate" -> 1.866,
-    "q29_tpch_q18" -> 1.332,
-    "q300_zorder_layout" -> 2.154,
-    "q304_unigram_em" -> 2.069,
-    "q309_unigram_prune" -> 1.374,
-    "q30_over_rank" -> 1.069,
-    "q310_zorder_prune" -> 3.79,
-    "q311_scd2_asof" -> 1.479,
-    "q312_ivfpq_delete" -> 4.866,
-    "q313_cms_stream" -> 5.749,
-    "q314_zorder_optimize" -> 3.583,
-    "q315_backoff_lm" -> 1.202,
-    // round-11 additions: min-of-5 from one quiet focused session
-    // (q310 canary measured 1.04× its r10 baseline in the same
-    // session, so these mins are comparable to the r10 table)
-    "q319_manifest_timetravel" -> 3.493,
-    "q322_kll_cube" -> 1.405,
-    "q325_ivf_rebalance" -> 6.53,
-    "q328_manifest_merge" -> 2.914,
-    "q329_theta_setops" -> 0.956,
-    "q330_kneser_ney" -> 1.45,
-    "q35_topn_per_key" -> 0.711,
-    "q46_unnest_words" -> 0.433,
-    "q52_window_session" -> 1.043,
-    "q54_asof_join" -> 0.8,
-    "q59_asof_exec" -> 0.719,
-    "q64_minhash_sig" -> 0.688,
-    "q66_ngram_jaccard" -> 1.273,
-    "q70_knn_brute" -> 0.658,
-    "q72_lsh_ann" -> 0.457,
-    "q73_embed_neardup" -> 0.873,
-    "q76_repetition" -> 1.279,
-    "q78_curate" -> 0.904,
-    "q79_simhash_neardup" -> 0.823,
-    "q85_tpch_q7" -> 1.362,
-    "q88_cep_nofollow" -> 0.835,
-    "q89_tpch_q4" -> 1.604,
-    "q91_tpch_q19" -> 0.713)
-
+    "q01_agg_basic" -> 0.795,
+    "q04_grouping_sets" -> 1.002,
+    "q100_tpch_q2" -> 0.99,
+    "q103_tpch_q9" -> 1.604,
+    "q107_tpch_q21" -> 1.741,
+    "q108_dup_span" -> 1.64,
+    "q10_join_star" -> 1.082,
+    "q111_ds_union_rollup" -> 1.208,
+    "q112_ds_yoy_selfjoin" -> 1.135,
+    "q116_ds_rollup_rank" -> 1.402,
+    "q11_join_left" -> 0.664,
+    "q210_bloom_decontaminate" -> 1.435,
+    "q211_pq_ann" -> 1.574,
+    "q214_surprisal_score" -> 0.946,
+    "q21_setop_all" -> 1.254,
+    "q220_token_budget_select" -> 0.869,
+    "q231_dup_spans_maximal" -> 1.479,
+    "q242_avro_roundtrip" -> 0.661,
+    "q261_gaussian_outliers" -> 0.74,
+    "q262_dim_correlation" -> 1.02,
+    "q268_ivfpq_exact" -> 2.451,
+    "q270_fluent_pipeline" -> 1.022,
+    "q279_bm25_topk" -> 1.71,
+    "q27_tpch_q5" -> 1.157,
+    "q280_winnow_dedup" -> 1.903,
+    "q288_fluent_over" -> 1.321,
+    "q290_bpe_encode" -> 2.33,
+    "q291_dup_span_witness" -> 2.423,
+    "q298_cms_heavy_hitters" -> 1.281,
+    "q299_entropy_gate" -> 1.856,
+    "q29_tpch_q18" -> 1.167,
+    "q300_zorder_layout" -> 1.664,
+    "q304_unigram_em" -> 1.157,
+    "q309_unigram_prune" -> 0.881,
+    "q30_over_rank" -> 1.006,
+    "q310_zorder_prune" -> 2.672,
+    "q311_scd2_asof" -> 1.606,
+    "q312_ivfpq_delete" -> 3.666,
+    "q313_cms_stream" -> 3.502,
+    "q314_zorder_optimize" -> 3.062,
+    "q315_backoff_lm" -> 1.282,
+    "q319_manifest_timetravel" -> 2.663,
+    "q322_kll_cube" -> 1.328,
+    "q325_ivf_rebalance" -> 4.219,
+    "q328_manifest_merge" -> 3.636,
+    "q329_theta_setops" -> 0.917,
+    "q330_kneser_ney" -> 1.279,
+    "q336_manifest_stream" -> 2.256,
+    "q337_manifest_cdc" -> 4.569,
+    "q338_manifest_delete" -> 2.486,
+    "q339_adaptive_salt_join" -> 1.533,
+    "q340_curation_pipeline" -> 5.351,
+    "q35_topn_per_key" -> 0.701,
+    "q46_unnest_words" -> 0.411,
+    "q52_window_session" -> 1.052,
+    "q54_asof_join" -> 0.811,
+    "q59_asof_exec" -> 0.848,
+    "q64_minhash_sig" -> 0.69,
+    "q66_ngram_jaccard" -> 1.125,
+    "q70_knn_brute" -> 0.507,
+    "q72_lsh_ann" -> 0.349,
+    "q73_embed_neardup" -> 0.795,
+    "q76_repetition" -> 1.173,
+    "q78_curate" -> 0.802,
+    "q79_simhash_neardup" -> 0.769,
+    "q85_tpch_q7" -> 1.173,
+    "q88_cep_nofollow" -> 0.756,
+    "q89_tpch_q4" -> 1.499,
+    "q91_tpch_q19" -> 0.597)
   /** Budget before drift scaling: quiet min × headroom, ≥ 0.5 s. */
   def budget(n: String): Option[Double] =
     sf01QuietMin.get(n).map { m =>
